@@ -1,0 +1,8 @@
+"""intertext_spark: PySpark-native text-reuse / near-duplicate engine.
+
+From-scratch re-expression of YaleDHLab/intertext's capabilities on the
+Spark DataFrame API (see SURVEY.md).  Not a port: reference semantics, Spark
+architecture.
+"""
+
+from .config import DEFAULT, PipelineConfig  # noqa: F401

@@ -1,0 +1,64 @@
+"""Pipeline configuration.
+
+Mirrors the reference CLI defaults (/root/reference/intertext/intertext.py:47-79)
+so that parity runs use identical knobs:
+
+  window_length=14, slide_length=4, chargram_length=4, n_perm=256 (mirror=True,
+  intertext.py:104), hashband_length=4, hashband_step=3, min_sim=50,
+  banish_distance=4, max_file_sim=None.
+
+Everything else (salting caps, shuffle partitions, storage root) is ours —
+scale machinery the reference does not have.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+# Mersenne prime 2^61 - 1: modulus for all universal hashing. Fits products of
+# 32-bit values in uint64-free python ints / numpy object-free math via
+# splitting; we do the mulmod in numpy uint64 with care (see hashing.py).
+MERSENNE_P = (1 << 61) - 1
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- reference-parity knobs (intertext.py:47-79) ---
+    window_length: int = 14          # words per window (intertext.py:61)
+    slide_length: int = 4            # window stride in words (intertext.py:62)
+    chargram_length: int = 4         # byte n-gram shingle width (intertext.py:60)
+    n_perm: int = 256                # minhash signature length (intertext.py:104)
+    mirror: bool = True              # mirror trick: 128 perms -> 256 values
+    hashband_length: int = 4         # band width in signature values (intertext.py:63)
+    hashband_step: int = 3           # band stride (intertext.py:64)
+    min_sim: float = 50.0            # difflib ratio*100 floor (intertext.py:66)
+    max_file_sim: Optional[float] = None  # per-pair match-count gate (intertext.py:68)
+    banish_distance: int = 4         # BFS radius for banish (intertext.py:65)
+    min_single_char_frac: float = 0.75  # single-char-word filter (intertext.py:498-501)
+    encoding: str = "utf8"
+    compute_probabilities: bool = False
+
+    # --- determinism ---
+    seed: int = 42
+
+    # --- scale knobs (ours; no reference counterpart) ---
+    # bands whose member list exceeds this go through the exploded self-join
+    # path instead of in-row pair expansion (quadratic array build).
+    band_smallgroup_cap: int = 64
+    # optional: drop bands seen in more than this many distinct docs as
+    # non-discriminative (boilerplate). None = keep everything (parity mode).
+    band_max_files: Optional[int] = None
+    shuffle_partitions: int = 32
+
+    def num_bands(self) -> int:
+        """Band start positions: hdx in [0, n_perm - hashband_length] with
+        hdx % hashband_step == 0 (intertext.py:367-372).  256/4/3 -> 85."""
+        last_start = self.n_perm - self.hashband_length
+        return last_start // self.hashband_step + 1
+
+    def with_(self, **kw) -> "PipelineConfig":
+        return replace(self, **kw)
+
+
+DEFAULT = PipelineConfig()

@@ -1,0 +1,248 @@
+"""Deterministic synthetic transcript corpora (FIXTURES.md).
+
+Everything is seeded and byte-stable: same params -> same rows.  Generators
+return plain lists of row-tuples matching schemas.TRANSCRIPTS so they can be
+consumed by Spark (createDataFrame), pandas, or the pure-Python oracle alike.
+
+F1 `elegy`  : the reference's own sample corpus transcript-ified
+              (/root/reference/sample_data/texts/*.txt; each line -> one turn).
+F2 `planted`: synthetic conversations with planted reuse phenomena (verbatim /
+              shifted / noisy copies, chained reuse, hot boilerplate, junk,
+              short convs, self-repeat), each tagged in a golden sidecar.
+F3 `micro`  : hand-computable literal cases live directly in tests.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob
+import os
+import random
+from dataclasses import dataclass, field
+
+EPOCH = _dt.datetime(2024, 1, 1)
+
+
+def _ts(i: int) -> _dt.datetime:
+    return EPOCH + _dt.timedelta(seconds=i)
+
+
+# ---------------------------------------------------------------------------
+# F1: reference sample corpus -> transcripts
+# ---------------------------------------------------------------------------
+
+def elegy_transcripts(sample_dir: str = "/root/reference/sample_data"):
+    """Map each reference sample text to one conversation: conv_id=basename
+    (sans .txt), each non-blank line -> one turn (role='user').  The word
+    stream in turn_idx order whitespace-splits to exactly the reference's
+    get_words output (intertext.py:1158) for the same file."""
+    rows = []
+    for path in sorted(glob.glob(os.path.join(sample_dir, "texts", "*.txt"))):
+        conv_id = os.path.splitext(os.path.basename(path))[0]
+        with open(path, encoding="utf8") as f:
+            lines = [ln.strip() for ln in f.read().split("\n")]
+        turn = 0
+        for ln in lines:
+            if not ln:
+                continue
+            rows.append((conv_id, turn, "user", ln, None, _ts(turn)))
+            turn += 1
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# F2: planted-reuse synthetic corpus
+# ---------------------------------------------------------------------------
+
+ROLES = ["user", "assistant", "system", "tool"]
+
+
+@dataclass
+class PlantedCorpus:
+    rows: list                      # transcripts rows
+    golden: list = field(default_factory=list)  # (conv_a, conv_b, case)
+
+
+def _zipf_vocab(rng: random.Random, size: int):
+    return [f"w{idx}" for idx in range(size)]
+
+
+def _sample_words(rng: random.Random, vocab, n: int):
+    # Zipf-ish: earlier vocab entries much more likely.
+    out = []
+    v = len(vocab)
+    for _ in range(n):
+        r = rng.random()
+        idx = int(v * (r ** 2.2))  # power-law tilt toward low indices
+        out.append(vocab[min(idx, v - 1)])
+    return out
+
+
+def planted_transcripts(
+    n_convs: int = 200,
+    seed: int = 42,
+    vocab_size: int = 2000,
+    min_turns: int = 4,
+    max_turns: int = 40,
+    min_words: int = 5,
+    max_words: int = 30,
+    n_verbatim_pairs: int = 40,
+    n_shifted_pairs: int = 10,
+    noisy_levels: tuple = (0.05, 0.15, 0.30),
+    n_noisy_per_level: int = 6,
+    n_chains: int = 5,
+    boilerplate_frac: float = 0.0,
+    n_junk_pairs: int = 3,
+    n_short: int = 5,
+    n_self_repeat: int = 4,
+) -> PlantedCorpus:
+    """Deterministic planted-reuse corpus (FIXTURES.md F2).
+
+    Base conversations are random word streams; planted phenomena copy spans
+    between conversations.  ``boilerplate_frac`` > 0 inserts one shared
+    20-word disclaimer into that fraction of convs (skew stressor)."""
+    rng = random.Random(seed)
+    vocab = _zipf_vocab(rng, vocab_size)
+
+    convs: dict[str, list[str]] = {}
+    for c in range(n_convs):
+        n_turns = rng.randint(min_turns, max_turns)
+        total = sum(rng.randint(min_words, max_words) for _ in range(n_turns))
+        convs[f"conv{c:05d}"] = _sample_words(rng, vocab, total)
+
+    ids = sorted(convs)
+    golden = []
+    free = list(ids)
+    rng.shuffle(free)
+
+    def take(k):
+        out = [free.pop() for _ in range(k)]
+        return out
+
+    # verbatim copies
+    for _ in range(n_verbatim_pairs):
+        a, b = take(2)
+        span_len = rng.randint(30, 120)
+        wa, wb = convs[a], convs[b]
+        if len(wa) < span_len + 2:
+            wa.extend(_sample_words(rng, vocab, span_len + 2 - len(wa)))
+        src = rng.randint(0, len(wa) - span_len)
+        span = wa[src:src + span_len]
+        dst = rng.randint(0, max(0, len(wb) - 1))
+        convs[b] = wb[:dst] + span + wb[dst:]
+        golden.append((a, b, "verbatim"))
+
+    # shifted copies (different word offset mod slide)
+    for _ in range(n_shifted_pairs):
+        a, b = take(2)
+        span_len = rng.randint(40, 90)
+        wa, wb = convs[a], convs[b]
+        if len(wa) < span_len + 8:
+            wa.extend(_sample_words(rng, vocab, span_len + 8 - len(wa)))
+        src = rng.randint(0, len(wa) - span_len)
+        span = wa[src:src + span_len]
+        dst = rng.randint(0, max(0, len(wb) - 1))
+        # force a non-multiple-of-slide offset: prepend 1-3 filler words
+        filler = _sample_words(rng, vocab, rng.randint(1, 3))
+        convs[b] = wb[:dst] + filler + span + wb[dst:]
+        golden.append((a, b, "shifted"))
+
+    # noisy copies
+    for level in noisy_levels:
+        for _ in range(n_noisy_per_level):
+            a, b = take(2)
+            span_len = rng.randint(50, 100)
+            wa, wb = convs[a], convs[b]
+            if len(wa) < span_len + 2:
+                wa.extend(_sample_words(rng, vocab, span_len + 2 - len(wa)))
+            src = rng.randint(0, len(wa) - span_len)
+            span = list(wa[src:src + span_len])
+            for i in range(len(span)):
+                if rng.random() < level:
+                    span[i] = rng.choice(vocab)
+            dst = rng.randint(0, max(0, len(wb) - 1))
+            convs[b] = wb[:dst] + span + wb[dst:]
+            golden.append((a, b, f"noisy{int(level*100)}"))
+
+    # chained reuse: A<->B and B<->C via different spans
+    for _ in range(n_chains):
+        a, b, c = take(3)
+        for src_id, dst_id in ((a, b), (b, c)):
+            span_len = rng.randint(30, 60)
+            ws, wd = convs[src_id], convs[dst_id]
+            if len(ws) < span_len + 2:
+                ws.extend(_sample_words(rng, vocab, span_len + 2 - len(ws)))
+            src = rng.randint(0, len(ws) - span_len)
+            span = ws[src:src + span_len]
+            dst = rng.randint(0, max(0, len(wd) - 1))
+            convs[dst_id] = wd[:dst] + span + wd[dst:]
+        golden.append((a, b, "chain"))
+        golden.append((b, c, "chain"))
+
+    # hot boilerplate
+    if boilerplate_frac > 0:
+        disclaimer = _sample_words(random.Random(seed + 7), vocab, 20)
+        for cid in ids:
+            if rng.random() < boilerplate_frac:
+                w = convs[cid]
+                pos = rng.randint(0, len(w))
+                convs[cid] = w[:pos] + disclaimer + w[pos:]
+                golden.append((cid, cid, "boilerplate"))
+
+    # single-char junk windows duplicated across convs
+    junk = ["a", "b", "c", "d"] * 10  # 40 one-char words
+    for _ in range(n_junk_pairs):
+        a, b = take(2)
+        for cid in (a, b):
+            w = convs[cid]
+            pos = rng.randint(0, len(w))
+            convs[cid] = w[:pos] + junk + w[pos:]
+        golden.append((a, b, "junk"))
+
+    # short conversations (< window_length words)
+    for i in range(n_short):
+        convs[f"short{i:03d}"] = _sample_words(rng, vocab, rng.randint(1, 13))
+
+    # self-repeat: same span twice within one conversation
+    for _ in range(n_self_repeat):
+        (a,) = take(1)
+        w = convs[a]
+        span_len = rng.randint(30, 50)
+        if len(w) < span_len + 2:
+            w.extend(_sample_words(rng, vocab, span_len + 2 - len(w)))
+        src = rng.randint(0, len(w) - span_len)
+        span = w[src:src + span_len]
+        convs[a] = w + span
+        golden.append((a, a, "self_repeat"))
+
+    # serialize word streams into turns
+    rows = []
+    for cid in sorted(convs):
+        words = convs[cid]
+        trng = random.Random(f"{seed}:{cid}")
+        i = 0
+        turn = 0
+        while i < len(words):
+            n = trng.randint(min_words, max_words)
+            chunk = words[i:i + n]
+            role = ROLES[trng.randint(0, 3)]
+            tool = "search" if role == "tool" else None
+            rows.append((cid, turn, role, " ".join(chunk), tool, _ts(turn)))
+            i += n
+            turn += 1
+        if turn == 0:  # zero-word conv safety
+            rows.append((cid, 0, "user", "", None, _ts(0)))
+    return PlantedCorpus(rows=rows, golden=golden)
+
+
+def words_by_conv(rows) -> dict[str, list[str]]:
+    """Reassemble per-conversation word streams in turn order (the per-row
+    invariant from BASELINE.json: per-turn text equality under stable turn
+    ordering)."""
+    by: dict[str, list] = {}
+    for conv_id, turn_idx, _role, text, _tool, _ts_ in rows:
+        by.setdefault(conv_id, []).append((turn_idx, text))
+    return {
+        cid: " ".join(t for _, t in sorted(turns)).split()
+        for cid, turns in by.items()
+    }

@@ -1,0 +1,175 @@
+"""Vectorized shingling / MinHash / LSH band hashing primitives.
+
+Pure numpy, shared by both the Spark pandas-UDF operators and the pure-Python
+oracle (tests): the distributed pipeline and the single-node oracle use the
+same hash constants, so parity checks exercise the *distributed orchestration*
+(shuffles, joins, groupings), not hash luck.
+
+Semantics mirror the reference (/root/reference/intertext/intertext.py):
+  - char shingles: byte n-grams of the lowercased, encoded window text
+    (intertext.py:385: ``fastNGramHashes(window.lower().encode(enc), n=4)``)
+  - minhash: 256-value signature with the mirror trick halving the
+    permutation count (``VectorizedMinHash(n_perm=256, mirror=True)``,
+    intertext.py:104): 128 universal-hash perms; values 0..127 are the per-perm
+    minima, values 128..255 the complement-of-maxima.
+  - hashbands: overlapping windows of ``hashband_length`` signature values at
+    starts ``hdx % hashband_step == 0`` (intertext.py:367-372).  The reference
+    keys bands by the dot-joined value string; we key by a 61-bit polynomial
+    hash of the value tuple (same-tuple => same-hash, so candidate recall vs
+    the exact-tuple oracle is 1.0; collisions only add candidates, which the
+    validation stage filters).
+
+All arithmetic is exact over the Mersenne primes 2^31-1 (shingle/minhash
+domain -- products fit uint64) and 2^61-1 (band keys), implemented with
+overflow-safe shift-splitting.  No Python-level per-row loops on the data
+plane except the per-window segmentation, which is O(#windows) bookkeeping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P31 = np.uint64((1 << 31) - 1)  # shingle/minhash modulus
+P61 = (1 << 61) - 1             # band-key modulus (python int for clarity)
+_BASE = np.uint64(257)          # polynomial base for byte shingles
+
+_P31_I = (1 << 31) - 1
+_P61_U = np.uint64(P61)
+_MASK30 = np.uint64((1 << 30) - 1)
+
+
+def make_permutations(n_perm: int, mirror: bool, seed: int):
+    """Deterministic universal-hash family (a, b) pairs mod 2^31-1."""
+    k = n_perm // 2 if mirror else n_perm
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _P31_I, size=k).astype(np.uint64)
+    b = rng.randint(0, _P31_I, size=k).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, n: int, encoding: str = "utf8") -> np.ndarray:
+    """Byte n-gram polynomial hashes mod 2^31-1 for one window string.
+
+    Mirrors intertext.py:385 (lowercase + encode before shingling).  Returns
+    an empty array when the window is shorter than ``n`` bytes.
+    """
+    data = np.frombuffer(text.lower().encode(encoding), dtype=np.uint8)
+    if data.size < n:
+        return np.empty(0, dtype=np.uint64)
+    view = np.lib.stride_tricks.sliding_window_view(data, n).astype(np.uint64)
+    # Horner over the n bytes; base^k * 255 * n stays far below 2^64 for n<=6.
+    acc = np.zeros(view.shape[0], dtype=np.uint64)
+    for j in range(n):
+        acc = acc * _BASE + view[:, j]
+    return acc % P31
+
+
+def minhash_signatures(
+    texts: "list[str] | np.ndarray",
+    a: np.ndarray,
+    b: np.ndarray,
+    mirror: bool,
+    chargram_length: int,
+    encoding: str = "utf8",
+) -> np.ndarray:
+    """Signatures for a batch of window texts -> (len(texts), n_perm) uint64.
+
+    Batched: all shingles of the batch are hashed in one (k, total_shingles)
+    matrix op, then per-window minima/maxima come from segmented reduceat.
+    A window with zero shingles gets the all-(p-1) sentinel min signature.
+    """
+    k = a.shape[0]
+    n_perm = 2 * k if mirror else k
+    n = len(texts)
+    out = np.full((n, n_perm), _P31_I, dtype=np.uint64)
+    if n == 0:
+        return out
+
+    hash_arrays = [shingle_hashes(t, chargram_length, encoding) for t in texts]
+    lengths = np.array([h.size for h in hash_arrays], dtype=np.int64)
+    nonempty = np.nonzero(lengths > 0)[0]
+    if nonempty.size == 0:
+        return out
+    all_h = np.concatenate([hash_arrays[i] for i in nonempty])
+    # (k, total) universal hash values; a,b,h < 2^31 so a*h+b < 2^62 < 2^64.
+    vals = (a[:, None] * all_h[None, :] + b[:, None]) % P31
+    starts = np.zeros(nonempty.size, dtype=np.int64)
+    np.cumsum(lengths[nonempty][:-1], out=starts[1:])
+    mins = np.minimum.reduceat(vals, starts, axis=1)  # (k, n_nonempty)
+    if mirror:
+        maxs = np.maximum.reduceat(vals, starts, axis=1)
+        sig = np.concatenate([mins, P31 - maxs], axis=0)  # (2k, n_nonempty)
+    else:
+        sig = mins
+    out[nonempty, :] = sig.T
+    return out
+
+
+def _mul_2p31_mod_p61(x: np.ndarray) -> np.ndarray:
+    """(x * 2^31) mod (2^61 - 1), overflow-safe for x < 2^61.
+
+    x = h*2^30 + l  =>  x*2^31 = h*2^61 + l*2^31 == h + l*2^31 (mod 2^61-1).
+    """
+    r = (x >> np.uint64(30)) + ((x & _MASK30) << np.uint64(31))
+    return np.where(r >= _P61_U, r - _P61_U, r)
+
+
+def band_hashes(
+    sigs: np.ndarray, hashband_length: int, hashband_step: int
+) -> np.ndarray:
+    """LSH band keys -> (n_windows, n_bands) uint64 in [0, 2^61-1).
+
+    Band at start s combines sig[s:s+L] via a base-2^31 polynomial mod 2^61-1;
+    signature values are < 2^31 so the packing is injective per position pair
+    up to the 61-bit modulus.  Band starts follow intertext.py:367-372.
+    """
+    n_windows, n_perm = sigs.shape
+    starts = list(range(0, n_perm - hashband_length + 1, hashband_step))
+    out = np.zeros((n_windows, len(starts)), dtype=np.uint64)
+    for bi, s in enumerate(starts):
+        acc = np.zeros(n_windows, dtype=np.uint64)
+        for j in range(hashband_length):
+            acc = _mul_2p31_mod_p61(acc) + sigs[:, s + j]  # < 2^61 + 2^31
+            acc = np.where(acc >= _P61_U, acc - _P61_U, acc)
+        out[:, bi] = acc
+    return out
+
+
+def band_hash_of_tuple(values) -> int:
+    """Python-int reference of the band key for a tuple of signature values
+    (oracle-side; must agree with :func:`band_hashes`)."""
+    acc = 0
+    for v in values:
+        acc = (acc * (1 << 31) + int(v)) % P61
+    return acc
+
+
+def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash of pre-hashed tokens (uint64).  Bit b of the result is
+    1 iff the (weighted) count of tokens with bit b set exceeds half the
+    total weight."""
+    if token_hashes.size == 0:
+        return 0
+    if weights is None:
+        weights = np.ones(token_hashes.shape[0], dtype=np.int64)
+    bits = (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    score = (weights[:, None] * (2 * bits.astype(np.int64) - 1)).sum(axis=0)
+    out = np.uint64(0)
+    for b in range(64):
+        if score[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out)
+
+
+def hash64_strings(tokens: "list[str]") -> np.ndarray:
+    """Deterministic 64-bit-ish (61-bit) polynomial hashes for a token list
+    (used by SimHash / fingerprinting; not security-sensitive)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        acc = np.uint64(0)
+        for ch in t.encode("utf8"):
+            acc = _mul_2p31_mod_p61(acc) + np.uint64(ch)
+            if acc >= _P61_U:
+                acc -= _P61_U
+        out[i] = acc
+    return out

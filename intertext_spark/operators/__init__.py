@@ -1,0 +1,1 @@
+"""Spark DataFrame operators for the text-reuse pipeline (SURVEY.md §2)."""

@@ -1,0 +1,109 @@
+"""Hashbands -> candidate window pairs (the LSH band self-join).
+
+Reference: stream bands sorted, group, emit cross-file member combinations
+with canonical file_id_a < file_id_b (intertext.py:427-454, 964-996) —
+modulo its chunk-boundary pair losses (SURVEY.md §2.7), which a clean
+groupBy does not reproduce: our candidate set is a superset, recall can
+only improve, and validation enforces identical precision.
+
+Scale design (the part the reference lacks):
+  * one shuffle groups by band; bands with few members expand to pairs
+    **in-row** via higher-order functions (no second shuffle, no Python);
+  * hot bands (boilerplate text ⇒ thousands of members ⇒ quadratic blowup
+    in one task) go through a **salted self-join**: the left side keeps one
+    deterministic salt per member, the right side replicates each member to
+    all salts, join key = (band, salt).  Every cross-salt pair appears
+    exactly once — pair-complete by construction (left member's salt is
+    matched by exactly one right replica per partner).
+  * optional ``band_max_files`` drops bands seen in more distinct files than
+    the cap as non-discriminative (off for parity runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+
+_PAIR_COLS = ["file_id_a", "file_id_b", "window_id_a", "window_id_b"]
+
+
+def _pairs_from_members(ms):
+    """All canonical cross-file pairs from a member array — in-row."""
+    pair = lambda a, b: F.struct(  # noqa: E731
+        a["file_id"].alias("file_id_a"),
+        b["file_id"].alias("file_id_b"),
+        a["window_id"].alias("window_id_a"),
+        b["window_id"].alias("window_id_b"),
+    )
+    crossed = F.flatten(
+        F.transform(ms, lambda a: F.transform(ms, lambda b: pair(a, b)))
+    )
+    return F.filter(crossed, lambda p: p["file_id_a"] < p["file_id_b"])
+
+
+def candidate_pairs(
+    hashbands: DataFrame, cfg: PipelineConfig, only_file_id: int | None = None
+) -> DataFrame:
+    """-> (file_id_a, file_id_b, window_id_a, window_id_b), distinct."""
+    cap = cfg.band_smallgroup_cap
+
+    grouped = hashbands.groupBy("band").agg(
+        F.collect_set(F.struct("file_id", "window_id")).alias("ms")
+    )
+    multi = grouped.where(
+        F.size(F.array_distinct(F.transform("ms", lambda m: m["file_id"]))) >= 2
+    )
+    if cfg.band_max_files is not None:
+        multi = multi.where(
+            F.size(F.array_distinct(F.transform("ms", lambda m: m["file_id"])))
+            <= cfg.band_max_files
+        )
+    if only_file_id is not None:
+        multi = multi.where(
+            F.exists("ms", lambda m: m["file_id"] == F.lit(only_file_id))
+        )
+    multi = multi.withColumn("n", F.size("ms"))
+
+    # --- small path: in-row expansion (majority of bands) ---
+    small = (
+        multi.where(F.col("n") <= cap)
+        .select(F.explode(_pairs_from_members(F.col("ms"))).alias("p"))
+        .select("p.*")
+    )
+
+    # --- big path: salted exploded self-join (hot bands) ---
+    big = multi.where(F.col("n") > cap).select(
+        "band",
+        F.ceil(F.col("n") / F.lit(cap)).cast("int").alias("n_salt"),
+        F.explode("ms").alias("m"),
+    )
+    left = big.select(
+        "band",
+        F.col("m.file_id").alias("file_id_a"),
+        F.col("m.window_id").alias("window_id_a"),
+        F.pmod(
+            F.xxhash64("m.file_id", "m.window_id"), F.col("n_salt")
+        ).alias("salt"),
+    )
+    right = big.select(
+        "band",
+        F.col("m.file_id").alias("file_id_b"),
+        F.col("m.window_id").alias("window_id_b"),
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+    )
+    # Completeness: every ordered pair (u, v) is matched exactly once (u's
+    # single salt meets one of v's replicas); each unordered cross-file pair
+    # appears in both orientations, and the a<b filter keeps exactly the
+    # canonical one.
+    big_pairs = left.join(right, ["band", "salt"]).where(
+        F.col("file_id_a") < F.col("file_id_b")
+    )
+
+    pairs = small.select(_PAIR_COLS).unionByName(big_pairs.select(_PAIR_COLS))
+    if only_file_id is not None:
+        pairs = pairs.where(
+            (F.col("file_id_a") == only_file_id)
+            | (F.col("file_id_b") == only_file_id)
+        )
+    return pairs.dropDuplicates(_PAIR_COLS)

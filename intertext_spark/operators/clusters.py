@@ -1,0 +1,87 @@
+"""Matches -> passage clusters (per file pair) + max_file_sim gate.
+
+Reference: format_file_matches (intertext.py:536-568) — per pair, group the
+matched window ids into consecutive-integer islands on each side
+(get_sequences, intertext.py:670-678), cross the islands, keep cells with at
+least one validated (a,b) pair, cluster sim = int(mean of member int-sims),
+re-filter < min_sim.  The max_file_sim gate drops a whole pair when its
+match count exceeds len(windows)*max_file_sim on either side
+(intertext.py:541-544; the reference's error path references an undefined
+``args`` — we just drop the pair).
+
+Spark shape: groupBy(file_id_a, file_id_b).applyInPandas — the per-pair math
+is tiny; the shuffle is the cost, and pair groups are naturally small except
+degenerate corpora (gated by max_file_sim before clustering when set).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import PipelineConfig
+from ..oracle import cluster_pair_matches
+
+_CLUSTER_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id_a", T.LongType(), False),
+        T.StructField("file_id_b", T.LongType(), False),
+        T.StructField("window_ids_a", T.ArrayType(T.LongType()), False),
+        T.StructField("window_ids_b", T.ArrayType(T.LongType()), False),
+        T.StructField("similarity", T.LongType(), False),
+    ]
+)
+
+
+def window_counts(windows: DataFrame) -> DataFrame:
+    return windows.groupBy("file_id").agg(F.count("*").alias("n_windows"))
+
+
+def apply_max_file_sim(
+    matches: DataFrame, win_counts: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    if not cfg.max_file_sim:
+        return matches
+    per_pair = matches.groupBy("file_id_a", "file_id_b").agg(
+        F.count("*").alias("n_matches")
+    )
+    ca = win_counts.select(
+        F.col("file_id").alias("file_id_a"), F.col("n_windows").alias("n_a")
+    )
+    cb = win_counts.select(
+        F.col("file_id").alias("file_id_b"), F.col("n_windows").alias("n_b")
+    )
+    keep = (
+        per_pair.join(ca, "file_id_a")
+        .join(cb, "file_id_b")
+        .where(
+            (F.col("n_matches") <= F.col("n_a") * F.lit(cfg.max_file_sim))
+            & (F.col("n_matches") <= F.col("n_b") * F.lit(cfg.max_file_sim))
+        )
+        .select("file_id_a", "file_id_b")
+    )
+    return matches.join(keep, ["file_id_a", "file_id_b"], "left_semi")
+
+
+def passage_clusters(matches: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """-> (file_id_a, file_id_b, window_ids_a, window_ids_b, similarity)."""
+
+    def cluster(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fa, fb = key
+        rows = list(
+            zip(pdf["window_id_a"], pdf["window_id_b"], pdf["similarity"])
+        )
+        out = cluster_pair_matches(rows, cfg)
+        return pd.DataFrame(
+            {
+                "file_id_a": [fa] * len(out),
+                "file_id_b": [fb] * len(out),
+                "window_ids_a": [list(map(int, a)) for a, _, _ in out],
+                "window_ids_b": [list(map(int, b)) for _, b, _ in out],
+                "similarity": [s for _, _, s in out],
+            }
+        )
+
+    return matches.groupBy("file_id_a", "file_id_b").applyInPandas(
+        cluster, _CLUSTER_SCHEMA
+    )

@@ -1,0 +1,147 @@
+"""Graph stage: connected components (duplicate groups) + banish BFS.
+
+Reference builds a networkx graph over match windows and runs CC only for
+banishing (intertext.py:1084-1106); the north star promotes CC to a
+first-class output (duplicate_groups).  networkx is driver-bound; we run a
+label-propagation + pointer-jumping fixpoint in pure DataFrame ops —
+O(log n) rounds, each a pair of shuffles, localCheckpoint per round to cut
+the lineage (SURVEY.md §2.6).
+
+Node encoding: node = file_id * 2^32 + window_id (both < 2^31 by
+construction), so nodes are plain longs and min-label semantics match the
+oracle's min-member labels exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_SHIFT = 32
+
+
+def encode_node(file_col, window_col):
+    return (file_col.cast("long") * F.lit(1 << _SHIFT)) + window_col.cast("long")
+
+
+def match_edges(matches: DataFrame) -> DataFrame:
+    """-> (src, dst) long node ids from validated match rows
+    (graph of intertext.py:1088-1094)."""
+    return matches.select(
+        encode_node(F.col("file_id_a"), F.col("window_id_a")).alias("src"),
+        encode_node(F.col("file_id_b"), F.col("window_id_b")).alias("dst"),
+    ).distinct()
+
+
+def decode_groups(labels: DataFrame) -> DataFrame:
+    """(node, label) -> (file_id, window_id, group_id)."""
+    return labels.select(
+        (F.col("node") / F.lit(1 << _SHIFT)).cast("long").alias("file_id"),
+        (F.col("node") % F.lit(1 << _SHIFT)).cast("long").alias("window_id"),
+        F.col("label").alias("group_id"),
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """-> (node, label) with label = min node id of the component.
+
+    Each round: (1) every node takes the min label over itself and its
+    neighbors (one shuffle over the bidirected edge list); (2) pointer
+    jumping label <- label(label) (one self-join), which collapses chains
+    logarithmically.  Convergence check is an aggregate on the changed-row
+    count; localCheckpoint truncates lineage so plans stay flat.
+    """
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        bidir.groupBy("src")
+        .agg(F.min("dst").alias("min_nbr"))
+        .select(
+            F.col("src").alias("node"),
+            F.least("src", "min_nbr").alias("label"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # neighbor-min: push labels across edges
+        msgs = (
+            bidir.join(labels, bidir["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label <- label(label)
+        ptr = new_labels.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        jumped = (
+            new_labels.join(ptr, "label", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label2"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def banish_filter(
+    matches: DataFrame, banished_file_ids: DataFrame, distance: int
+) -> DataFrame:
+    """Drop match rows touching any window within ``distance`` hops of a
+    banished-file window (intertext.py:1096-1106: strict '<' on the
+    all-pairs distance == BFS to depth distance-1).
+
+    banished_file_ids: DataFrame(file_id: long).  Returns filtered matches.
+    """
+    edges = match_edges(matches)
+    bidir = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = bidir.select(F.col("src").alias("node")).distinct()
+    # banish sets are tiny relative to the corpus — broadcast the semi-join
+    frontier = nodes.join(
+        F.broadcast(banished_file_ids.select("file_id")),
+        (F.col("node") / F.lit(1 << _SHIFT)).cast("long") == F.col("file_id"),
+        "left_semi",
+    )
+    seen = frontier.select("node").distinct().localCheckpoint()
+    frontier = seen
+    for _ in range(max(0, distance - 1)):
+        nxt = (
+            bidir.join(frontier, bidir["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(seen, "node", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        seen = seen.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    bad = seen
+    m = matches
+    m = m.join(
+        bad.select(F.col("node").alias("bad_a")),
+        encode_node(F.col("file_id_a"), F.col("window_id_a")) == F.col("bad_a"),
+        "left_anti",
+    )
+    m = m.join(
+        bad.select(F.col("node").alias("bad_b")),
+        encode_node(F.col("file_id_b"), F.col("window_id_b")) == F.col("bad_b"),
+        "left_anti",
+    )
+    return m

@@ -1,0 +1,96 @@
+"""Candidates -> validated matches (the difflib scoring stage).
+
+Reference: per candidate, score SequenceMatcher(None, a, b,
+autojunk=False).ratio()*100 with a = lower-file_id side (order-sensitive,
+SURVEY.md §2.7.6); keep sim >= min_sim; drop windows dominated by
+single-char tokens (intertext.py:479-510, 1261-1263).
+
+Spark shape: two equi-joins pull window texts onto the pair rows (shuffle on
+(file_id, window_id) both times), then JVM-side prefilters cut the Python
+surface before one Arrow-batched pandas UDF runs difflib:
+
+  * single-char-junk filter — pure built-ins, applied pre-score (the
+    reference applies it post-score; the predicate set is identical since
+    the result is an AND of independent conditions);
+  * ratio upper bound — SequenceMatcher.ratio() <= 2*min(|a|,|b|)/(|a|+|b|);
+    pairs whose bound is already below min_sim never reach Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import PipelineConfig
+
+_MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id_a", T.LongType(), False),
+        T.StructField("file_id_b", T.LongType(), False),
+        T.StructField("window_id_a", T.LongType(), False),
+        T.StructField("window_id_b", T.LongType(), False),
+        T.StructField("similarity", T.DoubleType(), False),
+    ]
+)
+
+
+def _is_junk(text_col, cfg: PipelineConfig):
+    singles = F.size(
+        F.filter(F.split(text_col, " "), lambda w: F.length(w) == 1)
+    )
+    return singles >= F.lit(cfg.window_length * cfg.min_single_char_frac)
+
+
+def attach_window_texts(candidates: DataFrame, windows: DataFrame) -> DataFrame:
+    """candidates ⋈ windows ×2 -> pair rows with (text_a, text_b)."""
+    wa = windows.select(
+        F.col("file_id").alias("file_id_a"),
+        F.col("window_id").alias("window_id_a"),
+        F.col("text").alias("text_a"),
+    )
+    wb = windows.select(
+        F.col("file_id").alias("file_id_b"),
+        F.col("window_id").alias("window_id_b"),
+        F.col("text").alias("text_b"),
+    )
+    return candidates.join(wa, ["file_id_a", "window_id_a"]).join(
+        wb, ["file_id_b", "window_id_b"]
+    )
+
+
+def score_matches(pairs_with_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """-> (file_id_a, file_id_b, window_id_a, window_id_b, similarity)."""
+    min_sim = cfg.min_sim
+
+    pre = pairs_with_text.where(
+        ~_is_junk(F.col("text_a"), cfg) & ~_is_junk(F.col("text_b"), cfg)
+    ).where(
+        # ratio() <= 2*min(la,lb)/(la+lb); prune pairs that cannot reach
+        # min_sim.  Guard la+lb>0 (empty windows cannot occur here anyway).
+        F.lit(200.0)
+        * F.least(F.length("text_a"), F.length("text_b"))
+        / (F.length("text_a") + F.length("text_b"))
+        >= F.lit(min_sim)
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from difflib import SequenceMatcher
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sims = [
+                SequenceMatcher(None, a, b, autojunk=False).ratio() * 100.0
+                for a, b in zip(pdf["text_a"], pdf["text_b"])
+            ]
+            out = pdf[
+                ["file_id_a", "file_id_b", "window_id_a", "window_id_b"]
+            ].copy()
+            out["similarity"] = sims
+            yield out[out["similarity"] >= min_sim]
+
+    return pre.select(
+        "file_id_a", "file_id_b", "window_id_a", "window_id_b", "text_a", "text_b"
+    ).mapInPandas(score, _MATCH_SCHEMA)

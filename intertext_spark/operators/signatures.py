@@ -1,0 +1,89 @@
+"""Windows -> MinHash signatures + LSH band keys.
+
+One mapInPandas pass (Arrow-batched, numpy-vectorized inside — the only
+Python that touches window text on this path).  Emits the band array inline
+so banding costs no second UDF; hashband explosion stays JVM-side.
+
+Reference: VectorizedMinHash(n_perm=256, mirror=True) per window over char
+4-gram hashes (intertext.py:104, 376-390); bands = overlapping 4-value
+windows at step 3 (intertext.py:367-372).  Our band key is a 61-bit
+polynomial hash of the value tuple (see hashing.py docstring for the
+recall argument).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import PipelineConfig
+from .. import hashing
+
+
+SIG_BANDS_SCHEMA = T.StructType(
+    [
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.LongType()), True),
+        T.StructField("bands", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def sign_windows(
+    windows: DataFrame, cfg: PipelineConfig, keep_sig: bool = False
+) -> DataFrame:
+    """-> (file_id, window_id, [sig], bands).
+
+    ``keep_sig=False`` nulls the signature column so the exchange after this
+    stage moves 85 longs per window instead of 341 (sig is only needed when
+    the signatures table itself is a requested artifact).
+    """
+    cl, enc, mirror = cfg.chargram_length, cfg.encoding, cfg.mirror
+    n_perm, hb_len, hb_step, seed = (
+        cfg.n_perm,
+        cfg.hashband_length,
+        cfg.hashband_step,
+        cfg.seed,
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = hashing.make_permutations(n_perm, mirror, seed)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = hashing.minhash_signatures(
+                pdf["text"].tolist(), a, b, mirror, cl, enc
+            )
+            bands = hashing.band_hashes(sigs, hb_len, hb_step)
+            # int64 view: values < 2^61 so the reinterpret is lossless.
+            bands64 = bands.astype("int64")
+            out = pd.DataFrame(
+                {
+                    "file_id": pdf["file_id"].values,
+                    "window_id": pdf["window_id"].values,
+                    "sig": list(sigs.astype("int64")) if keep_sig else None,
+                    "bands": list(bands64),
+                }
+            )
+            yield out
+
+    return windows.mapInPandas(compute, SIG_BANDS_SCHEMA)
+
+
+def hashbands(signed: DataFrame) -> DataFrame:
+    """-> (band, file_id, window_id), distinct.
+
+    The reference set-dedups bands within a file (intertext.py:368-373);
+    band values within one window's array are already distinct with
+    overwhelming probability, and the downstream pair-set is de-dupped
+    again, so a global distinct here matches its semantics.
+    """
+    return (
+        signed.select(
+            F.explode("bands").alias("band"), "file_id", "window_id"
+        )
+        .distinct()
+    )

@@ -1,0 +1,94 @@
+"""Transcripts -> documents -> sliding windows.  All JVM-side built-ins.
+
+Reference semantics:
+  * document word stream = whitespace-split of the file text
+    (intertext.py:1158); for transcripts, the file text is the turn texts
+    joined in turn_idx order (per-row invariant in BASELINE.json).
+  * file_id = position in the sorted corpus (intertext.py:242-252); ours is
+    the dense index of conv_id in sorted order, assigned distributed (range
+    partition + zipWithIndex — no single-partition window).
+  * windows: ngram starts with start % slide == 0; window_id = index among
+    retained starts, covering words [k*slide, k*slide + window)
+    (intertext.py:1180-1188, reconstruction math 661-662).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+
+
+def assign_file_ids(transcripts: DataFrame) -> DataFrame:
+    """conv_id -> dense file_id in lexicographic conv_id order.
+
+    Distributed dense-rank: sort the distinct conv dimension with a range
+    partitioner, then zipWithIndex (contiguous ids follow partition order,
+    which under repartitionByRange+sortWithinPartitions is the total order).
+    Avoids the classic Window.orderBy-without-partition single-task trap.
+    """
+    distinct = transcripts.select("conv_id").distinct()
+    spark = transcripts.sparkSession
+    n_part = max(1, min(200, spark.sparkContext.defaultParallelism))
+    ordered = distinct.repartitionByRange(n_part, "conv_id").sortWithinPartitions(
+        "conv_id"
+    )
+    rdd = ordered.rdd.map(lambda r: r.conv_id).zipWithIndex()
+    from ..schemas import DOC_IDS
+
+    return spark.createDataFrame(rdd, DOC_IDS)
+
+
+def docs_from_transcripts(transcripts: DataFrame, doc_ids: DataFrame) -> DataFrame:
+    """-> (file_id, conv_id, words: array<string>).
+
+    Turn texts concatenated in turn_idx order then whitespace-tokenized with
+    empty tokens dropped — byte-equivalent to python str.split() on the
+    joined text (parity with intertext.py:1158).  One shuffle (groupBy
+    conv_id); the sort happens inside the aggregated array, not cluster-wide.
+    """
+    assembled = (
+        transcripts.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", "text"))
+            ).alias("turns")
+        )
+        .select(
+            "conv_id",
+            F.filter(
+                F.split(
+                    F.array_join(F.transform("turns", lambda t: t["text"]), " "),
+                    r"\s+",
+                ),
+                lambda w: w != "",
+            ).alias("words"),
+        )
+    )
+    return assembled.join(F.broadcast(doc_ids), "conv_id").select(
+        "file_id", "conv_id", "words"
+    )
+
+
+def windows_from_docs(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """-> (file_id, window_id, text).  Pure higher-order functions: the
+    window list is built per-doc with transform+slice (whole-stage codegen,
+    no Python), then exploded."""
+    w, s = cfg.window_length, cfg.slide_length
+    n_windows = F.when(
+        F.size("words") >= w,
+        ((F.size("words") - F.lit(w)) / F.lit(s)).cast("long") + 1,
+    ).otherwise(F.lit(0))
+    texts = F.when(
+        n_windows > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda k: F.array_join(F.slice("words", k * s + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = docs.select(
+        "file_id", F.posexplode(texts).alias("window_id", "text")
+    )
+    return exploded.select(
+        "file_id", F.col("window_id").cast("long"), "text"
+    )

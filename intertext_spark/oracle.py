@@ -1,0 +1,275 @@
+"""Pure-Python oracle: reference semantics of YaleDHLab/intertext, clean-room.
+
+This is NOT the reference code (which pins Python<=3.7 and an uninstallable
+git dependency); it is the same math re-stated in ~200 readable lines, used
+as the parity target for the Spark pipeline (SURVEY.md §5.2).  Every function
+cites the reference behavior it models (/root/reference/intertext/intertext.py).
+
+Deliberate divergences (documented in SURVEY.md §2.7):
+  * candidate generation groups bands exactly (no last-group drop / chunk
+    boundary loss), so candidates are a superset of the reference's;
+  * precision parity is enforced by identical validation thresholds.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from difflib import SequenceMatcher
+
+import numpy as np
+
+from .config import PipelineConfig
+from .hashing import (
+    band_hash_of_tuple,
+    band_hashes,
+    make_permutations,
+    minhash_signatures,
+)
+
+
+def get_windows(words: list[str], cfg: PipelineConfig) -> list[str]:
+    """Sliding windows: every ngram start idx with idx % slide == 0
+    (intertext.py:1180-1188).  window_id = index in the retained list, so
+    window k covers words [k*slide, k*slide + window)."""
+    n = len(words)
+    out = []
+    for start in range(0, n - cfg.window_length + 1):
+        if start % cfg.slide_length == 0:
+            out.append(" ".join(words[start:start + cfg.window_length]))
+    return out
+
+
+def signatures_for_windows(windows: list[str], cfg: PipelineConfig) -> np.ndarray:
+    a, b = make_permutations(cfg.n_perm, cfg.mirror, cfg.seed)
+    return minhash_signatures(windows, a, b, cfg.mirror, cfg.chargram_length, cfg.encoding)
+
+
+def hashbands_for_file(windows: list[str], cfg: PipelineConfig) -> set[tuple[int, int]]:
+    """(band_key, window_id) set for one file; set-dedup within file mirrors
+    intertext.py:367-373."""
+    if not windows:
+        return set()
+    sigs = signatures_for_windows(windows, cfg)
+    bands = band_hashes(sigs, cfg.hashband_length, cfg.hashband_step)
+    out = set()
+    for wid in range(bands.shape[0]):
+        for b in bands[wid]:
+            out.add((int(b), wid))
+    return out
+
+
+def candidates_from_hashbands(
+    hashbands: list[tuple[int, int, int]], only_id: int | None = None
+) -> set[tuple[int, int, int, int]]:
+    """Exact band grouping -> cross-file pairs, canonical a<b
+    (intertext.py:427-454 minus the chunking quirks)."""
+    groups: dict[int, set[tuple[int, int]]] = defaultdict(set)
+    for band, file_id, window_id in hashbands:
+        groups[band].add((file_id, window_id))
+    out = set()
+    for members in groups.values():
+        if len({f for f, _ in members}) < 2:
+            continue
+        if only_id is not None and not any(f == only_id for f, _ in members):
+            continue
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (fa, wa), (fb, wb) = members[i], members[j]
+                if fa == fb:
+                    continue
+                if only_id is not None and fa != only_id and fb != only_id:
+                    continue
+                if fa < fb:
+                    out.add((fa, fb, wa, wb))
+                else:
+                    out.add((fb, fa, wb, wa))
+    return out
+
+
+def string_sim(a: str, b: str) -> float:
+    """difflib Ratcliff-Obershelp, order-sensitive (intertext.py:1261-1263;
+    always called with a = lower-file_id side)."""
+    return SequenceMatcher(None, a, b, autojunk=False).ratio() * 100
+
+
+def is_single_char_junk(text: str, cfg: PipelineConfig) -> bool:
+    """>=75% of window_length tokens are single characters
+    (intertext.py:498-501; note the threshold uses window_length, not the
+    actual token count)."""
+    singles = [w for w in text.split() if len(w) == 1]
+    return len(singles) >= cfg.window_length * cfg.min_single_char_frac
+
+
+def validate_candidates(
+    candidates, windows_by_file: dict[int, list[str]], cfg: PipelineConfig
+):
+    """-> list of (fa, fb, wa, wb, similarity_float) (intertext.py:479-510).
+    Similarity kept as float; reference floors to int at storage."""
+    out = []
+    for fa, fb, wa, wb in sorted(candidates):
+        try:
+            ta = windows_by_file[fa][wa]
+            tb = windows_by_file[fb][wb]
+        except (KeyError, IndexError):
+            continue
+        sim = string_sim(ta, tb)
+        if sim >= cfg.min_sim:
+            if is_single_char_junk(ta, cfg) or is_single_char_junk(tb, cfg):
+                continue
+            out.append((fa, fb, wa, wb, sim))
+    return out
+
+
+def get_sequences(ids) -> list[list[int]]:
+    """Consecutive-integer islands over sorted distinct ids
+    (intertext.py:670-678)."""
+    seqs: list[list[int]] = []
+    for i in sorted(set(ids)):
+        if not seqs or seqs[-1][-1] != i - 1:
+            seqs.append([])
+        seqs[-1].append(i)
+    return seqs
+
+
+def cluster_pair_matches(rows, cfg: PipelineConfig):
+    """Passage clustering for one file pair (intertext.py:546-568):
+    cross product of a-islands x b-islands; keep cells with >=1 validated
+    (a,b) pair; cluster sim = int(mean of member sims) floored; re-filter
+    < min_sim.  rows: [(wa, wb, sim_float)] -> [(sorted_a, sorted_b, sim_int)]."""
+    d: dict[int, dict[int, float]] = defaultdict(dict)
+    was, wbs = [], []
+    for wa, wb, sim in rows:
+        d[wa][wb] = sim
+        was.append(wa)
+        wbs.append(wb)
+    clusters = []
+    for a_run in get_sequences(was):
+        for b_run in get_sequences(wbs):
+            a_set, b_set, sims = set(), set(), []
+            for ai in a_run:
+                for bi in b_run:
+                    # reference truthiness quirk: a stored sim of 0 would be
+                    # skipped (d.get(a,{}).get(b) is falsy); sims here are
+                    # >= min_sim >= 1 so the distinction never fires.
+                    if d.get(ai, {}).get(bi):
+                        a_set.add(ai)
+                        b_set.add(bi)
+                        sims.append(int(d[ai][bi]))  # stored as int, ref:508
+            if a_set and b_set:
+                sim = int(sum(sims) / len(sims))
+                if sim < cfg.min_sim:
+                    continue
+                clusters.append((sorted(a_set), sorted(b_set), sim))
+    return clusters
+
+
+def apply_max_file_sim(matches, windows_by_file, cfg: PipelineConfig):
+    """Drop whole pairs whose match count exceeds len(windows)*max_file_sim
+    on either side (intertext.py:541-544)."""
+    if not cfg.max_file_sim:
+        return matches
+    by_pair: dict[tuple, list] = defaultdict(list)
+    for m in matches:
+        by_pair[(m[0], m[1])].append(m)
+    out = []
+    for (fa, fb), rows in by_pair.items():
+        if len(rows) > len(windows_by_file[fa]) * cfg.max_file_sim:
+            continue
+        if len(rows) > len(windows_by_file[fb]) * cfg.max_file_sim:
+            continue
+        out.extend(rows)
+    return out
+
+
+def connected_components(edges) -> dict:
+    """Union-find CC over (node_a, node_b) edges; labels = min member."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def duplicate_groups(matches):
+    """CC over the validated match graph, nodes=(file_id, window_id)
+    (graph built as intertext.py:1088-1094)."""
+    edges = [((m[0], m[2]), (m[1], m[3])) for m in matches]
+    return connected_components(edges)
+
+
+def banished_nodes(matches, banished_file_ids, distance: int):
+    """Nodes within `distance` hops of any banished-file node
+    (intertext.py:1096-1106; reference uses all-pairs shortest paths with a
+    strict '<' comparison — we BFS to depth distance-1 to match it)."""
+    adj: dict = defaultdict(set)
+    for m in matches:
+        a, b = (m[0], m[2]), (m[1], m[3])
+        adj[a].add(b)
+        adj[b].add(a)
+    frontier = {n for n in adj if n[0] in banished_file_ids}
+    seen = set(frontier)
+    for _ in range(distance - 1):
+        frontier = {v for u in frontier for v in adj[u]} - seen
+        if not frontier:
+            break
+        seen |= frontier
+    return seen
+
+
+def run_pipeline(words_by_conv: dict[str, list[str]], cfg: PipelineConfig,
+                 banished_convs=(), only_conv=None, excluded_convs=()):
+    """Full oracle pipeline. conv ids are mapped to dense file_ids by sorted
+    order (reference: sorted glob index, intertext.py:242-252)."""
+    conv_ids = sorted(words_by_conv)
+    file_of = {c: i for i, c in enumerate(conv_ids)}
+    windows_by_file = {
+        file_of[c]: get_windows(words_by_conv[c], cfg) for c in conv_ids
+    }
+    hashbands = []
+    for fid, windows in windows_by_file.items():
+        for band, wid in hashbands_for_file(windows, cfg):
+            hashbands.append((band, fid, wid))
+    only_id = file_of[only_conv] if only_conv is not None else None
+    cands = candidates_from_hashbands(hashbands, only_id)
+    matches = validate_candidates(cands, windows_by_file, cfg)
+    if banished_convs:
+        bad = banished_nodes(
+            matches, {file_of[c] for c in banished_convs}, cfg.banish_distance
+        )
+        matches = [
+            m for m in matches
+            if (m[0], m[2]) not in bad and (m[1], m[3]) not in bad
+        ]
+    if excluded_convs:
+        ex = {file_of[c] for c in excluded_convs}
+        matches = [m for m in matches if m[0] not in ex and m[1] not in ex]
+    gated = apply_max_file_sim(matches, windows_by_file, cfg)
+    by_pair: dict[tuple, list] = defaultdict(list)
+    for fa, fb, wa, wb, sim in gated:
+        by_pair[(fa, fb)].append((wa, wb, sim))
+    clusters = {
+        pair: cluster_pair_matches(rows, cfg) for pair, rows in by_pair.items()
+    }
+    groups = duplicate_groups(gated)
+    return {
+        "file_of": file_of,
+        "windows_by_file": windows_by_file,
+        "hashbands": hashbands,
+        "candidates": cands,
+        "matches": matches,
+        "clusters": clusters,
+        "groups": groups,
+    }

@@ -1,0 +1,145 @@
+"""End-to-end pipeline orchestration (reference: process_texts,
+intertext.py:179-228; our stages map per SURVEY.md §3.1).
+
+``run(...)`` executes transcripts -> windows -> signatures/bands ->
+candidates -> matches -> clusters -> duplicate groups, either fully
+in-memory (checkpoint_root=None; tests) or with per-stage checkpointing +
+resume through a CheckpointStore.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import PipelineConfig
+from .store import CheckpointStore
+from .operators.windows import assign_file_ids, docs_from_transcripts, windows_from_docs
+from .operators.signatures import sign_windows, hashbands
+from .operators.candidates import candidate_pairs
+from .operators.matches import attach_window_texts, score_matches
+from .operators.clusters import apply_max_file_sim, passage_clusters, window_counts
+from .operators.graph import (
+    banish_filter,
+    connected_components,
+    decode_groups,
+    match_edges,
+)
+
+
+def _fingerprint(cfg: PipelineConfig, *parts: str) -> str:
+    payload = json.dumps([asdict(cfg), *parts], sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig,
+        checkpoint_root: str | None = None,
+        input_token: str = "",
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.store = (
+            CheckpointStore(spark, checkpoint_root) if checkpoint_root else None
+        )
+        self.input_token = input_token
+        self._run_token = ""
+        self.stage_log: list[dict] = []
+
+    def _stage(self, name: str, build, partition_by=None) -> DataFrame:
+        if self.store is None:
+            return build()
+        fp = _fingerprint(self.cfg, self.input_token, self._run_token, name)
+        res = self.store.read_or_build(name, fp, build, partition_by)
+        self.stage_log.append(
+            {"stage": name, "rows": res.rows, "wall_s": res.wall_s,
+             "skipped": res.skipped}
+        )
+        return res.df
+
+    def run(
+        self,
+        transcripts: DataFrame,
+        only_conv: str | None = None,
+        excluded_convs: list[str] | None = None,
+        banished_convs: list[str] | None = None,
+    ) -> dict:
+        cfg = self.cfg
+        self._run_token = json.dumps(
+            [only_conv, sorted(excluded_convs or []), sorted(banished_convs or [])]
+        )
+        doc_ids = self._stage("doc_ids", lambda: assign_file_ids(transcripts))
+        docs = self._stage(
+            "docs", lambda: docs_from_transcripts(transcripts, doc_ids)
+        )
+        windows = self._stage("windows", lambda: windows_from_docs(docs, cfg))
+        if self.store is None:
+            windows = windows.persist()  # reused by candidates-join and counts
+
+        signed = sign_windows(windows, cfg, keep_sig=False)
+        hb = self._stage("hashbands", lambda: hashbands(signed))
+
+        only_id = None
+        if only_conv is not None:
+            only_id = (
+                doc_ids.where(F.col("conv_id") == only_conv)
+                .select("file_id")
+                .head()
+            )
+            only_id = only_id.file_id if only_id else None
+
+        cands = self._stage(
+            "candidates", lambda: candidate_pairs(hb, cfg, only_id)
+        )
+        matches = self._stage(
+            "matches",
+            lambda: score_matches(attach_window_texts(cands, windows), cfg),
+        )
+
+        if banished_convs:
+            banished_ids = doc_ids.join(
+                self.spark.createDataFrame(
+                    [(c,) for c in banished_convs], ["conv_id"]
+                ),
+                "conv_id",
+            ).select("file_id")
+            matches = self._stage(
+                "matches_banished",
+                lambda: banish_filter(matches, banished_ids, cfg.banish_distance),
+            )
+        if excluded_convs:
+            ex_ids = doc_ids.join(
+                self.spark.createDataFrame(
+                    [(c,) for c in excluded_convs], ["conv_id"]
+                ),
+                "conv_id",
+            ).select("file_id")
+            ex_a = ex_ids.select(F.col("file_id").alias("file_id_a"))
+            ex_b = ex_ids.select(F.col("file_id").alias("file_id_b"))
+            matches = (
+                matches.join(ex_a, "file_id_a", "left_anti")
+                .join(ex_b, "file_id_b", "left_anti")
+            )
+
+        gated = apply_max_file_sim(matches, window_counts(windows), cfg)
+        clusters = self._stage("clusters", lambda: passage_clusters(gated, cfg))
+        groups = self._stage(
+            "groups",
+            lambda: decode_groups(connected_components(match_edges(gated))),
+        )
+        return {
+            "doc_ids": doc_ids,
+            "docs": docs,
+            "windows": windows,
+            "hashbands": hb,
+            "candidates": cands,
+            "matches": matches,
+            "clusters": clusters,
+            "groups": groups,
+        }

@@ -1,0 +1,106 @@
+"""All StructType schemas in one place (SURVEY.md §1.3: schemas declared
+explicitly; nothing inferred)."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Primary input (BASELINE.json input_hint).
+TRANSCRIPTS = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+# Dense-id dimension: conv_id -> file_id (reference file_id = sorted-glob
+# index, intertext.py:242-252; ours = dense rank over conv_id).
+DOC_IDS = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("file_id", T.LongType(), False),
+    ]
+)
+
+DOCS = T.StructType(
+    [
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("words", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+WINDOWS = T.StructType(
+    [
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+    ]
+)
+
+SIGNATURES = T.StructType(
+    [
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+HASHBANDS = T.StructType(
+    [
+        T.StructField("band", T.LongType(), False),
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+    ]
+)
+
+CANDIDATES = T.StructType(
+    [
+        T.StructField("file_id_a", T.LongType(), False),
+        T.StructField("file_id_b", T.LongType(), False),
+        T.StructField("window_id_a", T.LongType(), False),
+        T.StructField("window_id_b", T.LongType(), False),
+    ]
+)
+
+MATCHES = T.StructType(
+    [
+        T.StructField("file_id_a", T.LongType(), False),
+        T.StructField("file_id_b", T.LongType(), False),
+        T.StructField("window_id_a", T.LongType(), False),
+        T.StructField("window_id_b", T.LongType(), False),
+        T.StructField("similarity", T.DoubleType(), False),
+    ]
+)
+
+CLUSTERS = T.StructType(
+    [
+        T.StructField("file_id_a", T.LongType(), False),
+        T.StructField("file_id_b", T.LongType(), False),
+        T.StructField("window_ids_a", T.ArrayType(T.LongType()), False),
+        T.StructField("window_ids_b", T.ArrayType(T.LongType()), False),
+        T.StructField("similarity", T.LongType(), False),
+    ]
+)
+
+GROUPS = T.StructType(
+    [
+        T.StructField("file_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("group_id", T.LongType(), False),
+    ]
+)
+
+METADATA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("author", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("year", T.IntegerType(), True),
+        T.StructField("url", T.StringType(), True),
+    ]
+)

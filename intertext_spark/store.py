@@ -1,0 +1,110 @@
+"""Checkpointed table store with lineage metrics.
+
+Design target is Iceberg (stage outputs as Iceberg tables, resume = skip
+stage when its output snapshot's recorded input fingerprint matches —
+SURVEY.md §1.4).  This sandbox has no Iceberg runtime jar, so the same
+contract is implemented over parquet directories + a JSON manifest per
+table; the manifest plays the role of the Iceberg snapshot summary
+(fingerprint, row count, wall time).  Swapping in Iceberg means replacing
+``_write``/``_read`` with ``writeTo(...)``/``read.table(...)`` and the
+manifest with snapshot properties — no operator changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class StageResult:
+    df: DataFrame
+    rows: int
+    wall_s: float
+    skipped: bool
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _paths(self, name: str):
+        return (
+            os.path.join(self.root, name),
+            os.path.join(self.root, f"{name}.manifest.json"),
+        )
+
+    def manifest(self, name: str) -> dict | None:
+        _, mpath = self._paths(name)
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+    def read(self, name: str) -> DataFrame:
+        dpath, _ = self._paths(name)
+        return self.spark.read.parquet(dpath)
+
+    def read_or_build(
+        self,
+        name: str,
+        fingerprint: str,
+        build,  # () -> DataFrame
+        partition_by: list[str] | None = None,
+    ) -> StageResult:
+        """Resume gate: if the stored manifest's fingerprint matches, read
+        the existing table; else rebuild and overwrite atomically."""
+        dpath, mpath = self._paths(name)
+        m = self.manifest(name)
+        if m is not None and m.get("fingerprint") == fingerprint:
+            return StageResult(self.read(name), m["rows"], 0.0, True)
+        t0 = time.time()
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(dpath)
+        out = self.spark.read.parquet(dpath)
+        rows = out.count()
+        wall = time.time() - t0
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "table": name,
+                    "fingerprint": fingerprint,
+                    "rows": rows,
+                    "wall_s": round(wall, 3),
+                    "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                },
+                f,
+                indent=2,
+            )
+        os.replace(tmp, mpath)
+        self._append_metric(name, fingerprint, rows, wall)
+        return StageResult(out, rows, wall, False)
+
+    def _append_metric(self, stage: str, fingerprint: str, rows: int, wall_s: float):
+        """Per-stage lineage metrics (north rule: per-partition lineage +
+        counts).  Partition-level input splits are recorded by Spark's event
+        log; here we persist the stage-level lineage row."""
+        path = os.path.join(self.root, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "stage": stage,
+                        "fingerprint": fingerprint,
+                        "rows": rows,
+                        "wall_s": round(wall_s, 3),
+                        "ts": time.time(),
+                    }
+                )
+                + "\n"
+            )

