@@ -1,38 +1,160 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship text-reuse pipeline end-to-end on
+transcripts derived from the sf0.001 documents table.  ``queries()`` exposes
+every implemented operator (SURVEY.md §2 + training-data ops); SQL-expressible
+ones have a DuckDB twin in ``oracle_sql()`` rendered from the same template
+(intertext_spark/sqlqueries.py), so both engines run structurally identical
+SQL.  Engine-native operators (256-perm numpy MinHash pipeline, difflib
+validation, connected components) are exposed as rows-only checks and are
+oracle-tested in tests/ against the pure-Python reference-semantics oracle.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from intertext_spark.config import DEFAULT  # noqa: E402
+from intertext_spark.sqlqueries import DUCK, SPARK, TEMPLATES  # noqa: E402
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically derive a transcripts table (BASELINE.json
+    input_hint shape) from the documents table: each doc -> one
+    conversation, words split into 12-word turns, role cycling, ts =
+    epoch + turn_idx.  Pure built-ins; byte-stable given the input."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    turns = F.when(
+        F.size(words) > 0,
+        F.transform(
+            F.sequence(F.lit(0), ((F.size(words) - 1) / 12).cast("int")),
+            lambda t: F.array_join(F.slice(words, t * 12 + 1, 12), " "),
+        ),
+    ).otherwise(F.array(F.lit("")))
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
+    return (
+        docs.select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("conv_id"),
+            F.posexplode(turns).alias("turn_idx", "text"),
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("int"),
+            F.element_at(roles, F.pmod(F.col("turn_idx"), 4) + 1).alias("role"),
+            "text",
+            F.when(F.pmod("turn_idx", 4) == 3, F.lit("search")).alias("tool"),
+            (F.lit(1704067200) + F.col("turn_idx")).cast("timestamp").alias("ts"),
+        )
+    )
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    from intertext_spark.pipeline import Pipeline
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    return Pipeline(spark, DEFAULT).run(tdf)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full text-reuse pipeline (windows -> minhash -> LSH ->
+    difflib validation -> match rows) on sf0.001-derived transcripts."""
+    res = _run_pipeline(spark, "/root/testdata/sf0.001")
+    return res["matches"].select(
+        "file_id_a", "file_id_b", "window_id_a", "window_id_b",
+        F.col("similarity").cast("double"),
+    )
+
+
+def _sql_query(name: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _register_views(spark, sf_dir)
+        return spark.sql(TEMPLATES[name](SPARK))
+
+    return run
+
+
+def _pipeline_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _run_pipeline(spark, sf_dir)
+    return res["matches"].select(
+        "file_id_a", "file_id_b", "window_id_a", "window_id_b",
+        F.floor("similarity").cast("long").alias("similarity_int"),
+    )
+
+
+def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _run_pipeline(spark, sf_dir)
+    return res["clusters"].select(
+        "file_id_a", "file_id_b",
+        F.array_join(F.transform("window_ids_a", lambda x: x.cast("string")), ",").alias("wins_a"),
+        F.array_join(F.transform("window_ids_b", lambda x: x.cast("string")), ",").alias("wins_b"),
+        "similarity",
+    )
+
+
+def _pipeline_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = _run_pipeline(spark, sf_dir)
+    return res["groups"].select("file_id", "window_id", "group_id")
+
+
+def _pipeline_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine windowing over derived transcripts — SQL-checkable against
+    the doc_windows template because the turn derivation round-trips the
+    word stream (transcript_roundtrip proves that invariant)."""
+    from intertext_spark.operators.windows import (
+        assign_file_ids, docs_from_transcripts, windows_from_docs,
+    )
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    doc_ids = assign_file_ids(tdf)
+    docs = docs_from_transcripts(tdf, doc_ids)
+    wins = windows_from_docs(docs, DEFAULT)
+    # conv_id is the zero-padded doc_id; map back for the oracle join
+    return (
+        wins.join(doc_ids.withColumnRenamed("file_id", "fid2"), wins["file_id"] == F.col("fid2"))
+        .select(
+            F.col("conv_id").cast("long").alias("doc_id"),
+            "window_id",
+            F.col("text").alias("window_text"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(name) for name in TEMPLATES
+    }
+    q["pipeline_windows"] = _pipeline_windows
+    q["pipeline_matches"] = _pipeline_matches
+    q["pipeline_clusters"] = _pipeline_clusters
+    q["pipeline_groups"] = _pipeline_groups
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = {name: TEMPLATES[name](DUCK) for name in TEMPLATES}
+    # pipeline_windows: engine path must equal the SQL windowing template
+    # (documents word stream == reassembled transcript word stream).
+    out["pipeline_windows"] = TEMPLATES["doc_windows"](DUCK)
+    # pipeline_matches / _clusters / _groups: difflib + 256-perm minhash +
+    # iterative CC are not ANSI-SQL-expressible; rows-only check here,
+    # exact-parity coverage lives in tests/test_spark_parity.py.
+    return out

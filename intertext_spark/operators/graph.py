@@ -52,7 +52,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """
     bidir = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).persist()
     labels = (
         bidir.groupBy("src")
         .agg(F.min("dst").alias("min_nbr"))
@@ -95,6 +95,7 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = jumped
         if changed == 0:
             break
+    bidir.unpersist()
     return labels
 
 

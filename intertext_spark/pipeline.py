@@ -54,7 +54,10 @@ class Pipeline:
 
     def _stage(self, name: str, build, partition_by=None) -> DataFrame:
         if self.store is None:
-            return build()
+            # each stage output is consumed by several downstream stages and
+            # by the eager CC driver loop — persist so the DAG above a stage
+            # runs once (store mode gets the same effect from parquet).
+            return build().persist()
         fp = _fingerprint(self.cfg, self.input_token, self._run_token, name)
         res = self.store.read_or_build(name, fp, build, partition_by)
         self.stage_log.append(
@@ -79,8 +82,6 @@ class Pipeline:
             "docs", lambda: docs_from_transcripts(transcripts, doc_ids)
         )
         windows = self._stage("windows", lambda: windows_from_docs(docs, cfg))
-        if self.store is None:
-            windows = windows.persist()  # reused by candidates-join and counts
 
         signed = sign_windows(windows, cfg, keep_sig=False)
         hb = self._stage("hashbands", lambda: hashbands(signed))
@@ -128,12 +129,11 @@ class Pipeline:
             )
 
         gated = apply_max_file_sim(matches, window_counts(windows), cfg)
+        if self.store is None:
+            gated = gated.persist()
         clusters = self._stage("clusters", lambda: passage_clusters(gated, cfg))
-        groups = self._stage(
-            "groups",
-            lambda: decode_groups(connected_components(match_edges(gated))),
-        )
-        return {
+
+        out = {
             "doc_ids": doc_ids,
             "docs": docs,
             "windows": windows,
@@ -141,5 +141,32 @@ class Pipeline:
             "candidates": cands,
             "matches": matches,
             "clusters": clusters,
-            "groups": groups,
         }
+
+        class _LazyGroups:
+            """CC runs a driver-side fixpoint loop (eager); defer it until
+            the caller actually asks for duplicate groups."""
+
+            def __init__(self, stage_fn):
+                self._stage_fn = stage_fn
+                self._df = None
+
+            def get(self) -> DataFrame:
+                if self._df is None:
+                    self._df = self._stage_fn()
+                return self._df
+
+        groups_thunk = _LazyGroups(
+            lambda: self._stage(
+                "groups",
+                lambda: decode_groups(connected_components(match_edges(gated))),
+            )
+        )
+
+        class _Result(dict):
+            def __getitem__(self, key):
+                if key == "groups":
+                    return groups_thunk.get()
+                return super().__getitem__(key)
+
+        return _Result(out)

@@ -1,0 +1,578 @@
+"""Single-source SQL queries rendered to both Spark SQL and DuckDB SQL.
+
+The driver's correctness gate (CORRECTNESS_r{N}.json) runs each ``queries()``
+entry on Spark and its ``oracle_sql()`` twin on DuckDB and compares row
+count + schema + value hash.  Writing every query once and rendering per
+dialect makes the two sides structurally identical — differences reduce to
+engine arithmetic, which the macros below pin down (explicit fold order,
+integer division, 1-based element access, double casts before float math).
+
+Hash bridge: 60 bits of md5 as BIGINT —
+  Spark : cast(conv(substring(md5(x),1,15),16,10) as bigint)
+  DuckDB: ('0x' || substring(md5(x),1,15))::BIGINT
+verified byte-identical across engines (same md5, same hex decode).
+
+Every query is a function of a Dialect and returns SQL referencing the
+pre-registered table names (documents, embeddings, events, ...).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Dialect:
+    name: str
+
+    # -- macro helpers -----------------------------------------------------
+    def hash64(self, x: str) -> str:
+        if self.name == "spark":
+            return f"cast(conv(substring(md5({x}),1,15),16,10) as bigint)"
+        return f"('0x' || substring(md5({x}),1,15))::BIGINT"
+
+    def splitws(self, x: str) -> str:
+        if self.name == "spark":
+            return f"filter(split({x}, '\\\\s+'), w -> w != '')"
+        return f"list_filter(regexp_split_to_array({x}, '\\s+'), w -> w != '')"
+
+    def transform(self, arr: str, lam: str) -> str:
+        fn = "transform" if self.name == "spark" else "list_transform"
+        return f"{fn}({arr}, {lam})"
+
+    def filter_(self, arr: str, lam: str) -> str:
+        fn = "filter" if self.name == "spark" else "list_filter"
+        return f"{fn}({arr}, {lam})"
+
+    def fold(self, arr: str, init: str, lam: str) -> str:
+        """Left fold with explicit init — identical element order on both
+        engines, so double sums are bit-identical."""
+        if self.name == "spark":
+            return f"aggregate({arr}, {init}, {lam})"
+        return f"list_reduce(list_prepend({init}, {arr}), {lam})"
+
+    def size(self, arr: str) -> str:
+        return f"size({arr})" if self.name == "spark" else f"len({arr})"
+
+    def seq(self, a: str, b: str) -> str:
+        fn = "sequence" if self.name == "spark" else "generate_series"
+        return f"{fn}({a}, {b})"
+
+    def slice_(self, arr: str, start: str, length: str) -> str:
+        if self.name == "spark":
+            return f"slice({arr}, {start}, {length})"
+        return f"list_slice({arr}, {start}, ({start}) + ({length}) - 1)"
+
+    def get(self, arr: str, idx1: str) -> str:
+        fn = "element_at" if self.name == "spark" else "list_extract"
+        return f"{fn}({arr}, {idx1})"
+
+    def arrjoin(self, arr: str, sep: str = "' '") -> str:
+        fn = "array_join" if self.name == "spark" else "array_to_string"
+        return f"{fn}({arr}, {sep})"
+
+    def explode(self, arr: str) -> str:
+        fn = "explode" if self.name == "spark" else "unnest"
+        return f"{fn}({arr})"
+
+    def idiv(self, a: str, b: str) -> str:
+        return f"({a}) div ({b})" if self.name == "spark" else f"({a}) // ({b})"
+
+    def shr(self, x: str, n: str) -> str:
+        return f"shiftright({x}, {n})" if self.name == "spark" else f"(({x}) >> ({n}))"
+
+    def arr_distinct(self, arr: str) -> str:
+        fn = "array_distinct" if self.name == "spark" else "list_distinct"
+        return f"{fn}({arr})"
+
+    def arr_intersect_size(self, a: str, b: str) -> str:
+        if self.name == "spark":
+            return f"size(array_intersect({a}, {b}))"
+        return f"len(list_intersect({a}, {b}))"
+
+    def arr_min(self, arr: str) -> str:
+        return f"array_min({arr})" if self.name == "spark" else f"list_min({arr})"
+
+    def arr_sort(self, arr: str) -> str:
+        fn = "array_sort" if self.name == "spark" else "list_sort"
+        return f"{fn}({arr})"
+
+    def empty_long_array(self) -> str:
+        if self.name == "spark":
+            return "cast(array() as array<bigint>)"
+        return "[]::BIGINT[]"
+
+    def to_double_arr(self, arr: str) -> str:
+        if self.name == "spark":
+            return f"transform({arr}, v -> cast(v as double))"
+        return f"({arr})::DOUBLE[]"
+
+    def dot(self, a: str, b: str) -> str:
+        """Explicit-order double dot product (NOT list_dot_product — fold
+        order must match Spark's aggregate exactly, so double sums are
+        bit-identical)."""
+        if self.name == "spark":
+            return (
+                f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, "
+                f"(acc, v) -> acc + v)"
+            )
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, len({a})), "
+            f"i -> ({a})[i] * ({b})[i])), (acc, v) -> acc + v)"
+        )
+
+    def round4(self, x: str) -> str:
+        """4-decimal rounding via floor — Spark's round() decimal-string
+        HALF_UP and DuckDB's binary rounding disagree on exact .5
+        boundaries; floor on identically-computed doubles never does."""
+        return f"floor(({x}) * 10000 + 0.5) / 10000"
+
+    def str_(self, x: str) -> str:
+        return f"cast({x} as string)" if self.name == "spark" else f"cast({x} as varchar)"
+
+    def re_replace_all(self, x: str, pat: str, repl: str) -> str:
+        if self.name == "spark":
+            return f"regexp_replace({x}, '{pat}', '{repl}')"
+        return f"regexp_replace({x}, '{pat}', '{repl}', 'g')"
+
+
+SPARK = Dialect("spark")
+DUCK = Dialect("duckdb")
+
+MERSENNE31 = 2147483647
+
+
+def _perm_constants(n: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE31, size=n)
+    b = rng.randint(0, MERSENNE31, size=n)
+    return list(map(int, a)), list(map(int, b))
+
+
+# ---------------------------------------------------------------------------
+# Query templates.  Each returns SQL for the given dialect over the
+# pre-registered views (documents, embeddings, events, lineitem, ...).
+# Every computed column is aliased identically on both engines (driver
+# hashes after sorting columns by name).
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(d: Dialect) -> str:
+    """Exact dedup by content hash: keeper = min doc_id per md5 group
+    (hash-groupBy dedup; SURVEY.md training-data ops)."""
+    return f"""
+select doc_id,
+       content_hash,
+       min(doc_id) over (partition by content_hash) as keeper_id,
+       count(*) over (partition by content_hash) as n_copies
+from (select doc_id, md5(text) as content_hash from documents)
+order by doc_id
+"""
+
+
+def q_token_stats(d: Dialect) -> str:
+    """Token counting: whitespace tokens + distinct tokens + mean token
+    length (reference word-stream tokenization, intertext.py:1158)."""
+    words = d.splitws("text")
+    return f"""
+select doc_id,
+       {d.size(words)} as n_tokens,
+       {d.size(d.arr_distinct(words))} as n_distinct_tokens,
+       cast({d.round4(d.fold(d.transform(words, "w -> cast(length(w) as double)"), "cast(0 as double)", "(a, v) -> a + v") + f" / {d.size(words)}")} as double) as mean_token_len
+from documents
+"""
+
+
+def q_word_counts(d: Dialect) -> str:
+    """Corpus word frequencies (exact groupBy-count; replaces the
+    reference's bounter sketch, intertext.py:1249-1258)."""
+    words = d.splitws("text")
+    return f"""
+select word, count(*) as cnt
+from (select {d.explode(words)} as word from documents)
+group by word
+"""
+
+
+def q_doc_windows(d: Dialect) -> str:
+    """Reference windowing arithmetic over documents-as-conversations:
+    window=14 words, slide=4; window k covers words [k*4, k*4+14)
+    (intertext.py:1180-1188)."""
+    return f"""
+with docs as (
+  select doc_id, {d.splitws("text")} as words from documents
+),
+idx as (
+  select doc_id, words,
+         {d.explode(f"case when {d.size('words')} >= 14 then {d.seq('0', d.idiv(d.size('words') + ' - 14', '4'))} else {d.empty_long_array()} end")} as k
+  from docs
+)
+select doc_id,
+       cast(k as bigint) as window_id,
+       {d.arrjoin(d.slice_('words', 'cast(k*4+1 as int)', '14'))} as window_text
+from idx
+"""
+
+
+def _minhash_sig_cte(d: Dialect, n_perm: int = 6, shingle_k: int = 3) -> str:
+    """CTE computing word-{k}-gram minhash signatures per doc, as columns
+    sig0..sig{n-1}.  Universal hashes (a*h+b) mod 2^31-1 with inlined
+    deterministic constants; h = 60-bit md5 bridge reduced mod 2^31-1."""
+    a, b = _perm_constants(n_perm)
+    sh = d.transform(
+        d.seq("1", f"{d.size('words')} - {shingle_k - 1}"),
+        f"i -> {d.hash64(d.arrjoin(d.slice_('words', 'cast(i as int)', str(shingle_k))))} % {MERSENNE31}",
+    )
+    sig_cols = ",\n         ".join(
+        d.arr_min(d.transform("shingles", f"h -> ({a[j]} * h + {b[j]}) % {MERSENNE31}"))
+        + f" as sig{j}"
+        for j in range(n_perm)
+    )
+    return f"""
+docs as (
+  select doc_id, {d.splitws("text")} as words from documents
+),
+shingled as (
+  select doc_id, {sh} as shingles from docs
+  where {d.size('words')} >= {shingle_k}
+),
+sigs as (
+  select doc_id,
+         {sig_cols}
+  from shingled
+)"""
+
+
+def q_minhash_signatures(d: Dialect) -> str:
+    """Doc-level MinHash signatures (SQL-checkable 6-perm variant of the
+    engine's 256-perm numpy path)."""
+    return f"with {_minhash_sig_cte(d)} select * from sigs order by doc_id"
+
+
+def _bands_cte(d: Dialect) -> str:
+    """String band keys 'family#v1#v2' — family tag prevents cross-band
+    collisions; string equality is engine-independent."""
+    mk = lambda fam, s1, s2: (  # noqa: E731
+        f"select doc_id, concat('{fam}#', {d.str_(s1)}, '#', {d.str_(s2)}) as band from sigs"
+    )
+    return f"""
+bands as (
+  {mk('b0', 'sig0', 'sig1')}
+  union all
+  {mk('b1', 'sig2', 'sig3')}
+  union all
+  {mk('b2', 'sig4', 'sig5')}
+)"""
+
+
+def q_lsh_candidate_pairs(d: Dialect) -> str:
+    """LSH banding: 3 bands of 2 signature values; docs sharing a band key
+    become candidate pairs with canonical doc_a < doc_b
+    (band grouping per intertext.py:427-454)."""
+    return f"""
+with {_minhash_sig_cte(d)},
+{_bands_cte(d)}
+select distinct l.doc_id as doc_a, r.doc_id as doc_b
+from bands l join bands r on l.band = r.band and l.doc_id < r.doc_id
+"""
+
+
+def q_ngram_jaccard_pairs(d: Dialect) -> str:
+    """n-gram Jaccard verification of the LSH candidates: word-3-gram set
+    overlap, rounded; the exact-validation stage of a minhash dedup."""
+    sh = d.arr_distinct(
+        d.transform(
+            d.seq("1", f"{d.size('words')} - 2"),
+            f"i -> {d.arrjoin(d.slice_('words', 'cast(i as int)', '3'))}",
+        )
+    )
+    return f"""
+with {_minhash_sig_cte(d)},
+{_bands_cte(d)},
+pairs as (
+  select distinct l.doc_id as doc_a, r.doc_id as doc_b
+  from bands l join bands r on l.band = r.band and l.doc_id < r.doc_id
+),
+shingle_sets as (
+  select doc_id, {sh} as sh
+  from (select doc_id, {d.splitws('text')} as words from documents)
+  where {d.size('words')} >= 3
+)
+select p.doc_a, p.doc_b,
+       cast({d.round4(f"cast({d.arr_intersect_size('a.sh', 'b.sh')} as double) / ({d.size('a.sh')} + {d.size('b.sh')} - {d.arr_intersect_size('a.sh', 'b.sh')})")} as double) as jaccard
+from pairs p
+join shingle_sets a on a.doc_id = p.doc_a
+join shingle_sets b on b.doc_id = p.doc_b
+"""
+
+
+def q_simhash(d: Dialect) -> str:
+    """16-bit SimHash per document: bit b set iff more word hashes have bit
+    b than not (SQL-checkable variant of the engine's 64-bit numpy path)."""
+    words = d.splitws("text")
+    hs = d.transform(words, f"w -> {d.hash64('w')} % {MERSENNE31}")
+    bit_sum = d.fold(
+        d.transform("hs", f"h -> 2 * ({d.shr('h', 'b')} % 2) - 1"),
+        "cast(0 as bigint)",
+        "(acc, v) -> acc + v",
+    )
+    bits = d.fold(
+        d.transform(
+            d.seq("0", "15"),
+            f"b -> case when {bit_sum} > 0 then cast(pow(2, b) as bigint) else 0 end",
+        ),
+        "cast(0 as bigint)",
+        "(acc, v) -> acc + v",
+    )
+    return f"""
+select doc_id, {bits} as simhash16
+from (select doc_id, {hs} as hs from documents)
+"""
+
+
+def q_simhash_dup_pairs(d: Dialect) -> str:
+    """SimHash near-dup pairs: block on either 8-bit half (a Hamming-ball
+    LSH — any pair within distance 1 shares a half; wider distances are a
+    recall trade documented here), verify Hamming distance <= 3."""
+    ham = d.fold(
+        d.transform(
+            d.seq("0", "15"),
+            f"b -> case when {d.shr('sh_a', 'b')} % 2 != {d.shr('sh_b', 'b')} % 2 then 1 else 0 end",
+        ),
+        "0",
+        "(acc, v) -> acc + v",
+    )
+    return f"""
+with sims as ({q_simhash(d).strip()}),
+blocked as (
+  select l.doc_id as doc_a, r.doc_id as doc_b,
+         l.simhash16 as sh_a, r.simhash16 as sh_b
+  from sims l join sims r
+    on l.doc_id < r.doc_id
+   and ({d.shr('l.simhash16', '8')} = {d.shr('r.simhash16', '8')}
+        or l.simhash16 % 256 = r.simhash16 % 256)
+),
+hammed as (
+  select doc_a, doc_b, {ham} as hamming from blocked
+)
+select distinct doc_a, doc_b from hammed where hamming <= 3
+"""
+
+
+def q_cosine_topk(d: Dialect) -> str:
+    """Brute-force cosine top-k similarity search: 10 nearest neighbors of
+    vec_id=0, deterministic tiebreak on vec_id."""
+    e = d.to_double_arr("embedding")
+    return f"""
+with v as (select vec_id, {e} as emb from embeddings),
+q as (select emb as qemb from v where vec_id = 0),
+scored as (
+  select v.vec_id,
+         cast({d.round4(f"{d.dot('v.emb', 'q.qemb')} / (sqrt({d.dot('v.emb', 'v.emb')}) * sqrt({d.dot('q.qemb', 'q.qemb')}))")} as double) as cosine
+  from v cross join q
+  where v.vec_id != 0
+),
+ranked as (
+  select vec_id, cosine,
+         row_number() over (order by cosine desc, vec_id asc) as rnk
+  from scored
+)
+select vec_id, cosine, rnk from ranked where rnk <= 10
+"""
+
+
+def q_ann_bucketed(d: Dialect) -> str:
+    """LSH-bucketed ANN: bucket = sign pattern of dims 1..4 (a 16-bucket
+    random-hyperplane sketch with axis-aligned planes); search only the
+    query's bucket — the scale path where brute force is the baseline."""
+    e = d.to_double_arr("embedding")
+    bucket = d.fold(
+        d.transform(
+            d.seq("1", "4"),
+            f"i -> case when {d.get('emb', 'cast(i as int)')} >= 0 then cast(pow(2, i - 1) as bigint) else 0 end",
+        ),
+        "cast(0 as bigint)",
+        "(acc, v) -> acc + v",
+    )
+    return f"""
+with v as (select vec_id, {e} as emb from embeddings),
+b as (select vec_id, emb, {bucket} as bucket from v),
+q as (select emb as qemb, bucket as qbucket from b where vec_id = 0),
+scored as (
+  select b.vec_id, b.bucket,
+         cast({d.round4(f"{d.dot('b.emb', 'q.qemb')} / (sqrt({d.dot('b.emb', 'b.emb')}) * sqrt({d.dot('q.qemb', 'q.qemb')}))")} as double) as cosine
+  from b cross join q
+  where b.bucket = q.qbucket and b.vec_id != 0
+),
+ranked as (
+  select vec_id, cosine,
+         row_number() over (order by cosine desc, vec_id asc) as rnk
+  from scored
+)
+select vec_id, cosine, rnk from ranked where rnk <= 5
+"""
+
+
+def q_quality_score(d: Dialect) -> str:
+    """Quality scoring: length, mean word length, punctuation ratio,
+    stopword ratio, composite score (training-data filtering heuristics)."""
+    words = d.splitws("text")
+    stop = "('the','a','of','and','to','in','is','it','that','for')"
+    n_stop = d.size(d.filter_(words, f"w -> lower(w) in {stop}"))
+    n_punct = f"length(text) - length({d.re_replace_all('text', '[^a-zA-Z0-9 ]', '')})"
+    return f"""
+select doc_id,
+       length(text) as n_chars_actual,
+       {d.size(words)} as n_words,
+       cast({d.round4(f"cast({n_punct} as double) / length(text)")} as double) as punct_ratio,
+       cast({d.round4(f"cast({n_stop} as double) / {d.size(words)}")} as double) as stopword_ratio,
+       cast({d.round4(f"cast(0.5 as double) * least(cast({d.size(words)} as double) / 100, cast(1 as double)) + cast(0.3 as double) * (cast(1 as double) - cast({n_punct} as double) / length(text)) + cast(0.2 as double) * least(cast(2 as double) * cast({n_stop} as double) / {d.size(words)}, cast(1 as double))")} as double) as quality
+from documents
+where length(text) > 0
+"""
+
+
+def q_lang_id(d: Dialect) -> str:
+    """Language-ID heuristic: vowel ratio + mean token length + stopword
+    hits vote for a coarse label (n-gram-free SQL-checkable variant of the
+    engine's heuristic)."""
+    words = d.splitws("text")
+    vowels = f"length({d.re_replace_all('lower(text)', '[^aeiou]', '')})"
+    letters = f"length({d.re_replace_all('lower(text)', '[^a-z]', '')})"
+    stop_en = "('the','a','of','and','to','in','is','it','that','for')"
+    n_stop = d.size(d.filter_(words, f"w -> lower(w) in {stop_en}"))
+    return f"""
+select doc_id,
+       lang as labeled_lang,
+       case
+         when {letters} = 0 then 'unk'
+         when cast({n_stop} as double) / {d.size(words)} > 0.05 then 'en'
+         when cast({vowels} as double) / {letters} > 0.45 then 'vowel_heavy'
+         else 'other'
+       end as predicted_lang
+from documents
+where length(text) > 0
+"""
+
+
+def q_doc_fingerprints(d: Dialect) -> str:
+    """Document fingerprinting: char-8-gram rolling hashes, keep h % 16 == 0
+    (mod-p winnowing selection) -> (doc_id, fingerprint) set."""
+    grams = d.transform(
+        d.seq("1", "length(text) - 7"),
+        f"i -> {d.hash64('substring(text, cast(i as int), 8)')}",
+    )
+    return f"""
+select distinct doc_id, fp
+from (
+  select doc_id, {d.explode(d.filter_('grams', 'h -> h % 16 = 0'))} as fp
+  from (select doc_id, {grams} as grams from documents where length(text) >= 8)
+)
+"""
+
+
+def q_sessionize(d: Dialect) -> str:
+    """Gaps-and-islands sessionization over events: new session when the
+    per-user gap exceeds 30 minutes (the get_sequences island pattern,
+    intertext.py:670-678, in its streaming-adjacent form)."""
+    return f"""
+with ordered as (
+  select user_id, event_id, ts,
+         lag(ts) over (partition by user_id order by ts, event_id) as prev_ts
+  from events
+),
+flagged as (
+  select user_id, event_id, ts,
+         case when prev_ts is null
+                or (cast(ts as timestamp) > cast(prev_ts as timestamp) + interval '30' minute)
+              then 1 else 0 end as new_session
+  from ordered
+),
+sessions as (
+  select user_id, event_id, ts,
+         sum(new_session) over (partition by user_id order by ts, event_id
+                                rows between unbounded preceding and current row) as session_id
+  from flagged
+)
+select user_id,
+       cast(session_id as bigint) as session_id,
+       count(*) as n_events,
+       min(event_id) as first_event,
+       max(event_id) as last_event
+from sessions
+group by user_id, session_id
+"""
+
+
+def q_scatter_aggs(d: Dialect) -> str:
+    """Grouped sum/mean statistics (the reference's scatterplot aggregations,
+    intertext.py:745-783, over the documents dimensionality)."""
+    return f"""
+select lang, source,
+       count(*) as n_docs,
+       sum(n_chars) as sum_chars,
+       cast({d.round4("avg(cast(n_chars as double))")} as double) as mean_chars
+from documents
+group by lang, source
+"""
+
+
+def q_sort_index(d: Dialect) -> str:
+    """Top-N sort index (the reference's sort-indices stage,
+    intertext.py:702-739): documents ranked by size desc, id asc."""
+    return f"""
+select doc_id, n_chars,
+       row_number() over (order by n_chars desc, doc_id asc) as rnk
+from documents
+"""
+
+
+def q_transcript_roundtrip(d: Dialect) -> str:
+    """Per-row invariant (BASELINE.json): documents split into 12-word
+    turns, re-assembled in turn order, must reproduce the original word
+    stream.  Emits one row per doc with match flag (all must be true)."""
+    words = d.splitws("text")
+    n_turns = f"({d.idiv(d.size('words') + ' - 1', '12')} + 1)"
+    turns = d.transform(
+        d.seq("0", f"{n_turns} - 1"),
+        f"t -> {d.arrjoin(d.slice_('words', 'cast(t*12+1 as int)', '12'))}",
+    )
+    return f"""
+with w as (
+  select doc_id, {words} as words
+  from documents
+  where {d.size(words)} > 0
+),
+t as (
+  select doc_id, words, {turns} as turns from w
+)
+select doc_id,
+       {d.size('turns')} as n_turns,
+       case when {d.arrjoin('turns')} = {d.arrjoin('words')} then 1 else 0 end as roundtrip_ok
+from t
+"""
+
+
+# name -> template fn; shared by __spark_entry__.queries() and oracle_sql().
+TEMPLATES = {
+    "exact_dedup": q_exact_dedup,
+    "token_stats": q_token_stats,
+    "word_counts": q_word_counts,
+    "doc_windows": q_doc_windows,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "cosine_topk": q_cosine_topk,
+    "ann_bucketed": q_ann_bucketed,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "doc_fingerprints": q_doc_fingerprints,
+    "sessionize": q_sessionize,
+    "scatter_aggs": q_scatter_aggs,
+    "sort_index": q_sort_index,
+    "transcript_roundtrip": q_transcript_roundtrip,
+}

@@ -1,0 +1,104 @@
+"""Local replica of the driver's correctness gate: run every sqlqueries
+template on Spark and DuckDB over the same parquet tables and compare
+row count + column names + order-insensitive values.
+
+Usage: python tools/check_sql_parity.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from intertext_spark.session import get_spark  # noqa: E402
+from intertext_spark.sqlqueries import DUCK, SPARK, TEMPLATES  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    try:  # Decimal and numpy scalars
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), 9)
+    except Exception:
+        pass
+    return v
+
+
+def rows_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    names = sys.argv[2:] or list(TEMPLATES)
+
+    spark = get_spark(app="sql-parity", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name in names:
+        tpl = TEMPLATES[name]
+        try:
+            sdf = spark.sql(tpl(SPARK))
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL {name}: spark error {str(e)[:300]}")
+            continue
+        try:
+            dres = con.sql(tpl(DUCK))
+            dcols = [c for c in dres.columns]
+            drows = dres.fetchall()
+        except Exception as e:
+            failures.append((name, f"DUCK ERROR: {e}"))
+            print(f"FAIL {name}: duckdb error {str(e)[:300]}")
+            continue
+        ok_schema = sorted(scols) == sorted(dcols)
+        ok_count = len(srows) == len(drows)
+        ok_vals = ok_schema and ok_count and rows_key(srows, scols) == rows_key(drows, dcols)
+        status = "OK  " if (ok_schema and ok_count and ok_vals) else "FAIL"
+        print(
+            f"{status} {name}: rows {len(srows)}/{len(drows)} "
+            f"schema={'=' if ok_schema else f'{scols} vs {dcols}'} values={'=' if ok_vals else 'DIFF'}"
+        )
+        if status == "FAIL":
+            failures.append((name, "mismatch"))
+            if ok_schema and ok_count:
+                a = rows_key(srows, scols)
+                b = rows_key(drows, dcols)
+                for x, y in zip(a, b):
+                    if x != y:
+                        print("  spark:", x)
+                        print("  duck :", y)
+                        break
+    spark.stop()
+    if failures:
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
