@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+  python bench.py                 # headline queries at $SPARK_GRAFT_SF_DIR
+  python bench.py --scaling       # local[8] vs local[32] scaling study
+                                  # (writes BENCH/BASELINE.md)
+
+Headline set: the full text-reuse pipeline (windows -> minhash -> salted LSH
+-> difflib validation) on transcripts derived from the documents table, plus
+the SQL-oracle operators (dedup / LSH / simhash / ANN / sessionize).
+
+The pipeline bench runs with band_max_files=16: the synthetic documents
+corpus draws from a ~30-word vocabulary, so uncapped banding degenerates to
+all-pairs (the cap is the documented non-discriminative-band drop from
+SURVEY.md §4 — production posture for boilerplate-heavy corpora; parity
+tests run uncapped).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+SQL_BENCH = [
+    "exact_dedup",
+    "doc_windows",
+    "word_counts",
+    "lsh_candidate_pairs",
+    "simhash_dup_pairs",
+    "cosine_topk",
+    "ann_bucketed",
+    "sessionize",
+    "quality_score",
+]
+
+
+def _make_spark(cpus: int):
+    from intertext_spark.session import get_spark
+
+    spark = get_spark(
+        app="intertext-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(32, 2 * cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _bench_pipeline(spark, sf_dir: str):
+    """Returns (seconds, n_turns, n_matches)."""
+    from intertext_spark.config import DEFAULT
+    from intertext_spark.pipeline import Pipeline
+    from __spark_entry__ import transcripts_from_documents
+
+    cfg = DEFAULT.with_(band_max_files=16)
+    tdf = transcripts_from_documents(spark, sf_dir).persist()
+    n_turns = tdf.count()  # materialize input outside the timed region
+    t0 = time.time()
+    res = Pipeline(spark, cfg).run(tdf)
+    n_matches = res["matches"].count()
+    dt = time.time() - t0
+    tdf.unpersist()
+    return dt, n_turns, n_matches
+
+
+def run_suite(spark, sf_dir: str) -> dict:
+    from intertext_spark.sqlqueries import SPARK, TEMPLATES
+    import __spark_entry__ as entrymod
+
+    timings: dict[str, float] = {}
+
+    entrymod._register_views(spark, sf_dir)
+    for name in SQL_BENCH:
+        t0 = time.time()
+        spark.sql(TEMPLATES[name](SPARK)).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    dt, n_turns, n_matches = _bench_pipeline(spark, sf_dir)
+    timings["pipeline_matches"] = round(dt, 3)
+    return {
+        "timings": timings,
+        "n_turns": n_turns,
+        "n_matches": n_matches,
+        "turns_per_sec": round(n_turns / dt, 1),
+    }
+
+
+def main():
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            spark = _make_spark(cpus)
+            r = run_suite(spark, SF_DIR)
+            spark.stop()
+            results[cpus] = r
+        t8 = results[8]["turns_per_sec"]
+        t32 = results[32]["turns_per_sec"]
+        eff = (t32 / t8) / 4.0
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                f"""# BENCH — measured numbers
+
+Corpus: transcripts derived from `{SF_DIR}/documents.parquet`
+({results[32]['n_turns']} turns); full pipeline (windows -> minhash ->
+salted LSH -> difflib validation), band_max_files=16.
+
+| parallelism | pipeline wall (s) | turns/sec |
+|---|---|---|
+| local[8]  (N)  | {results[8]['timings']['pipeline_matches']} | {t8} |
+| local[32] (4N) | {results[32]['timings']['pipeline_matches']} | {t32} |
+
+**Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8, BASELINE.json).
+
+Per-query seconds at local[32]:
+
+```json
+{json.dumps(results[32]['timings'], indent=2)}
+```
+"""
+            )
+        print(
+            json.dumps(
+                {
+                    "metric": "pipeline_turns_per_sec_scaling",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "queries": results[32]["timings"],
+                    "sf": sf,
+                    "turns_per_sec_local8": t8,
+                    "turns_per_sec_local32": t32,
+                }
+            )
+        )
+        return
+
+    spark = _make_spark(CPUS)
+    r = run_suite(spark, SF_DIR)
+    spark.stop()
+    total = round(sum(r["timings"].values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": r["timings"],
+                "sf": sf,
+                "turns_per_sec": r["turns_per_sec"],
+                "n_turns": r["n_turns"],
+                "n_matches": r["n_matches"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

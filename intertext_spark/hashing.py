@@ -111,7 +111,9 @@ def _mul_2p31_mod_p61(x: np.ndarray) -> np.ndarray:
     x = h*2^30 + l  =>  x*2^31 = h*2^61 + l*2^31 == h + l*2^31 (mod 2^61-1).
     """
     r = (x >> np.uint64(30)) + ((x & _MASK30) << np.uint64(31))
-    return np.where(r >= _P61_U, r - _P61_U, r)
+    # conditional subtract without evaluating r - p on the r < p branch
+    # (np.where would wrap those in uint64 and spam overflow warnings)
+    return r - np.where(r >= _P61_U, _P61_U, np.uint64(0))
 
 
 def band_hashes(
@@ -130,7 +132,7 @@ def band_hashes(
         acc = np.zeros(n_windows, dtype=np.uint64)
         for j in range(hashband_length):
             acc = _mul_2p31_mod_p61(acc) + sigs[:, s + j]  # < 2^61 + 2^31
-            acc = np.where(acc >= _P61_U, acc - _P61_U, acc)
+            acc = acc - np.where(acc >= _P61_U, _P61_U, np.uint64(0))
         out[:, bi] = acc
     return out
 

@@ -1,0 +1,360 @@
+"""Document-level deduplication operators (training-data pipeline ops).
+
+These are the scale-path siblings of the window-level text-reuse pipeline:
+one row per document, near-dup detection across the corpus.
+
+  * exact:      content-hash groupBy (xxhash64/md5) — one shuffle
+  * minhash:    word-shingle MinHash (numpy, Arrow-batched) -> LSH bands ->
+                salted band join -> optional exact-Jaccard verification
+  * simhash:    64-bit SimHash + Hamming-ball banding (bit_count verify,
+                all JVM-side after the signature UDF)
+  * embedding:  cosine near-dup via random-hyperplane LSH buckets +
+                in-bucket verification (brute force is the small-N baseline)
+
+SQL-checkable miniatures of these live in sqlqueries.py; the versions here
+are the production paths (256-bit signatures, numpy hashing, salting) and
+are tested against brute-force oracles in tests/.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import hashing
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, content_hash, keeper_id, n_copies).  Keeper = min id per
+    hash group; a 128-bit md5 keys the group (collision-safe at 10^12 docs),
+    computed JVM-side."""
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    grp = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
+    )
+    return hashed.join(grp, "content_hash").select(
+        "doc_id", "content_hash", "keeper_id", "n_copies"
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc-level MinHash LSH
+# ---------------------------------------------------------------------------
+
+def _doc_sig_schema():
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("bands", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+
+def doc_minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 128,
+    shingle_words: int = 3,
+    band_len: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (doc_id, band) exploded: word-{k}-gram shingles -> MinHash ->
+    non-overlapping bands of ``band_len`` values (classic LSH banding; the
+    window-level pipeline uses the reference's overlapping-band variant)."""
+    n_bands = n_perm // band_len
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = hashing.make_permutations(n_perm, False, seed)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            shingle_lists = []
+            for text in pdf[text_col]:
+                words = (text or "").split()
+                if len(words) < shingle_words:
+                    shingle_lists.append("")
+                    continue
+                shingle_lists.append(
+                    "\x00".join(
+                        " ".join(words[i:i + shingle_words])
+                        for i in range(len(words) - shingle_words + 1)
+                    )
+                )
+            # hash each doc's shingles; reuse the batched signature kernel
+            # by treating the shingle set as "texts" per doc
+            sigs = np.empty((len(pdf), n_perm), dtype=np.uint64)
+            for i, joined in enumerate(shingle_lists):
+                if not joined:
+                    sigs[i, :] = (1 << 31) - 1
+                    continue
+                sh = hashing.hash64_strings(joined.split("\x00")) % np.uint64((1 << 31) - 1)
+                vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64((1 << 31) - 1)
+                sigs[i, :] = vals.min(axis=1)
+            bands = hashing.band_hashes(sigs, band_len, band_len)[:, :n_bands]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "bands": list(bands.astype("int64")),
+                }
+            )
+
+    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    return (
+        sel.mapInPandas(compute, _doc_sig_schema())
+        .select("doc_id", F.explode("bands").alias("band"))
+        .distinct()
+    )
+
+
+def lsh_dup_pairs(
+    bands: DataFrame, small_cap: int = 64, band_max_docs: int | None = None
+) -> DataFrame:
+    """(doc_id, band) -> candidate (doc_a, doc_b) pairs, a<b distinct.
+    Same two-path small/salted-join construction as the window pipeline
+    (candidates.py) specialized to doc granularity."""
+    grouped = bands.groupBy("band").agg(F.collect_set("doc_id").alias("ms"))
+    multi = grouped.where(F.size("ms") >= 2)
+    if band_max_docs is not None:
+        multi = multi.where(F.size("ms") <= band_max_docs)
+    multi = multi.withColumn("n", F.size("ms"))
+
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x: F.transform("ms", lambda y: F.struct(x.alias("a"), y.alias("b"))),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    small = (
+        multi.where(F.col("n") <= small_cap)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    )
+    big = multi.where(F.col("n") > small_cap).select(
+        "band",
+        F.ceil(F.col("n") / F.lit(small_cap)).cast("int").alias("n_salt"),
+        F.explode("ms").alias("doc_id"),
+    )
+    left = big.select(
+        "band",
+        F.col("doc_id").alias("doc_a"),
+        F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).alias("salt"),
+    )
+    right = big.select(
+        "band",
+        F.col("doc_id").alias("doc_b"),
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+    )
+    big_pairs = (
+        left.join(right, ["band", "salt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return small.unionByName(big_pairs).distinct()
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact word-shingle Jaccard verification of candidate pairs ->
+    (doc_a, doc_b, jaccard) filtered to >= threshold.  JVM-side set ops."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),
+            lambda i: F.array_join(
+                F.slice(words, i.cast("int"), shingle_words), " "
+            ),
+        )
+    )
+    sets = df.where(F.size(words) >= shingle_words).select(
+        F.col(id_col).cast("long").alias("doc_id"), sh.alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("simhash", T.LongType(), False),
+    ]
+)
+
+
+def doc_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, simhash) 64-bit signatures (numpy, Arrow-batched)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for text in pdf[text_col]:
+                toks = (text or "").split()
+                h = hashing.hash64_strings(toks)
+                out.append(np.int64(np.uint64(hashing.simhash64(h))))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "simhash": out})
+
+    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    return sel.mapInPandas(compute, _SIMHASH_SCHEMA)
+
+
+def simhash_dup_pairs(sims: DataFrame, max_hamming: int = 3, n_chunks: int = 4) -> DataFrame:
+    """Hamming-ball join: split the 64-bit signature into ``n_chunks``
+    16-bit chunks; any pair within distance <= n_chunks-1 shares a chunk
+    (pigeonhole — exact recall for max_hamming <= n_chunks-1); verify with
+    JVM-side bit_count(xor)."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    chunked = sims.select(
+        "doc_id", "simhash", F.explode(chunk_arr).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    l = chunked.select(
+        F.col("chunk_idx"), F.col("chunk_val"),
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    r = chunked.select(
+        F.col("chunk_idx"), F.col("chunk_val"),
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
+    return (
+        l.join(r, ["chunk_idx", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup / similarity
+# ---------------------------------------------------------------------------
+
+def _norm_expr(col):
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(col, col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return dot / (_norm_expr(a) * _norm_expr(b))
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (vec_id, bucket, emb): random-hyperplane LSH sketch.  Plane
+    normals are seeded; the sign pattern is the bucket (2^n_planes).  The
+    projection is a vectorized pandas UDF (numpy matmul)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_of(emb: pd.Series) -> pd.Series:
+        mat = np.array(emb.tolist(), dtype=np.float64)  # (batch, dim)
+        signs = (mat @ planes.T) >= 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+        bucket_of(F.col(vec_col).cast("array<double>")).alias("bucket"),
+    )
+
+
+def embedding_dup_pairs(
+    buckets: DataFrame, min_cosine: float = 0.95
+) -> DataFrame:
+    """In-bucket all-pairs cosine (the verify step of the hyperplane LSH)."""
+    l = buckets.select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    r = buckets.select(
+        "bucket", F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+    )
+    return (
+        l.join(r, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            cosine_expr(F.col("emb_a"), F.col("emb_b")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine against one query vector (baseline for ANN)."""
+    q = F.lit(query_vec).cast("array<double>")
+    scored = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

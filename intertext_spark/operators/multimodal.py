@@ -1,0 +1,163 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas stages.
+
+The container has no decode libraries (PIL/ffmpeg/librosa), so the decode
+kernels are STUBS behind ``_HAS_*`` import gates with a deterministic fake
+fallback — the Spark-side contract (schemas, batch shapes, partitioning,
+UDF signatures) is real and tested.  Swapping in a real decoder changes only
+the body of ``_decode_image_batch`` / ``_extract_audio_batch``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+try:  # real decoder, if ever present
+    import PIL.Image  # type: ignore  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),     # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),   # opaque bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+FRAME_SAMPLES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_phash", T.LongType(), False),
+    ]
+)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded bytes)."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(256 + (i % 5) * 128)
+        rows.append(
+            (
+                i,
+                kind,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                bytearray(payload),
+                64 if kind != "audio" else None,
+                64 if kind != "audio" else None,
+                int(1000 + 250 * (i % 7)) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
+    """Deterministic stand-in for decode+embed: sha256 expanded to floats.
+    Replace with a real decoder when the libs exist."""
+    h = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer((h * ((out_dim * 4) // len(h) + 1))[: out_dim * 4], dtype=np.uint32)
+    return (raw % 1000).astype(np.float32) / 1000.0
+
+
+def _phash_of(payload: bytes) -> int:
+    if _HAS_PIL:
+        raise NotImplementedError(
+            "real perceptual hash: decode payload with PIL, downscale to 8x8 "
+            "grayscale, DCT, threshold — plug in when PIL is available"
+        )
+    return int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big") >> 1
+
+
+def image_features(media: DataFrame, out_dim: int = 32) -> DataFrame:
+    """images -> (media_id, phash, feature[out_dim]).  Arrow-batched; the
+    decode kernel is the stub above."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            feats = [_fake_decode(p, out_dim) for p in pdf["payload"]]
+            phashes = [np.int64(np.uint64(_phash_of(p))) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "phash": phashes,
+                    "feature": feats,
+                }
+            )
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(compute, IMAGE_FEATURES)
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
+    """videos -> one row per sampled frame (frame count derived from
+    duration metadata; frame hash = deterministic stub).  Frame expansion
+    happens JVM-side (sequence+explode); only the per-frame kernel is
+    Python."""
+    frames = media.where(F.col("kind") == "video").select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest((F.col("duration_ms") / every_ms).cast("int") - 1, F.lit(0))
+            )
+        ).alias("frame_idx"),
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            hashes = [
+                np.int64(np.uint64(_phash_of((p or b"") + bytes([i % 256]))))
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "frame_idx": pdf["frame_idx"].values,
+                    "frame_phash": hashes,
+                }
+            )
+
+    return frames.mapInPandas(compute, FRAME_SAMPLES)
+
+
+def phash_dup_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate images by perceptual-hash Hamming ball (same
+    chunk-banding as simhash_dup_pairs)."""
+    from .dedup import simhash_dup_pairs
+
+    sims = features.select(F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash"))
+    return simhash_dup_pairs(sims, max_hamming=max_hamming, n_chunks=16).select(
+        F.col("doc_a").alias("media_a"), F.col("doc_b").alias("media_b"), "hamming"
+    )

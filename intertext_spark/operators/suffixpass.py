@@ -1,0 +1,263 @@
+"""Long-verbatim substring pass (north-star extra; no reference counterpart).
+
+Char-4-gram MinHash banding has a sensitivity curve: long verbatim spans
+embedded in otherwise-dissimilar windows can fall below banding sensitivity
+(SURVEY.md §2.8).  This pass catches them exactly:
+
+  stage 1 (distributed seeding): every aligned word ``span_words``-gram is
+    rolling-hashed per document; two documents sharing any seed hash become
+    a candidate pair.  Any common verbatim span of >= span_words words
+    shares an aligned seed, so recall for such spans is 1 (up to 61-bit
+    hash collisions, which only add candidates).  Hot seeds (boilerplate)
+    go through the same salted-join machinery as LSH bands.
+
+  stage 2 (per-pair verification): applyInPandas per candidate pair builds
+    a suffix array over the two word sequences (pydivsufsort when present,
+    numpy O(n log^2 n) doubling otherwise) and emits maximal common spans
+    >= min_span_words via the adjacent-suffix LCP scan.
+
+Outputs (doc_a, doc_b, start_a, start_b, span_len) in word offsets; the
+pipeline can map spans onto window ids (start // slide) and union with LSH
+candidates before validation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import hashing
+
+try:
+    from pydivsufsort import divsufsort  # type: ignore
+
+    _HAS_DIVSUFSORT = True
+except Exception:
+    _HAS_DIVSUFSORT = False
+
+
+SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_a", T.LongType(), False),
+        T.StructField("doc_b", T.LongType(), False),
+        T.StructField("start_a", T.LongType(), False),
+        T.StructField("start_b", T.LongType(), False),
+        T.StructField("span_len", T.LongType(), False),
+    ]
+)
+
+_SEED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("seeds", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def _word_gram_hashes(words: list[str], k: int) -> np.ndarray:
+    """Rolling hashes of every aligned word k-gram (61-bit).  Vectorized
+    across offsets: k polynomial-fold passes over the sliding view."""
+    if len(words) < k:
+        return np.empty(0, dtype=np.uint64)
+    wh = hashing.hash64_strings(words)
+    P61 = np.uint64((1 << 61) - 1)
+    view = np.lib.stride_tricks.sliding_window_view(wh, k)  # (n-k+1, k)
+    acc = np.zeros(view.shape[0], dtype=np.uint64)
+    for j in range(k):
+        acc = hashing._mul_2p31_mod_p61(acc) + view[:, j]
+        acc = acc - np.where(acc >= P61, P61, np.uint64(0))
+    return acc
+
+
+def seed_candidates(
+    docs: DataFrame, span_words: int = 20, small_cap: int = 64
+) -> DataFrame:
+    """docs(file_id, words) -> distinct (doc_a, doc_b) sharing a seed."""
+    k = span_words
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seeds = [
+                np.unique(_word_gram_hashes(list(w), k)).astype("int64")
+                for w in pdf["words"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["file_id"].values, "seeds": seeds})
+
+    seeded = (
+        docs.select("file_id", "words")
+        .mapInPandas(compute, _SEED_SCHEMA)
+        .select("doc_id", F.explode("seeds").alias("band"))
+    )
+    from .dedup import lsh_dup_pairs
+
+    return lsh_dup_pairs(seeded, small_cap=small_cap)
+
+
+def _suffix_array(seq: np.ndarray) -> np.ndarray:
+    """Suffix array over an int sequence; prefix-doubling fallback when
+    pydivsufsort is absent (O(n log^2 n), fine for per-pair verification)."""
+    n = len(seq)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if _HAS_DIVSUFSORT:
+        # divsufsort wants bytes/ints; map to dense ranks first
+        _, dense = np.unique(seq, return_inverse=True)
+        return np.asarray(divsufsort(dense.astype(np.int32)), dtype=np.int64)
+    _, rank = np.unique(seq, return_inverse=True)
+    rank = rank.astype(np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        key2 = np.where(idx + k < n, 0, -1)
+        second = np.full(n, -1, dtype=np.int64)
+        valid = idx + k < n
+        second[valid] = rank[idx[valid] + k]
+        order = np.lexsort((second, rank))
+        new_rank = np.zeros(n, dtype=np.int64)
+        prev = order[0]
+        r = 0
+        for i in order[1:]:
+            if rank[i] != rank[prev] or second[i] != second[prev]:
+                r += 1
+            new_rank[i] = r
+            prev = i
+        rank = new_rank
+        if rank.max() == n - 1:
+            sa = np.empty(n, dtype=np.int64)
+            sa[rank] = np.arange(n)
+            return sa
+        k *= 2
+        del key2
+
+
+def _lcp_array(seq: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP for adjacent suffix-array entries."""
+    n = len(sa)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and seq[i + h] == seq[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def common_spans(
+    words_a: list[str], words_b: list[str], min_span: int
+) -> list[tuple[int, int, int]]:
+    """Maximal common spans >= min_span between two word sequences via a
+    joint suffix array + adjacent-LCP scan: (start_a, start_b, length)."""
+    # map words of both docs into one int alphabet; separator = -1 and -2
+    vocab: dict[str, int] = {}
+
+    def enc(ws):
+        out = np.empty(len(ws), dtype=np.int64)
+        for i, w in enumerate(ws):
+            out[i] = vocab.setdefault(w, len(vocab) + 1)
+        return out
+
+    ea, eb = enc(words_a), enc(words_b)
+    sep1 = np.array([-1], dtype=np.int64)
+    joint = np.concatenate([ea, sep1, eb])
+    na = len(ea)
+    sa = _suffix_array(joint)
+    lcp = _lcp_array(joint, sa)
+    spans: dict[tuple[int, int], int] = {}
+    for r in range(1, len(sa)):
+        i, j = sa[r - 1], sa[r]
+        l = int(lcp[r])
+        if l < min_span:
+            continue
+        # one suffix from each side of the separator
+        if (i < na) == (j < na):
+            continue
+        a, b = (i, j - na - 1) if i < na else (j, i - na - 1)
+        # clip the span at the separator (lcp cannot cross it: separator is
+        # unique) and record the maximal length per (a, b) anchor
+        key = (int(a), int(b))
+        if spans.get(key, 0) < l:
+            spans[key] = l
+    # keep only maximal spans (drop anchors strictly inside another span)
+    out = sorted(((a, b, l) for (a, b), l in spans.items()))
+    maximal = []
+    for a, b, l in out:
+        contained = False
+        for a2, b2, l2 in out:
+            if (a2, b2) != (a, b) and a2 <= a and b2 - a2 == b - a and a2 + l2 >= a + l:
+                contained = True
+                break
+        if not contained:
+            maximal.append((a, b, l))
+    return maximal
+
+
+def verify_spans(
+    pairs: DataFrame, docs: DataFrame, min_span_words: int = 20
+) -> DataFrame:
+    """(doc_a, doc_b) candidates + docs(file_id, words) -> verified spans."""
+    wa = docs.select(F.col("file_id").alias("doc_a"), F.col("words").alias("words_a"))
+    wb = docs.select(F.col("file_id").alias("doc_b"), F.col("words").alias("words_b"))
+    joined = pairs.join(wa, "doc_a").join(wb, "doc_b")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for da, db, a, b in zip(
+                pdf["doc_a"], pdf["doc_b"], pdf["words_a"], pdf["words_b"]
+            ):
+                for sa_, sb_, l in common_spans(list(a), list(b), min_span_words):
+                    rows.append((int(da), int(db), sa_, sb_, l))
+            yield pd.DataFrame(
+                rows, columns=["doc_a", "doc_b", "start_a", "start_b", "span_len"]
+            )
+
+    return joined.mapInPandas(compute, SPANS_SCHEMA)
+
+
+def long_verbatim_spans(
+    docs: DataFrame, span_words: int = 20, small_cap: int = 64
+) -> DataFrame:
+    """End-to-end: seed -> candidate pairs -> suffix-array verification."""
+    pairs = seed_candidates(docs, span_words, small_cap)
+    return verify_spans(pairs, docs, span_words)
+
+
+def spans_to_window_candidates(
+    spans: DataFrame, window_length: int, slide_length: int
+) -> DataFrame:
+    """Map verified spans onto window-id candidate pairs for the validation
+    stage (window k covers words [k*slide, k*slide+window), intertext.py
+    661-662): aligned windows fully inside the span on both sides."""
+    s, w = slide_length, window_length
+    n_windows = F.greatest(
+        ((F.col("span_len") - w) / s).cast("long") + 1, F.lit(0)
+    )
+    k0a = F.ceil(F.col("start_a") / s).cast("long")
+    offs = F.when(
+        n_windows > 0, F.sequence(F.lit(0), n_windows - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    exploded = spans.select(
+        "doc_a", "doc_b", "start_a", "start_b", "span_len",
+        F.explode(offs).alias("i"),
+    )
+    return exploded.select(
+        F.col("doc_a").alias("file_id_a"),
+        F.col("doc_b").alias("file_id_b"),
+        (F.ceil(F.col("start_a") / s) + F.col("i")).cast("long").alias("window_id_a"),
+        (F.ceil(F.col("start_b") / s) + F.col("i")).cast("long").alias("window_id_b"),
+    ).distinct()

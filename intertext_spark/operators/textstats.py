@@ -1,0 +1,163 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side built-ins except language ID's n-gram profile scoring, which is
+a vectorized pandas UDF over numpy (profiles are tiny and broadcast by
+closure).  SQL-checkable miniatures live in sqlqueries.py; these are the
+engine-native versions.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .. import hashing
+
+_WORDS = lambda c: F.filter(F.split(F.col(c), r"\s+"), lambda w: w != "")  # noqa: E731
+
+STOPWORDS_EN = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+    "on", "as", "with", "was", "be", "at", "by", "this", "are", "or",
+)
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_tokens, n_distinct_tokens, mean_token_len,
+    ttr [type-token ratio]).  Whitespace tokenization (reference word-stream
+    semantics, intertext.py:1158)."""
+    words = _WORDS(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+        (F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ) / F.size(words)).alias("mean_token_len"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("ttr"),
+    ).where(F.col("n_tokens") > 0)
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_chars, n_words, punct_ratio, stopword_ratio,
+    repetition_ratio, quality): cheap trainability heuristics (length,
+    punctuation, stopword density, max-ngram repetition)."""
+    words = _WORDS(text_col)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_punct = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9 ]", "")
+    )
+    rep = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / F.size(words)
+    return (
+        df.where(F.length(text_col) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).alias("n_chars"),
+            F.size(words).alias("n_words"),
+            (n_punct.cast("double") / F.length(text_col)).alias("punct_ratio"),
+            (n_stop.cast("double") / F.size(words)).alias("stopword_ratio"),
+            rep.alias("repetition_ratio"),
+        )
+        .withColumn(
+            "quality",
+            F.lit(0.4) * F.least(F.col("n_words").cast("double") / 100, F.lit(1.0))
+            + F.lit(0.3) * (F.lit(1.0) - F.col("punct_ratio"))
+            + F.lit(0.3) * (F.lit(1.0) - F.col("repetition_ratio")),
+        )
+    )
+
+
+# character-trigram profiles for a tiny language-ID heuristic; deliberately
+# small + deterministic (a real deployment would broadcast fastText-style
+# profiles — same plumbing, bigger table).
+_LANG_PROFILES = {
+    "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+    "de": ["en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"],
+    "fr": ["es", "le", "de", "en", "re", "nt", "on", "ou", "ai", "it"],
+    "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+}
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, predicted_lang, confidence): character-bigram profile
+    overlap scoring, vectorized pandas UDF."""
+    profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("predicted_lang", T.StringType(), False),
+            T.StructField("confidence", T.DoubleType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            langs, confs = [], []
+            for text in pdf[text_col]:
+                t = (text or "").lower()
+                grams = {t[i:i + 2] for i in range(len(t) - 1) if " " not in t[i:i + 2]}
+                if not grams:
+                    langs.append("unk")
+                    confs.append(0.0)
+                    continue
+                scores = {
+                    lang: len(grams & prof) / len(prof)
+                    for lang, prof in profiles.items()
+                }
+                best = max(sorted(scores), key=lambda k: scores[k])
+                langs.append(best if scores[best] > 0.2 else "unk")
+                confs.append(round(scores[best], 4))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "predicted_lang": langs,
+                    "confidence": confs,
+                }
+            )
+
+    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    return sel.mapInPandas(compute, out_schema)
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 8,
+    keep_mod: int = 16,
+) -> DataFrame:
+    """-> (doc_id, fp): rolling char-n-gram hashes, mod-p selection
+    (0-mod-``keep_mod`` winnowing) — compact reuse fingerprints.  Numpy
+    rolling hash in an Arrow-batched UDF; selection + dedup JVM-side."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fps", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fps = []
+            for text in pdf[text_col]:
+                h = hashing.shingle_hashes(text or "", gram)
+                sel = h[h % np.uint64(keep_mod) == 0]
+                fps.append(np.unique(sel).astype("int64"))
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "fps": fps})
+
+    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    return (
+        sel.mapInPandas(compute, out_schema)
+        .select("doc_id", F.explode("fps").alias("fp"))
+        .distinct()
+    )

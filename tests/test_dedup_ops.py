@@ -1,0 +1,162 @@
+"""Doc-level dedup / similarity / textstats operators vs brute-force
+oracles computed in-test."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from intertext_spark.operators import dedup, textstats, suffixpass, multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " with a tiny suffix added"),          # near dup of 0
+        (3, "completely different words entirely nothing shared here at all"),
+        (4, "the quick brown fox jumps over the lazy dog again and again tomorrow"),  # near dup
+        (5, ""),                                           # empty
+        (6, "short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dup_groups(spark, docs):
+    out = {r.doc_id: (r.keeper_id, r.n_copies) for r in dedup.exact_dup_groups(docs).collect()}
+    assert out[0] == (0, 2) and out[1] == (0, 2)
+    assert out[2][1] == 1 and out[3][1] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    bands = dedup.doc_minhash_bands(docs, shingle_words=2)
+    pairs = {(r.doc_a, r.doc_b) for r in dedup.lsh_dup_pairs(bands).collect()}
+    assert (0, 1) in pairs          # exact dup always collides
+    assert (0, 4) in pairs or (0, 2) in pairs  # near dups collide
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_verify_jaccard_exact(spark, docs):
+    bands = dedup.doc_minhash_bands(docs, shingle_words=2)
+    pairs = dedup.lsh_dup_pairs(bands)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.verify_jaccard(pairs, docs, shingle_words=2, threshold=0.0).collect()
+    }
+
+    def brute(a, b, k=2):
+        rows = {r.doc_id: r.text for r in docs.collect()}
+        sa = {" ".join(rows[a].split()[i:i+k]) for i in range(len(rows[a].split()) - k + 1)}
+        sb = {" ".join(rows[b].split()[i:i+k]) for i in range(len(rows[b].split()) - k + 1)}
+        return len(sa & sb) / len(sa | sb)
+
+    for (a, b), j in got.items():
+        assert abs(j - brute(a, b)) < 1e-9
+    assert got[(0, 1)] == 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    sims = dedup.doc_simhash(docs)
+    vals = {r.doc_id: r.simhash for r in sims.collect()}
+    assert vals[0] == vals[1]  # identical text -> identical simhash
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_dup_pairs(sims, max_hamming=64, n_chunks=4).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    # verify hamming against numpy popcount oracle
+    for (a, b), h in pairs.items():
+        want = bin(np.uint64(vals[a]) ^ np.uint64(vals[b])).count("1")
+        assert h == want
+
+
+def test_embedding_lsh_and_brute_force(spark):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(20):
+        v = base + rng.normal(scale=0.01, size=16) if i < 5 else rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    buckets = dedup.hyperplane_buckets(df, n_planes=6, dim=16)
+    pairs = {(r.vec_a, r.vec_b) for r in dedup.embedding_dup_pairs(buckets, 0.99).collect()}
+    # the 5 perturbed copies of `base` are mutual near-dups in one bucket
+    import itertools
+
+    expect = set(itertools.combinations(range(5), 2))
+    assert expect <= pairs
+    # brute-force top-k agrees with numpy
+    topk = dedup.brute_force_topk(df, rows[0][1], k=4)
+    got = [r.vec_id for r in topk.collect()]
+    mat = np.array([r[1] for r in rows])
+    q = np.array(rows[0][1])
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    want = list(np.lexsort((np.arange(20), -cos))[:4])
+    assert got == [int(x) for x in want]
+
+
+def test_token_and_quality_stats(spark, docs):
+    ts = {r.doc_id: r for r in textstats.token_stats(docs).collect()}
+    assert ts[6].n_tokens == 2 and ts[6].n_distinct_tokens == 2
+    assert 5 not in ts  # empty doc dropped
+    assert abs(ts[6].mean_token_len - 4.5) < 1e-9  # 'short'(5) 'text'(4)
+    qs = {r.doc_id: r for r in textstats.quality_scores(docs).collect()}
+    assert 0.0 <= qs[0].quality <= 1.0
+    assert qs[0].repetition_ratio > 0  # 'the'/'again' repeat
+
+
+def test_lang_id_deterministic(spark, docs):
+    out1 = {r.doc_id: r.predicted_lang for r in textstats.lang_id(docs).collect()}
+    out2 = {r.doc_id: r.predicted_lang for r in textstats.lang_id(docs).collect()}
+    assert out1 == out2
+    assert out1[0] == "en"  # 'the/he/er...' bigrams dominate
+
+
+def test_doc_fingerprints_subset_invariant(spark, docs):
+    fps = textstats.doc_fingerprints(docs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # identical docs -> identical fingerprint sets
+    assert by_doc.get(0) == by_doc.get(1)
+    # a doc sharing a long prefix shares most fingerprints
+    if 2 in by_doc and 0 in by_doc:
+        assert len(by_doc[0] & by_doc[2]) >= len(by_doc[0]) * 0.8
+
+
+def test_suffix_common_spans_unit():
+    a = "x1 x2 c1 c2 c3 c4 c5 y1 y2".split()
+    b = "z1 c1 c2 c3 c4 c5 z2 z3 z4".split()
+    spans = suffixpass.common_spans(a, b, min_span=3)
+    assert (2, 1, 5) in spans
+    # no span when nothing shared
+    assert suffixpass.common_spans(["a", "b"], ["c", "d"], 1) == []
+
+
+def test_suffix_pass_end_to_end(spark):
+    shared = [f"s{i}" for i in range(25)]
+    rows = [
+        (0, [f"a{i}" for i in range(30)] + shared + [f"a{i}" for i in range(30, 40)]),
+        (1, [f"b{i}" for i in range(10)] + shared + [f"b{i}" for i in range(10, 50)]),
+        (2, [f"c{i}" for i in range(60)]),
+    ]
+    docs = spark.createDataFrame(rows, ["file_id", "words"])
+    spans = suffixpass.long_verbatim_spans(docs, span_words=20).collect()
+    got = {(r.doc_a, r.doc_b): (r.start_a, r.start_b, r.span_len) for r in spans}
+    assert got == {(0, 1): (30, 10, 25)}
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    feats = multimodal.image_features(media)
+    rows = feats.collect()
+    assert all(len(r.feature) == 32 for r in rows)
+    assert len(rows) == media.where("kind='image'").count()
+    frames = multimodal.sample_frames(media)
+    fr = frames.collect()
+    assert len(fr) > 0
+    # frame counts follow duration metadata
+    one = media.where("kind='video'").select("media_id", "duration_ms").head()
+    n_frames = len([r for r in fr if r.media_id == one.media_id])
+    assert n_frames == max(1, one.duration_ms // 500)

@@ -1,0 +1,143 @@
+"""Filtered pipelines (--only / --exclude / --banish analogs), checkpoint
+resume, and the reference sample corpus (elegy) parity."""
+
+import os
+
+import pytest
+
+from intertext_spark import corpus, oracle, schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.pipeline import Pipeline
+
+
+@pytest.fixture(scope="module")
+def small_planted():
+    return corpus.planted_transcripts(
+        n_convs=24,
+        n_verbatim_pairs=4,
+        n_shifted_pairs=1,
+        n_noisy_per_level=0,
+        n_chains=2,
+        n_junk_pairs=0,
+        n_short=1,
+        n_self_repeat=1,
+    )
+
+
+def _match_set(df):
+    return {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b)
+        for r in df.collect()
+    }
+
+
+def _oracle_match_set(ores):
+    return {(m[0], m[1], m[2], m[3]) for m in ores["matches"]}
+
+
+def test_only_filter_parity(spark, small_planted):
+    rows = small_planted.rows
+    wbc = corpus.words_by_conv(rows)
+    only_conv = sorted(wbc)[0]
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    sres = Pipeline(spark, DEFAULT).run(tdf, only_conv=only_conv)
+    ores = oracle.run_pipeline(wbc, DEFAULT, only_conv=only_conv)
+    assert _match_set(sres["matches"]) == _oracle_match_set(ores)
+    fid = ores["file_of"][only_conv]
+    for fa, fb, _, _ in _oracle_match_set(ores):
+        assert fa == fid or fb == fid
+
+
+def test_exclude_filter_parity(spark, small_planted):
+    rows = small_planted.rows
+    wbc = corpus.words_by_conv(rows)
+    # exclude one side of a verbatim pair so the filter provably bites
+    pair = next(p for p in small_planted.golden if p[2] == "verbatim")
+    excluded = [pair[0]]
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    sres = Pipeline(spark, DEFAULT).run(tdf, excluded_convs=excluded)
+    ores = oracle.run_pipeline(wbc, DEFAULT, excluded_convs=excluded)
+    got = _match_set(sres["matches"])
+    assert got == _oracle_match_set(ores)
+    ex_id = ores["file_of"][excluded[0]]
+    assert all(fa != ex_id and fb != ex_id for fa, fb, _, _ in got)
+
+
+def test_banish_filter_parity(spark, small_planted):
+    rows = small_planted.rows
+    wbc = corpus.words_by_conv(rows)
+    pair = next(p for p in small_planted.golden if p[2] == "verbatim")
+    banished = [pair[0]]
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    sres = Pipeline(spark, DEFAULT).run(tdf, banished_convs=banished)
+    ores = oracle.run_pipeline(wbc, DEFAULT, banished_convs=banished)
+    got = _match_set(sres["matches"])
+    want = _oracle_match_set(ores)
+    assert got == want
+    # the banished conversation's windows are gone from the match graph
+    ban_id = ores["file_of"][banished[0]]
+    assert all(fa != ban_id and fb != ban_id for fa, fb, _, _ in got)
+    # and the un-banished run has strictly more matches
+    full = oracle.run_pipeline(wbc, DEFAULT)
+    assert len(full["matches"]) > len(want)
+
+
+def test_checkpoint_resume(spark, small_planted, tmp_path):
+    rows = small_planted.rows
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    root = str(tmp_path / "ckpt")
+
+    p1 = Pipeline(spark, DEFAULT, checkpoint_root=root, input_token="t1")
+    r1 = p1.run(tdf)
+    m1 = _match_set(r1["matches"])
+    assert not any(s["skipped"] for s in p1.stage_log)
+
+    # rerun: every stage resumes from parquet
+    p2 = Pipeline(spark, DEFAULT, checkpoint_root=root, input_token="t1")
+    r2 = p2.run(tdf)
+    assert all(s["skipped"] for s in p2.stage_log)
+    assert _match_set(r2["matches"]) == m1
+
+    # simulate mid-pipeline death: delete downstream stage manifests; the
+    # upstream stages must be reused, the deleted ones rebuilt
+    for stage in ("matches", "clusters"):
+        os.remove(os.path.join(root, f"{stage}.manifest.json"))
+    p3 = Pipeline(spark, DEFAULT, checkpoint_root=root, input_token="t1")
+    r3 = p3.run(tdf)
+    log = {s["stage"]: s["skipped"] for s in p3.stage_log}
+    assert log["hashbands"] and log["candidates"]
+    assert not log["matches"]
+    assert _match_set(r3["matches"]) == m1
+
+    # config change invalidates everything
+    p4 = Pipeline(
+        spark, DEFAULT.with_(min_sim=80), checkpoint_root=root, input_token="t1"
+    )
+    p4.run(tdf)
+    assert not any(s["skipped"] for s in p4.stage_log)
+
+    # lineage metrics recorded
+    assert os.path.exists(os.path.join(root, "metrics.jsonl"))
+
+
+def test_elegy_reference_corpus_parity(spark):
+    """The reference's own sample corpus (18 Gray's-Elegy texts,
+    transcript-ified per FIXTURES.md F1): full Spark-vs-oracle parity and
+    a sanity floor on reuse detection (the corpus is built of imitations)."""
+    rows = corpus.elegy_transcripts()
+    assert rows, "reference sample_data not found"
+    wbc = corpus.words_by_conv(rows)
+    assert len(wbc) == 18
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    sres = Pipeline(spark, DEFAULT).run(tdf)
+    ores = oracle.run_pipeline(wbc, DEFAULT)
+    assert _match_set(sres["matches"]) == _oracle_match_set(ores)
+    assert len(ores["matches"]) > 50  # imitation corpus has heavy reuse
+    # duplicate groups identical as partitions
+    sg = {}
+    for r in sres["groups"].collect():
+        sg.setdefault(r.group_id, set()).add((r.file_id, r.window_id))
+    og = {}
+    for node, lab in ores["groups"].items():
+        og.setdefault(lab, set()).add(node)
+    assert sorted(map(sorted, sg.values())) == sorted(map(sorted, og.values()))
