@@ -1,0 +1,215 @@
+"""Format/publish stage: display-oriented match objects
+(reference format_matches, intertext.py:576-628, and the publish stage,
+intertext.py:686-783).
+
+All JVM-side: match-string reconstruction is pure slice arithmetic on the
+document word arrays (intertext.py:661-668); probability scoring joins an
+exact word-count dimension (replacing the bounter sketch,
+intertext.py:1249-1258, 1266-1271); metadata enrichment is a broadcast
+join with the reference's year-swap canonicalization
+(order_match_pair, intertext.py:637-655).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import PipelineConfig
+
+
+def match_strings(clusters: DataFrame, docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """clusters + docs(file_id, words) -> prematch / match / postmatch
+    strings per side (intertext.py:661-668: start = min(window_ids)*slide,
+    end = max(window_ids)*slide + window)."""
+    w, s = cfg.window_length, cfg.slide_length
+
+    def strings(words_col, ids_col, prefix):
+        start = F.array_min(ids_col) * s
+        end = F.array_max(ids_col) * s + w
+        pre_from = F.greatest(start - w, F.lit(0))
+        return [
+            F.array_join(
+                F.slice(words_col, (pre_from + 1).cast("int"),
+                        (start - pre_from).cast("int")),
+                " ",
+            ).alias(f"{prefix}_prematch"),
+            F.array_join(
+                F.slice(words_col, (start + 1).cast("int"), (end - start).cast("int")),
+                " ",
+            ).alias(f"{prefix}_match"),
+            F.array_join(
+                F.slice(words_col, (end + 1).cast("int"), w), " "
+            ).alias(f"{prefix}_postmatch"),
+        ]
+
+    da = docs.select(
+        F.col("file_id").alias("file_id_a"),
+        F.col("conv_id").alias("conv_id_a"),
+        F.col("words").alias("words_a"),
+    )
+    db = docs.select(
+        F.col("file_id").alias("file_id_b"),
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("words").alias("words_b"),
+    )
+    joined = clusters.join(da, "file_id_a").join(db, "file_id_b")
+    return joined.select(
+        "file_id_a", "file_id_b", "conv_id_a", "conv_id_b",
+        "window_ids_a", "window_ids_b", "similarity",
+        *strings(F.col("words_a"), F.col("window_ids_a"), "a"),
+        *strings(F.col("words_b"), F.col("window_ids_b"), "b"),
+    )
+
+
+def word_count_dim(docs: DataFrame) -> DataFrame:
+    """Exact corpus word counts (replaces bounter, intertext.py:1249-1258)."""
+    return (
+        docs.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def match_probabilities(
+    formatted: DataFrame, counts: DataFrame
+) -> DataFrame:
+    """Probability scalar (intertext.py:1266-1271): per match,
+    max over sides of sum(count(w)/total for w in side words),
+    round(.,3)*1000.  The match string is exploded to words, joined to the
+    (broadcastable-after-agg) counts dim, re-aggregated — two narrow
+    shuffles, no Python."""
+    total = counts.agg(F.sum("cnt")).head()[0]
+    mid = F.monotonically_increasing_id()
+    base = formatted.withColumn("_mid", mid)
+    sides = base.select(
+        "_mid",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("a_match").alias("txt")),
+                F.struct(F.lit("b").alias("side"), F.col("b_match").alias("txt")),
+            )
+        ).alias("s"),
+    ).select(
+        "_mid", "s.side", F.explode(F.split("s.txt", r"\s+")).alias("word")
+    )
+    probs = (
+        sides.join(counts, "word", "left")
+        .groupBy("_mid", "side")
+        .agg(F.sum(F.coalesce(F.col("cnt"), F.lit(0)) / F.lit(float(total))).alias("p"))
+        .groupBy("_mid")
+        .agg((F.round(F.max("p"), 3) * 1000).alias("probability"))
+    )
+    return base.join(probs, "_mid").drop("_mid")
+
+
+def enrich_metadata(formatted: DataFrame, metadata: DataFrame) -> DataFrame:
+    """Broadcast metadata join + year-swap canonicalization: side a must be
+    the earlier-published text when both years exist
+    (order_match_pair, intertext.py:637-655)."""
+    ma = metadata.select(
+        F.col("conv_id").alias("conv_id_a"),
+        F.col("author").alias("author_a"),
+        F.col("title").alias("title_a"),
+        F.col("year").alias("year_a"),
+        F.col("url").alias("url_a"),
+    )
+    mb = metadata.select(
+        F.col("conv_id").alias("conv_id_b"),
+        F.col("author").alias("author_b"),
+        F.col("title").alias("title_b"),
+        F.col("year").alias("year_b"),
+        F.col("url").alias("url_b"),
+    )
+    j = formatted.join(F.broadcast(ma), "conv_id_a", "left").join(
+        F.broadcast(mb), "conv_id_b", "left"
+    )
+    swap = (
+        F.col("year_a").isNotNull()
+        & F.col("year_b").isNotNull()
+        & (F.col("year_b") < F.col("year_a"))
+    )
+
+    def pick(a, b, out):
+        return F.when(swap, F.col(b)).otherwise(F.col(a)).alias(out)
+
+    pairs = [
+        ("file_id_a", "file_id_b"), ("conv_id_a", "conv_id_b"),
+        ("window_ids_a", "window_ids_b"), ("author_a", "author_b"),
+        ("title_a", "title_b"), ("year_a", "year_b"), ("url_a", "url_b"),
+        ("a_prematch", "b_prematch"), ("a_match", "b_match"),
+        ("a_postmatch", "b_postmatch"),
+    ]
+    cols = []
+    for a, b in pairs:
+        cols.append(pick(a, b, a))
+        cols.append(pick(b, a, b))
+    keep = [c for c in j.columns if c not in {x for p in pairs for x in p}]
+    return j.select(*keep, *cols)
+
+
+def densify_ids(formatted: DataFrame) -> DataFrame:
+    """Stable dense _id per match object (reference guid->int densification,
+    intertext.py:689-697; ids need only be distinct + stable)."""
+    w = Window.orderBy("file_id_a", "file_id_b", "window_ids_a", "window_ids_b")
+    # row_number over an unpartitioned window is a deliberate single-task
+    # step: publish outputs are client-sized (the reference writes them as
+    # one JSON per file pair).  For cluster-scale publishing swap in
+    # zipWithIndex (see windows.assign_file_ids).
+    return formatted.withColumn("_id", F.row_number().over(w).cast("long"))
+
+
+def sort_indices(formatted: DataFrame) -> dict[str, DataFrame]:
+    """The six publish orderings (intertext.py:702-739): length (min
+    segment count) desc, probability desc, similarity desc, author asc,
+    title asc, year asc."""
+    base = formatted.select(
+        "_id",
+        F.least(F.size("window_ids_a"), F.size("window_ids_b")).alias("length"),
+        F.col("probability") if "probability" in formatted.columns else F.lit(-1.0).alias("probability"),
+        "similarity", "author_a", "title_a", "year_a",
+    )
+    return {
+        "length": base.orderBy(F.desc("length"), F.asc("_id")),
+        "probability": base.orderBy(F.desc("probability"), F.asc("_id")),
+        "similarity": base.orderBy(F.desc("similarity"), F.asc("_id")),
+        "author": base.orderBy(F.asc("author_a"), F.asc("_id")),
+        "title": base.orderBy(F.asc("title_a"), F.asc("_id")),
+        "year": base.orderBy(F.asc("year_a"), F.asc("_id")),
+    }
+
+
+def scatterplot_aggs(formatted: DataFrame) -> DataFrame:
+    """The 12 scatterplot groupings in one pass (intertext.py:745-783):
+    {side} x {segments, file_id, author} x {sum, mean} of similarity via
+    a single unioned groupBy."""
+    def one(side: str, unit: str, key_col):
+        return (
+            formatted.select(
+                F.lit(side).alias("side"),
+                F.lit(unit).alias("unit"),
+                key_col.cast("string").alias("key"),
+                "similarity",
+            )
+            .groupBy("side", "unit", "key")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("similarity").alias("sum_sim"),
+                F.avg("similarity").alias("mean_sim"),
+            )
+        )
+
+    parts = []
+    for side in ("a", "b"):
+        fid = F.col(f"file_id_{side}")
+        segs = F.concat_ws(
+            ".", fid, F.array_join(F.transform(
+                f"window_ids_{side}", lambda x: x.cast("string")), ","),
+        )
+        author = F.col(f"author_{side}") if f"author_{side}" in formatted.columns else F.lit(None)
+        parts.append(one(side, "segments", segs))
+        parts.append(one(side, "file", fid))
+        parts.append(one(side, "author", author))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

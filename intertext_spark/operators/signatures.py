@@ -74,16 +74,15 @@ def sign_windows(
 
 
 def hashbands(signed: DataFrame) -> DataFrame:
-    """-> (band, file_id, window_id), distinct.
+    """-> (band, file_id, window_id).
 
-    The reference set-dedups bands within a file (intertext.py:368-373);
-    band values within one window's array are already distinct with
-    overwhelming probability, and the downstream pair-set is de-dupped
-    again, so a global distinct here matches its semantics.
+    No distinct here: a (band, file_id, window_id) row can repeat only when
+    one signature contains the same 4-value tuple at two offsets
+    (vanishingly rare), and the candidate stage dropDuplicates-es pairs
+    anyway — the reference's per-file set-dedup (intertext.py:368-373) is
+    subsumed.  Skipping it saves a full shuffle of the largest table in
+    the pipeline (85 rows per window).
     """
-    return (
-        signed.select(
-            F.explode("bands").alias("band"), "file_id", "window_id"
-        )
-        .distinct()
+    return signed.select(
+        F.explode("bands").alias("band"), "file_id", "window_id"
     )

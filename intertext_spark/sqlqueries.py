@@ -137,6 +137,13 @@ class Dialect:
             return f"regexp_replace({x}, '{pat}', '{repl}')"
         return f"regexp_replace({x}, '{pat}', '{repl}', 'g')"
 
+    def hamming64(self, a: str, b: str) -> str:
+        """popcount(xor) — one JVM/native op per pair instead of a 16-step
+        lambda fold (verified identical across engines)."""
+        if self.name == "spark":
+            return f"bit_count(({a}) ^ ({b}))"
+        return f"bit_count(xor(({a})::BIGINT, ({b})::BIGINT))"
+
 
 SPARK = Dialect("spark")
 DUCK = Dialect("duckdb")
@@ -336,14 +343,7 @@ def q_simhash_dup_pairs(d: Dialect) -> str:
     """SimHash near-dup pairs: block on either 8-bit half (a Hamming-ball
     LSH — any pair within distance 1 shares a half; wider distances are a
     recall trade documented here), verify Hamming distance <= 3."""
-    ham = d.fold(
-        d.transform(
-            d.seq("0", "15"),
-            f"b -> case when {d.shr('sh_a', 'b')} % 2 != {d.shr('sh_b', 'b')} % 2 then 1 else 0 end",
-        ),
-        "0",
-        "(acc, v) -> acc + v",
-    )
+    ham = d.hamming64("sh_a", "sh_b")
     return f"""
 with sims as ({q_simhash(d).strip()}),
 blocked as (

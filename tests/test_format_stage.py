@@ -1,0 +1,91 @@
+"""Format/publish stage vs reference-semantics expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intertext_spark import corpus, oracle, schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.pipeline import Pipeline
+from intertext_spark.operators import format as fmt
+
+
+@pytest.fixture(scope="module")
+def run(spark):
+    pc = corpus.planted_transcripts(
+        n_convs=16, n_verbatim_pairs=3, n_shifted_pairs=0, n_noisy_per_level=0,
+        n_chains=1, n_junk_pairs=0, n_short=0, n_self_repeat=0,
+    )
+    tdf = spark.createDataFrame(pc.rows, schemas.TRANSCRIPTS)
+    res = Pipeline(spark, DEFAULT).run(tdf)
+    wbc = corpus.words_by_conv(pc.rows)
+    ores = oracle.run_pipeline(wbc, DEFAULT)
+    return res, ores, wbc
+
+
+def test_match_strings_reconstruction(spark, run):
+    res, ores, wbc = run
+    out = fmt.match_strings(res["clusters"], res["docs"], DEFAULT)
+    inv = {v: k for k, v in ores["file_of"].items()}
+    for r in out.limit(50).collect():
+        words = wbc[inv[r.file_id_a]]
+        start = min(r.window_ids_a) * DEFAULT.slide_length
+        end = max(r.window_ids_a) * DEFAULT.slide_length + DEFAULT.window_length
+        assert r.a_match == " ".join(words[start:end])
+        assert r.a_prematch == " ".join(words[max(0, start - 14):start])
+        assert r.a_postmatch == " ".join(words[end:end + 14])
+
+
+def test_probabilities_bounded_and_deterministic(spark, run):
+    res, _, _ = run
+    formatted = fmt.match_strings(res["clusters"], res["docs"], DEFAULT)
+    counts = fmt.word_count_dim(res["docs"])
+    probs = fmt.match_probabilities(formatted, counts)
+    rows = probs.select("probability").collect()
+    assert rows and all(r.probability >= 0 for r in rows)
+    # reference rounds to 3 decimals then *1000 -> integral values
+    assert all(abs(r.probability - round(r.probability)) < 1e-9 for r in rows)
+
+
+def test_metadata_enrich_year_swap(spark, run):
+    res, ores, _ = run
+    formatted = fmt.match_strings(res["clusters"], res["docs"], DEFAULT)
+    convs = [r.conv_id for r in res["doc_ids"].collect()]
+    meta = spark.createDataFrame(
+        [(c, f"author-{c}", f"title-{c}", 2000 - (i % 7), None)
+         for i, c in enumerate(sorted(convs))],
+        schemas.METADATA,
+    )
+    out = fmt.enrich_metadata(formatted, meta)
+    for r in out.collect():
+        if r.year_a is not None and r.year_b is not None:
+            assert r.year_a <= r.year_b  # canonical: a published first
+            assert r.author_a == f"author-{r.conv_id_a}"
+
+
+def test_sort_indices_and_scatter(spark, run):
+    res, _, _ = run
+    formatted = fmt.densify_ids(
+        fmt.match_strings(res["clusters"], res["docs"], DEFAULT)
+    )
+    convs = [r.conv_id for r in res["doc_ids"].collect()]
+    meta = spark.createDataFrame(
+        [(c, "au", "ti", 1900, None) for c in convs], schemas.METADATA
+    )
+    enriched = fmt.enrich_metadata(formatted, meta).withColumn(
+        "probability", F.lit(-1.0)
+    )
+    idx = fmt.sort_indices(enriched)
+    assert set(idx) == {"length", "probability", "similarity", "author", "title", "year"}
+    sims = [r.similarity for r in idx["similarity"].collect()]
+    assert sims == sorted(sims, reverse=True)
+    # _id dense and unique
+    ids = [r._id for r in formatted.collect()]
+    assert sorted(ids) == list(range(1, len(ids) + 1))
+    scat = fmt.scatterplot_aggs(enriched)
+    rows = scat.collect()
+    assert {(r.side, r.unit) for r in rows} == {
+        (s, u) for s in "ab" for u in ("segments", "file", "author")
+    }
+    # mean consistency
+    for r in rows:
+        assert abs(r.mean_sim - r.sum_sim / r.n) < 1e-9

@@ -1,6 +1,7 @@
-"""Local replica of the driver's correctness gate: run every sqlqueries
-template on Spark and DuckDB over the same parquet tables and compare
-row count + column names + order-insensitive values.
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark, its oracle_sql() twin on DuckDB
+(when present), and compare row count + column names + order-insensitive
+values.  Queries without an oracle get a rows-only report line.
 
 Usage: python tools/check_sql_parity.py [sf_dir] [name ...]
 """
@@ -14,8 +15,8 @@ import duckdb
 
 sys.path.insert(0, ".")
 
+import __spark_entry__ as entrymod  # noqa: E402
 from intertext_spark.session import get_spark  # noqa: E402
-from intertext_spark.sqlqueries import DUCK, SPARK, TEMPLATES  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -30,13 +31,10 @@ def norm(v):
         return round(v, 9)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
-    try:  # Decimal and numpy scalars
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return round(float(v), 9)
-    except Exception:
-        pass
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
     return v
 
 
@@ -46,46 +44,55 @@ def rows_key(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(TEMPLATES)
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sys.argv[2:] or list(qs)
 
-    spark = get_spark(app="sql-parity", master="local[8]", shuffle_partitions=8)
+    spark = get_spark(app="sql-parity", master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
-    for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.sql(f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"create view {t} as select * from '{p}'")
 
     failures = []
     for name in names:
-        tpl = TEMPLATES[name]
         try:
-            sdf = spark.sql(tpl(SPARK))
+            sdf = qs[name](spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
-            failures.append((name, f"SPARK ERROR: {e}"))
+            failures.append(name)
             print(f"FAIL {name}: spark error {str(e)[:300]}")
             continue
+        if name not in oracles:
+            print(f"ROWS {name}: {len(srows)} rows (no SQL oracle)")
+            continue
         try:
-            dres = con.sql(tpl(DUCK))
-            dcols = [c for c in dres.columns]
+            dres = con.sql(oracles[name])
+            dcols = list(dres.columns)
             drows = dres.fetchall()
         except Exception as e:
-            failures.append((name, f"DUCK ERROR: {e}"))
+            failures.append(name)
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
             continue
         ok_schema = sorted(scols) == sorted(dcols)
         ok_count = len(srows) == len(drows)
-        ok_vals = ok_schema and ok_count and rows_key(srows, scols) == rows_key(drows, dcols)
-        status = "OK  " if (ok_schema and ok_count and ok_vals) else "FAIL"
+        ok_vals = (
+            ok_schema and ok_count and rows_key(srows, scols) == rows_key(drows, dcols)
+        )
+        status = "OK  " if ok_vals else "FAIL"
         print(
             f"{status} {name}: rows {len(srows)}/{len(drows)} "
-            f"schema={'=' if ok_schema else f'{scols} vs {dcols}'} values={'=' if ok_vals else 'DIFF'}"
+            f"schema={'=' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"values={'=' if ok_vals else 'DIFF'}"
         )
         if status == "FAIL":
-            failures.append((name, "mismatch"))
+            failures.append(name)
             if ok_schema and ok_count:
                 a = rows_key(srows, scols)
                 b = rows_key(drows, dcols)
@@ -96,6 +103,7 @@ def main():
                         break
     spark.stop()
     if failures:
+        print("FAILED:", failures)
         sys.exit(1)
     print("ALL OK")
 
