@@ -91,6 +91,17 @@ def score_matches(pairs_with_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
             out["similarity"] = sims
             yield out[out["similarity"] >= min_sim]
 
-    return pre.select(
-        "file_id_a", "file_id_b", "window_id_a", "window_id_b", "text_a", "text_b"
-    ).mapInPandas(score, _MATCH_SCHEMA)
+    # Repartition before the UDF: the scorer's cost is per-ROW (difflib is
+    # ~200us/pair) while AQE coalesces shuffle output by BYTES (64MB
+    # advisory) — tiny pair rows would be packed into a handful of
+    # partitions and starve the CPU-bound Python stage.  An explicit
+    # row-balanced round-robin keeps every core busy.
+    n_part = 2 * pairs_with_text.sparkSession.sparkContext.defaultParallelism
+    return (
+        pre.select(
+            "file_id_a", "file_id_b", "window_id_a", "window_id_b",
+            "text_a", "text_b",
+        )
+        .repartition(n_part)
+        .mapInPandas(score, _MATCH_SCHEMA)
+    )

@@ -19,14 +19,32 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import PipelineConfig
 
 
-def assign_file_ids(transcripts: DataFrame) -> DataFrame:
-    """conv_id -> dense file_id in lexicographic conv_id order.
+def assign_file_ids(transcripts: DataFrame, mode: str = "sorted") -> DataFrame:
+    """conv_id -> stable file_id.
 
-    Distributed dense-rank: sort the distinct conv dimension with a range
-    partitioner, then zipWithIndex (contiguous ids follow partition order,
-    which under repartitionByRange+sortWithinPartitions is the total order).
-    Avoids the classic Window.orderBy-without-partition single-task trap.
+    mode='sorted' (default, reference parity): dense rank in lexicographic
+    conv_id order — distributed via range-partitioned sort + zipWithIndex
+    (contiguous ids follow partition order, which under
+    repartitionByRange+sortWithinPartitions is the total order).  Avoids
+    the Window.orderBy-without-partition single-task trap.
+
+    mode='hash': file_id = xxhash64(conv_id) & (2^62-1) — no global sort,
+    usable incrementally (streaming) and embarrassingly parallel; the
+    canonical a<b pair ordering follows hash order instead of lexical
+    order (still total, stable, and deterministic; 64-bit collisions are
+    negligible below ~10^9 conversations).
     """
+    if mode == "hash":
+        return (
+            transcripts.select("conv_id")
+            .distinct()
+            .select(
+                "conv_id",
+                F.xxhash64("conv_id")
+                .bitwiseAND(F.lit((1 << 62) - 1))
+                .alias("file_id"),
+            )
+        )
     distinct = transcripts.select("conv_id").distinct()
     spark = transcripts.sparkSession
     n_part = max(1, min(200, spark.sparkContext.defaultParallelism))

@@ -71,7 +71,18 @@ class CheckpointStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(dpath)
         out = self.spark.read.parquet(dpath)
-        rows = out.count()
+        # per-partition lineage: row histogram over the written files'
+        # partitions (north rule: per-partition lineage + metrics).  One
+        # cheap aggregate over the fresh parquet.
+        from pyspark.sql import functions as F
+
+        part_rows = (
+            out.groupBy(F.spark_partition_id().alias("pid"))
+            .count()
+            .collect()
+        )
+        partitions = {int(r.pid): int(r["count"]) for r in part_rows}
+        rows = sum(partitions.values())
         wall = time.time() - t0
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -80,6 +91,8 @@ class CheckpointStore:
                     "table": name,
                     "fingerprint": fingerprint,
                     "rows": rows,
+                    "n_partitions": len(partitions),
+                    "partition_rows": partitions,
                     "wall_s": round(wall, 3),
                     "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 },
@@ -87,14 +100,23 @@ class CheckpointStore:
                 indent=2,
             )
         os.replace(tmp, mpath)
-        self._append_metric(name, fingerprint, rows, wall)
+        self._append_metric(name, fingerprint, rows, wall, partitions)
         return StageResult(out, rows, wall, False)
 
-    def _append_metric(self, stage: str, fingerprint: str, rows: int, wall_s: float):
-        """Per-stage lineage metrics (north rule: per-partition lineage +
-        counts).  Partition-level input splits are recorded by Spark's event
-        log; here we persist the stage-level lineage row."""
+    def _append_metric(
+        self,
+        stage: str,
+        fingerprint: str,
+        rows: int,
+        wall_s: float,
+        partitions: dict | None = None,
+    ):
+        """Per-stage + per-partition lineage metrics (north rule)."""
         path = os.path.join(self.root, "metrics.jsonl")
+        skew = 0.0
+        if partitions:
+            mean = rows / max(1, len(partitions))
+            skew = round(max(partitions.values()) / mean, 3) if mean else 0.0
         with open(path, "a") as f:
             f.write(
                 json.dumps(
@@ -102,6 +124,9 @@ class CheckpointStore:
                         "stage": stage,
                         "fingerprint": fingerprint,
                         "rows": rows,
+                        "n_partitions": len(partitions or {}),
+                        "max_partition_skew": skew,
+                        "partition_rows": partitions or {},
                         "wall_s": round(wall_s, 3),
                         "ts": time.time(),
                     }

@@ -1,0 +1,3 @@
+"""Structured Streaming layer: incremental ingest of transcript batches
+(the reference is batch-only, intertext.py:107-143; this is the
+readStream-over-snapshots future noted in SURVEY.md §2.8, made real)."""

@@ -1,0 +1,156 @@
+"""Incremental text-reuse over a transcript stream.
+
+Pattern: ``readStream`` (file source; Iceberg incremental scan in
+production) -> ``foreachBatch`` micro-batch handler that
+
+  1. windows + signs only the NEW conversations (Arrow UDF),
+  2. appends their windows/hashbands to accumulator tables,
+  3. generates candidates restricted to bands touched by the batch
+     (semi-join — old-vs-old pairs were emitted by earlier batches),
+  4. difflib-validates and appends new matches.
+
+Invariant (tested): after all batches, the accumulated matches equal the
+batch pipeline's matches on the union corpus — incremental == batch.
+
+Assumption: conversations arrive whole (one micro-batch contains every
+turn of a conv it mentions) — the normal shape for transcript exports.
+file_id is hash-assigned (windows.assign_file_ids mode='hash'): dense rank
+needs a global sort, which a stream cannot do; hash order is the canonical
+pair order instead.
+
+Also provided: watermarked streaming aggregations (exact dedup of turns,
+per-window token throughput) as plain readStream->writeStream queries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import PipelineConfig
+from ..schemas import TRANSCRIPTS
+from ..operators.windows import assign_file_ids, docs_from_transcripts, windows_from_docs
+from ..operators.signatures import sign_windows, hashbands
+from ..operators.candidates import candidate_pairs
+from ..operators.matches import attach_window_texts, score_matches
+
+
+def stream_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPTS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+class IncrementalReuse:
+    """foreachBatch handler with parquet accumulators under ``root``
+    (windows_acc, hashbands_acc, matches_out)."""
+
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig, root: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _exists(self, name: str) -> bool:
+        p = self._p(name)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg = self.cfg
+        if batch_df.isEmpty():
+            return
+        doc_ids = assign_file_ids(batch_df, mode="hash")
+        docs = docs_from_transcripts(batch_df, doc_ids)
+        new_windows = windows_from_docs(docs, cfg).persist()
+        new_hb = hashbands(sign_windows(new_windows, cfg)).persist()
+
+        new_windows.write.mode("append").parquet(self._p("windows_acc"))
+        new_hb.write.mode("append").parquet(self._p("hashbands_acc"))
+
+        all_hb = self.spark.read.parquet(self._p("hashbands_acc"))
+        # only bands the batch touched can create NEW pairs; and a new pair
+        # must involve at least one new conversation.
+        touched = all_hb.join(
+            new_hb.select("band").distinct(), "band", "left_semi"
+        )
+        cands = candidate_pairs(touched, cfg)
+        new_files = doc_ids.select("file_id")
+        fa = new_files.select(F.col("file_id").alias("file_id_a"))
+        fb = new_files.select(F.col("file_id").alias("file_id_b"))
+        cands_new = cands.join(fa, "file_id_a", "left_semi").unionByName(
+            cands.join(fb, "file_id_b", "left_semi")
+        ).dropDuplicates(
+            ["file_id_a", "file_id_b", "window_id_a", "window_id_b"]
+        )
+        all_windows = self.spark.read.parquet(self._p("windows_acc"))
+        matches = score_matches(attach_window_texts(cands_new, all_windows), cfg)
+        matches.write.mode("append").parquet(self._p("matches_out"))
+        new_windows.unpersist()
+        new_hb.unpersist()
+
+    def matches(self) -> DataFrame:
+        if not self._exists("matches_out"):
+            from ..schemas import MATCHES
+
+            return self.spark.createDataFrame([], MATCHES)
+        # a conv re-delivered in a later batch re-creates its pairs; keep
+        # the first occurrence (idempotent under at-least-once delivery)
+        return self.spark.read.parquet(self._p("matches_out")).dropDuplicates(
+            ["file_id_a", "file_id_b", "window_id_a", "window_id_b"]
+        )
+
+    def run_stream(self, input_path: str, checkpoint: str | None = None):
+        """availableNow stream over a directory of transcript parquet files;
+        returns the finished StreamingQuery."""
+        stream = stream_transcripts(self.spark, input_path)
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option(
+                "checkpointLocation", checkpoint or self._p("_stream_ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+
+def streaming_turn_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exact dedup of turn payloads within the watermark window: late
+    duplicates beyond the watermark are dropped by state expiry."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .withColumn("content_hash", F.md5(F.coalesce("text", F.lit(""))))
+        .dropDuplicates(["conv_id", "content_hash"])
+    )
+
+
+def streaming_token_throughput(
+    stream: DataFrame, window: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked windowed aggregation: token throughput per role per
+    event-time window (late rows within the watermark update the window)."""
+    words = F.filter(
+        F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda w: w != ""
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "role")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.size(words)).alias("n_tokens"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "role", "n_turns", "n_tokens",
+        )
+    )

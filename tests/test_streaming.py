@@ -1,0 +1,107 @@
+"""Structured Streaming layer: incremental == batch equivalence, and the
+watermarked streaming aggregations."""
+
+import os
+
+import pytest
+
+from intertext_spark import corpus, schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.pipeline import Pipeline
+from intertext_spark.operators.windows import assign_file_ids
+from intertext_spark.streaming.incremental import (
+    IncrementalReuse,
+    stream_transcripts,
+    streaming_token_throughput,
+    streaming_turn_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def planted():
+    return corpus.planted_transcripts(
+        n_convs=18, n_verbatim_pairs=3, n_shifted_pairs=1, n_noisy_per_level=0,
+        n_chains=1, n_junk_pairs=0, n_short=1, n_self_repeat=0,
+    )
+
+
+def test_incremental_equals_batch(spark, planted, tmp_path):
+    rows = planted.rows
+    convs = sorted({r[0] for r in rows})
+    # three deliveries of whole conversations
+    groups = [convs[0::3], convs[1::3], convs[2::3]]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, g in enumerate(groups):
+        part = [r for r in rows if r[0] in set(g)]
+        spark.createDataFrame(part, schemas.TRANSCRIPTS).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    inc = IncrementalReuse(spark, DEFAULT, str(tmp_path / "acc"))
+    inc.run_stream(in_dir)
+    got = {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b): r.similarity
+        for r in inc.matches().collect()
+    }
+
+    # batch reference with the same (hash) id assignment
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    from intertext_spark.operators.windows import docs_from_transcripts, windows_from_docs
+    from intertext_spark.operators.signatures import sign_windows, hashbands
+    from intertext_spark.operators.candidates import candidate_pairs
+    from intertext_spark.operators.matches import attach_window_texts, score_matches
+
+    doc_ids = assign_file_ids(tdf, mode="hash")
+    wins = windows_from_docs(docs_from_transcripts(tdf, doc_ids), DEFAULT).persist()
+    hb = hashbands(sign_windows(wins, DEFAULT))
+    cands = candidate_pairs(hb, DEFAULT)
+    want = {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b): r.similarity
+        for r in score_matches(attach_window_texts(cands, wins), DEFAULT).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_streaming_turn_dedup_and_throughput(spark, planted, tmp_path):
+    rows = planted.rows[:200]
+    in_dir = str(tmp_path / "in2")
+    spark.createDataFrame(rows, schemas.TRANSCRIPTS).coalesce(1).write.parquet(in_dir)
+
+    stream = stream_transcripts(spark, in_dir)
+    out1 = str(tmp_path / "dedup_out")
+    q = (
+        streaming_turn_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out1)
+    # every (conv, content) kept exactly once
+    assert got.groupBy("conv_id", "content_hash").count().where("count > 1").count() == 0
+
+    stream2 = stream_transcripts(spark, in_dir)
+    q2 = (
+        streaming_token_throughput(stream2, window="1 minute")
+        # append mode only emits windows the watermark has passed; with a
+        # finite fixture the watermark never passes the last window, so
+        # observe the full state via complete mode into a memory sink
+        .writeStream.format("memory")
+        .queryName("tok_throughput")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows_out = spark.sql("select * from tok_throughput").collect()
+    assert rows_out
+    assert all(r.n_tokens >= 0 and r.n_turns > 0 for r in rows_out)
+    # totals match the static frame
+    total_turns = sum(r.n_turns for r in rows_out)
+    assert total_turns == len(rows)
