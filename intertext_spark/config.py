@@ -50,6 +50,11 @@ class PipelineConfig:
     # non-discriminative (boilerplate). None = keep everything (parity mode).
     band_max_files: Optional[int] = None
     shuffle_partitions: int = 32
+    # suffix-array long-verbatim pass (north-star extra): union exact
+    # >=span-word matches into the candidate set before validation —
+    # catches long reuse below the LSH banding sensitivity curve.
+    enable_suffix_pass: bool = False
+    suffix_span_words: int = 20
 
     def num_bands(self) -> int:
         """Band start positions: hdx in [0, n_perm - hashband_length] with

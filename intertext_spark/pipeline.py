@@ -95,9 +95,29 @@ class Pipeline:
             )
             only_id = only_id.file_id if only_id else None
 
-        cands = self._stage(
-            "candidates", lambda: candidate_pairs(hb, cfg, only_id)
-        )
+        def build_candidates():
+            c = candidate_pairs(hb, cfg, only_id)
+            if cfg.enable_suffix_pass:
+                from .operators.suffixpass import (
+                    long_verbatim_spans,
+                    spans_to_window_candidates,
+                )
+
+                spans = long_verbatim_spans(docs, cfg.suffix_span_words)
+                extra = spans_to_window_candidates(
+                    spans, cfg.window_length, cfg.slide_length
+                )
+                if only_id is not None:
+                    extra = extra.where(
+                        (F.col("file_id_a") == only_id)
+                        | (F.col("file_id_b") == only_id)
+                    )
+                c = c.unionByName(extra).dropDuplicates(
+                    ["file_id_a", "file_id_b", "window_id_a", "window_id_b"]
+                )
+            return c
+
+        cands = self._stage("candidates", build_candidates)
         matches = self._stage(
             "matches",
             lambda: score_matches(attach_window_texts(cands, windows), cfg),

@@ -344,15 +344,24 @@ def q_simhash_dup_pairs(d: Dialect) -> str:
     LSH — any pair within distance 1 shares a half; wider distances are a
     recall trade documented here), verify Hamming distance <= 3."""
     ham = d.hamming64("sh_a", "sh_b")
+    # two equi-joins (one per half) instead of one OR-join: an OR predicate
+    # forces a nested-loop plan on both engines; equi-keys hash-join.
     return f"""
 with sims as ({q_simhash(d).strip()}),
+keyed as (
+  select doc_id, simhash16,
+         {d.shr('simhash16', '8')} as hi,
+         simhash16 % 256 as lo
+  from sims
+),
 blocked as (
   select l.doc_id as doc_a, r.doc_id as doc_b,
          l.simhash16 as sh_a, r.simhash16 as sh_b
-  from sims l join sims r
-    on l.doc_id < r.doc_id
-   and ({d.shr('l.simhash16', '8')} = {d.shr('r.simhash16', '8')}
-        or l.simhash16 % 256 = r.simhash16 % 256)
+  from keyed l join keyed r on l.hi = r.hi and l.doc_id < r.doc_id
+  union all
+  select l.doc_id as doc_a, r.doc_id as doc_b,
+         l.simhash16 as sh_a, r.simhash16 as sh_b
+  from keyed l join keyed r on l.lo = r.lo and l.doc_id < r.doc_id
 ),
 hammed as (
   select doc_a, doc_b, {ham} as hamming from blocked
