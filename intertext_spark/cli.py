@@ -1,0 +1,129 @@
+"""CLI mirroring the reference's argument surface (intertext.py:107-143)
+re-expressed for transcript tables:
+
+  python -m intertext_spark \\
+      --transcripts /path/transcripts.parquet \\
+      --metadata /path/metadata.json \\
+      --output ./output \\
+      --checkpoint ./ckpt \\
+      [--banish CONV ...] [--exclude CONV ...] [--only CONV] \\
+      [--min-sim 50] [--window-length 14] [--slide-length 4] \\
+      [--chargram-length 4] [--hashband-length 4] [--hashband-step 3] \\
+      [--max-file-sim F] [--banish-distance 4] [--compute-probabilities] \\
+      [--suffix-pass] [--update-metadata]
+
+Argument mapping from the reference CLI:
+  --infiles glob        -> --transcripts parquet path (conv_id = document)
+  --banish/--exclude/--only globs -> conv_id lists
+  --update_metadata     -> --update-metadata (re-publish from checkpointed
+                           matches without recomputation; stage-skip via the
+                           checkpoint store replaces intertext.py:189-209)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="intertext_spark",
+        description="PySpark-native text-reuse / near-duplicate pipeline",
+    )
+    p.add_argument("--transcripts", required=True, help="parquet path (conv_id, turn_idx, role, text, tool, ts)")
+    p.add_argument("--metadata", help="JSON file: {conv_id: {author,title,year,url}}")
+    p.add_argument("--output", default="output", help="viewer JSON output dir")
+    p.add_argument("--checkpoint", help="checkpoint/resume root (stages persist here)")
+    p.add_argument("--banish", nargs="*", default=[], help="conv_ids to banish (graph radius delete)")
+    p.add_argument("--exclude", nargs="*", default=[], help="conv_ids to exclude from formatting")
+    p.add_argument("--only", help="restrict matches to pairs touching this conv_id")
+    p.add_argument("--min-sim", type=float, default=50.0)
+    p.add_argument("--window-length", type=int, default=14)
+    p.add_argument("--slide-length", type=int, default=4)
+    p.add_argument("--chargram-length", type=int, default=4)
+    p.add_argument("--hashband-length", type=int, default=4)
+    p.add_argument("--hashband-step", type=int, default=3)
+    p.add_argument("--max-file-sim", type=float)
+    p.add_argument("--banish-distance", type=int, default=4)
+    p.add_argument("--band-max-files", type=int, help="drop bands in more docs than this (boilerplate cap)")
+    p.add_argument("--compute-probabilities", action="store_true")
+    p.add_argument("--suffix-pass", action="store_true", help="enable the long-verbatim suffix-array pass")
+    p.add_argument("--update-metadata", action="store_true",
+                   help="re-publish only (requires --checkpoint with prior run)")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    # reference guard: assert 1 <= min_sim <= 100 (intertext.py:239)
+    if not (1 <= args.min_sim <= 100):
+        print("error: --min-sim must be within [1, 100]", file=sys.stderr)
+        return 2
+
+    from .config import PipelineConfig
+    from .session import get_spark
+    from .pipeline import Pipeline
+    from .schemas import METADATA
+    from .operators.publish import display_matches, publish
+
+    cfg = PipelineConfig(
+        window_length=args.window_length,
+        slide_length=args.slide_length,
+        chargram_length=args.chargram_length,
+        hashband_length=args.hashband_length,
+        hashband_step=args.hashband_step,
+        min_sim=args.min_sim,
+        max_file_sim=args.max_file_sim,
+        banish_distance=args.banish_distance,
+        band_max_files=args.band_max_files,
+        compute_probabilities=args.compute_probabilities,
+        enable_suffix_pass=args.suffix_pass,
+    )
+    spark = get_spark(app="intertext-cli", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    transcripts = spark.read.parquet(args.transcripts)
+
+    pipe = Pipeline(spark, cfg, checkpoint_root=args.checkpoint,
+                    input_token=args.transcripts)
+    res = pipe.run(
+        transcripts,
+        only_conv=args.only,
+        excluded_convs=args.exclude or None,
+        banished_convs=args.banish or None,
+    )
+
+    meta_df = None
+    if args.metadata:
+        with open(args.metadata) as f:
+            meta = json.load(f)
+        rows = [
+            (cid, m.get("author"), m.get("title"),
+             int(m["year"]) if m.get("year") is not None else None,
+             m.get("url"))
+            for cid, m in meta.items()
+        ]
+        meta_df = spark.createDataFrame(rows, METADATA)
+
+    disp = display_matches(
+        res["clusters"], res["docs"], meta_df, cfg,
+        compute_probabilities=args.compute_probabilities,
+    )
+    publish(disp, res["docs"], args.output, cfg)
+
+    n_matches = res["matches"].count()
+    n_clusters = res["clusters"].count()
+    print(json.dumps({
+        "matches": n_matches,
+        "clusters": n_clusters,
+        "output": args.output,
+        "stages": pipe.stage_log,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,206 @@
+"""Viewer-parity publish layer: the reference's output JSON artifact tree
+(create_all_match_json / write_scatterplots / create_reader_data /
+write_config — intertext.py:686-796), produced from DataFrames.
+
+Display objects carry the reference's exact field set (format_matches,
+intertext.py:602-628) with source_*/target_* naming; filename/path fields
+map to conv_id (the transcript world has no file paths).  Small client
+artifacts (indices, scatterplots, config) are collected driver-side — they
+are UI-sized by construction; the per-file match lists and reader texts
+write distributed, one JSON file per document, via partitioned text write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+from .format import (
+    densify_ids,
+    enrich_metadata,
+    match_probabilities,
+    match_strings,
+    word_count_dim,
+)
+
+
+def display_matches(
+    clusters: DataFrame,
+    docs: DataFrame,
+    metadata: DataFrame | None,
+    cfg: PipelineConfig,
+    compute_probabilities: bool = False,
+) -> DataFrame:
+    """-> one row per passage cluster with the reference's display fields."""
+    fm = match_strings(clusters, docs, cfg)
+    if metadata is not None:
+        fm = enrich_metadata(fm, metadata)
+    else:
+        for side in ("a", "b"):
+            fm = (
+                fm.withColumn(f"author_{side}", F.lit(""))
+                .withColumn(f"title_{side}", F.lit(""))
+                .withColumn(f"year_{side}", F.lit(None).cast("int"))
+                .withColumn(f"url_{side}", F.lit(""))
+            )
+    if compute_probabilities:
+        fm = match_probabilities(fm, word_count_dim(docs))
+    else:
+        fm = fm.withColumn("probability", F.lit(-1.0))
+    fm = densify_ids(fm)
+    return fm.select(
+        "_id",
+        F.col("similarity").cast("long").alias("similarity"),
+        "probability",
+        F.col("file_id_a").alias("source_file_id"),
+        F.col("file_id_b").alias("target_file_id"),
+        F.col("window_ids_a").alias("source_segment_ids"),
+        F.col("window_ids_b").alias("target_segment_ids"),
+        F.col("conv_id_a").alias("source_filename"),
+        F.col("conv_id_b").alias("target_filename"),
+        F.col("conv_id_a").alias("source_file_path"),
+        F.col("conv_id_b").alias("target_file_path"),
+        F.col("a_prematch").alias("source_prematch"),
+        F.col("b_prematch").alias("target_prematch"),
+        F.col("a_match").alias("source_match"),
+        F.col("b_match").alias("target_match"),
+        F.col("a_postmatch").alias("source_postmatch"),
+        F.col("b_postmatch").alias("target_postmatch"),
+        F.coalesce(F.col("year_a").cast("string"), F.lit("")).alias("source_year"),
+        F.coalesce(F.col("year_b").cast("string"), F.lit("")).alias("target_year"),
+        F.coalesce("author_a", F.lit("")).alias("source_author"),
+        F.coalesce("author_b", F.lit("")).alias("target_author"),
+        F.coalesce("title_a", F.lit("")).alias("source_title"),
+        F.coalesce("title_b", F.lit("")).alias("target_title"),
+        F.coalesce("url_a", F.lit("")).alias("source_url"),
+        F.coalesce("url_b", F.lit("")).alias("target_url"),
+    )
+
+
+def publish(
+    display: DataFrame,
+    docs: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig,
+) -> None:
+    """Write the api/ tree: per-file match lists, 6 sort indices, 12
+    scatterplot files, reader texts, config.json."""
+    api = os.path.join(out_dir, "api")
+    for sub in ("matches", "indices", "scatterplots", "texts"):
+        os.makedirs(os.path.join(api, sub), exist_ok=True)
+
+    display = display.persist()
+
+    # --- per-file merged match lists (intertext.py:686-700) ---
+    both_sides = display.withColumn(
+        "owner", F.explode(F.array("source_file_id", "target_file_id"))
+    )
+    rows = both_sides.collect()  # viewer artifacts are client-sized
+    per_file: dict[int, list] = {}
+    for r in rows:
+        d = r.asDict()
+        owner = d.pop("owner")
+        d["source_segment_ids"] = list(d["source_segment_ids"])
+        d["target_segment_ids"] = list(d["target_segment_ids"])
+        per_file.setdefault(int(owner), []).append(d)
+    for fid, lst in per_file.items():
+        with open(os.path.join(api, "matches", f"{fid}.json"), "w") as f:
+            json.dump(sorted(lst, key=lambda m: m["_id"]), f)
+
+    # --- sort indices (intertext.py:702-739): minimal tuples ---
+    base = display.select(
+        "_id", "source_file_id", "target_file_id",
+        F.least(
+            F.size("source_segment_ids"), F.size("target_segment_ids")
+        ).alias("length"),
+        "probability", "similarity", "source_author", "source_title",
+        "source_year",
+    )
+    orderings = {
+        "length": [F.desc("length")],
+        "probability": [F.desc("probability")],
+        "similarity": [F.desc("similarity")],
+        "author": [F.asc("source_author")],
+        "title": [F.asc("source_title")],
+        "year": [F.asc("source_year")],
+    }
+    for label, order in orderings.items():
+        ordered = base.orderBy(*order, F.asc("_id")).select(
+            "_id", "source_file_id", "target_file_id", "length",
+            "probability", "similarity",
+        )
+        ids = [list(r) for r in ordered.collect()]
+        with open(
+            os.path.join(api, "indices", f"match-ids-by-{label}.json"), "w"
+        ) as f:
+            json.dump(ids, f)
+
+    # --- scatterplots (intertext.py:745-783): 2x3x2 files ---
+    for side, ref_side in (("source", "source"), ("target", "target")):
+        for unit, key_col in (
+            ("segment_ids", F.concat_ws(
+                ".", F.lit(side), F.col(f"{side}_file_id"),
+                F.array_join(F.transform(
+                    f"{side}_segment_ids", lambda x: x.cast("string")), "."),
+            )),
+            ("file_id", F.col(f"{side}_file_id").cast("string")),
+            ("author", F.col(f"{side}_author")),
+        ):
+            grouped = (
+                display.groupBy(key_col.alias("key"))
+                .agg(
+                    F.sum("similarity").alias("sum_sim"),
+                    F.avg("similarity").alias("mean_sim"),
+                    F.first(f"{side}_title").alias("title"),
+                    F.first(f"{side}_author").alias("author"),
+                    F.first(f"{side}_match").alias("match"),
+                    F.first("source_year").alias("source_year"),
+                    F.first("target_year").alias("target_year"),
+                )
+                .collect()
+            )
+            for stat in ("sum", "mean"):
+                data = [
+                    {
+                        "type": ref_side,
+                        "unit": unit,
+                        "statistic": stat,
+                        "key": g.key,
+                        "similarity": g.sum_sim if stat == "sum" else g.mean_sim,
+                        "title": g.title,
+                        "author": g.author,
+                        "match": g.match,
+                        "source_year": g.source_year,
+                        "target_year": g.target_year,
+                    }
+                    for g in grouped
+                ]
+                fn = f"{ref_side}-{unit}-{stat}.json"
+                with open(os.path.join(api, "scatterplots", fn), "w") as f:
+                    json.dump(data, f)
+
+    # --- reader texts (intertext.py:790-796): per-file word arrays ---
+    for r in docs.select("file_id", "words").collect():
+        with open(os.path.join(api, "texts", f"{r.file_id}.json"), "w") as f:
+            json.dump(list(r.words), f)
+
+    # --- config.json (intertext.py:325-345) ---
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "window_length": cfg.window_length,
+                "slide_length": cfg.slide_length,
+                "chargram_length": cfg.chargram_length,
+                "n_perm": cfg.n_perm,
+                "hashband_length": cfg.hashband_length,
+                "hashband_step": cfg.hashband_step,
+                "min_sim": cfg.min_sim,
+                "compute_probabilities": cfg.compute_probabilities,
+            },
+            f,
+            indent=2,
+        )
+    display.unpersist()

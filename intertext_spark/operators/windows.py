@@ -51,10 +51,33 @@ def assign_file_ids(transcripts: DataFrame, mode: str = "sorted") -> DataFrame:
     ordered = distinct.repartitionByRange(n_part, "conv_id").sortWithinPartitions(
         "conv_id"
     )
-    rdd = ordered.rdd.map(lambda r: r.conv_id).zipWithIndex()
-    from ..schemas import DOC_IDS
+    # dense rank = per-partition row_number + cumulative partition offset.
+    # Range partitioning makes partition order the total order, so
+    # offset[pid] + rn - 1 is the global sorted index.  Pure JVM (no RDD /
+    # Python-worker round trip) — two jobs, one tiny collect.
+    from pyspark.sql import Window
 
-    return spark.createDataFrame(rdd, DOC_IDS)
+    with_pid = ordered.withColumn("pid", F.spark_partition_id()).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("pid").orderBy("conv_id"))
+    )
+    sizes = {r.pid: r["count"] for r in with_pid.groupBy("pid").count().collect()}
+    if not sizes:
+        from ..schemas import DOC_IDS
+
+        return spark.createDataFrame([], DOC_IDS)
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["pid", "off"]
+    )
+    return (
+        with_pid.join(F.broadcast(off_df), "pid")
+        .select(
+            "conv_id", (F.col("off") + F.col("rn") - 1).cast("long").alias("file_id")
+        )
+    )
 
 
 def docs_from_transcripts(transcripts: DataFrame, doc_ids: DataFrame) -> DataFrame:
@@ -85,6 +108,58 @@ def docs_from_transcripts(transcripts: DataFrame, doc_ids: DataFrame) -> DataFra
     )
     return assembled.join(F.broadcast(doc_ids), "conv_id").select(
         "file_id", "conv_id", "words"
+    )
+
+
+def window_turn_map(transcripts: DataFrame, doc_ids: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """window_id -> covered turn span (first_turn_idx, last_turn_idx).
+
+    Transcript analog of the reference's window->XML-page map
+    (get_window_map, intertext.py:1192-1237), with the same coverage
+    arithmetic: window k covers words [k*slide, k*slide+window).  A turn
+    overlaps window k iff its word interval [off, off+n) intersects that
+    range, where off = cumulative word count of prior turns.  Pure
+    built-ins: per-turn word counts -> running offsets (window function)
+    -> per-turn overlapping-window range -> explode."""
+    w, s = cfg.window_length, cfg.slide_length
+    words = F.filter(F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda x: x != "")
+    from pyspark.sql import Window as W
+
+    sized = transcripts.select(
+        "conv_id", "turn_idx", F.size(words).alias("n_words")
+    )
+    win = W.partitionBy("conv_id").orderBy("turn_idx")
+    offs = sized.withColumn(
+        "off", F.coalesce(F.sum("n_words").over(
+            win.rowsBetween(W.unboundedPreceding, -1)), F.lit(0))
+    ).withColumn("total", F.sum("n_words").over(
+        win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+    # windows overlapping [off, off+n): k*s < off+n AND k*s+w > off,
+    # k within [0, n_windows)
+    n_windows = F.when(
+        F.col("total") >= w, ((F.col("total") - w) / s).cast("long") + 1
+    ).otherwise(F.lit(0))
+    k_min = F.greatest(
+        F.ceil((F.col("off") - w + 1) / s).cast("long"), F.lit(0)
+    )
+    k_max = F.least(
+        F.floor((F.col("off") + F.col("n_words") - 1) / s).cast("long"),
+        n_windows - 1,
+    )
+    exploded = (
+        offs.where((F.col("n_words") > 0) & (k_max >= k_min))
+        .select(
+            "conv_id", "turn_idx",
+            F.explode(F.sequence(k_min, k_max)).alias("window_id"),
+        )
+    )
+    return (
+        exploded.join(F.broadcast(doc_ids), "conv_id")
+        .groupBy("file_id", "window_id")
+        .agg(
+            F.min("turn_idx").alias("first_turn_idx"),
+            F.max("turn_idx").alias("last_turn_idx"),
+        )
     )
 
 

@@ -30,6 +30,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # rows here are tiny (ids + hashes) but per-row compute is not
+        # (array pair expansion, Python scoring): the 64MB advisory target
+        # would coalesce 4M-row shuffles onto 2 cores.  8MB keeps
+        # row-heavy/byte-light stages parallel without fragmenting IO.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))

@@ -1,0 +1,70 @@
+"""CLI end-to-end + window->turn provenance map."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from intertext_spark import corpus, oracle, schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.operators.windows import assign_file_ids, window_turn_map
+
+
+def test_window_turn_map_arithmetic(spark):
+    # conv with 3 turns of 6/8/10 words = 24 words -> windows k=0,1,2
+    # (starts 0,4,8); offsets: t0=[0,6) t1=[6,14) t2=[14,24)
+    rows = [
+        ("c", 0, "user", " ".join(f"a{i}" for i in range(6)), None, None),
+        ("c", 1, "user", " ".join(f"b{i}" for i in range(8)), None, None),
+        ("c", 2, "user", " ".join(f"c{i}" for i in range(10)), None, None),
+    ]
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    ids = assign_file_ids(tdf)
+    m = {
+        r.window_id: (r.first_turn_idx, r.last_turn_idx)
+        for r in window_turn_map(tdf, ids, DEFAULT).collect()
+    }
+    # window 0 covers words [0,14): turns 0,1,2 (t2 starts at 14? no - [14,24) -> word 14 is NOT < 14) -> turns 0,1
+    assert m[0] == (0, 1)
+    # window 1 covers [4,18): turns 0 ([0,6) overlaps), 1, 2
+    assert m[1] == (0, 2)
+    # window 2 covers [8,22): turns 1,2
+    assert m[2] == (1, 2)
+
+
+def test_cli_end_to_end(tmp_path, spark):
+    pc = corpus.planted_transcripts(
+        n_convs=10, n_verbatim_pairs=2, n_shifted_pairs=0, n_noisy_per_level=0,
+        n_chains=0, n_junk_pairs=0, n_short=0, n_self_repeat=0,
+    )
+    tpath = str(tmp_path / "transcripts.parquet")
+    spark.createDataFrame(pc.rows, schemas.TRANSCRIPTS).write.parquet(tpath)
+    convs = sorted({r[0] for r in pc.rows})
+    mpath = str(tmp_path / "meta.json")
+    with open(mpath, "w") as f:
+        json.dump({c: {"author": f"au-{c}", "title": c, "year": 1900 + i}
+                   for i, c in enumerate(convs)}, f)
+    out = str(tmp_path / "out")
+    env = dict(os.environ, PYTHONPATH=os.getcwd(), SPARK_GRAFT_MASTER="local[4]")
+    proc = subprocess.run(
+        [sys.executable, "-m", "intertext_spark",
+         "--transcripts", tpath, "--metadata", mpath, "--output", out,
+         "--checkpoint", str(tmp_path / "ckpt"), "--compute-probabilities"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stats = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["matches"] > 0 and stats["clusters"] > 0
+    assert os.path.exists(os.path.join(out, "config.json"))
+    assert os.listdir(os.path.join(out, "api", "matches"))
+    # oracle cross-check on match count
+    ores = oracle.run_pipeline(corpus.words_by_conv(pc.rows), DEFAULT)
+    assert stats["matches"] == len(ores["matches"])
+
+
+def test_cli_min_sim_guard():
+    from intertext_spark.cli import main
+
+    assert main(["--transcripts", "x", "--min-sim", "0"]) == 2

@@ -1,0 +1,91 @@
+"""Viewer-parity publish layer: artifact tree shape + display field set
+(reference format_matches intertext.py:602-628, publish intertext.py:686-796)."""
+
+import json
+import os
+
+import pytest
+
+from intertext_spark import corpus, schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.pipeline import Pipeline
+from intertext_spark.operators.publish import display_matches, publish
+
+REFERENCE_FIELDS = {
+    "_id", "similarity", "probability",
+    "source_file_id", "target_file_id",
+    "source_segment_ids", "target_segment_ids",
+    "source_filename", "target_filename",
+    "source_file_path", "target_file_path",
+    "source_prematch", "target_prematch",
+    "source_match", "target_match",
+    "source_postmatch", "target_postmatch",
+    "source_year", "target_year",
+    "source_author", "target_author",
+    "source_title", "target_title",
+    "source_url", "target_url",
+}
+
+
+@pytest.fixture(scope="module")
+def published(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("viewer"))
+    pc = corpus.planted_transcripts(
+        n_convs=14, n_verbatim_pairs=3, n_shifted_pairs=0, n_noisy_per_level=0,
+        n_chains=1, n_junk_pairs=0, n_short=0, n_self_repeat=0,
+    )
+    tdf = spark.createDataFrame(pc.rows, schemas.TRANSCRIPTS)
+    res = Pipeline(spark, DEFAULT).run(tdf)
+    convs = [r.conv_id for r in res["doc_ids"].collect()]
+    meta = spark.createDataFrame(
+        [(c, f"au-{c}", f"ti-{c}", 1900 + i, f"http://x/{c}") for i, c in enumerate(sorted(convs))],
+        schemas.METADATA,
+    )
+    disp = display_matches(res["clusters"], res["docs"], meta, DEFAULT,
+                           compute_probabilities=True)
+    publish(disp, res["docs"], out, DEFAULT)
+    return out, disp, res
+
+
+def test_display_field_parity(published):
+    _, disp, _ = published
+    assert set(disp.columns) == REFERENCE_FIELDS
+
+
+def test_artifact_tree(published):
+    out, disp, res = published
+    api = os.path.join(out, "api")
+    idx = os.listdir(os.path.join(api, "indices"))
+    assert sorted(idx) == sorted(
+        f"match-ids-by-{k}.json"
+        for k in ("length", "probability", "similarity", "author", "title", "year")
+    )
+    scats = os.listdir(os.path.join(api, "scatterplots"))
+    assert len(scats) == 12
+    texts = os.listdir(os.path.join(api, "texts"))
+    assert len(texts) == res["docs"].count()
+    assert os.path.exists(os.path.join(out, "config.json"))
+    # every match file is owned by a participating file id
+    n_disp = disp.count()
+    for fn in os.listdir(os.path.join(api, "matches")):
+        fid = int(fn.removesuffix(".json"))
+        with open(os.path.join(api, "matches", fn)) as f:
+            lst = json.load(f)
+        assert lst
+        for m in lst:
+            assert set(m) == REFERENCE_FIELDS
+            assert fid in (m["source_file_id"], m["target_file_id"])
+    # sort index ordering check
+    with open(os.path.join(api, "indices", "match-ids-by-similarity.json")) as f:
+        sims = [row[5] for row in json.load(f)]
+    assert sims == sorted(sims, reverse=True)
+    assert len(sims) == n_disp
+
+
+def test_reader_texts_roundtrip(published):
+    out, _, res = published
+    api = os.path.join(out, "api")
+    doc = res["docs"].head()
+    with open(os.path.join(api, "texts", f"{doc.file_id}.json")) as f:
+        words = json.load(f)
+    assert words == list(doc.words)
