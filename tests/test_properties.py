@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the numeric primitives — these
+guard the exact-arithmetic claims the distributed pipeline relies on."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from intertext_spark import hashing, oracle
+from intertext_spark.config import DEFAULT
+from intertext_spark.operators.suffixpass import common_spans
+
+P61 = (1 << 61) - 1
+P31 = (1 << 31) - 1
+
+
+@given(st.lists(st.integers(min_value=0, max_value=P61 - 1), min_size=1, max_size=50))
+def test_mul_2p31_mod_p61_exact(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    got = hashing._mul_2p31_mod_p61(arr)
+    want = [(x << 31) % P61 for x in xs]
+    assert [int(g) for g in got] == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=P31 - 1), min_size=4, max_size=4))
+def test_band_hash_matches_python_reference(vals):
+    sigs = np.array([vals], dtype=np.uint64)
+    bands = hashing.band_hashes(sigs, 4, 3)
+    assert int(bands[0, 0]) == hashing.band_hash_of_tuple(vals)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=0, max_size=60))
+def test_shingle_hashes_match_naive(s):
+    got = [int(x) for x in hashing.shingle_hashes(s, 4)]
+    data = s.lower().encode("utf8")
+    want = []
+    for i in range(max(0, len(data) - 3)):
+        acc = 0
+        for b in data[i:i + 4]:
+            acc = acc * 257 + b
+        want.append(acc % P31)
+    assert got == want
+
+
+@given(st.integers(min_value=0, max_value=200))
+def test_window_count_formula(n_words):
+    words = [f"w{i}" for i in range(n_words)]
+    wins = oracle.get_windows(words, DEFAULT)
+    if n_words < DEFAULT.window_length:
+        assert wins == []
+    else:
+        expect = (n_words - DEFAULT.window_length) // DEFAULT.slide_length + 1
+        assert len(wins) == expect
+        # coverage arithmetic: window k = words[k*slide : k*slide+window]
+        for k, w in enumerate(wins):
+            s = k * DEFAULT.slide_length
+            assert w == " ".join(words[s:s + DEFAULT.window_length])
+
+
+@given(st.lists(st.integers(min_value=0, max_value=30), max_size=40))
+def test_sequences_islands_property(ids):
+    seqs = oracle.get_sequences(ids)
+    flat = [i for seq in seqs for i in seq]
+    assert flat == sorted(set(ids))
+    for seq in seqs:
+        assert seq == list(range(seq[0], seq[-1] + 1))
+    for a, b in zip(seqs, seqs[1:]):
+        assert b[0] > a[-1] + 1  # maximality
+
+
+@settings(deadline=2000)
+@given(
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=40),
+    st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=40),
+    st.integers(min_value=2, max_value=5),
+)
+def test_common_spans_sound_and_complete(a, b, min_span):
+    spans = common_spans(a, b, min_span)
+    # soundness: every reported span is a real common substring
+    for sa, sb, l in spans:
+        assert l >= min_span
+        assert a[sa:sa + l] == b[sb:sb + l]
+    # completeness (anchor level): the longest common substring is covered
+    best = 0
+    best_pos = None
+    for i in range(len(a)):
+        for j in range(len(b)):
+            l = 0
+            while i + l < len(a) and j + l < len(b) and a[i + l] == b[j + l]:
+                l += 1
+            if l > best:
+                best, best_pos = l, (i, j)
+    if best >= min_span:
+        assert spans, f"missed LCS of length {best} at {best_pos}"
+        assert max(l for _, _, l in spans) >= best
+
+
+@given(st.lists(st.text(alphabet="xyz", min_size=1, max_size=4), min_size=0, max_size=30))
+def test_minhash_identical_inputs_identical_sigs(words):
+    a, b = hashing.make_permutations(32, True, 42)
+    t = " ".join(words)
+    s1 = hashing.minhash_signatures([t], a, b, True, 4)
+    s2 = hashing.minhash_signatures([t, t], a, b, True, 4)
+    assert (s1[0] == s2[0]).all() and (s2[0] == s2[1]).all()
