@@ -1,0 +1,110 @@
+"""Physical-plan audit: captures .explain('formatted') for the pipeline's
+key stages plus assertions on the plan properties SCALE.md claims
+(broadcast joins for dims, partial aggregation before band shuffles,
+parquet column pruning).  Output: BENCH/plans/*.txt + a PASS/FAIL summary.
+
+Usage: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+from intertext_spark.session import get_spark  # noqa: E402
+from intertext_spark.config import DEFAULT  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    os.makedirs("BENCH/plans", exist_ok=True)
+    spark = get_spark(app="plan-audit", master="local[8]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+    from intertext_spark.operators.windows import (
+        assign_file_ids, docs_from_transcripts, windows_from_docs,
+    )
+    from intertext_spark.operators.signatures import sign_windows, hashbands
+    from intertext_spark.operators.candidates import candidate_pairs
+    from intertext_spark.operators.matches import attach_window_texts, score_matches
+
+    cfg = DEFAULT.with_(band_max_files=16)
+    tdf = e.transcripts_from_documents(spark, sf_dir)
+    doc_ids = assign_file_ids(tdf)
+    docs = docs_from_transcripts(tdf, doc_ids)
+    wins = windows_from_docs(docs, cfg).persist()
+    wins.count()
+    hb = hashbands(sign_windows(wins, cfg))
+    cands = candidate_pairs(hb, cfg)
+    matches = score_matches(attach_window_texts(cands, wins), cfg)
+
+    checks = []
+
+    def record(name, df, assertions):
+        p = plan_of(df)
+        with open(f"BENCH/plans/{name}.txt", "w") as f:
+            f.write(p)
+        for label, pred in assertions:
+            ok = pred(p)
+            checks.append((name, label, ok))
+            print(f"{'PASS' if ok else 'FAIL'} {name}: {label}")
+
+    record(
+        "candidates", cands,
+        [
+            ("band groupBy partial-aggregates map-side",
+             lambda p: "partial_" in p or "ObjectHashAggregate" in p),
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+        ],
+    )
+    record(
+        "matches", matches,
+        [
+            ("windows side broadcast (dim-sized at this sf)",
+             lambda p: "BroadcastHashJoin" in p),
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            # node ids increase in dataflow order; the scorer is the last
+            # MapInPandas — a Filter must sit between the signature UDF
+            # and the scorer (the JVM-side junk/length prefilters)
+            ("junk/length prefilters run before the Python scorer",
+             lambda p: (lambda mip, filt: bool(mip) and bool(filt)
+                        and any(min(mip) < f < max(mip) for f in filt))(
+                 [int(m) for m in __import__("re").findall(r"MapInPandas \((\d+)\)", p)],
+                 [int(m) for m in __import__("re").findall(r"Filter \((\d+)\)", p)],
+             )),
+        ],
+    )
+
+    # column pruning on a real parquet scan: read only 2 of 5 columns
+    pruned = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    ).where("n_chars > 100")
+    record(
+        "scan_pruning", pruned,
+        [
+            ("ReadSchema prunes to referenced columns",
+             lambda p: "doc_id" in p.split("ReadSchema")[1].splitlines()[0]
+             and "text" not in p.split("ReadSchema")[1].splitlines()[0]),
+            ("filter pushed to scan",
+             lambda p: "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars" in p),
+        ],
+    )
+
+    spark.stop()
+    failed = [c for c in checks if not c[2]]
+    print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
+          f"plans saved under BENCH/plans/")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
