@@ -51,6 +51,23 @@ def candidate_pairs(
     grouped = hashbands.groupBy("band").agg(
         F.collect_set(F.struct("file_id", "window_id")).alias("ms")
     )
+    # Identical windows agree on their whole signature, hence on all 85
+    # overlapping bands — the same member set would expand to the same
+    # pairs 85 times (and a hot boilerplate set does so quadratically).
+    # Collapsing groups by member-set hash keeps the pair set EXACTLY
+    # (every pair of a dropped group comes from its kept twin) and turns
+    # an 85x blowup into 1x.
+    grouped = grouped.withColumn(
+        "ms_key",
+        F.xxhash64(
+            F.array_sort(
+                F.transform(
+                    "ms",
+                    lambda m: m["file_id"] * F.lit(1 << 32) + m["window_id"],
+                )
+            )
+        ),
+    ).dropDuplicates(["ms_key"])
     multi = grouped.where(
         F.size(F.array_distinct(F.transform("ms", lambda m: m["file_id"]))) >= 2
     )

@@ -123,6 +123,11 @@ def lsh_dup_pairs(
     Same two-path small/salted-join construction as the window pipeline
     (candidates.py) specialized to doc granularity."""
     grouped = bands.groupBy("band").agg(F.collect_set("doc_id").alias("ms"))
+    # collapse identical member sets (identical docs share all bands —
+    # see candidates.candidate_pairs for the argument; pair set unchanged)
+    grouped = grouped.withColumn(
+        "ms_key", F.xxhash64(F.array_sort("ms"))
+    ).dropDuplicates(["ms_key"])
     multi = grouped.where(F.size("ms") >= 2)
     if band_max_docs is not None:
         multi = multi.where(F.size("ms") <= band_max_docs)

@@ -81,27 +81,44 @@ def score_matches(pairs_with_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sims = [
-                SequenceMatcher(None, a, b, autojunk=False).ratio() * 100.0
-                for a, b in zip(pdf["text_a"], pdf["text_b"])
-            ]
+            sims = []
+            for a, b in zip(pdf["text_a"], pdf["text_b"]):
+                m = SequenceMatcher(None, a, b, autojunk=False)
+                # quick_ratio is a documented upper bound of ratio —
+                # a cheap multiset check prunes sub-threshold pairs
+                # before the O(n^2) alignment
+                if m.quick_ratio() * 100.0 < min_sim:
+                    sims.append(0.0)
+                    continue
+                sims.append(m.ratio() * 100.0)
             out = pdf[
                 ["file_id_a", "file_id_b", "window_id_a", "window_id_b"]
             ].copy()
             out["similarity"] = sims
             yield out[out["similarity"] >= min_sim]
 
+    # Identical texts (verbatim copies, boilerplate — difflib's SLOWEST
+    # case, ~1ms of alignment to conclude 1.0) score 100 JVM-side and
+    # never cross the Arrow boundary.  ratio('x','x') == 1.0 exactly, so
+    # this is semantics-preserving.
+    sel = [
+        "file_id_a", "file_id_b", "window_id_a", "window_id_b",
+        "text_a", "text_b",
+    ]
+    equal = pre.where(F.col("text_a") == F.col("text_b")).select(
+        "file_id_a", "file_id_b", "window_id_a", "window_id_b",
+        F.lit(100.0).alias("similarity"),
+    )
     # Repartition before the UDF: the scorer's cost is per-ROW (difflib is
     # ~200us/pair) while AQE coalesces shuffle output by BYTES (64MB
     # advisory) — tiny pair rows would be packed into a handful of
     # partitions and starve the CPU-bound Python stage.  An explicit
     # row-balanced round-robin keeps every core busy.
     n_part = 2 * pairs_with_text.sparkSession.sparkContext.defaultParallelism
-    return (
-        pre.select(
-            "file_id_a", "file_id_b", "window_id_a", "window_id_b",
-            "text_a", "text_b",
-        )
+    scored = (
+        pre.where(F.col("text_a") != F.col("text_b"))
+        .select(sel)
         .repartition(n_part)
         .mapInPandas(score, _MATCH_SCHEMA)
     )
+    return scored.unionByName(equal)
