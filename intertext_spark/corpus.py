@@ -64,7 +64,19 @@ class PlantedCorpus:
 
 
 def _zipf_vocab(rng: random.Random, size: int):
-    return [f"w{idx}" for idx in range(size)]
+    """Random-letter words (5-9 chars).  NOT 'w{idx}' templates: templated
+    words share most of their char 4-grams ('w1 w', '12 w', ...), which
+    makes every window pair LSH-collide and turns the corpus into an
+    adversarial all-pairs stress test rather than text."""
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    out = []
+    seen = set()
+    while len(out) < size:
+        w = "".join(rng.choice(letters) for _ in range(rng.randint(5, 9)))
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out
 
 
 def _sample_words(rng: random.Random, vocab, n: int):

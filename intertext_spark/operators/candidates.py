@@ -57,16 +57,10 @@ def candidate_pairs(
     # Collapsing groups by member-set hash keeps the pair set EXACTLY
     # (every pair of a dropped group comes from its kept twin) and turns
     # an 85x blowup into 1x.
+    # key = hash of the sorted member structs (NOT an arithmetic packing:
+    # file_id*2^32 overflows int64 for hash-mode 62-bit ids)
     grouped = grouped.withColumn(
-        "ms_key",
-        F.xxhash64(
-            F.array_sort(
-                F.transform(
-                    "ms",
-                    lambda m: m["file_id"] * F.lit(1 << 32) + m["window_id"],
-                )
-            )
-        ),
+        "ms_key", F.xxhash64(F.array_sort("ms"))
     ).dropDuplicates(["ms_key"])
     multi = grouped.where(
         F.size(F.array_distinct(F.transform("ms", lambda m: m["file_id"]))) >= 2
