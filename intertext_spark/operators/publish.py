@@ -27,6 +27,44 @@ from .format import (
 )
 
 
+def display_words(transcripts: DataFrame, doc_ids: DataFrame) -> DataFrame:
+    """Reader-view word stream with turn boundaries rendered as ``<br/>``
+    appended to the previous word, at most two consecutive (the reference's
+    newline reflow, get_words display branch, intertext.py:1146-1156; a
+    turn boundary plays the role of a newline in transcripts).
+
+    -> (file_id, display_words: array<string>).  Built-ins only: per-turn
+    word arrays get ``<br/>`` glued onto their last word, empty turns
+    collapse into the <=2-consecutive rule via the marker count cap.
+    """
+    words_of = F.filter(
+        F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda w: w != ""
+    )
+    per_turn = transcripts.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", words_of.alias("ws")))
+        ).alias("turns")
+    )
+    # append one <br/> to the last word of each non-empty turn; empty turns
+    # would stack markers — the reference caps at two, we collapse empties
+    # (an empty transcript turn carries no display content)
+    glued = per_turn.select(
+        "conv_id",
+        F.flatten(
+            F.transform(
+                F.filter("turns", lambda t: F.size(t["ws"]) > 0),
+                lambda t: F.concat(
+                    F.slice(t["ws"], 1, F.size(t["ws"]) - 1),
+                    F.array(F.concat(F.element_at(t["ws"], -1), F.lit("<br/>"))),
+                ),
+            )
+        ).alias("display_words"),
+    )
+    return glued.join(F.broadcast(doc_ids), "conv_id").select(
+        "file_id", "display_words"
+    )
+
+
 def display_matches(
     clusters: DataFrame,
     docs: DataFrame,

@@ -89,3 +89,17 @@ def test_reader_texts_roundtrip(published):
     with open(os.path.join(api, "texts", f"{doc.file_id}.json")) as f:
         words = json.load(f)
     assert words == list(doc.words)
+
+
+def test_display_words_turn_markers(spark):
+    from intertext_spark.operators.publish import display_words
+    from intertext_spark.operators.windows import assign_file_ids
+
+    rows = [
+        ("c", 0, "user", "hello world", None, None),
+        ("c", 1, "assistant", "", None, None),          # empty turn collapses
+        ("c", 2, "user", "again", None, None),
+    ]
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    out = display_words(tdf, assign_file_ids(tdf)).head()
+    assert out.display_words == ["hello", "world<br/>", "again<br/>"]
