@@ -48,8 +48,26 @@ def candidate_pairs(
     """-> (file_id_a, file_id_b, window_id_a, window_id_b), distinct."""
     cap = cfg.band_smallgroup_cap
 
-    grouped = hashbands.groupBy("band").agg(
-        F.collect_set(F.struct("file_id", "window_id")).alias("ms")
+    # Two-phase grouping: the band table is dominated by singleton bands
+    # (unique windows); collect_set over all of them churns JVM object
+    # arrays.  Phase 1 is a long-only aggregate that finds multi-FILE bands
+    # (n>=2 and min!=max file); phase 2 collects member structs only for
+    # those (usually a tiny fraction); AQE broadcasts the multi-band set
+    # when it is small (no hint: boilerplate-heavy corpora can make it big).
+    multi_bands = (
+        hashbands.groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("file_id").alias("f_min"),
+            F.max("file_id").alias("f_max"),
+        )
+        .where((F.col("n") >= 2) & (F.col("f_min") < F.col("f_max")))
+        .select("band")
+    )
+    grouped = (
+        hashbands.join(multi_bands, "band")
+        .groupBy("band")
+        .agg(F.collect_set(F.struct("file_id", "window_id")).alias("ms"))
     )
     # Identical windows agree on their whole signature, hence on all 85
     # overlapping bands — the same member set would expand to the same

@@ -97,8 +97,8 @@ def doc_minhash_bands(
                 if not joined:
                     sigs[i, :] = (1 << 31) - 1
                     continue
-                sh = hashing.hash64_strings(joined.split("\x00")) % np.uint64((1 << 31) - 1)
-                vals = (a[:, None] * sh[None, :] + b[:, None]) % np.uint64((1 << 31) - 1)
+                sh = hashing._mod_p31(hashing.hash64_strings(joined.split("\x00")))
+                vals = hashing._mod_p31(a[:, None] * sh[None, :] + b[:, None])
                 sigs[i, :] = vals.min(axis=1)
             bands = hashing.band_hashes(sigs, band_len, band_len)[:, :n_bands]
             yield pd.DataFrame(

@@ -38,6 +38,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local-mode shuffle files on tmpfs: a single box shares one disk
+        # across all "executors", so disk-backed shuffle serializes at any
+        # core count (a real cluster scales shuffle with nodes — each has
+        # its own disks/NICs).  RAM-backed spill restores the per-core
+        # scaling the cluster would have.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
