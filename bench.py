@@ -2,8 +2,10 @@
 """Benchmark harness — prints ONE JSON line.
 
   python bench.py                 # headline queries at $SPARK_GRAFT_SF_DIR
-  python bench.py --scaling       # local[8] vs local[32] scaling study
-                                  # (writes BENCH/BASELINE.md)
+  python bench.py --scaling       # N vs 4N cores scaling study (default
+                                  # local[2] vs local[8]; override with
+                                  # SPARK_GRAFT_SCALING_PAIR=8,32) ->
+                                  # writes BENCH/BASELINE.md
 
 Headline set: the full text-reuse pipeline (windows -> minhash -> salted LSH
 -> difflib validation) on transcripts derived from the documents table, plus
@@ -148,7 +150,7 @@ def main():
         corpus_path = _scaling_corpus_path()
         pair = tuple(
             int(x)
-            for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "8,32").split(",")
+            for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8").split(",")
         )
         results = {}
         for cpus in pair:
