@@ -244,6 +244,34 @@ def _fingerprints_native(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def _exact_dedup_corpus(spark, sf_dir):
+    """Survivor corpus after exact dedup (keeper = min doc_id per content
+    hash) — SQL-oracle-checkable end product."""
+    from intertext_spark.operators.dedup import exact_dup_groups
+
+    docs = _docs(spark, sf_dir)
+    groups = exact_dup_groups(docs)
+    keep = groups.where(F.col("doc_id") == F.col("keeper_id")).select("doc_id")
+    return docs.join(keep, "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+def _dedup_corpus_near(spark, sf_dir):
+    """Survivor corpus after near-dup removal: LSH pairs -> jaccard>=0.5 ->
+    CC groups -> quality-ranked keepers (rows-only; LSH is numpy-side)."""
+    from intertext_spark.operators import dedup
+    from intertext_spark.operators.textstats import quality_scores
+
+    docs = _docs(spark, sf_dir)
+    bands = dedup.doc_minhash_bands(docs, shingle_words=3)
+    pairs = dedup.verify_jaccard(
+        dedup.lsh_dup_pairs(bands), docs, shingle_words=3, threshold=0.5
+    )
+    q = quality_scores(docs).select("doc_id", "quality")
+    return dedup.dedup_corpus(docs, pairs, quality=q).select(
+        "doc_id", "lang", "source", "n_chars", "dup_group"
+    )
+
+
 def _suffix_spans(spark, sf_dir):
     from intertext_spark.operators.suffixpass import long_verbatim_spans
 
@@ -312,6 +340,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_scores_native"] = _quality_native
     q["lang_id_native"] = _lang_id_native
     q["doc_fingerprints_native"] = _fingerprints_native
+    q["exact_dedup_corpus"] = _exact_dedup_corpus
+    q["dedup_corpus_near"] = _dedup_corpus_near
     q["suffix_spans"] = _suffix_spans
     q["media_image_features"] = _media_features
     q["media_frame_samples"] = _frame_samples
@@ -338,6 +368,15 @@ select doc_id, md5(text) as content_hash,
 from documents
 """
     out["ann_topk_native"] = TEMPLATES["cosine_topk"](DUCK)
+    out["exact_dedup_corpus"] = """
+select doc_id, lang, source, n_chars
+from (
+  select doc_id, lang, source, n_chars,
+         min(doc_id) over (partition by md5(text)) as keeper
+  from documents
+) t
+where doc_id = keeper
+"""
     # Remaining native ops (numpy minhash/simhash/hyperplane LSH, difflib
     # validation, suffix arrays, iterative CC, media stubs) are not
     # ANSI-SQL-expressible -> rows-only checks here; exact-parity coverage

@@ -46,6 +46,63 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality: DataFrame | None = None,
+) -> DataFrame:
+    """The training-data end product: drop near-duplicates, keep one
+    representative per duplicate group.
+
+    Groups = connected components over (doc_a, doc_b) pairs; keeper = the
+    max-quality member (ties -> min id) when a quality frame
+    (doc_id, quality) is given, else min id.  Returns the filtered corpus
+    (all original columns) plus a ``dup_group`` column (null for docs in
+    no group)."""
+    from .graph import connected_components
+
+    edges = dup_pairs.select(
+        F.col("doc_a").cast("long").alias("src"),
+        F.col("doc_b").cast("long").alias("dst"),
+    )
+    labels = connected_components(edges)  # (node, label)
+    members = labels.select(
+        F.col("node").alias("_did"), F.col("label").alias("dup_group")
+    )
+    if quality is not None:
+        ranked = (
+            members.join(
+                quality.select(
+                    F.col("doc_id").alias("_did"), F.col("quality").alias("_q")
+                ),
+                "_did",
+                "left",
+            )
+            .withColumn("_q", F.coalesce("_q", F.lit(0.0)))
+        )
+        keepers = (
+            ranked.groupBy("dup_group")
+            .agg(
+                F.max_by("_did", F.struct(F.col("_q"), -F.col("_did"))).alias(
+                    "keeper"
+                )
+            )
+            .select("dup_group", "keeper")
+        )
+    else:
+        keepers = members.groupBy("dup_group").agg(F.min("_did").alias("keeper"))
+    keep_set = members.join(keepers, "dup_group").where(
+        F.col("_did") == F.col("keeper")
+    )
+    out = df.withColumn("_did", F.col(id_col).cast("long"))
+    grouped = out.join(members, "_did", "left")
+    survivors = grouped.join(
+        keep_set.select("_did").withColumn("_keep", F.lit(True)), "_did", "left"
+    ).where(F.col("dup_group").isNull() | F.col("_keep").isNotNull())
+    return survivors.drop("_did", "_keep")
+
+
 # ---------------------------------------------------------------------------
 # doc-level MinHash LSH
 # ---------------------------------------------------------------------------

@@ -1,0 +1,109 @@
+"""Randomized end-to-end parity: several independently-seeded mini corpora,
+Spark pipeline == pure-Python oracle on matches AND duplicate-group
+partitions.  Catches seed-specific luck that a single fixture can hide."""
+
+import pytest
+
+from intertext_spark import corpus, oracle, schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.pipeline import Pipeline
+
+
+@pytest.mark.parametrize("seed", [7, 1234, 99991])
+def test_random_corpus_parity(spark, seed):
+    pc = corpus.planted_transcripts(
+        n_convs=18,
+        seed=seed,
+        n_verbatim_pairs=2,
+        n_shifted_pairs=1,
+        n_noisy_per_level=1,
+        n_chains=1,
+        n_junk_pairs=1,
+        n_short=1,
+        n_self_repeat=1,
+    )
+    tdf = spark.createDataFrame(pc.rows, schemas.TRANSCRIPTS)
+    sres = Pipeline(spark, DEFAULT).run(tdf)
+    ores = oracle.run_pipeline(corpus.words_by_conv(pc.rows), DEFAULT)
+
+    got = {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b): r.similarity
+        for r in sres["matches"].collect()
+    }
+    want = {(m[0], m[1], m[2], m[3]): m[4] for m in ores["matches"]}
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+    sg, og = {}, {}
+    for r in sres["groups"].collect():
+        sg.setdefault(r.group_id, set()).add((r.file_id, r.window_id))
+    for node, lab in ores["groups"].items():
+        og.setdefault(lab, set()).add(node)
+    assert sorted(map(sorted, sg.values())) == sorted(map(sorted, og.values()))
+
+
+def test_conv_relabel_invariance(spark):
+    """Permuting conversation ids must not change matched passages — up to
+    threshold-boundary flips: difflib scoring is order-sensitive and always
+    scores (lower-file-id, higher) (reference semantics, SURVEY.md §2.7.6),
+    so a relabeling that swaps orientations can flip pairs whose two
+    orientation scores straddle min_sim.  The invariant is therefore
+    margin-based: pairs comfortably above threshold survive any
+    relabeling."""
+    pc = corpus.planted_transcripts(
+        n_convs=12, seed=5, n_verbatim_pairs=2, n_shifted_pairs=0,
+        n_noisy_per_level=0, n_chains=1, n_junk_pairs=0, n_short=0,
+        n_self_repeat=0,
+    )
+    rows = pc.rows
+    # relabel conv ids reversing sort order
+    convs = sorted({r[0] for r in rows})
+    relabel = {c: f"z{len(convs)-i:04d}" for i, c in enumerate(convs)}
+    rows2 = [(relabel[r[0]], *r[1:]) for r in rows]
+
+    def text_pairs(rows_in, min_similarity):
+        tdf = spark.createDataFrame(rows_in, schemas.TRANSCRIPTS)
+        res = Pipeline(spark, DEFAULT).run(tdf)
+        wbc = corpus.words_by_conv(rows_in)
+        fids = {r.file_id: r.conv_id for r in res["doc_ids"].collect()}
+        out = set()
+        for r in res["matches"].collect():
+            if r.similarity < min_similarity:
+                continue
+            wa = " ".join(
+                wbc[fids[r.file_id_a]][
+                    r.window_id_a * 4: r.window_id_a * 4 + 14
+                ]
+            )
+            wb = " ".join(
+                wbc[fids[r.file_id_b]][
+                    r.window_id_b * 4: r.window_id_b * 4 + 14
+                ]
+            )
+            out.add(frozenset((wa, wb)))
+        return out
+
+    # comfortably-above-threshold pairs survive relabeling, both directions
+    assert text_pairs(rows, 60) <= text_pairs(rows2, 50)
+    assert text_pairs(rows2, 60) <= text_pairs(rows, 50)
+
+
+def test_dedup_corpus_keeper_policy(spark):
+    from intertext_spark.operators.dedup import dedup_corpus
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], ["doc_a", "doc_b"]
+    )
+    quality = spark.createDataFrame(
+        [(0, 0.1), (1, 0.9), (2, 0.5), (5, 0.2), (6, 0.2)],
+        ["doc_id", "quality"],
+    )
+    out = dedup_corpus(docs, pairs, quality=quality)
+    kept = sorted(r.doc_id for r in out.collect())
+    # group {0,1,2}: keeper 1 (max quality); group {5,6}: tie -> min id 5
+    assert kept == [1, 3, 4, 5, 7]
+    out2 = dedup_corpus(docs, pairs)  # min-id policy
+    assert sorted(r.doc_id for r in out2.collect()) == [0, 3, 4, 5, 7]
