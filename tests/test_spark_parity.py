@@ -54,9 +54,9 @@ def group_partitions_oracle(ores):
 @pytest.fixture(scope="module")
 def planted():
     return corpus.planted_transcripts(
-        n_convs=40,
-        n_verbatim_pairs=5,
-        n_shifted_pairs=3,
+        n_convs=30,
+        n_verbatim_pairs=4,
+        n_shifted_pairs=2,
         n_noisy_per_level=1,
         n_chains=2,
         n_junk_pairs=1,
