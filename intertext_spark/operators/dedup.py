@@ -34,15 +34,18 @@ from .. import hashing
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, content_hash, keeper_id, n_copies).  Keeper = min id per
     hash group; a 128-bit md5 keys the group (collision-safe at 10^12 docs),
-    computed JVM-side."""
-    hashed = df.select(
+    computed JVM-side.  A single window aggregate over content_hash — one
+    shuffle — instead of groupBy + join-back (two)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return df.select(
         F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash")
-    )
-    grp = hashed.groupBy("content_hash").agg(
-        F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies")
-    )
-    return hashed.join(grp, "content_hash").select(
-        "doc_id", "content_hash", "keeper_id", "n_copies"
+    ).select(
+        "doc_id",
+        "content_hash",
+        F.min("doc_id").over(w).alias("keeper_id"),
+        F.count("*").over(w).alias("n_copies"),
     )
 
 

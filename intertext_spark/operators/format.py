@@ -77,12 +77,18 @@ def match_probabilities(
     max over sides of sum(count(w)/total for w in side words),
     round(.,3)*1000.  The match string is exploded to words, joined to the
     (broadcastable-after-agg) counts dim, re-aggregated — two narrow
-    shuffles, no Python."""
+    shuffles, no Python.
+
+    The re-join key is the natural cluster key (file pair + window-id
+    arrays), NOT monotonically_increasing_id: a _mid assigned pre-branch is
+    recomputed independently on each side of the join unless the frame is
+    persisted, and AQE can renumber partitions between computations —
+    silently mismatched probabilities.  The natural key is deterministic
+    under recomputation."""
     total = counts.agg(F.sum("cnt")).head()[0]
-    mid = F.monotonically_increasing_id()
-    base = formatted.withColumn("_mid", mid)
-    sides = base.select(
-        "_mid",
+    key = ["file_id_a", "file_id_b", "window_ids_a", "window_ids_b"]
+    sides = formatted.select(
+        *key,
         F.explode(
             F.array(
                 F.struct(F.lit("a").alias("side"), F.col("a_match").alias("txt")),
@@ -90,16 +96,16 @@ def match_probabilities(
             )
         ).alias("s"),
     ).select(
-        "_mid", "s.side", F.explode(F.split("s.txt", r"\s+")).alias("word")
+        *key, "s.side", F.explode(F.split("s.txt", r"\s+")).alias("word")
     )
     probs = (
         sides.join(counts, "word", "left")
-        .groupBy("_mid", "side")
+        .groupBy(*key, "side")
         .agg(F.sum(F.coalesce(F.col("cnt"), F.lit(0)) / F.lit(float(total))).alias("p"))
-        .groupBy("_mid")
+        .groupBy(*key)
         .agg((F.round(F.max("p"), 3) * 1000).alias("probability"))
     )
-    return base.join(probs, "_mid").drop("_mid")
+    return formatted.join(probs, key)
 
 
 def enrich_metadata(formatted: DataFrame, metadata: DataFrame) -> DataFrame:

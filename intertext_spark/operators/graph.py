@@ -7,9 +7,16 @@ label-propagation + pointer-jumping fixpoint in pure DataFrame ops —
 O(log n) rounds, each a pair of shuffles, localCheckpoint per round to cut
 the lineage (SURVEY.md §2.6).
 
-Node encoding: node = file_id * 2^32 + window_id (both < 2^31 by
-construction), so nodes are plain longs and min-label semantics match the
-oracle's min-member labels exactly.
+Node encoding: node = (file_id << 32) | window_id, pure bit ops both ways —
+never ``*``/``/``/``%``, which Spark evaluates as *double* arithmetic on
+longs and silently loses precision past 2^53 (file_id ≳ 2^21, i.e. ~2M
+conversations — exactly the scale this engine targets).  Precondition:
+file_id < 2^31 and window_id < 2^32 (sorted-mode dense ids).  Hash-mode
+62-bit file_ids (windows.assign_file_ids mode='hash') do NOT fit; the
+encoder raises per-row instead of silently overflowing — key such graphs
+on the raw 64-bit ids directly (doc-level CC in dedup.dedup_corpus does).
+Min-label semantics match the oracle's min-member labels exactly because
+the packing is order-preserving on (file_id, window_id).
 """
 
 from __future__ import annotations
@@ -17,10 +24,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 _SHIFT = 32
+_MAX_FILE = 1 << 31   # sorted-mode dense file ids are < 2^31
+_MAX_WIN = 1 << 32
+_WIN_MASK = (1 << 32) - 1
 
 
 def encode_node(file_col, window_col):
-    return (file_col.cast("long") * F.lit(1 << _SHIFT)) + window_col.cast("long")
+    """(file_id, window_id) -> long node, overflow-checked per row."""
+    f = file_col.cast("long")
+    w = window_col.cast("long")
+    bad = (f < 0) | (f >= F.lit(_MAX_FILE)) | (w < 0) | (w >= F.lit(_MAX_WIN))
+    return F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit("encode_node: id out of packable range (need "
+                      "file_id < 2^31, window_id < 2^32; hash-mode file "
+                      "ids must use raw-id graphs): file_id="),
+                f.cast("string"), F.lit(", window_id="), w.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(F.shiftleft(f, _SHIFT).bitwiseOR(w))
 
 
 def match_edges(matches: DataFrame) -> DataFrame:
@@ -33,10 +57,12 @@ def match_edges(matches: DataFrame) -> DataFrame:
 
 
 def decode_groups(labels: DataFrame) -> DataFrame:
-    """(node, label) -> (file_id, window_id, group_id)."""
+    """(node, label) -> (file_id, window_id, group_id).  Bit ops, not
+    division: node/2^32 on longs is double division and rounds for nodes
+    >= 2^53 (decoded file_id off-by-one once file_id >= ~2^21)."""
     return labels.select(
-        (F.col("node") / F.lit(1 << _SHIFT)).cast("long").alias("file_id"),
-        (F.col("node") % F.lit(1 << _SHIFT)).cast("long").alias("window_id"),
+        F.shiftright(F.col("node"), _SHIFT).alias("file_id"),
+        F.col("node").bitwiseAND(F.lit(_WIN_MASK)).alias("window_id"),
         F.col("label").alias("group_id"),
     )
 
@@ -116,7 +142,7 @@ def banish_filter(
     # banish sets are tiny relative to the corpus — broadcast the semi-join
     frontier = nodes.join(
         F.broadcast(banished_file_ids.select("file_id")),
-        (F.col("node") / F.lit(1 << _SHIFT)).cast("long") == F.col("file_id"),
+        F.shiftright(F.col("node"), _SHIFT) == F.col("file_id"),
         "left_semi",
     )
     seen = frontier.select("node").distinct().localCheckpoint()

@@ -85,11 +85,10 @@ def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
 
 
 def _phash_of(payload: bytes) -> int:
-    if _HAS_PIL:
-        raise NotImplementedError(
-            "real perceptual hash: decode payload with PIL, downscale to 8x8 "
-            "grayscale, DCT, threshold — plug in when PIL is available"
-        )
+    # Real perceptual hash (decode with PIL, 8x8 grayscale, DCT, threshold)
+    # is not implemented yet; always use the deterministic stub so that
+    # installing PIL never breaks the media queries — _HAS_PIL only marks
+    # where the real kernel would slot in.
     return int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big") >> 1
 
 

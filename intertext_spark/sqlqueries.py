@@ -518,11 +518,15 @@ group by user_id, session_id
 def q_scatter_aggs(d: Dialect) -> str:
     """Grouped sum/mean statistics (the reference's scatterplot aggregations,
     intertext.py:745-783, over the documents dimensionality)."""
+    # mean = exact integer sum / count — avg() accumulates doubles in
+    # engine-specific order (Spark vs DuckDB disagree in the last ulp and
+    # round4 can't mask every boundary); the integer sum is exact on both
+    # engines so the single division is bit-identical.
     return f"""
 select lang, source,
        count(*) as n_docs,
        sum(n_chars) as sum_chars,
-       cast({d.round4("avg(cast(n_chars as double))")} as double) as mean_chars
+       cast({d.round4("cast(sum(n_chars) as double) / count(*)")} as double) as mean_chars
 from documents
 group by lang, source
 """
