@@ -138,28 +138,21 @@ def doc_minhash_bands(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            shingle_lists = []
-            for text in pdf[text_col]:
-                words = (text or "").split()
-                if len(words) < shingle_words:
-                    shingle_lists.append("")
-                    continue
-                shingle_lists.append(
-                    "\x00".join(
-                        " ".join(words[i:i + shingle_words])
-                        for i in range(len(words) - shingle_words + 1)
-                    )
-                )
-            # hash each doc's shingles; reuse the batched signature kernel
-            # by treating the shingle set as "texts" per doc
-            sigs = np.empty((len(pdf), n_perm), dtype=np.uint64)
-            for i, joined in enumerate(shingle_lists):
-                if not joined:
-                    sigs[i, :] = (1 << 31) - 1
-                    continue
-                sh = hashing._mod_p31(hashing.hash64_strings(joined.split("\x00")))
-                vals = hashing._mod_p31(a[:, None] * sh[None, :] + b[:, None])
-                sigs[i, :] = vals.min(axis=1)
+            # fully batched: tokenize (only per-row Python), hash every
+            # token of the batch in one vectorized pass, form word-k-gram
+            # shingle hashes segment-wise, minhash via segmented reduceat —
+            # no per-document numpy calls, no shingle-string building
+            # (the round-1 per-doc loop was the signing bottleneck)
+            token_lists = [(t or "").split() for t in pdf[text_col]]
+            counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+            all_toks: list[str] = []
+            for toks in token_lists:
+                all_toks.extend(toks)
+            th = hashing.hash64_strings(all_toks)
+            sh, sh_counts = hashing.shingle_token_hashes(th, counts, shingle_words)
+            tmp = np.empty(sh.size, dtype=np.uint64)
+            hashing._mod_p31_inplace(sh, tmp)  # < 2^31 for the perm products
+            sigs = hashing.minhash_from_hashes(sh, sh_counts, a, b, mirror=False)
             bands = hashing.band_hashes(sigs, band_len, band_len)[:, :n_bands]
             yield pd.DataFrame(
                 {
@@ -281,18 +274,17 @@ _SIMHASH_SCHEMA = T.StructType(
 
 
 def doc_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """-> (doc_id, simhash) 64-bit signatures (numpy, Arrow-batched)."""
+    """-> (doc_id, simhash) 64-bit signatures (numpy, Arrow-batched,
+    whole-batch vectorized — equals per-doc simhash64(hash64_strings(...)),
+    property-tested in tests/test_properties.py)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = []
-            for text in pdf[text_col]:
-                toks = (text or "").split()
-                h = hashing.hash64_strings(toks)
-                out.append(np.int64(np.uint64(hashing.simhash64(h))))
-            yield pd.DataFrame({"doc_id": pdf[id_col].values, "simhash": out})
+            token_lists = [(t or "").split() for t in pdf[text_col]]
+            sig = hashing.batch_simhash64(token_lists).astype(np.int64)
+            yield pd.DataFrame({"doc_id": pdf[id_col].values, "simhash": sig})
 
     sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
     return sel.mapInPandas(compute, _SIMHASH_SCHEMA)

@@ -100,3 +100,67 @@ def test_minhash_identical_inputs_identical_sigs(words):
     s1 = hashing.minhash_signatures([t], a, b, True, 4)
     s2 = hashing.minhash_signatures([t, t], a, b, True, 4)
     assert (s1[0] == s2[0]).all() and (s2[0] == s2[1]).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=40),
+        max_size=60,
+    )
+)
+def test_hash64_strings_vectorized_equals_scalar(tokens):
+    got = hashing.hash64_strings(tokens)
+    want = hashing._hash64_strings_scalar(tokens)
+    assert np.array_equal(got, want)
+
+
+def test_hash64_strings_long_token_fallback():
+    toks = ["x" * 2000, "short", "", "y" * 513, "normal token here"]
+    assert np.array_equal(
+        hashing.hash64_strings(toks), hashing._hash64_strings_scalar(toks)
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(st.characters(min_codepoint=33, max_codepoint=0x24F),
+                         min_size=1, max_size=12), max_size=30),
+        max_size=20,
+    )
+)
+def test_batch_simhash64_equals_per_doc(token_lists):
+    got = hashing.batch_simhash64(token_lists)
+    for i, toks in enumerate(token_lists):
+        want = hashing.simhash64(hashing.hash64_strings(toks))
+        assert int(got[i]) == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 8), min_size=1, max_size=10),
+    st.integers(2, 4),
+)
+def test_shingle_token_hashes_segment_boundaries(counts, k):
+    counts = np.array(counts, dtype=np.int64)
+    total = int(counts.sum())
+    rng = np.random.RandomState(7)
+    h = rng.randint(0, (1 << 61) - 1, size=total).astype(np.uint64)
+    sh, shc = hashing.shingle_token_hashes(h, counts, k)
+    assert list(shc) == [max(c - k + 1, 0) for c in counts]
+
+    def comb(vals):
+        acc = np.uint64(0)
+        for x in vals:
+            acc = hashing._mul_2p31_mod_p61(acc) + x
+            if acc >= hashing._P61_U:
+                acc -= hashing._P61_U
+        return int(acc)
+
+    want, off = [], 0
+    for c in counts:
+        seg = h[off:off + c]
+        want.extend(comb(seg[i:i + k]) for i in range(max(c - k + 1, 0)))
+        off += c
+    assert [int(x) for x in sh] == want
