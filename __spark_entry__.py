@@ -183,8 +183,12 @@ def _embedding_dups_native(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # testdata embeddings are near-orthogonal random vectors (max pairwise
-    # cosine ~0.51); 0.35 exercises the bucket+verify path with output
-    buckets = dedup.hyperplane_buckets(emb, n_planes=4, dim=64)
+    # cosine ~0.51), so 0.35 is a deliberately hard LSH threshold; 32 OR'd
+    # 3-plane tables give measured recall 1.0 on this corpus, which the
+    # brute-force DuckDB oracle then *proves* (at 500 vectors the candidate
+    # set degenerates toward all-pairs — LSH pays off at n >> buckets;
+    # planes/tables are the per-threshold tuning knobs at scale)
+    buckets = dedup.hyperplane_buckets(emb, n_planes=3, dim=64, n_tables=32)
     return dedup.embedding_dup_pairs(buckets, min_cosine=0.35).select(
         "vec_a", "vec_b", _round4(F.col("cosine")).alias("cosine")
     )
@@ -368,6 +372,25 @@ select doc_id, md5(text) as content_hash,
 from documents
 """
     out["ann_topk_native"] = TEMPLATES["cosine_topk"](DUCK)
+    # engine-native twins: DuckDB re-derives the native operator's values
+    # independently (see sqlqueries q_*_native_twin docstrings for the
+    # exactness arguments; minhash twin is brute-force ground truth, so a
+    # pass additionally proves LSH recall 1.0 at threshold 0.5)
+    from intertext_spark.sqlqueries import (
+        q_embedding_brute_twin,
+        q_fingerprints_native_twin,
+        q_lang_id_native_twin,
+        q_minhash_brute_twin,
+        q_quality_native_twin,
+        q_token_stats_native_twin,
+    )
+
+    out["token_stats_native"] = q_token_stats_native_twin(DUCK)
+    out["quality_scores_native"] = q_quality_native_twin(DUCK)
+    out["lang_id_native"] = q_lang_id_native_twin(DUCK)
+    out["doc_fingerprints_native"] = q_fingerprints_native_twin(DUCK)
+    out["minhash_dup_pairs_native"] = q_minhash_brute_twin(DUCK)
+    out["embedding_dup_pairs_native"] = q_embedding_brute_twin(DUCK)
     out["exact_dedup_corpus"] = """
 select doc_id, lang, source, n_chars
 from (

@@ -84,10 +84,16 @@ def shingle_hashes(text: str, n: int, encoding: str = "utf8") -> np.ndarray:
     if data.size < n:
         return np.empty(0, dtype=np.uint64)
     view = np.lib.stride_tricks.sliding_window_view(data, n).astype(np.uint64)
-    # Horner over the n bytes; base^k * 255 * n stays far below 2^64 for n<=6.
+    # Horner over the n bytes.  For n<=6 the raw accumulator stays below
+    # 2^64 (base^k * 255 * n); for larger n (doc_fingerprints uses n=8) a
+    # periodic fold keeps it exact — 255-byte inputs would otherwise wrap
+    # uint64 silently.  The fold is mod-compatible, so values for inputs
+    # that never wrapped (all ASCII) are unchanged.
     acc = np.zeros(view.shape[0], dtype=np.uint64)
     for j in range(n):
         acc = acc * _BASE + view[:, j]
+        if n > 6 and (j + 1) % 3 == 0:
+            acc = _mod_p31(acc)  # acc < 2^31 * 257^3 < 2^56 at fold time
     return _mod_p31(acc)
 
 
@@ -118,6 +124,8 @@ def batch_shingle_hashes(
     for j in range(n):
         np.multiply(acc, _BASE, out=acc)
         np.add(acc, data[j:j + n_pos], out=acc)
+        if n > 6 and (j + 1) % 3 == 0:
+            _mod_p31_inplace(acc, tmp)  # same n>6 overflow fold as above
     _mod_p31_inplace(acc, tmp)
     # gather the valid (non-boundary-crossing) positions per text
     offs = np.zeros(len(bufs), dtype=np.int64)

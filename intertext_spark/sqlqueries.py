@@ -568,6 +568,188 @@ from t
 """
 
 
+# ---------------------------------------------------------------------------
+# DuckDB-only twins for ENGINE-NATIVE queries (__spark_entry__ *_native).
+# These render only for the DUCK dialect — the Spark side runs the native
+# DataFrame/numpy operator, the DuckDB side re-derives the same values
+# independently, so the driver's gate checks the production path itself
+# rather than a SQL miniature.  Exactness notes per query below.
+# ---------------------------------------------------------------------------
+
+_STOP20 = ("'the','a','of','and','to','in','is','it','that','for',"
+           "'on','as','with','was','be','at','by','this','are','or'")
+
+
+def q_token_stats_native_twin(d: Dialect) -> str:
+    """Twin of textstats.token_stats + the entry round4 wrapper.  The mean
+    is the same explicit left fold over per-token double lengths, so the
+    double sum is bit-identical; ttr is an int/int division (exact)."""
+    words = d.splitws("text")
+    mean = d.fold(
+        d.transform("words", "w -> cast(length(w) as double)"),
+        "cast(0 as double)", "(a, v) -> a + v",
+    ) + " / len(words)"
+    return f"""
+with w as (select doc_id, {words} as words from documents)
+select doc_id,
+       {d.size('words')} as n_tokens,
+       {d.size(d.arr_distinct('words'))} as n_distinct_tokens,
+       cast({d.round4(mean)} as double) as mean_token_len,
+       cast({d.round4(f"cast({d.size(d.arr_distinct('words'))} as double) / {d.size('words')}")} as double) as ttr
+from w
+where {d.size('words')} > 0
+"""
+
+
+def q_quality_native_twin(d: Dialect) -> str:
+    """Twin of textstats.quality_scores (20-stopword list, repetition
+    ratio, 0.4/0.3/0.3 composite) + the entry round4 wrapper.  All terms
+    are int-ratio doubles combined in the same left-to-right order as the
+    Spark expressions — IEEE ops in identical order are bit-identical."""
+    words = d.splitws("text")
+    n_stop = d.size(d.filter_("words", f"w -> lower(w) in ({_STOP20})"))
+    n_punct = f"length(text) - length({d.re_replace_all('text', '[^a-zA-Z0-9 ]', '')})"
+    return f"""
+with base as (
+  select doc_id,
+         length(text) as n_chars,
+         {d.size('words')} as n_words,
+         cast({n_punct} as double) / length(text) as punct_ratio,
+         cast({n_stop} as double) / {d.size('words')} as stopword_ratio,
+         cast(1 as double) - cast({d.size(d.arr_distinct('words'))} as double) / {d.size('words')} as repetition_ratio
+  from (select doc_id, text, {words} as words from documents)
+  where length(text) > 0
+)
+select doc_id, n_chars, n_words,
+       cast({d.round4('punct_ratio')} as double) as punct_ratio,
+       cast({d.round4('stopword_ratio')} as double) as stopword_ratio,
+       cast({d.round4('repetition_ratio')} as double) as repetition_ratio,
+       cast({d.round4("cast(0.4 as double) * least(cast(n_words as double) / 100, cast(1 as double)) + cast(0.3 as double) * (cast(1 as double) - punct_ratio) + cast(0.3 as double) * (cast(1 as double) - repetition_ratio)")} as double) as quality
+from base
+"""
+
+
+def q_lang_id_native_twin(d: Dialect) -> str:
+    """Twin of textstats.lang_id: distinct char bigrams of lower(text)
+    excluding space-containing grams, profile overlap /10, best language by
+    score with alphabetical tiebreak (Python max over sorted keys), 'unk'
+    below 0.2 or when no grams.  Confidence k/10 is the same IEEE division
+    on both sides (Python round(x,4) is a no-op for k/10)."""
+    profs = {
+        "de": ["en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"],
+        "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+        "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+        "fr": ["es", "le", "de", "en", "re", "nt", "on", "ou", "ai", "it"],
+    }
+    score_cols = ",\n         ".join(
+        f"cast(len(list_intersect(grams, {pl!r})) as double) / 10 as s_{lang}"
+        for lang, pl in profs.items()
+    )
+    return f"""
+with g as (
+  select doc_id,
+         list_distinct(list_filter(
+           list_transform(generate_series(1, length(lower(text)) - 1),
+                          i -> substring(lower(text), i, 2)),
+           gr -> not contains(gr, ' '))) as grams
+  from documents
+),
+s as (
+  select doc_id, grams,
+         {score_cols}
+  from g
+),
+best as (
+  select doc_id, grams,
+         greatest(s_de, s_en, s_es, s_fr) as sc,
+         case when s_de = greatest(s_de, s_en, s_es, s_fr) then 'de'
+              when s_en = greatest(s_de, s_en, s_es, s_fr) then 'en'
+              when s_es = greatest(s_de, s_en, s_es, s_fr) then 'es'
+              else 'fr' end as lang
+  from s
+)
+select doc_id,
+       case when len(grams) = 0 then 'unk'
+            when sc > 0.2 then lang else 'unk' end as predicted_lang,
+       case when len(grams) = 0 then cast(0 as double) else sc end as confidence
+from best
+"""
+
+
+def q_fingerprints_native_twin(d: Dialect) -> str:
+    """Twin of textstats.doc_fingerprints: byte-8-gram base-257 polynomial
+    mod 2^31-1 over lower(text), keep h %% 16 == 0, distinct.  Stepwise mod
+    in SQL == the numpy end-mod (mod-compatible; the numpy path folds
+    periodically for n>6 so it never wraps).  ascii(char) == utf8 byte only
+    for ASCII text — the synthetic corpus is ASCII; non-ASCII would need a
+    byte-level oracle."""
+    return """
+select distinct doc_id, fp
+from (
+  select doc_id,
+         unnest(list_filter(grams, h -> h % 16 = 0)) as fp
+  from (
+    select doc_id,
+           list_transform(
+             generate_series(1, length(text) - 7),
+             i -> list_reduce(
+                    list_prepend(cast(0 as bigint),
+                      list_transform(generate_series(0, 7),
+                        j -> cast(ascii(substring(lower(text), cast(i + j as int), 1)) as bigint))),
+                    (acc, ch) -> (acc * 257 + ch) % 2147483647)) as grams
+    from documents
+    where length(text) >= 8
+  )
+)
+"""
+
+
+def q_embedding_brute_twin(d: Dialect) -> str:
+    """Brute-force all-pairs cosine >= 0.35 — ground truth for
+    embedding_dup_pairs_native (multi-table hyperplane LSH + verify).
+    A pass proves LSH recall 1.0 at this threshold on this corpus; the
+    fold/round recipe matches cosine_expr exactly (same element order)."""
+    e = d.to_double_arr("embedding")
+    cos = f"{d.dot('a.emb', 'b.emb')} / (sqrt({d.dot('a.emb', 'a.emb')}) * sqrt({d.dot('b.emb', 'b.emb')}))"
+    return f"""
+with v as (select vec_id, {e} as emb from embeddings)
+select vec_a, vec_b, cast({d.round4('c')} as double) as cosine
+from (
+  select a.vec_id as vec_a, b.vec_id as vec_b, {cos} as c
+  from v a join v b on a.vec_id < b.vec_id
+)
+where c >= 0.35
+"""
+
+
+def q_minhash_brute_twin(d: Dialect) -> str:
+    """Brute-force all-pairs word-3-gram Jaccard >= 0.5 — the ground truth
+    for minhash_dup_pairs_native.  Passing this twin *proves* LSH recall
+    1.0 at this threshold on this corpus (the verify stage already removes
+    false positives, so set equality == perfect recall)."""
+    return f"""
+with shingle_sets as (
+  select doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> array_to_string(list_slice(words, i, i + 2), ' '))) as sh
+  from (select doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') as words
+        from documents)
+  where len(words) >= 3
+),
+scored as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         cast(len(list_intersect(a.sh, b.sh)) as double)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) as j
+  from shingle_sets a join shingle_sets b on a.doc_id < b.doc_id
+)
+select doc_a, doc_b, cast({d.round4('j')} as double) as jaccard
+from scored
+where j >= 0.5
+"""
+
+
 # name -> template fn; shared by __spark_entry__.queries() and oracle_sql().
 TEMPLATES = {
     "exact_dedup": q_exact_dedup,

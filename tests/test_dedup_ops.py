@@ -160,3 +160,53 @@ def test_multimodal_plumbing(spark):
     one = media.where("kind='video'").select("media_id", "duration_ms").head()
     n_frames = len([r for r in fr if r.media_id == one.media_id])
     assert n_frames == max(1, one.duration_ms // 500)
+
+
+def test_multi_table_lsh_recall(spark):
+    """Multi-table (OR'd) hyperplane LSH must recover near-dup pairs that a
+    single table misses: planted pairs at cosine ~0.4 sit where a 4-plane
+    single-table sketch has ~0.15 recall but 32 OR'd 3-plane tables ~1.0
+    (VERDICT r01 next-7 done-criterion)."""
+    dim = 32
+    rng = np.random.RandomState(11)
+    rows, truth = [], set()
+    vid = 0
+    for i in range(40):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        base_id = vid
+        vid += 1
+        if i < 15:  # plant a partner at cosine exactly 0.4
+            u = rng.normal(size=dim)
+            u -= (u @ v) * v
+            u /= np.linalg.norm(u)
+            w = 0.4 * v + np.sqrt(1 - 0.16) * u
+            rows.append((vid, [float(x) for x in w]))
+            vid += 1
+    mat = np.array([r[1] for r in rows])
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = nm @ nm.T
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            if cos[a, b] >= 0.35:
+                truth.add((a, b))
+    assert len(truth) >= 15
+
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def recall(n_planes, n_tables):
+        buckets = dedup.hyperplane_buckets(
+            df, n_planes=n_planes, dim=dim, n_tables=n_tables
+        )
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in dedup.embedding_dup_pairs(buckets, 0.35).collect()
+        }
+        assert got <= truth  # verify stage: no false positives ever
+        return len(got & truth) / len(truth)
+
+    single = recall(4, 1)
+    multi = recall(3, 32)
+    assert single < 0.9, f"single-table recall unexpectedly high: {single}"
+    assert multi >= 0.95, f"multi-table recall too low: {multi}"
