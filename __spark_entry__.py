@@ -323,8 +323,12 @@ def _scatter_native(spark, sf_dir):
 
     res = _run_pipeline(spark, sf_dir)
     formatted = fmt.match_strings(res["clusters"], res["docs"], DEFAULT)
+    # no metadata in this query -> the author grouping key is NULL; emit ''
+    # so the comparison gate never sorts None against str
     return fmt.scatterplot_aggs(formatted).select(
-        "side", "unit", "key", "n",
+        "side", "unit",
+        F.coalesce(F.col("key"), F.lit("")).alias("key"),
+        "n",
         F.col("sum_sim").cast("long").alias("sum_sim"),
         _round4(F.col("mean_sim")).alias("mean_sim"),
     )
@@ -400,8 +404,24 @@ from (
 ) t
 where doc_id = keeper
 """
-    # Remaining native ops (numpy minhash/simhash/hyperplane LSH, difflib
-    # validation, suffix arrays, iterative CC, media stubs) are not
-    # ANSI-SQL-expressible -> rows-only checks here; exact-parity coverage
-    # lives in tests/ against brute-force / pure-Python oracles.
+    # Pipeline-stage + simhash queries: not ANSI-SQL-expressible (difflib
+    # validation, iterative CC, numpy simhash), so the oracle is a pinned
+    # fixture computed by the pure single-node reference-semantics oracle
+    # (tools/make_fixtures.py — intertext_spark/oracle.py + brute force,
+    # never the Spark engine).  Valid for the driver's sf0.01 gate;
+    # regenerate with the tool after any semantic change.
+    fx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "fixtures", "sf0.01")
+    for qname, fname in (
+        ("pipeline_matches", "pipeline_matches"),
+        ("pipeline_clusters", "pipeline_clusters"),
+        ("pipeline_groups", "pipeline_groups"),
+        ("pipeline_match_strings", "pipeline_match_strings"),
+        ("pipeline_scatter_aggs", "pipeline_scatter_aggs"),
+        ("simhash_pairs_native", "simhash_pairs"),
+    ):
+        out[qname] = f"select * from read_parquet('{fx}/{fname}.parquet')"
+    # Remaining native ops (suffix arrays, media stubs, near-dup corpus)
+    # stay rows-only here; exact-parity coverage lives in tests/ against
+    # brute-force / pure-Python oracles.
     return out

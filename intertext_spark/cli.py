@@ -56,6 +56,66 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _load_metadata(spark, path):
+    from .schemas import METADATA
+
+    with open(path) as f:
+        meta = json.load(f)
+    rows = [
+        (cid, m.get("author"), m.get("title"),
+         int(m["year"]) if m.get("year") is not None else None,
+         m.get("url"))
+        for cid, m in meta.items()
+    ]
+    return spark.createDataFrame(rows, METADATA)
+
+
+def _republish_only(args, cfg) -> int:
+    """--update-metadata fast path (reference intertext.py:136, 189-209):
+    skip every pipeline stage, read the checkpointed docs + clusters, and
+    re-publish with the new metadata.  Hard error when the checkpoint is
+    missing — silently recomputing would defeat the flag's purpose."""
+    from .session import get_spark
+    from .store import CheckpointStore
+    from .operators.publish import display_matches, publish
+
+    if not args.checkpoint:
+        print("error: --update-metadata requires --checkpoint from a prior run",
+              file=sys.stderr)
+        return 2
+    spark = get_spark(app="intertext-cli", master=args.master)
+    spark.sparkContext.setLogLevel("ERROR")
+    store = CheckpointStore(spark, args.checkpoint)
+    missing = [t for t in ("docs", "clusters") if store.manifest(t) is None]
+    if missing:
+        print(f"error: checkpoint at {args.checkpoint} lacks stages {missing}; "
+              "run the full pipeline once before --update-metadata",
+              file=sys.stderr)
+        spark.stop()
+        return 2
+    docs = store.read("docs")
+    clusters = store.read("clusters")
+    meta_df = _load_metadata(spark, args.metadata) if args.metadata else None
+    disp = display_matches(
+        clusters, docs, meta_df, cfg,
+        compute_probabilities=args.compute_probabilities,
+    )
+    publish(disp, docs, args.output, cfg)
+    print(json.dumps({
+        "matches": None,
+        "clusters": clusters.count(),
+        "output": args.output,
+        "stages": [
+            {"stage": t, "rows": store.manifest(t)["rows"], "wall_s": 0.0,
+             "skipped": True}
+            for t in ("docs", "clusters")
+        ],
+        "update_metadata": True,
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     # reference guard: assert 1 <= min_sim <= 100 (intertext.py:239)
@@ -66,7 +126,7 @@ def main(argv=None) -> int:
     from .config import PipelineConfig
     from .session import get_spark
     from .pipeline import Pipeline
-    from .schemas import METADATA
+    from .schemas import METADATA  # noqa: F401  (re-exported for callers)
     from .operators.publish import display_matches, publish
 
     cfg = PipelineConfig(
@@ -82,6 +142,8 @@ def main(argv=None) -> int:
         compute_probabilities=args.compute_probabilities,
         enable_suffix_pass=args.suffix_pass,
     )
+    if args.update_metadata:
+        return _republish_only(args, cfg)
     spark = get_spark(app="intertext-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(args.transcripts)
@@ -95,17 +157,7 @@ def main(argv=None) -> int:
         banished_convs=args.banish or None,
     )
 
-    meta_df = None
-    if args.metadata:
-        with open(args.metadata) as f:
-            meta = json.load(f)
-        rows = [
-            (cid, m.get("author"), m.get("title"),
-             int(m["year"]) if m.get("year") is not None else None,
-             m.get("url"))
-            for cid, m in meta.items()
-        ]
-        meta_df = spark.createDataFrame(rows, METADATA)
+    meta_df = _load_metadata(spark, args.metadata) if args.metadata else None
 
     disp = display_matches(
         res["clusters"], res["docs"], meta_df, cfg,

@@ -63,6 +63,45 @@ def test_cli_end_to_end(tmp_path, spark):
     ores = oracle.run_pipeline(corpus.words_by_conv(pc.rows), DEFAULT)
     assert stats["matches"] == len(ores["matches"])
 
+    # --update-metadata fast path: new metadata, republish only.  Remove
+    # the mid-pipeline checkpoints first — if the flag recomputed anything
+    # it would now fail; succeeding proves it reads only docs + clusters
+    # (reference intertext.py:189-209 stage skip).
+    import shutil
+
+    for stage in ("hashbands", "candidates", "matches", "windows"):
+        shutil.rmtree(str(tmp_path / "ckpt" / stage), ignore_errors=True)
+        man = tmp_path / "ckpt" / f"{stage}.manifest.json"
+        if man.exists():
+            man.unlink()
+    with open(mpath, "w") as f:
+        json.dump({c: {"author": f"NEW-{c}", "title": c, "year": 1900 + i}
+                   for i, c in enumerate(convs)}, f)
+    out2 = str(tmp_path / "out2")
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "intertext_spark",
+         "--transcripts", tpath, "--metadata", mpath, "--output", out2,
+         "--checkpoint", str(tmp_path / "ckpt"), "--update-metadata"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    stats2 = json.loads(proc2.stdout.strip().splitlines()[-1])
+    assert stats2["update_metadata"] is True
+    assert all(s["skipped"] for s in stats2["stages"])
+    assert stats2["clusters"] == stats["clusters"]
+    mdir = os.path.join(out2, "api", "matches")
+    sample = json.load(open(os.path.join(mdir, os.listdir(mdir)[0])))
+    assert sample and all(m["source_author"].startswith("NEW-") for m in sample)
+
+    # missing checkpoint -> hard error, not a silent full run
+    proc3 = subprocess.run(
+        [sys.executable, "-m", "intertext_spark",
+         "--transcripts", tpath, "--output", out2,
+         "--checkpoint", str(tmp_path / "nope"), "--update-metadata"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert proc3.returncode == 2 and "lacks stages" in proc3.stderr
+
 
 def test_cli_min_sim_guard():
     from intertext_spark.cli import main

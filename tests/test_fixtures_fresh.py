@@ -1,0 +1,76 @@
+"""Staleness guard for the committed driver-oracle fixtures
+(fixtures/sf0.01/*.parquet, produced by tools/make_fixtures.py).
+
+If a semantic change lands without regenerating the fixtures, these tests
+fail before the driver's correctness gate does.  Pure Python + DuckDB — no
+Spark session.
+
+The pipeline subset check exploits locality of the uncapped pipeline: for
+docs whose conv_ids are a prefix of the sorted corpus, candidate pairs
+(shared bands), difflib validation, and clustering among those docs are
+independent of the rest of the corpus, so oracle(first-40-docs) must equal
+the fixture restricted to file_id_a/b < 40.  (Groups are global CC and are
+covered by the full regeneration in the tool, not here.)
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+
+from intertext_spark import hashing
+from intertext_spark.config import DEFAULT
+from intertext_spark.oracle import run_pipeline
+
+SF_DIR = "/root/testdata/sf0.01"
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures", "sf0.01")
+
+needs_data = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/documents.parquet"), reason="no testdata"
+)
+
+
+@needs_data
+def test_simhash_fixture_fresh():
+    rows = duckdb.sql(
+        f"select doc_id, text from '{SF_DIR}/documents.parquet' order by doc_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    sigs = np.array(
+        [hashing.simhash64(hashing._hash64_strings_scalar((t or "").split()))
+         for _, t in rows],
+        dtype=np.uint64,
+    )
+    want = set()
+    for i in range(len(ids)):
+        x = sigs[i] ^ sigs[i + 1:]
+        for j in np.nonzero(np.array([bin(int(v)).count("1") for v in x]) <= 3)[0]:
+            want.add((ids[i], ids[i + 1 + j]))
+    got = set(
+        map(tuple, duckdb.sql(
+            f"select doc_a, doc_b from read_parquet('{FIX}/simhash_pairs.parquet')"
+        ).fetchall())
+    )
+    assert got == want
+
+
+@needs_data
+def test_pipeline_matches_fixture_subset_fresh():
+    rows = duckdb.sql(
+        f"select doc_id, text from '{SF_DIR}/documents.parquet' "
+        "order by doc_id limit 40"
+    ).fetchall()
+    wbc = {str(d).zfill(8): (t or "").split() for d, t in rows}
+    res = run_pipeline(wbc, DEFAULT)
+    want = {
+        (m[0], m[1], m[2], m[3], int(m[4] // 1)) for m in res["matches"]
+    }
+    got = set(
+        map(tuple, duckdb.sql(
+            f"select * from read_parquet('{FIX}/pipeline_matches.parquet') "
+            "where file_id_a < 40 and file_id_b < 40"
+        ).fetchall())
+    )
+    assert got == want

@@ -1,0 +1,222 @@
+"""Generate driver-visible oracle fixtures for the engine-native pipeline
+queries (pipeline_matches / clusters / groups / match_strings /
+scatter_aggs) and simhash_pairs_native.
+
+These queries are not ANSI-SQL-expressible (difflib validation, iterative
+CC, numpy simhash), so their DuckDB oracle is `select * from
+read_parquet(<fixture>)` where the fixture is computed HERE by the pure
+single-node reference-semantics oracle (intertext_spark/oracle.py — the
+same clean-room reimplementation the pytest parity suite trusts), never by
+the Spark engine.  Rerun after any semantic change:
+
+    python tools/make_fixtures.py [sf_dir] [--cache /tmp/oracle.pkl]
+
+The pipeline fixtures encode the transcripts-derived corpus at the given
+sf (conv_id = zero-padded doc_id, words = text.split(); the turn
+round-trip invariant — transcript_roundtrip in CORRECTNESS — proves this
+equals the engine's transcript assembly).  tests/test_fixtures_fresh.py
+regenerates the cheap fixtures and fails if a committed fixture is stale.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import pickle
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from intertext_spark import hashing  # noqa: E402
+from intertext_spark.config import DEFAULT  # noqa: E402
+from intertext_spark.oracle import run_pipeline  # noqa: E402
+
+W, S = DEFAULT.window_length, DEFAULT.slide_length
+
+
+def round4(x: float) -> float:
+    return math.floor(x * 10000 + 0.5) / 10000
+
+
+def load_words_by_conv(sf_dir: str) -> dict[str, list[str]]:
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    return {str(d).zfill(8): (t or "").split() for d, t in rows}
+
+
+def pipeline_fixtures(sf_dir: str, out_dir: str, cache: str | None):
+    res = None
+    if cache and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            res = pickle.load(f)
+        print(f"loaded oracle results from {cache}")
+    if res is None:
+        wbc = load_words_by_conv(sf_dir)
+        r = run_pipeline(wbc, DEFAULT)
+        res = {"matches": r["matches"], "clusters": r["clusters"],
+               "groups": r["groups"], "file_of": r["file_of"], "wbc": wbc}
+        if cache:
+            with open(cache, "wb") as f:
+                pickle.dump(res, f)
+    matches, clusters, groups = res["matches"], res["clusters"], res["groups"]
+    file_of, wbc = res["file_of"], res["wbc"]
+    words_of_file = {fid: wbc[c] for c, fid in file_of.items()}
+
+    pq.write_table(
+        pa.table({
+            "file_id_a": pa.array([m[0] for m in matches], pa.int64()),
+            "file_id_b": pa.array([m[1] for m in matches], pa.int64()),
+            "window_id_a": pa.array([m[2] for m in matches], pa.int64()),
+            "window_id_b": pa.array([m[3] for m in matches], pa.int64()),
+            "similarity_int": pa.array(
+                [math.floor(m[4]) for m in matches], pa.int64()),
+        }),
+        os.path.join(out_dir, "pipeline_matches.parquet"),
+    )
+
+    crows = [
+        (fa, fb, a_ids, b_ids, sim)
+        for (fa, fb), cl in clusters.items()
+        for a_ids, b_ids, sim in cl
+    ]
+    pq.write_table(
+        pa.table({
+            "file_id_a": pa.array([r[0] for r in crows], pa.int64()),
+            "file_id_b": pa.array([r[1] for r in crows], pa.int64()),
+            "wins_a": pa.array([",".join(map(str, r[2])) for r in crows]),
+            "wins_b": pa.array([",".join(map(str, r[3])) for r in crows]),
+            "similarity": pa.array([r[4] for r in crows], pa.int64()),
+        }),
+        os.path.join(out_dir, "pipeline_clusters.parquet"),
+    )
+
+    pq.write_table(
+        pa.table({
+            "file_id": pa.array([n[0] for n in groups], pa.int64()),
+            "window_id": pa.array([n[1] for n in groups], pa.int64()),
+            "group_id": pa.array(
+                [(lab[0] << 32) | lab[1] for lab in groups.values()],
+                pa.int64()),
+        }),
+        os.path.join(out_dir, "pipeline_groups.parquet"),
+    )
+
+    # match strings (format.match_strings slice arithmetic,
+    # intertext.py:661-668) + the scatterplot aggregations over them
+    def strings(words, ids):
+        start, end = min(ids) * S, max(ids) * S + W
+        pre_from = max(start - W, 0)
+        return (
+            " ".join(words[pre_from:start]),
+            " ".join(words[start:end]),
+            " ".join(words[end:end + W]),
+        )
+
+    srows = []
+    for fa, fb, a_ids, b_ids, sim in crows:
+        pa_, ma, po_a = strings(words_of_file[fa], a_ids)
+        pb, mb, po_b = strings(words_of_file[fb], b_ids)
+        srows.append((fa, fb, sim, pa_, ma, po_a, pb, mb, po_b))
+    pq.write_table(
+        pa.table({
+            "file_id_a": pa.array([r[0] for r in srows], pa.int64()),
+            "file_id_b": pa.array([r[1] for r in srows], pa.int64()),
+            "similarity": pa.array([r[2] for r in srows], pa.int64()),
+            "a_prematch": pa.array([r[3] for r in srows]),
+            "a_match": pa.array([r[4] for r in srows]),
+            "a_postmatch": pa.array([r[5] for r in srows]),
+            "b_prematch": pa.array([r[6] for r in srows]),
+            "b_match": pa.array([r[7] for r in srows]),
+            "b_postmatch": pa.array([r[8] for r in srows]),
+        }),
+        os.path.join(out_dir, "pipeline_match_strings.parquet"),
+    )
+
+    # scatterplot aggs: {side} x {segments, file, author} over the clusters
+    # (no metadata in the pipeline query -> author key is NULL)
+    aggs: dict = {}
+    for fa, fb, a_ids, b_ids, sim in crows:
+        for side, fid, ids in (("a", fa, a_ids), ("b", fb, b_ids)):
+            seg_key = f"{fid}." + ",".join(map(str, ids))
+            # author key is '' (no metadata in the pipeline query; the
+            # entry wrapper coalesces the NULL grouping key to '')
+            for unit, key in (("segments", seg_key), ("file", str(fid)),
+                              ("author", "")):
+                k = (side, unit, key)
+                n, s = aggs.get(k, (0, 0))
+                aggs[k] = (n + 1, s + sim)
+    keys = sorted(aggs, key=lambda k: (k[0], k[1], k[2]))
+    pq.write_table(
+        pa.table({
+            "side": pa.array([k[0] for k in keys]),
+            "unit": pa.array([k[1] for k in keys]),
+            "key": pa.array([k[2] for k in keys]),
+            "n": pa.array([aggs[k][0] for k in keys], pa.int64()),
+            "sum_sim": pa.array([aggs[k][1] for k in keys], pa.int64()),
+            "mean_sim": pa.array(
+                [round4(aggs[k][1] / aggs[k][0]) for k in keys], pa.float64()),
+        }),
+        os.path.join(out_dir, "pipeline_scatter_aggs.parquet"),
+    )
+    print(f"pipeline fixtures: {len(matches)} matches, {len(crows)} clusters,"
+          f" {len(groups)} group nodes, {len(keys)} scatter rows")
+
+
+def simhash_fixture(sf_dir: str, out_dir: str):
+    """Ground truth for simhash_pairs_native: per-doc 64-bit simhash via
+    the SCALAR reference hash loop (not the engine's vectorized kernel),
+    then brute-force all-pairs Hamming <= 3 — exactly the set the chunked
+    pigeonhole join must recover (recall is exact for d <= n_chunks-1)."""
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    sigs = np.array(
+        [hashing.simhash64(hashing._hash64_strings_scalar((t or "").split()))
+         for _, t in rows],
+        dtype=np.uint64,
+    )
+    out_a, out_b, out_h = [], [], []
+    for i in range(len(ids)):
+        x = sigs[i] ^ sigs[i + 1:]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        hit = np.nonzero(ham <= 3)[0]
+        for j in hit:
+            out_a.append(int(ids[i]))
+            out_b.append(int(ids[i + 1 + j]))
+            out_h.append(int(ham[j]))
+    pq.write_table(
+        pa.table({
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "hamming": pa.array(out_h, pa.int64()),
+        }),
+        os.path.join(out_dir, "simhash_pairs.parquet"),
+    )
+    print(f"simhash fixture: {len(out_a)} pairs")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    cache = None
+    if "--cache" in sys.argv:
+        cache = sys.argv[sys.argv.index("--cache") + 1]
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", sf_tag,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    simhash_fixture(sf_dir, out_dir)
+    pipeline_fixtures(sf_dir, out_dir, cache)
+
+
+if __name__ == "__main__":
+    main()
