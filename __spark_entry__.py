@@ -271,8 +271,11 @@ def _dedup_corpus_near(spark, sf_dir):
         dedup.lsh_dup_pairs(bands), docs, shingle_words=3, threshold=0.5
     )
     q = quality_scores(docs).select("doc_id", "quality")
+    # dup_group is NULL for ungrouped docs; emit -1 so the comparison gate
+    # never sorts None against int
     return dedup.dedup_corpus(docs, pairs, quality=q).select(
-        "doc_id", "lang", "source", "n_chars", "dup_group"
+        "doc_id", "lang", "source", "n_chars",
+        F.coalesce(F.col("dup_group"), F.lit(-1)).alias("dup_group"),
     )
 
 
@@ -304,6 +307,19 @@ def _frame_samples(spark, sf_dir):
 
     media = multimodal.synthetic_media(spark, n=64)
     return multimodal.sample_frames(media)
+
+
+def _strip_diacritics_q(spark, sf_dir):
+    """Diacritic fold on a constructed accented prefix + corpus text;
+    oracle is DuckDB strip_accents (equal to the NFD fold for
+    combining-mark accents, verified)."""
+    from intertext_spark.operators.windows import strip_diacritics
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("Càfé Ü ñaïve çédille "), F.col("text")).alias("text"),
+    )
+    return strip_diacritics(docs).select("doc_id", F.col("text").alias("folded"))
 
 
 def _match_strings_q(spark, sf_dir):
@@ -350,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprints_native"] = _fingerprints_native
     q["exact_dedup_corpus"] = _exact_dedup_corpus
     q["dedup_corpus_near"] = _dedup_corpus_near
+    q["strip_diacritics"] = _strip_diacritics_q
     q["suffix_spans"] = _suffix_spans
     q["media_image_features"] = _media_features
     q["media_frame_samples"] = _frame_samples
@@ -395,6 +412,14 @@ from documents
     out["doc_fingerprints_native"] = q_fingerprints_native_twin(DUCK)
     out["minhash_dup_pairs_native"] = q_minhash_brute_twin(DUCK)
     out["embedding_dup_pairs_native"] = q_embedding_brute_twin(DUCK)
+    from intertext_spark.sqlqueries import q_dedup_corpus_near_twin
+
+    out["dedup_corpus_near"] = q_dedup_corpus_near_twin(DUCK)
+    out["strip_diacritics"] = """
+select doc_id,
+       strip_accents('Càfé Ü ñaïve çédille ' || text) as folded
+from documents
+"""
     out["exact_dedup_corpus"] = """
 select doc_id, lang, source, n_chars
 from (
@@ -419,9 +444,9 @@ where doc_id = keeper
         ("pipeline_match_strings", "pipeline_match_strings"),
         ("pipeline_scatter_aggs", "pipeline_scatter_aggs"),
         ("simhash_pairs_native", "simhash_pairs"),
+        ("suffix_spans", "suffix_spans"),
+        ("media_image_features", "media_image_features"),
+        ("media_frame_samples", "media_frame_samples"),
     ):
         out[qname] = f"select * from read_parquet('{fx}/{fname}.parquet')"
-    # Remaining native ops (suffix arrays, media stubs, near-dup corpus)
-    # stay rows-only here; exact-parity coverage lives in tests/ against
-    # brute-force / pure-Python oracles.
     return out

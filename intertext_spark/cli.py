@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--banish-distance", type=int, default=4)
     p.add_argument("--band-max-files", type=int, help="drop bands in more docs than this (boilerplate cap)")
     p.add_argument("--compute-probabilities", action="store_true")
+    p.add_argument("--strip-diacritics", action="store_true",
+                   help="fold diacritics before tokenization (reference --strip_diacritics)")
     p.add_argument("--suffix-pass", action="store_true", help="enable the long-verbatim suffix-array pass")
     p.add_argument("--update-metadata", action="store_true",
                    help="re-publish only (requires --checkpoint with prior run)")
@@ -141,6 +143,7 @@ def main(argv=None) -> int:
         band_max_files=args.band_max_files,
         compute_probabilities=args.compute_probabilities,
         enable_suffix_pass=args.suffix_pass,
+        strip_diacritics=args.strip_diacritics,
     )
     if args.update_metadata:
         return _republish_only(args, cfg)

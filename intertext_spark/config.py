@@ -38,6 +38,7 @@ class PipelineConfig:
     min_single_char_frac: float = 0.75  # single-char-word filter (intertext.py:498-501)
     encoding: str = "utf8"
     compute_probabilities: bool = False
+    strip_diacritics: bool = False   # unidecode-style fold (intertext.py:72, 1143-1144)
 
     # --- determinism ---
     seed: int = 42

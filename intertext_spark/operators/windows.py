@@ -14,9 +14,37 @@ Reference semantics:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import PipelineConfig
+
+
+def strip_diacritics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Diacritic folding of a text column (reference --strip_diacritics,
+    intertext.py:72, 131, 1143-1144).
+
+    NFD-decompose + drop combining marks, Arrow-batched with an ASCII
+    fast path (the overwhelmingly common case skips Python-level work).
+    Divergence note: the reference uses unidecode, which also
+    *transliterates* non-decomposable letters (ø->o, ß->ss); this fold
+    removes diacritics only — combining-mark accents (é à ü ñ ç ...) match
+    unidecode, bare special letters pass through."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def fold(s: pd.Series) -> pd.Series:
+        def f(t):
+            if t is None or t.isascii():
+                return t
+            return "".join(
+                ch for ch in unicodedata.normalize("NFD", t)
+                if not unicodedata.combining(ch)
+            )
+
+        return s.map(f)
+
+    return df.withColumn(text_col, fold(F.col(text_col)))
 
 
 def assign_file_ids(transcripts: DataFrame, mode: str = "sorted") -> DataFrame:

@@ -77,6 +77,10 @@ class Pipeline:
         self._run_token = json.dumps(
             [only_conv, sorted(excluded_convs or []), sorted(banished_convs or [])]
         )
+        if cfg.strip_diacritics:
+            from .operators.windows import strip_diacritics
+
+            transcripts = strip_diacritics(transcripts)
         doc_ids = self._stage("doc_ids", lambda: assign_file_ids(transcripts))
         docs = self._stage(
             "docs", lambda: docs_from_transcripts(transcripts, doc_ids)

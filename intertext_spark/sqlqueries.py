@@ -750,6 +750,70 @@ where j >= 0.5
 """
 
 
+def q_dedup_corpus_near_twin(d: Dialect) -> str:
+    """Twin of the near-dup survivor corpus (dedup_corpus over LSH pairs):
+    brute-force jaccard>=0.5 pairs (== the LSH+verify set, recall proven by
+    the minhash twin), connected components via a recursive transitive-
+    closure CTE, keeper = max quality (tie -> min doc_id) using the exact
+    quality formula of q_quality_native_twin, dup_group = min member id
+    (-1 for ungrouped, matching the entry wrapper's coalesce)."""
+    words = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')"
+    n_stop = f"len(list_filter(words, w -> lower(w) in ({_STOP20})))"
+    n_punct = "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))"
+    return f"""
+with recursive
+w as (select doc_id, text, {words} as words from documents),
+shingle_sets as (
+  select doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> array_to_string(list_slice(words, i, i + 2), ' '))) as sh
+  from w where len(words) >= 3
+),
+pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from shingle_sets a join shingle_sets b on a.doc_id < b.doc_id
+  where cast(len(list_intersect(a.sh, b.sh)) as double)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+),
+edges as (
+  select doc_a as s, doc_b as t from pairs
+  union all
+  select doc_b as s, doc_a as t from pairs
+),
+reach (s, t) as (
+  select s, t from edges
+  union
+  select r.s, e.t from reach r join edges e on r.t = e.s where e.t != r.s
+),
+labels as (
+  select s as doc_id, least(s, min(t)) as dup_group from reach group by s
+),
+quality as (
+  select doc_id,
+         cast(0.4 as double) * least(cast(len(words) as double) / 100, cast(1 as double))
+           + cast(0.3 as double) * (cast(1 as double) - cast({n_punct} as double) / length(text))
+           + cast(0.3 as double) * (cast(1 as double) - (cast(1 as double) - cast(len(list_distinct(words)) as double) / len(words)))
+         as q
+  from w where length(text) > 0
+),
+ranked as (
+  select l.doc_id, l.dup_group, coalesce(q.q, cast(0 as double)) as q
+  from labels l left join quality q using (doc_id)
+),
+keepers as (
+  select dup_group, doc_id as keeper from ranked
+  qualify row_number() over (partition by dup_group order by q desc, doc_id asc) = 1
+)
+select d.doc_id, d.lang, d.source, d.n_chars,
+       coalesce(l.dup_group, -1) as dup_group
+from documents d
+left join labels l on d.doc_id = l.doc_id
+left join keepers k on l.dup_group = k.dup_group
+where l.doc_id is null or d.doc_id = k.keeper
+"""
+
+
 # name -> template fn; shared by __spark_entry__.queries() and oracle_sql().
 TEMPLATES = {
     "exact_dedup": q_exact_dedup,

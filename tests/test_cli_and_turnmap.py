@@ -107,3 +107,48 @@ def test_cli_min_sim_guard():
     from intertext_spark.cli import main
 
     assert main(["--transcripts", "x", "--min-sim", "0"]) == 2
+
+
+def test_strip_diacritics_pipeline_parity(spark):
+    """Engine pipeline with strip_diacritics=True must equal the oracle run
+    on Python-side NFD-stripped words (reference --strip_diacritics,
+    intertext.py:1143-1144): accented and unaccented copies of the same
+    passage become verbatim matches only when folding is on."""
+    import unicodedata
+
+    def fold(t):
+        return "".join(c for c in unicodedata.normalize("NFD", t)
+                       if not unicodedata.combining(c))
+
+    base = ("le café était très fréquenté chaque matin señor Ibáñez "
+            "commandait un expresso serré avant de relire la dépêche "
+            "quotidienne puis il saluait la patronne et partait travailler "
+            "dans la vieille mairie près du fleuve tranquille") 
+    rows = []
+    texts = {
+        "c0": base,                      # accented
+        "c1": fold(base),                # pre-folded copy
+        "c2": "nothing shared here at all just filler words " * 6,
+    }
+    for cid, text in texts.items():
+        ws = text.split()
+        for t, i in ((" ".join(ws[i:i+12]), i // 12) for i in range(0, len(ws), 12)):
+            rows.append((cid, i, "user", t, None, None))
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+
+    from intertext_spark.pipeline import Pipeline
+
+    cfg = DEFAULT.with_(strip_diacritics=True)
+    res = Pipeline(spark, cfg).run(tdf)
+    got = {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b, r.similarity)
+        for r in res["matches"].collect()
+    }
+    wbc = {cid: fold(t).split() for cid, t in texts.items()}
+    ores = oracle.run_pipeline(wbc, DEFAULT)
+    want = set(map(tuple, ores["matches"]))
+    assert got == want and got  # folding makes c0/c1 verbatim duplicates
+
+    # without folding the accented/unaccented pair must NOT fully match
+    res2 = Pipeline(spark, DEFAULT).run(tdf)
+    assert res2["matches"].count() < len(want)

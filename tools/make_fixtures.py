@@ -202,6 +202,107 @@ def simhash_fixture(sf_dir: str, out_dir: str):
     print(f"simhash fixture: {len(out_a)} pairs")
 
 
+def suffix_spans_fixture(sf_dir: str, out_dir: str):
+    """Oracle for suffix_spans: candidate pairs by EXACT aligned 20-gram
+    tuple match (the engine seeds by 61-bit hash — a superset whose extra
+    collision pairs verify to nothing, so final outputs coincide), then the
+    per-pair common_spans verifier.  Reuses the pure-Python common_spans
+    kernel, so what this fixture independently checks is the distributed
+    orchestration (seeding recall, salted band join, pair formation,
+    mapInPandas plumbing), same philosophy as the shared-hash oracle."""
+    from intertext_spark.operators.suffixpass import common_spans
+
+    K = 20
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    words_of = {int(d): (t or "").split() for d, t in rows}
+    seen: dict[tuple, set[int]] = {}
+    for did, ws in words_of.items():
+        for i in range(len(ws) - K + 1):
+            seen.setdefault(tuple(ws[i:i + K]), set()).add(did)
+    pairs = set()
+    for docs in seen.values():
+        if len(docs) >= 2:
+            ds = sorted(docs)
+            for i in range(len(ds)):
+                for j in range(i + 1, len(ds)):
+                    pairs.add((ds[i], ds[j]))
+    out = []
+    for a, b in sorted(pairs):
+        for sa, sb, l in common_spans(words_of[a], words_of[b], K):
+            out.append((a, b, sa, sb, l))
+    pq.write_table(
+        pa.table({
+            "doc_a": pa.array([r[0] for r in out], pa.int64()),
+            "doc_b": pa.array([r[1] for r in out], pa.int64()),
+            "start_a": pa.array([r[2] for r in out], pa.int64()),
+            "start_b": pa.array([r[3] for r in out], pa.int64()),
+            "span_len": pa.array([r[4] for r in out], pa.int64()),
+        }),
+        os.path.join(out_dir, "suffix_spans.parquet"),
+    )
+    print(f"suffix spans fixture: {len(out)} spans from {len(pairs)} pairs")
+
+
+def media_fixtures(out_dir: str, n: int = 64, seed: int = 42):
+    """Oracles for the multimodal plumbing queries: re-derive the synthetic
+    media table (same seeded byte stream as multimodal.synthetic_media) and
+    the stub feature/phash kernels in plain Python — pins the Spark-side
+    plumbing (kind filter, JVM frame explode count, schema) against an
+    engine-free rederivation."""
+    import hashlib
+
+    rng = np.random.RandomState(seed)
+    media = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(256 + (i % 5) * 128)
+        dur = int(1000 + 250 * (i % 7)) if kind != "image" else None
+        media.append((i, kind, payload, dur))
+
+    def phash(p: bytes) -> int:
+        v = int.from_bytes(hashlib.sha256(p).digest()[:8], "big") >> 1
+        return v - (1 << 64) if v >= (1 << 63) else v  # to int64
+
+    def feature_csv(p: bytes, out_dim: int = 32) -> str:
+        h = hashlib.sha256(p).digest()
+        raw = np.frombuffer(
+            (h * ((out_dim * 4) // len(h) + 1))[: out_dim * 4], dtype=np.uint32
+        )
+        vals = (raw % 1000).astype(np.float32) / 1000.0
+        return ",".join(f"{float(v):.3f}" for v in vals)
+
+    imgs = [(m[0], phash(m[2]), feature_csv(m[2])) for m in media
+            if m[1] == "image"]
+    pq.write_table(
+        pa.table({
+            "media_id": pa.array([r[0] for r in imgs], pa.int64()),
+            "phash": pa.array([r[1] for r in imgs], pa.int64()),
+            "feature_csv": pa.array([r[2] for r in imgs]),
+        }),
+        os.path.join(out_dir, "media_image_features.parquet"),
+    )
+
+    frames = []
+    for mid, kind, payload, dur in media:
+        if kind != "video":
+            continue
+        n_frames = max(dur // 500, 1)
+        for idx in range(n_frames):
+            frames.append((mid, idx, phash(payload + bytes([idx % 256]))))
+    pq.write_table(
+        pa.table({
+            "media_id": pa.array([r[0] for r in frames], pa.int64()),
+            "frame_idx": pa.array([r[1] for r in frames], pa.int32()),
+            "frame_phash": pa.array([r[2] for r in frames], pa.int64()),
+        }),
+        os.path.join(out_dir, "media_frame_samples.parquet"),
+    )
+    print(f"media fixtures: {len(imgs)} images, {len(frames)} frames")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -215,6 +316,8 @@ def main():
     )
     os.makedirs(out_dir, exist_ok=True)
     simhash_fixture(sf_dir, out_dir)
+    suffix_spans_fixture(sf_dir, out_dir)
+    media_fixtures(out_dir)
     pipeline_fixtures(sf_dir, out_dir, cache)
 
 
