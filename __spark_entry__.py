@@ -42,7 +42,7 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversation, words split into 12-word turns, role cycling, ts =
     epoch + turn_idx.  Pure built-ins; byte-stable given the input."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.filter(F.split("text", r"\s+"), lambda w: w != "")
+    words = F.filter(F.split("text", r"(?U)\s+"), lambda w: w != "")
     turns = F.when(
         F.size(words) > 0,
         F.transform(
@@ -284,7 +284,7 @@ def _suffix_spans(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("file_id"),
-        F.filter(F.split("text", r"\s+"), lambda w: w != "").alias("words"),
+        F.filter(F.split("text", r"(?U)\s+"), lambda w: w != "").alias("words"),
     )
     return long_verbatim_spans(docs, span_words=20)
 

@@ -79,7 +79,7 @@ def _republish_only(args, cfg) -> int:
     missing — silently recomputing would defeat the flag's purpose."""
     from .session import get_spark
     from .store import CheckpointStore
-    from .operators.publish import display_matches, publish
+    from .operators.publish import display_matches, display_words, publish
 
     if not args.checkpoint:
         print("error: --update-metadata requires --checkpoint from a prior run",
@@ -88,7 +88,8 @@ def _republish_only(args, cfg) -> int:
     spark = get_spark(app="intertext-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     store = CheckpointStore(spark, args.checkpoint)
-    missing = [t for t in ("docs", "clusters") if store.manifest(t) is None]
+    missing = [t for t in ("docs", "clusters", "doc_ids")
+               if store.manifest(t) is None]
     if missing:
         print(f"error: checkpoint at {args.checkpoint} lacks stages {missing}; "
               "run the full pipeline once before --update-metadata",
@@ -98,11 +99,18 @@ def _republish_only(args, cfg) -> int:
     docs = store.read("docs")
     clusters = store.read("clusters")
     meta_df = _load_metadata(spark, args.metadata) if args.metadata else None
+    # display words come from the RAW transcripts (reference get_words keeps
+    # diacritics in display mode, intertext.py:1143-1144) — a publish-side
+    # derivation, not a pipeline stage (reference create_reader_data also
+    # re-reads inputs on the update path)
+    dwords = display_words(spark.read.parquet(args.transcripts),
+                           store.read("doc_ids"))
     disp = display_matches(
         clusters, docs, meta_df, cfg,
         compute_probabilities=args.compute_probabilities,
+        display_docs=dwords,
     )
-    publish(disp, docs, args.output, cfg)
+    publish(disp, docs, args.output, cfg, reader_words=dwords)
     print(json.dumps({
         "matches": None,
         "clusters": clusters.count(),
@@ -129,7 +137,7 @@ def main(argv=None) -> int:
     from .session import get_spark
     from .pipeline import Pipeline
     from .schemas import METADATA  # noqa: F401  (re-exported for callers)
-    from .operators.publish import display_matches, publish
+    from .operators.publish import display_matches, display_words, publish
 
     cfg = PipelineConfig(
         window_length=args.window_length,
@@ -162,11 +170,15 @@ def main(argv=None) -> int:
 
     meta_df = _load_metadata(spark, args.metadata) if args.metadata else None
 
+    # display words from the RAW transcripts (reference keeps diacritics in
+    # display mode): feed both match-string reconstruction and reader texts
+    dwords = display_words(transcripts, res["doc_ids"])
     disp = display_matches(
         res["clusters"], res["docs"], meta_df, cfg,
         compute_probabilities=args.compute_probabilities,
+        display_docs=dwords,
     )
-    publish(disp, res["docs"], args.output, cfg)
+    publish(disp, res["docs"], args.output, cfg, reader_words=dwords)
 
     n_matches = res["matches"].count()
     n_clusters = res["clusters"].count()

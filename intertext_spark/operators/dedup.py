@@ -233,7 +233,9 @@ def verify_jaccard(
 ) -> DataFrame:
     """Exact word-shingle Jaccard verification of candidate pairs ->
     (doc_a, doc_b, jaccard) filtered to >= threshold.  JVM-side set ops."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    from .windows import WS
+
+    words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
     sh = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),
@@ -290,11 +292,26 @@ def doc_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return sel.mapInPandas(compute, _SIMHASH_SCHEMA)
 
 
-def simhash_dup_pairs(sims: DataFrame, max_hamming: int = 3, n_chunks: int = 4) -> DataFrame:
+def simhash_dup_pairs(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+    chunk_max_docs: int | None = None,
+) -> DataFrame:
     """Hamming-ball join: split the 64-bit signature into ``n_chunks``
-    16-bit chunks; any pair within distance <= n_chunks-1 shares a chunk
+    chunks; any pair within distance <= n_chunks-1 shares a chunk
     (pigeonhole — exact recall for max_hamming <= n_chunks-1); verify with
-    JVM-side bit_count(xor)."""
+    JVM-side bit_count(xor).
+
+    Shape note (measured at sf0.1): verify here is ONE xor+popcount per
+    collision row — strictly cheaper than the extra shuffle a
+    dedup-candidates-first pass (the minhash/difflib shape, where verify
+    is expensive) would spend, so the plan is equi-join -> verify ->
+    filter -> distinct, keeping the distinct on the small post-filter set.
+    Skew/boilerplate control is ``chunk_max_docs``: chunk values held by
+    more docs than the cap are non-discriminative (the band_max_files
+    analog) and are dropped by a pre-join frequency filter; residual hot
+    values are AQE skew-join territory."""
     width = 64 // n_chunks
     mask = (1 << width) - 1
     chunk_arr = F.array(
@@ -311,6 +328,14 @@ def simhash_dup_pairs(sims: DataFrame, max_hamming: int = 3, n_chunks: int = 4) 
     chunked = sims.select(
         "doc_id", "simhash", F.explode(chunk_arr).alias("c")
     ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    if chunk_max_docs is not None:
+        keep = (
+            chunked.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") <= chunk_max_docs)
+            .select("chunk_idx", "chunk_val")
+        )
+        chunked = chunked.join(keep, ["chunk_idx", "chunk_val"], "left_semi")
     l = chunked.select(
         F.col("chunk_idx"), F.col("chunk_val"),
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),

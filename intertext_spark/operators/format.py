@@ -17,29 +17,44 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..config import PipelineConfig
 
 
-def match_strings(clusters: DataFrame, docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def match_strings(
+    clusters: DataFrame,
+    docs: DataFrame,
+    cfg: PipelineConfig,
+    trim_br: bool = False,
+) -> DataFrame:
     """clusters + docs(file_id, words) -> prematch / match / postmatch
     strings per side (intertext.py:661-668: start = min(window_ids)*slide,
-    end = max(window_ids)*slide + window)."""
+    end = max(window_ids)*slide + window).
+
+    ``trim_br=True`` is the display-words mode (reference format_matches
+    passes display-mode words, intertext.py:586-587, 664-666): prematch
+    drops leading and postmatch trailing ``<br/>`` markers.  Divergence
+    note: the reference uses str.lstrip('<br/>'), which strips any of the
+    CHARACTERS < b r / > (it would eat 'br' off a prematch starting with
+    'bread'); we strip only whole literal markers."""
     w, s = cfg.window_length, cfg.slide_length
 
     def strings(words_col, ids_col, prefix):
         start = F.array_min(ids_col) * s
         end = F.array_max(ids_col) * s + w
         pre_from = F.greatest(start - w, F.lit(0))
+        pre = F.array_join(
+            F.slice(words_col, (pre_from + 1).cast("int"),
+                    (start - pre_from).cast("int")),
+            " ",
+        )
+        post = F.array_join(F.slice(words_col, (end + 1).cast("int"), w), " ")
+        if trim_br:
+            pre = F.regexp_replace(pre, r"^(<br/>)+", "")
+            post = F.regexp_replace(post, r"(<br/>)+$", "")
         return [
-            F.array_join(
-                F.slice(words_col, (pre_from + 1).cast("int"),
-                        (start - pre_from).cast("int")),
-                " ",
-            ).alias(f"{prefix}_prematch"),
+            pre.alias(f"{prefix}_prematch"),
             F.array_join(
                 F.slice(words_col, (start + 1).cast("int"), (end - start).cast("int")),
                 " ",
             ).alias(f"{prefix}_match"),
-            F.array_join(
-                F.slice(words_col, (end + 1).cast("int"), w), " "
-            ).alias(f"{prefix}_postmatch"),
+            post.alias(f"{prefix}_postmatch"),
         ]
 
     da = docs.select(
@@ -96,7 +111,7 @@ def match_probabilities(
             )
         ).alias("s"),
     ).select(
-        *key, "s.side", F.explode(F.split("s.txt", r"\s+")).alias("word")
+        *key, "s.side", F.explode(F.split("s.txt", r"(?U)\s+")).alias("word")
     )
     probs = (
         sides.join(counts, "word", "left")

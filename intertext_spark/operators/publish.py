@@ -33,12 +33,15 @@ def display_words(transcripts: DataFrame, doc_ids: DataFrame) -> DataFrame:
     newline reflow, get_words display branch, intertext.py:1146-1156; a
     turn boundary plays the role of a newline in transcripts).
 
-    -> (file_id, display_words: array<string>).  Built-ins only: per-turn
-    word arrays get ``<br/>`` glued onto their last word, empty turns
-    collapse into the <=2-consecutive rule via the marker count cap.
+    -> (file_id, conv_id, display_words: array<string>).  Built-ins only:
+    per-turn word arrays get ``<br/>`` glued onto their last word, empty
+    turns collapse into the <=2-consecutive rule via the marker count cap.
+    Markers are appended to existing words (never standalone tokens), so
+    display words align index-for-index with the plain word stream and the
+    window slice arithmetic stays valid — same invariant as the reference.
     """
     words_of = F.filter(
-        F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda w: w != ""
+        F.split(F.coalesce("text", F.lit("")), r"(?U)\s+"), lambda w: w != ""
     )
     per_turn = transcripts.groupBy("conv_id").agg(
         F.array_sort(
@@ -61,7 +64,7 @@ def display_words(transcripts: DataFrame, doc_ids: DataFrame) -> DataFrame:
         ).alias("display_words"),
     )
     return glued.join(F.broadcast(doc_ids), "conv_id").select(
-        "file_id", "display_words"
+        "file_id", "conv_id", "display_words"
     )
 
 
@@ -71,9 +74,23 @@ def display_matches(
     metadata: DataFrame | None,
     cfg: PipelineConfig,
     compute_probabilities: bool = False,
+    display_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """-> one row per passage cluster with the reference's display fields."""
-    fm = match_strings(clusters, docs, cfg)
+    """-> one row per passage cluster with the reference's display fields.
+
+    ``display_docs`` is display_words() output (file_id, conv_id,
+    display_words) — when given, match strings are built from it with
+    <br/> trimming, matching reference format_matches (intertext.py:
+    586-587); word counts for probabilities still come from the PLAIN
+    ``docs`` (reference get_word_counts, intertext.py:1249-1258 — display
+    tokens ending in <br/> simply count 0, both sides)."""
+    if display_docs is not None:
+        string_docs = display_docs.select(
+            "file_id", "conv_id", F.col("display_words").alias("words")
+        )
+    else:
+        string_docs = docs
+    fm = match_strings(clusters, string_docs, cfg, trim_br=display_docs is not None)
     if metadata is not None:
         fm = enrich_metadata(fm, metadata)
     else:
@@ -123,9 +140,14 @@ def publish(
     docs: DataFrame,
     out_dir: str,
     cfg: PipelineConfig,
+    reader_words: DataFrame | None = None,
 ) -> None:
     """Write the api/ tree: per-file match lists, 6 sort indices, 12
-    scatterplot files, reader texts, config.json."""
+    scatterplot files, reader texts, config.json.
+
+    ``reader_words`` (file_id, conv_id, display_words) feeds the texts/
+    tree with display-mode words (<br/> turn markers), matching reference
+    create_reader_data (intertext.py:790-796); plain docs.words otherwise."""
     api = os.path.join(out_dir, "api")
     for sub in ("matches", "indices", "scatterplots", "texts"):
         os.makedirs(os.path.join(api, sub), exist_ok=True)
@@ -220,8 +242,15 @@ def publish(
                 with open(os.path.join(api, "scatterplots", fn), "w") as f:
                     json.dump(data, f)
 
-    # --- reader texts (intertext.py:790-796): per-file word arrays ---
-    for r in docs.select("file_id", "words").collect():
+    # --- reader texts (intertext.py:790-796): per-file word arrays in
+    # display mode when reader_words is given ---
+    if reader_words is not None:
+        texts_df = reader_words.select(
+            "file_id", F.col("display_words").alias("words")
+        )
+    else:
+        texts_df = docs.select("file_id", "words")
+    for r in texts_df.collect():
         with open(os.path.join(api, "texts", f"{r.file_id}.json"), "w") as f:
             json.dump(list(r.words), f)
 

@@ -19,6 +19,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import PipelineConfig
 
+# Unicode-aware whitespace split: Java's \s is ASCII-only, but the reference
+# tokenizes with python str.split() (intertext.py:1158), which splits on the
+# Unicode whitespace property (NBSP, U+2028, \x85, ...).  (?U) turns on
+# UNICODE_CHARACTER_CLASS so \s matches the same set.  Every engine-side
+# tokenization site uses this pattern; the SQL-twin oracles keep ASCII \s
+# (DuckDB RE2 has no equivalent) and are exercised on the ASCII gate corpus.
+WS = r"(?U)\s+"
+
 
 def strip_diacritics(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Diacritic folding of a text column (reference --strip_diacritics,
@@ -128,7 +136,7 @@ def docs_from_transcripts(transcripts: DataFrame, doc_ids: DataFrame) -> DataFra
             F.filter(
                 F.split(
                     F.array_join(F.transform("turns", lambda t: t["text"]), " "),
-                    r"\s+",
+                    WS,
                 ),
                 lambda w: w != "",
             ).alias("words"),
@@ -150,7 +158,7 @@ def window_turn_map(transcripts: DataFrame, doc_ids: DataFrame, cfg: PipelineCon
     built-ins: per-turn word counts -> running offsets (window function)
     -> per-turn overlapping-window range -> explode."""
     w, s = cfg.window_length, cfg.slide_length
-    words = F.filter(F.split(F.coalesce("text", F.lit("")), r"\s+"), lambda x: x != "")
+    words = F.filter(F.split(F.coalesce("text", F.lit("")), WS), lambda x: x != "")
     from pyspark.sql import Window as W
 
     sized = transcripts.select(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -33,6 +34,29 @@ from .operators.graph import (
 def _fingerprint(cfg: PipelineConfig, *parts: str) -> str:
     payload = json.dumps([asdict(cfg), *parts], sort_keys=True, default=str)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _input_snapshot(df: DataFrame) -> str:
+    """Content snapshot of the input source: file list + size + mtime.
+    Folded into stage fingerprints so appended/rewritten data at the same
+    path invalidates checkpoints instead of silently serving stale stage
+    outputs.  Empty for non-file inputs (in-memory test frames), where the
+    caller's input_token is the only identity — same behavior as before."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return ""
+    parts = []
+    for f in files:
+        path = f[5:] if f.startswith("file:") else f
+        try:
+            st = os.stat(path)
+            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+        except OSError:
+            parts.append(f)
+    if not parts:
+        return ""
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
 
 
 class Pipeline:
@@ -75,7 +99,8 @@ class Pipeline:
     ) -> dict:
         cfg = self.cfg
         self._run_token = json.dumps(
-            [only_conv, sorted(excluded_convs or []), sorted(banished_convs or [])]
+            [only_conv, sorted(excluded_convs or []), sorted(banished_convs or []),
+             _input_snapshot(transcripts)]
         )
         if cfg.strip_diacritics:
             from .operators.windows import strip_diacritics

@@ -152,3 +152,24 @@ def test_strip_diacritics_pipeline_parity(spark):
     # without folding the accented/unaccented pair must NOT fully match
     res2 = Pipeline(spark, DEFAULT).run(tdf)
     assert res2["matches"].count() < len(want)
+
+
+def test_unicode_whitespace_tokenization(spark):
+    """Engine tokenization must match python str.split() on Unicode
+    whitespace (NBSP, U+2028, NEL...) — Java's default \\s is ASCII-only
+    (ADVICE r01); all engine sites use the (?U) pattern."""
+    from intertext_spark.operators.windows import (
+        assign_file_ids, docs_from_transcripts,
+    )
+
+    text = "alpha beta gamma delta 　epsilon\x85zeta"
+    rows = [("c", 0, "user", text, None, None)]
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    ids = assign_file_ids(tdf)
+    got = list(docs_from_transcripts(tdf, ids).head().words)
+    assert got == text.split()
+
+    from intertext_spark.operators.textstats import token_stats
+
+    ts = token_stats(spark.createDataFrame([(0, text)], ["doc_id", "text"])).head()
+    assert ts.n_tokens == len(text.split())

@@ -141,3 +141,32 @@ def test_elegy_reference_corpus_parity(spark):
     for node, lab in ores["groups"].items():
         og.setdefault(lab, set()).add(node)
     assert sorted(map(sorted, sg.values())) == sorted(map(sorted, og.values()))
+
+
+def test_checkpoint_invalidated_by_input_change(spark, small_planted, tmp_path):
+    """Appending data at the same --transcripts path must invalidate the
+    checkpoints (input content snapshot in the fingerprint) — previously
+    the matching path token silently served stale stage outputs."""
+    rows = small_planted.rows
+    tpath = str(tmp_path / "t.parquet")
+    spark.createDataFrame(rows, schemas.TRANSCRIPTS).write.parquet(tpath)
+    root = str(tmp_path / "ckpt")
+
+    p1 = Pipeline(spark, DEFAULT, checkpoint_root=root, input_token=tpath)
+    p1.run(spark.read.parquet(tpath))
+    assert not any(s["skipped"] for s in p1.stage_log)
+
+    # unchanged input -> full resume
+    p2 = Pipeline(spark, DEFAULT, checkpoint_root=root, input_token=tpath)
+    p2.run(spark.read.parquet(tpath))
+    assert all(s["skipped"] for s in p2.stage_log)
+
+    # append a new conversation at the same path -> everything rebuilds
+    extra = [("zz-new-conv", 0, "user",
+              " ".join(f"brand new words {i}" for i in range(20)), None, None)]
+    spark.createDataFrame(extra, schemas.TRANSCRIPTS).write.mode(
+        "append").parquet(tpath)
+    p3 = Pipeline(spark, DEFAULT, checkpoint_root=root, input_token=tpath)
+    r3 = p3.run(spark.read.parquet(tpath))
+    assert not any(s["skipped"] for s in p3.stage_log)
+    assert r3["doc_ids"].count() == len({r[0] for r in rows}) + 1

@@ -9,7 +9,11 @@ import pytest
 from intertext_spark import corpus, schemas
 from intertext_spark.config import DEFAULT
 from intertext_spark.pipeline import Pipeline
-from intertext_spark.operators.publish import display_matches, publish
+from intertext_spark.operators.publish import (
+    display_matches,
+    display_words,
+    publish,
+)
 
 REFERENCE_FIELDS = {
     "_id", "similarity", "probability",
@@ -41,9 +45,10 @@ def published(spark, tmp_path_factory):
         [(c, f"au-{c}", f"ti-{c}", 1900 + i, f"http://x/{c}") for i, c in enumerate(sorted(convs))],
         schemas.METADATA,
     )
+    dwords = display_words(tdf, res["doc_ids"])
     disp = display_matches(res["clusters"], res["docs"], meta, DEFAULT,
-                           compute_probabilities=True)
-    publish(disp, res["docs"], out, DEFAULT)
+                           compute_probabilities=True, display_docs=dwords)
+    publish(disp, res["docs"], out, DEFAULT, reader_words=dwords)
     return out, disp, res
 
 
@@ -83,12 +88,42 @@ def test_artifact_tree(published):
 
 
 def test_reader_texts_roundtrip(published):
+    """texts/ carries display-mode words (reference create_reader_data,
+    intertext.py:790-796): <br/> turn markers glued to words, 1:1 index
+    alignment with the plain word stream."""
     out, _, res = published
     api = os.path.join(out, "api")
     doc = res["docs"].head()
     with open(os.path.join(api, "texts", f"{doc.file_id}.json")) as f:
         words = json.load(f)
-    assert words == list(doc.words)
+    assert any(w.endswith("<br/>") for w in words)  # turn markers present
+    plain = [w.removesuffix("<br/>") for w in words]
+    assert plain == list(doc.words)
+
+
+def test_display_match_strings_marked_and_trimmed(published):
+    """Match strings come from display words: interior turn boundaries keep
+    their <br/>, prematch never starts with a marker, postmatch never ends
+    with one (reference get_match_strings lstrip/rstrip intent,
+    intertext.py:664-666)."""
+    _, disp, res = published
+    rows = disp.collect()
+    # the planted corpus has 12-word turns vs 14-word windows, so matches
+    # span turn boundaries and the match strings must carry markers
+    assert any("<br/>" in r.source_match for r in rows)
+    for r in rows:
+        assert not r.source_prematch.startswith("<br/>")
+        assert not r.target_prematch.startswith("<br/>")
+        assert not r.source_postmatch.endswith("<br/>")
+        assert not r.target_postmatch.endswith("<br/>")
+    # marker-stripped display match equals the plain-words reconstruction
+    words_of = {d.file_id: list(d.words) for d in res["docs"].collect()}
+    w, s = DEFAULT.window_length, DEFAULT.slide_length
+    for r in rows[:25]:
+        ids = list(r.source_segment_ids)
+        start, end = min(ids) * s, max(ids) * s + w
+        plain = " ".join(words_of[r.source_file_id][start:end])
+        assert r.source_match.replace("<br/>", "") == plain
 
 
 def test_display_words_turn_markers(spark):
