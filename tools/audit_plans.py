@@ -84,6 +84,43 @@ def main():
         ],
     )
 
+    # round-2 operators: multi-table embedding LSH and doc-level dedup
+    from intertext_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    buckets = dedup.hyperplane_buckets(emb, n_planes=3, dim=64, n_tables=8)
+    epairs = dedup.embedding_dup_pairs(buckets, min_cosine=0.35)
+    record(
+        "embedding_lsh", epairs,
+        [
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            ("candidate distinct happens before the embedding fetch "
+             "(HashAggregate below the final joins)",
+             lambda p: "HashAggregate" in p),
+        ],
+    )
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    record(
+        "exact_dedup", dedup.exact_dup_groups(docs_tbl),
+        [
+            # single window aggregate = exactly one exchange (count plan
+            # nodes, not text hits — formatted plans repeat each node in
+            # the detail section)
+            ("one shuffle only",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no join-back", lambda p: "Join" not in p),
+        ],
+    )
+    sims = dedup.doc_simhash(docs_tbl)
+    record(
+        "simhash_pairs", dedup.simhash_dup_pairs(sims, chunk_max_docs=256),
+        [
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            ("hamming verify filter inside codegen (bit_count pre-distinct)",
+             lambda p: "bit_count" in p),
+        ],
+    )
+
     # column pruning on a real parquet scan: read only 2 of 5 columns
     pruned = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars"
