@@ -322,6 +322,44 @@ def _strip_diacritics_q(spark, sf_dir):
     return strip_diacritics(docs).select("doc_id", F.col("text").alias("folded"))
 
 
+def _contamination_q(spark, sf_dir):
+    """Train/eval decontamination over a deterministic 6:1 split of the
+    documents table (bench = doc_id % 7 == 0), word-5-grams."""
+    from intertext_spark.operators.decontaminate import contamination
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    out = contamination(train, bench, ngram=5)
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated",
+        _round4(F.col("contaminated_frac")).alias("contaminated_frac"),
+    )
+
+
+def _redact_pii_q(spark, sf_dir):
+    """PII scrub on corpus text with injected email/SSN/IP/phone shapes;
+    oracle is the identical RE2 regexp_replace chain in DuckDB."""
+    from intertext_spark.operators.textstats import redact_pii
+
+    pii = ("Contact john.doe+x@example.org or 555-123-4567, "
+           "SSN 123-45-6789, IP 10.0.0.1 -- ")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit(pii), F.col("text")).alias("text")
+    )
+    return redact_pii(docs).select("doc_id", F.col("text").alias("redacted"))
+
+
+def _bpe_tokens_q(spark, sf_dir):
+    from intertext_spark.operators.textstats import bpe_token_stats
+
+    out = bpe_token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_ws_tokens", "n_bpe_pieces",
+        _round4(F.col("pieces_per_word")).alias("pieces_per_word"),
+    )
+
+
 def _match_strings_q(spark, sf_dir):
     from intertext_spark.operators import format as fmt
 
@@ -367,6 +405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup_corpus"] = _exact_dedup_corpus
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
+    q["contamination"] = _contamination_q
+    q["redact_pii"] = _redact_pii_q
+    q["bpe_token_stats"] = _bpe_tokens_q
     q["suffix_spans"] = _suffix_spans
     q["media_image_features"] = _media_features
     q["media_frame_samples"] = _frame_samples
@@ -419,6 +460,59 @@ from documents
 select doc_id,
        strip_accents('Càfé Ü ñaïve çédille ' || text) as folded
 from documents
+"""
+    out["contamination"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+grams as (
+  select doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(words) - 4),
+           i -> array_to_string(list_slice(words, i, i + 4), ' '))) as gs
+  from w where len(words) >= 5
+),
+bench as (select distinct unnest(gs) as gram from grams where doc_id % 7 = 0),
+train as (select doc_id, gs from grams where doc_id % 7 != 0),
+hits as (
+  select doc_id, count(*) as n_contaminated
+  from (select doc_id, unnest(gs) as gram from train)
+  where gram in (select gram from bench)
+  group by doc_id
+)
+select t.doc_id,
+       len(t.gs) as n_grams,
+       coalesce(h.n_contaminated, 0) as n_contaminated,
+       cast(floor((cast(coalesce(h.n_contaminated, 0) as double) / len(t.gs)) * 10000 + 0.5) / 10000 as double) as contaminated_frac
+from train t left join hits h using (doc_id)
+"""
+    from intertext_spark.operators.textstats import (
+        BPE_SPLIT_PATTERN,
+        PII_PATTERNS,
+    )
+
+    # DuckDB string literals are standard-SQL (backslash is literal), so
+    # the Java-regex pattern strings pass through verbatim — only quotes
+    # need escaping
+    redact_expr = "'Contact john.doe+x@example.org or 555-123-4567, SSN 123-45-6789, IP 10.0.0.1 -- ' || text"
+    for _, pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        redact_expr = f"regexp_replace({redact_expr}, '{p}', '{repl}', 'g')"
+    out["redact_pii"] = f"select doc_id, {redact_expr} as redacted from documents"
+    bp = BPE_SPLIT_PATTERN.replace("'", "''")
+    out["bpe_token_stats"] = f"""
+with base as (
+  select doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) as n_ws_tokens,
+         len(regexp_extract_all(text, '{bp}')) as n_bpe_pieces
+  from documents
+)
+select doc_id, n_ws_tokens, n_bpe_pieces,
+       cast(floor((cast(n_bpe_pieces as double) / n_ws_tokens) * 10000 + 0.5) / 10000 as double) as pieces_per_word
+from base
+where n_ws_tokens > 0
 """
     out["exact_dedup_corpus"] = """
 select doc_id, lang, source, n_chars

@@ -1,0 +1,106 @@
+"""Train/eval decontamination: flag training documents that share word
+n-grams with a benchmark/eval set (no reference counterpart — standard
+LLM-training-data hygiene, same family as the dedup operators the task
+brief mandates).
+
+Plan shape for 100 TB: the benchmark side is small (eval suites are MBs,
+the training corpus is the 100 TB side), so its distinct gram set is
+aggregated and BROADCAST — the training side is a single scan + explode +
+broadcast semi-join + groupBy(doc_id), no big-table shuffle on the gram
+key.  With ``hashed=True`` the broadcast carries 8-byte xxhash64 values
+instead of gram strings (~10x smaller broadcast; 64-bit collisions can
+only overcount contamination, never miss it).  The exact-string mode is
+the oracle-checkable default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .windows import WS
+
+
+def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int):
+    words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
+    # guard: sequence(1, 0) counts DOWN in Spark — short docs need an
+    # explicit empty-array branch
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i.cast("int"), n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).alias("n_words"),
+        grams.alias("grams"),
+    )
+
+
+def contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    hashed: bool = False,
+) -> DataFrame:
+    """-> (doc_id, n_grams, n_contaminated, contaminated_frac) per train
+    doc with at least one n-gram (docs shorter than ``ngram`` words have
+    nothing to leak at this granularity and are omitted).
+
+    n_contaminated counts DISTINCT contaminated grams per doc, so the
+    fraction is set-overlap, not occurrence-weighted.
+    """
+    bench_grams = (
+        _word_ngrams(bench, id_col, text_col, ngram)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    tg = _word_ngrams(train, id_col, text_col, ngram)
+    exploded = tg.select(
+        "doc_id", F.explode(F.array_distinct("grams")).alias("gram")
+    )
+    if hashed:
+        bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
+        exploded = exploded.select(
+            "doc_id", F.xxhash64("gram").alias("gram")
+        )
+    hits = (
+        exploded.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = tg.select(
+        "doc_id", F.size(F.array_distinct("grams")).alias("n_grams")
+    ).where(F.col("n_grams") > 0)
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        (
+            F.coalesce("n_contaminated", F.lit(0)).cast("double")
+            / F.col("n_grams")
+        ).alias("contaminated_frac"),
+    )
+
+
+def decontaminated_corpus(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+    max_frac: float = 0.0,
+    hashed: bool = True,
+) -> DataFrame:
+    """The end product: training corpus minus docs whose contaminated-gram
+    fraction exceeds ``max_frac`` (0.0 = drop on any overlap).  Keeps all
+    original columns; docs too short to carry an n-gram are kept."""
+    bad = (
+        contamination(train, bench, id_col, text_col, ngram, hashed)
+        .where(F.col("contaminated_frac") > max_frac)
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return train.join(bad, id_col, "left_anti")

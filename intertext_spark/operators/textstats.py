@@ -128,6 +128,58 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return sel.mapInPandas(compute, out_schema)
 
 
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no backreferences/lookaround, greedy quantifiers
+# whose match is unambiguous.  Order matters: email before phone so the
+# digits of user123@... are not phone-mangled first.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None) -> DataFrame:
+    """Replace email / SSN / IPv4 / phone shapes with typed placeholders —
+    the standard pre-training scrub pass.  Pure JVM regexp_replace chain
+    (whole-stage codegen; no Python on the data plane)."""
+    col = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, repl)
+    return df.withColumn(out_col or text_col, col)
+
+
+# GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
+# punctuation runs, whitespace runs — each optionally space-prefixed.
+# Written to parse identically under Java regex and RE2 (both are
+# leftmost-first here; \p{L}/\p{N} supported by both).
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_ws_tokens, n_bpe_pieces, pieces_per_word): token
+    counting with a BPE-ish pre-tokenizer regex next to the whitespace
+    count — the cost metric a training pipeline budgets by.  JVM-side
+    regexp_count; no Python."""
+    words = _WORDS(text_col)
+    pieces = F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_PATTERN))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words).alias("n_ws_tokens"),
+            pieces.alias("n_bpe_pieces"),
+        )
+        .where(F.col("n_ws_tokens") > 0)
+        .withColumn(
+            "pieces_per_word",
+            F.col("n_bpe_pieces").cast("double") / F.col("n_ws_tokens"),
+        )
+    )
+
+
 def doc_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

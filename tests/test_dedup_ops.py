@@ -210,3 +210,58 @@ def test_multi_table_lsh_recall(spark):
     multi = recall(3, 32)
     assert single < 0.9, f"single-table recall unexpectedly high: {single}"
     assert multi >= 0.95, f"multi-table recall too low: {multi}"
+
+
+def test_contamination_planted(spark):
+    from intertext_spark.operators import decontaminate
+
+    bench_text = "the secret benchmark passage that must never leak into training"
+    rows = [
+        (0, "totally clean document with its own words only here today"),
+        (1, "prefix words then " + bench_text + " then suffix words"),   # leaks
+        (2, bench_text),                                                 # verbatim
+        (3, "short doc"),                                                # < ngram
+    ]
+    train = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    for hashed in (False, True):
+        got = {
+            r.doc_id: (r.n_contaminated, r.n_grams)
+            for r in decontaminate.contamination(
+                train, bench, ngram=5, hashed=hashed
+            ).collect()
+        }
+        assert got[0][0] == 0
+        assert got[1][0] == 6  # the 6 aligned 5-grams of the 10-word passage
+        assert got[2] == (6, 6)  # verbatim: every gram contaminated
+        assert 3 not in got  # too short to carry a 5-gram
+
+    survivors = decontaminate.decontaminated_corpus(
+        train, bench, ngram=5, max_frac=0.0
+    )
+    assert {r.doc_id for r in survivors.collect()} == {0, 3}
+
+
+def test_redact_pii_shapes(spark):
+    from intertext_spark.operators.textstats import redact_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a@b.co phone 555-123-4567 ssn 123-45-6789 ip 8.8.8.8 ok")],
+        ["doc_id", "text"],
+    )
+    out = redact_pii(df).head().text
+    assert out == "mail <EMAIL> phone <PHONE> ssn <SSN> ip <IP> ok"
+
+
+def test_bpe_token_stats_shapes(spark):
+    from intertext_spark.operators.textstats import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(0, "it's 2024, tokenizer-ready text!"), (1, "plain words here")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in bpe_token_stats(df).collect()}
+    # "it's 2024, tokenizer-ready text!" pieces:
+    # it | 's | <sp>2024 | , | <sp>tokenizer | - | ready | <sp>text | !
+    assert got[0].n_bpe_pieces == 9 and got[0].n_ws_tokens == 4
+    assert got[1].n_bpe_pieces == 3 and got[1].n_ws_tokens == 3
