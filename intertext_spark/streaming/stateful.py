@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: conversation assembly with
+``applyInPandasWithState`` (the arbitrary-stateful-processing surface the
+north star calls for, complementing incremental.py's foreachBatch path).
+
+A transcript stream delivers turns one micro-batch at a time, possibly
+split across batches.  The assembler keeps per-conv state (turn_idx, text
+pairs) and emits one assembled row per conversation once the conversation
+has been quiet for ``quiet_ms`` of processing time — the streaming analog
+of docs_from_transcripts (same turn-ordered join, so downstream signing
+sees identical word streams; parity-tested).
+
+State is bounded: one (turn_idxs, texts) pair per in-flight conversation,
+cleared on emission via the processing-time timeout — the standard
+applyInPandasWithState session-window recipe.
+
+Operational note (measured): with ProcessingTimeTimeout the engine keeps
+scheduling micro-batches to fire expired timers, so
+``query.processAllAvailable()`` can starve — poll the sink (or use
+awaitTermination windows) instead of processAllAvailable when driving
+this operator.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ASSEMBLED_SCHEMA = "conv_id string, n_turns int, text string"
+_STATE_SCHEMA = "turn_idxs array<int>, texts array<string>"
+
+
+def assemble_conversations(stream: DataFrame, quiet_ms: int = 2000) -> DataFrame:
+    """transcript stream (conv_id, turn_idx, text, ...) -> assembled
+    conversations (conv_id, n_turns, text), one row per conv, emitted after
+    ``quiet_ms`` without new turns for that conv."""
+
+    def assemble(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turn_idxs, texts = state.get
+            state.remove()
+            order = sorted(range(len(turn_idxs)), key=lambda i: turn_idxs[i])
+            joined = " ".join(texts[i] or "" for i in order)
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [len(turn_idxs)],
+                    "text": [joined],
+                }
+            )
+            return
+        turn_idxs, texts = (state.get if state.exists else ([], []))
+        turn_idxs, texts = list(turn_idxs), list(texts)
+        for pdf in pdfs:
+            turn_idxs.extend(int(t) for t in pdf["turn_idx"])
+            texts.extend("" if t is None else str(t) for t in pdf["text"])
+        state.update((turn_idxs, texts))
+        state.setTimeoutDuration(quiet_ms)
+        yield pd.DataFrame({"conv_id": [], "n_turns": [], "text": []})
+
+    return (
+        stream.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            assemble,
+            outputStructType=ASSEMBLED_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -105,3 +105,60 @@ def test_streaming_turn_dedup_and_throughput(spark, planted, tmp_path):
     # totals match the static frame
     total_turns = sum(r.n_turns for r in rows_out)
     assert total_turns == len(rows)
+
+
+
+def test_stateful_conversation_assembly(spark, tmp_path):
+    """applyInPandasWithState assembler: turns split across micro-batches
+    reassemble into the same word stream docs_from_transcripts produces,
+    emitted after the quiet timeout.  The sink is POLLED — with
+    ProcessingTimeTimeout the engine keeps scheduling timeout batches, so
+    processAllAvailable can starve (see stateful.py)."""
+    import time
+
+    from intertext_spark.streaming.stateful import assemble_conversations
+    from intertext_spark.streaming.incremental import stream_transcripts
+
+    src = str(tmp_path / "turns")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schemas.TRANSCRIPTS).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # conv A split across two files (micro-batches), conv B whole in one
+    write_batch([("A", 0, "user", "alpha beta", None, None),
+                 ("B", 0, "user", "x y z", None, None),
+                 ("B", 1, "assistant", "w v", None, None)])
+    write_batch([("A", 1, "assistant", "gamma delta", None, None),
+                 ("A", 2, "user", "epsilon", None, None)])
+
+    out = assemble_conversations(stream_transcripts(spark, src), quiet_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("assembled")
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    got = {}
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = {
+                r.conv_id: r
+                for r in spark.sql("select * from assembled").collect()
+            }
+            if {"A", "B"} <= set(got):
+                break
+            assert q.exception() is None, q.exception()
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert {"A", "B"} <= set(got)
+    assert got["A"].n_turns == 3
+    assert got["A"].text == "alpha beta gamma delta epsilon"
+    assert got["B"].n_turns == 2
+    assert got["B"].text == "x y z w v"
