@@ -213,6 +213,24 @@ def _ann_topk_native(spark, sf_dir):
     )
 
 
+def _ivf_topk_native(spark, sf_dir):
+    """IVF ANN at nprobe == n_centroids (exact mode) — oracle-checked
+    against the brute-force cosine_topk template; the recall-vs-nprobe
+    trade is pytest-measured (test_ivf_recall_vs_nprobe)."""
+    from intertext_spark.operators.dedup import ivf_assign, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").head().embedding]
+    assigned, cents = ivf_assign(emb.where("vec_id != 0"), n_centroids=16)
+    scored = ivf_topk(assigned, cents, qvec, k=10, nprobe=16)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", _round4(F.col("cosine")).alias("cosine"), "rnk"
+    )
+
+
 def _token_stats_native(spark, sf_dir):
     from intertext_spark.operators.textstats import token_stats
 
@@ -398,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash_pairs_native"] = _simhash_pairs_native
     q["embedding_dup_pairs_native"] = _embedding_dups_native
     q["ann_topk_native"] = _ann_topk_native
+    q["ivf_topk_native"] = _ivf_topk_native
     q["token_stats_native"] = _token_stats_native
     q["quality_scores_native"] = _quality_native
     q["lang_id_native"] = _lang_id_native
@@ -434,6 +453,7 @@ select doc_id, md5(text) as content_hash,
 from documents
 """
     out["ann_topk_native"] = TEMPLATES["cosine_topk"](DUCK)
+    out["ivf_topk_native"] = TEMPLATES["cosine_topk"](DUCK)
     # engine-native twins: DuckDB re-derives the native operator's values
     # independently (see sqlqueries q_*_native_twin docstrings for the
     # exactness arguments; minhash twin is brute-force ground truth, so a

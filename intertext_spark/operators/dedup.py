@@ -444,6 +444,66 @@ def embedding_dup_pairs(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> "tuple[DataFrame, np.ndarray]":
+    """IVF coarse quantizer: seeded random unit centroids (a k-means pass
+    would slot in here — assignment plumbing is identical), every vector
+    assigned to its nearest centroid by cosine.  -> (assigned df with
+    ``list_id``, centroids array).  One vectorized matmul per Arrow batch;
+    the assignment is the partition key for the inverted lists, so a
+    cluster-scale layout writes the table partitioned/bucketed by list_id
+    and a probe touches only nprobe partitions (partition pruning)."""
+    rng = np.random.RandomState(seed)
+    cents = rng.normal(size=(n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    @F.pandas_udf(T.LongType())
+    def assign(emb: pd.Series) -> pd.Series:
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cents.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int64))
+
+    out = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+        assign(F.col(vec_col).cast("array<double>")).alias("list_id"),
+    )
+    return out, cents
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: "list[float]",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan only the
+    ``nprobe`` nearest inverted lists, exact cosine rerank inside them.
+    nprobe == n_centroids degenerates to exact brute force (how the driver
+    gate checks this operator against the cosine_topk oracle); recall at
+    small nprobe is the tunable scale trade (pytest-measured)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(centroids @ qn), kind="stable")
+    probe = [int(x) for x in order[:nprobe]]
+    qcol = F.lit([float(x) for x in q]).cast("array<double>")
+    return (
+        assigned.where(F.col("list_id").isin(probe))
+        .select("vec_id", cosine_expr(F.col("emb"), qcol).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -265,3 +265,36 @@ def test_bpe_token_stats_shapes(spark):
     # it | 's | <sp>2024 | , | <sp>tokenizer | - | ready | <sp>text | !
     assert got[0].n_bpe_pieces == 9 and got[0].n_ws_tokens == 4
     assert got[1].n_bpe_pieces == 3 and got[1].n_ws_tokens == 3
+
+
+def test_ivf_recall_vs_nprobe(spark):
+    """IVF ANN: full probe is exactly brute force; small nprobe trades
+    recall for scanning fewer inverted lists (the scale knob)."""
+    rng = np.random.RandomState(3)
+    n, dim = 300, 32
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+
+    brute = [r.vec_id for r in dedup.brute_force_topk(
+        df.where("vec_id != 0"), q, k=10).collect()]
+
+    assigned, cents = dedup.ivf_assign(
+        df.where("vec_id != 0"), n_centroids=8, dim=dim)
+    assigned = assigned.persist()
+    full = [r.vec_id for r in dedup.ivf_topk(
+        assigned, cents, q, k=10, nprobe=8).collect()]
+    assert full == brute  # full probe == exact
+
+    small = [r.vec_id for r in dedup.ivf_topk(
+        assigned, cents, q, k=10, nprobe=2).collect()]
+    recall = len(set(small) & set(brute)) / 10
+    # 2/8 lists on random gaussian data: partial but useful recall
+    assert 0.2 <= recall <= 1.0
+    # scanned row count really shrinks (the point of the structure)
+    probe_order = list(np.argsort(-(cents @ (np.array(q) / np.linalg.norm(q)))))
+    scanned = assigned.where(
+        F.col("list_id").isin([int(x) for x in probe_order[:2]])
+    ).count()
+    assert scanned < n * 0.6
+    assigned.unpersist()
