@@ -121,6 +121,68 @@ def main():
         ],
     )
 
+    # bucketed-join evidence (SCALE.md stage 4a/4b): persist the windows
+    # table bucketed by the join key; the candidate->text join must then
+    # scan the bucketed side with NO Exchange above its FileScan (the
+    # pairs side still shuffles — it is not bucketed), i.e. the big
+    # windows table is never re-shuffled at fetch time.
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    spark.sql("drop table if exists win_bucketed")
+    (
+        wins.write.mode("overwrite")
+        .bucketBy(8, "file_id", "window_id")
+        .sortBy("file_id", "window_id")
+        .saveAsTable("win_bucketed")
+    )
+    wb = spark.table("win_bucketed")
+    # force a sort-merge join: at this tiny sf Spark would broadcast the
+    # windows side, which hides the bucketing (at 100 TB neither side is
+    # broadcastable — SMJ is the real plan)
+    fetch = cands.join(
+        wb.select(
+            F.col("file_id").alias("file_id_a"),
+            F.col("window_id").alias("window_id_a"),
+            F.col("text").alias("text_a"),
+        ).hint("merge"),
+        ["file_id_a", "window_id_a"],
+    )
+
+    def _no_exchange_over_bucketed_scan(p: str) -> bool:
+        # the SortMergeJoin side reading win_bucketed must reach its scan
+        # without an Exchange: in the formatted tree, the subtree between
+        # the join and the bucketed Scan contains no Exchange node
+        if "SelectedBucketsCount" not in p and "Bucketed: true" not in p:
+            return False
+        tree = p.split("\n\n")[0]
+        lines = tree.splitlines()
+        scan_idx = next(
+            (i for i, ln in enumerate(lines) if "win_bucketed" in ln), None
+        )
+        if scan_idx is None:
+            return False
+        # walk up from the scan: no Exchange at increasing tree depth
+        depth = len(_re.match(r"[\s:+-]*", lines[scan_idx]).group(0))
+        for i in range(scan_idx - 1, -1, -1):
+            d = len(_re.match(r"[\s:+-]*", lines[i]).group(0))
+            if d < depth:
+                depth = d
+                if "Exchange" in lines[i]:
+                    return False
+                if "Join" in lines[i]:
+                    return True
+        return True
+
+    record(
+        "bucketed_fetch", fetch,
+        [
+            ("bucketed windows side joins with no re-shuffle",
+             _no_exchange_over_bucketed_scan),
+        ],
+    )
+
     # column pruning on a real parquet scan: read only 2 of 5 columns
     pruned = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "n_chars"
