@@ -107,3 +107,60 @@ def test_dedup_corpus_keeper_policy(spark):
     assert kept == [1, 3, 4, 5, 7]
     out2 = dedup_corpus(docs, pairs)  # min-id policy
     assert sorted(r.doc_id for r in out2.collect()) == [0, 3, 4, 5, 7]
+
+
+def test_unicode_corpus_parity(spark):
+    """End-to-end parity on a corpus with Unicode whitespace (NBSP, U+3000,
+    NEL, U+2028) and accented words: the engine's (?U) tokenization and
+    NFD diacritic fold must equal the oracle run on python str.split() of
+    the same preprocessed text."""
+    import random
+    import unicodedata
+
+    def fold(t):
+        return "".join(c for c in unicodedata.normalize("NFD", t)
+                       if not unicodedata.combining(c))
+
+    rng = random.Random(13)
+    vocab = ["café", "señor", "déjà", "naïve", "über", "plain", "words",
+             "également", "tränen", "mañana", "fière", "zèbre", "ordinary"]
+    ws_chars = [" ", " ", " ", " ", "　", "\x85", " "]
+
+    def make_text(n):
+        out = []
+        for _ in range(n):
+            out.append(rng.choice(vocab))
+            out.append(rng.choice(ws_chars))
+        return "".join(out)
+
+    rows = []
+    texts = {}
+    shared = make_text(40)  # a planted reuse passage
+    for i in range(8):
+        cid = f"u{i}"
+        body = make_text(30)
+        text = body + shared if i in (2, 5) else body + make_text(35)
+        texts[cid] = text
+        # split into 3 turns on arbitrary whitespace-safe boundaries
+        words = text.split()
+        per = (len(words) + 2) // 3
+        for t in range(3):
+            seg = " ".join(words[t * per:(t + 1) * per])
+            rows.append((cid, t, "user", seg, None, None))
+
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    cfg = DEFAULT.with_(strip_diacritics=True)
+    sres = Pipeline(spark, cfg).run(tdf)
+    got = {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b)
+        for r in sres["matches"].collect()
+    }
+    # oracle preprocessing: same turn assembly (turn texts joined by ' ')
+    # then fold + python split
+    by_conv = {}
+    for cid, t, _, seg, _, _ in sorted(rows, key=lambda r: (r[0], r[1])):
+        by_conv.setdefault(cid, []).append(seg)
+    wbc = {cid: fold(" ".join(segs)).split() for cid, segs in by_conv.items()}
+    ores = oracle.run_pipeline(wbc, DEFAULT)
+    want = {(m[0], m[1], m[2], m[3]) for m in ores["matches"]}
+    assert got == want and got  # the planted pair must match
