@@ -340,6 +340,55 @@ def _strip_diacritics_q(spark, sf_dir):
     return strip_diacritics(docs).select("doc_id", F.col("text").alias("folded"))
 
 
+def _xml_extract_q(spark, sf_dir):
+    """Markup extraction on XML-wrapped corpus text: base-tag subtree,
+    remove-tags dropped, tags stripped — oracle is the identical RE2 regex
+    pipeline in DuckDB."""
+    from intertext_spark.operators.xmlextract import xml_text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<teiheader>SKIP THIS</teiheader><doc rev="2"><p>'),
+            F.col("text"),
+            F.lit('</p><note place="margin">drop me too</note><pb/></doc>'),
+        ).alias("text"),
+    )
+    out = xml_text(docs, base_tag="doc", remove_tags=("note", "teiheader"))
+    return out.select("doc_id", "extracted")
+
+
+def _xml_page_map_q(spark, sf_dir):
+    """Window->page map over deterministically paged XML (25-word pages,
+    <pb n="pK"/> milestones); oracle is a closed-form rederivation fixture
+    (tools/make_fixtures.py) — a different construction than the
+    operator's reference-faithful loop."""
+    from intertext_spark.operators.xmlextract import xml_page_map
+
+    docs = _docs(spark, sf_dir)
+    words = F.filter(F.split("text", r"(?U)\s+"), lambda w: w != "")
+    n_pages = F.ceil(F.size(words) / 25).cast("int")
+    paged = F.concat(
+        F.lit("<body>"),
+        F.when(
+            n_pages > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_pages - 1),
+                    lambda p: F.concat(
+                        F.lit('<pb n="p'), p.cast("string"), F.lit('"/>'),
+                        F.array_join(F.slice(words, p * 25 + 1, 25), " "),
+                    ),
+                ),
+                " ",
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</body>"),
+    )
+    xml_docs = docs.select("doc_id", paged.alias("text"))
+    return xml_page_map(xml_docs, DEFAULT, page_tag="pb", page_attr="n")
+
+
 def _contamination_q(spark, sf_dir):
     """Train/eval decontamination over a deterministic 6:1 split of the
     documents table (bench = doc_id % 7 == 0), word-5-grams."""
@@ -425,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
+    q["xml_extract"] = _xml_extract_q
+    q["xml_page_map"] = _xml_page_map_q
     q["redact_pii"] = _redact_pii_q
     q["bpe_token_stats"] = _bpe_tokens_q
     q["suffix_spans"] = _suffix_spans
@@ -481,6 +532,19 @@ select doc_id,
        strip_accents('Càfé Ü ñaïve çédille ' || text) as folded
 from documents
 """
+    # xml_extract: identical regex pipeline in RE2 ((?is) inline flags,
+    # non-greedy, non-capturing groups all shared with Java regex); RE2
+    # lacks (?U) so the final whitespace collapse is plain \\s+ — equal on
+    # this ASCII corpus
+    xml_col = ("'<teiheader>SKIP THIS</teiheader><doc rev=\"2\"><p>' || text"
+               " || '</p><note place=\"margin\">drop me too</note><pb/></doc>'")
+    expr = f"regexp_extract({xml_col}, '(?is)<doc(?:\\s[^>]*)?>(.*?)</doc>', 1)"
+    for t in ("note", "teiheader"):
+        expr = f"regexp_replace({expr}, '(?is)<{t}(?:\\s[^>]*)?>.*?</{t}>', '', 'g')"
+        expr = f"regexp_replace({expr}, '(?is)<{t}(?:\\s[^>]*)?/>', '', 'g')"
+    expr = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
+    expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+    out["xml_extract"] = f"select doc_id, {expr} as extracted from documents"
     out["contamination"] = """
 with w as (
   select doc_id,
@@ -559,6 +623,7 @@ where doc_id = keeper
         ("pipeline_scatter_aggs", "pipeline_scatter_aggs"),
         ("simhash_pairs_native", "simhash_pairs"),
         ("suffix_spans", "suffix_spans"),
+        ("xml_page_map", "xml_page_map"),
         ("media_image_features", "media_image_features"),
         ("media_frame_samples", "media_frame_samples"),
     ):

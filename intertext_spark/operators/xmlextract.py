@@ -1,0 +1,135 @@
+"""XML/markup extraction + window->page map (reference get_soup,
+intertext.py:1165-1177, and get_window_map, intertext.py:1192-1237).
+
+The reference reads XML documents with BeautifulSoup: select the
+``xml_base_tag`` subtree, extract (remove) ``xml_remove_tags`` elements,
+take the text, and separately derive a window-id -> page-id map from
+``xml_page_tag`` milestones.  This module re-expresses both for documents
+arriving as a markup text column:
+
+  * :func:`xml_text` — JVM-side regex pipeline (whole-stage codegen, no
+    Python): base-tag subtree extract, element removal, tag strip,
+    whitespace normalization.  Divergence note: bs4's get_text() joins
+    text nodes with NO separator ("<p>a</p><p>b</p>" -> "ab"); we replace
+    tags with a space (tokenization-safe) and document the difference.
+  * :func:`xml_page_map` — faithful reproduction of the reference's
+    page-splitting loop (including its quirks: windows spanning a page
+    break are assigned the LATER page; the per-page word loop advances the
+    window counter on word_index % slide == 0) as an Arrow-batched UDF —
+    inherently per-document string processing, like the reference.
+    Verified against an independent closed-form oracle
+    (tools/make_fixtures.py + tests).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import PipelineConfig
+
+
+def xml_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "extracted",
+    base_tag: str | None = None,
+    remove_tags: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Markup column -> plain text: select base_tag subtree (first match;
+    '' when absent, like the reference's warning path), drop remove_tags
+    elements (paired or self-closing), strip remaining tags to spaces,
+    collapse whitespace."""
+    col = F.col(text_col)
+    if base_tag:
+        b = base_tag.lower()
+        col = F.regexp_extract(
+            col, f"(?is)<{b}(?:\\s[^>]*)?>(.*?)</{b}>", 1
+        )
+    for t in remove_tags:
+        tl = t.lower()
+        col = F.regexp_replace(col, f"(?is)<{tl}(?:\\s[^>]*)?>.*?</{tl}>", "")
+        col = F.regexp_replace(col, f"(?is)<{tl}(?:\\s[^>]*)?/>", "")
+    col = F.regexp_replace(col, r"<[^>]+>", " ")
+    col = F.trim(F.regexp_replace(col, r"(?U)\s+", " "))
+    return df.withColumn(out_col, col)
+
+
+_PAGE_MAP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_id", T.LongType(), False),
+        T.StructField("page_id", T.StringType(), False),
+    ]
+)
+
+
+def _strip_tags(s: str) -> str:
+    return re.sub(r"<[^>]+>", " ", s)
+
+
+def xml_page_map(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    page_tag: str,
+    page_attr: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, window_id, page_id): which page each word window starts
+    on (reference get_window_map semantics, intertext.py:1192-1237 — the
+    lowercase read, the leading-content skip, the attr/inner-text/ordinal
+    page-id fallbacks, and the later-page-wins overwrite are all kept)."""
+    slide = cfg.slide_length
+    ptag = page_tag.lower()
+    pattr = page_attr.lower() if page_attr else None
+
+    def one_doc(text: str):
+        f = (text or "").lower()
+        pb = "\x00_pb_\x00"
+        f = f.replace(f"<{ptag} ", pb).replace(f"<{ptag}/>", pb)
+        pages = f.split(pb)
+        d: dict[int, str] = {}
+        window_id = 0
+        for page_index, page in enumerate(pages[1:]):
+            if pattr:
+                tag = page.split(">")[0]
+                parts = tag.split(f"{pattr}=")
+                if len(parts) > 1:
+                    page_id = parts[1].split(" ")[0]
+                    page_id = page_id.replace('"', "").replace("'", "")
+                    page_id = page_id.rstrip("/>")
+                else:
+                    page_id = str(page_index)
+            elif f"</{ptag}" in page:
+                page_id = page.split(f"</{ptag}")[0]
+                if ">" in page_id:
+                    page_id = page_id.split(">")[1]
+            else:
+                page_id = str(page_index)
+            page_id = str(page_id).strip()
+            page = ">".join(page.split(">")[1:])
+            words = _strip_tags(page).split()
+            for word_index, _ in enumerate(words):
+                if word_index and (word_index % slide == 0):
+                    window_id += 1
+                d[window_id] = page_id
+        return d
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for wid, pid in one_doc(text).items():
+                    rows.append((int(did), int(wid), pid))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_id", "page_id"]
+            )
+
+    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    return sel.mapInPandas(compute, _PAGE_MAP_SCHEMA)

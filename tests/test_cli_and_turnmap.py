@@ -173,3 +173,44 @@ def test_unicode_whitespace_tokenization(spark):
 
     ts = token_stats(spark.createDataFrame([(0, text)], ["doc_id", "text"])).head()
     assert ts.n_tokens == len(text.split())
+
+
+def test_xml_extract_and_page_map(spark):
+    from intertext_spark.operators.xmlextract import xml_page_map, xml_text
+
+    xml = ('<teiHeader>meta junk</teiHeader>'
+           '<doc rev="1"><p>alpha beta</p><note>gone</note>'
+           '<hi rend="i">gamma</hi> delta</doc>')
+    df = spark.createDataFrame([(0, xml), (1, "no base tag here")],
+                               ["doc_id", "text"])
+    out = {r.doc_id: r.extracted for r in xml_text(
+        df, base_tag="doc", remove_tags=("note", "teiheader")).collect()}
+    assert out[0] == "alpha beta gamma delta"
+    assert out[1] == ""  # missing base tag -> '' (reference warning path)
+
+    # page map quirks: attr ids, inner-text ids, later-page-wins boundary
+    paged = ('<body>intro skipped '
+             '<pb n="iv"/>' + " ".join(f"w{i}" for i in range(9)) +
+             ' <pb n="v"/>' + " ".join(f"x{i}" for i in range(5)) +
+             '</body>')
+    pdf = spark.createDataFrame([(7, paged)], ["doc_id", "text"])
+    got = {
+        r.window_id: r.page_id
+        for r in xml_page_map(pdf, DEFAULT, page_tag="pb", page_attr="n").collect()
+    }
+    # page iv: 9 words -> windows 0..(8//4)=2; page v starts at window 2
+    # (boundary overwritten), 5 words -> windows 2..3
+    assert got == {0: "iv", 1: "iv", 2: "v", 3: "v"}
+
+    # inner-text page ids (<pb ...>ID</pb>) via the no-attr fallback
+    paged2 = ('<body><pb type="x">12</pb>' + " ".join(f"a{i}" for i in range(4)) +
+              '</body>')
+    pdf2 = spark.createDataFrame([(8, paged2)], ["doc_id", "text"])
+    got2 = {
+        r.window_id: r.page_id
+        for r in xml_page_map(pdf2, DEFAULT, page_tag="pb").collect()
+    }
+    # the inner-text id "12" also counts as a page word under the
+    # documented tags->space divergence (bs4 would glue it to the next
+    # word): 5 words -> windows 0..(4//4)=1
+    assert got2 == {0: "12", 1: "12"}

@@ -303,6 +303,43 @@ def media_fixtures(out_dir: str, n: int = 64, seed: int = 42):
     print(f"media fixtures: {len(imgs)} images, {len(frames)} frames")
 
 
+def xml_page_map_fixture(sf_dir: str, out_dir: str, page_words: int = 25):
+    """Closed-form oracle for xml_page_map over the entry's constructed
+    25-word pages: page p covers windows [start_p, start_p + (W_p-1)//slide]
+    with start_{p+1} = start_p + (W_p-1)//slide — the boundary window is
+    overwritten by the later page (the reference loop's semantics,
+    intertext.py:1226-1236, derived independently of the loop)."""
+    slide = DEFAULT.slide_length
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    out = []
+    for did, text in rows:
+        words = (text or "").split()
+        n_pages = -(-len(words) // page_words) if words else 0
+        start = 0
+        assign: dict[int, str] = {}
+        for p in range(n_pages):
+            w_p = min(page_words, len(words) - page_words * p)
+            if w_p <= 0:
+                continue
+            last = start + (w_p - 1) // slide
+            for wid in range(start, last + 1):
+                assign[wid] = f"p{p}"
+            start = last
+        for wid in sorted(assign):
+            out.append((did, wid, assign[wid]))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in out], pa.int64()),
+            "window_id": pa.array([r[1] for r in out], pa.int64()),
+            "page_id": pa.array([r[2] for r in out]),
+        }),
+        os.path.join(out_dir, "xml_page_map.parquet"),
+    )
+    print(f"xml page map fixture: {len(out)} rows")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -318,6 +355,7 @@ def main():
     simhash_fixture(sf_dir, out_dir)
     suffix_spans_fixture(sf_dir, out_dir)
     media_fixtures(out_dir)
+    xml_page_map_fixture(sf_dir, out_dir)
     pipeline_fixtures(sf_dir, out_dir, cache)
 
 
