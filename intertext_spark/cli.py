@@ -10,7 +10,7 @@ re-expressed for transcript tables:
       [--min-sim 50] [--window-length 14] [--slide-length 4] \\
       [--chargram-length 4] [--hashband-length 4] [--hashband-step 3] \\
       [--max-file-sim F] [--banish-distance 4] [--compute-probabilities] \\
-      [--suffix-pass] [--update-metadata]
+      [--suffix-pass] [--update-metadata] [--strip-diacritics]
 
 Argument mapping from the reference CLI:
   --infiles glob        -> --transcripts parquet path (conv_id = document)
