@@ -154,6 +154,17 @@ def _round4(c):
     return F.floor(c * 10000 + F.lit(0.5)) / 10000
 
 
+def _rank_rounded(scored):
+    """rnk over the ROUNDED cosine (vec_id tiebreak) — the SQL oracle
+    ranks after round4, so ranking raw cosines here could flip neighbors
+    that round to the same 4-decimal value."""
+    from pyspark.sql import Window
+
+    r = scored.select("vec_id", _round4(F.col("cosine")).alias("cosine"))
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return r.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 10)
+
+
 def _exact_dedup_native(spark, sf_dir):
     from intertext_spark.operators.dedup import exact_dup_groups
 
@@ -189,7 +200,7 @@ def _embedding_dups_native(spark, sf_dir):
     # set degenerates toward all-pairs — LSH pays off at n >> buckets;
     # planes/tables are the per-threshold tuning knobs at scale)
     buckets = dedup.hyperplane_buckets(emb, n_planes=3, dim=64, n_tables=32)
-    return dedup.embedding_dup_pairs(buckets, min_cosine=0.35).select(
+    return dedup.embedding_dup_pairs(buckets, emb, min_cosine=0.35).select(
         "vec_a", "vec_b", _round4(F.col("cosine")).alias("cosine")
     )
 
@@ -204,13 +215,11 @@ def _ann_topk_native(spark, sf_dir):
         float(x)
         for x in emb.where("vec_id = 0").head().embedding
     ]
-    scored = brute_force_topk(emb.where("vec_id != 0"), qvec, k=10)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).select(
-        "vec_id", _round4(F.col("cosine")).alias("cosine"), "rnk"
-    )
+    # fetch 2k by raw order, rank over ROUNDED values, cut at k — a raw
+    # .limit(k) could pick the wrong member of a rounding tie straddling
+    # the k boundary (the oracle ranks rounded values)
+    scored = brute_force_topk(emb.where("vec_id != 0"), qvec, k=20)
+    return _rank_rounded(scored)
 
 
 def _ivf_topk_native(spark, sf_dir):
@@ -222,13 +231,8 @@ def _ivf_topk_native(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qvec = [float(x) for x in emb.where("vec_id = 0").head().embedding]
     assigned, cents = ivf_assign(emb.where("vec_id != 0"), n_centroids=16)
-    scored = ivf_topk(assigned, cents, qvec, k=10, nprobe=16)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return scored.withColumn("rnk", F.row_number().over(w)).select(
-        "vec_id", _round4(F.col("cosine")).alias("cosine"), "rnk"
-    )
+    scored = ivf_topk(assigned, cents, qvec, k=20, nprobe=16)
+    return _rank_rounded(scored)
 
 
 def _token_stats_native(spark, sf_dir):
@@ -611,8 +615,10 @@ where doc_id = keeper
     # validation, iterative CC, numpy simhash), so the oracle is a pinned
     # fixture computed by the pure single-node reference-semantics oracle
     # (tools/make_fixtures.py — intertext_spark/oracle.py + brute force,
-    # never the Spark engine).  Valid for the driver's sf0.01 gate;
-    # regenerate with the tool after any semantic change.
+    # never the Spark engine).  PINNED TO sf0.01 (the driver's gate scale;
+    # oracle_sql() is static and cannot see sf_dir): comparing at another
+    # scale fails loudly on row counts rather than silently passing.
+    # Regenerate with the tool after any semantic change.
     fx = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "fixtures", "sf0.01")
     for qname, fname in (

@@ -134,6 +134,8 @@ def _warmup(spark):
 
     tiny = "/root/testdata/sf0.001"
     if not os.path.exists(tiny):
+        print("WARNING: warmup corpus missing; headline numbers will "
+              "include JVM/UDF cold start", file=sys.stderr)
         return
     tdf = transcripts_from_documents(spark, tiny)
     res = Pipeline(spark, DEFAULT.with_(band_max_files=16)).run(tdf)

@@ -33,7 +33,6 @@ def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(words).alias("n_words"),
         grams.alias("grams"),
     )
 

@@ -311,7 +311,10 @@ def simhash_dup_pairs(
     Skew/boilerplate control is ``chunk_max_docs``: chunk values held by
     more docs than the cap are non-discriminative (the band_max_files
     analog) and are dropped by a pre-join frequency filter; residual hot
-    values are AQE skew-join territory."""
+    values are AQE skew-join territory.  When the cap is set, the filter
+    branch re-evaluates ``sims`` — persist it first if the signature UDF
+    upstream is expensive (one .persist() at the caller beats recomputing
+    the Arrow signing pass)."""
     width = 64 // n_chunks
     mask = (1 << width) - 1
     chunk_arr = F.array(
@@ -406,9 +409,12 @@ def hyperplane_buckets(
         pat = (signs.reshape(len(mat), n_tables, n_planes) * w).sum(axis=2)
         return pd.Series(list((pat + offsets).astype(np.int64)))
 
+    # (vec_id, bucket) ONLY — carrying the embedding array through an
+    # L-way explode would push L duplicate copies of every vector through
+    # the downstream shuffles; the verify stage joins embeddings once from
+    # the original input instead
     return df.select(
         F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
         F.explode(
             buckets_of(F.col(vec_col).cast("array<double>"))
         ).alias("bucket"),
@@ -416,12 +422,17 @@ def hyperplane_buckets(
 
 
 def embedding_dup_pairs(
-    buckets: DataFrame, min_cosine: float = 0.95
+    buckets: DataFrame,
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Hyperplane-LSH near-dup pairs: in-bucket candidate pairs, distinct
     ACROSS tables first (a pair colliding in several tables is verified
     once), then one cosine evaluation per unique pair against the
-    embedding dimension."""
+    single-copy embedding table (NOT the exploded bucket frame, which
+    holds L copies per vector)."""
     l = buckets.select("bucket", F.col("vec_id").alias("vec_a"))
     r = buckets.select("bucket", F.col("vec_id").alias("vec_b"))
     cand = (
@@ -430,7 +441,10 @@ def embedding_dup_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    emb = buckets.select("vec_id", "emb").dropDuplicates(["vec_id"])
+    emb = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
     return (

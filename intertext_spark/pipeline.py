@@ -51,7 +51,10 @@ def _input_snapshot(df: DataFrame) -> str:
         path = f[5:] if f.startswith("file:") else f
         try:
             st = os.stat(path)
-            parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+            # nanosecond mtime: a same-size rewrite within the same SECOND
+            # (plausible for regenerated fixed-width synthetic corpora)
+            # must still change the snapshot
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
         except OSError:
             parts.append(f)
     if not parts:

@@ -80,7 +80,7 @@ def test_embedding_lsh_and_brute_force(spark):
         rows.append((i, [float(x) for x in v]))
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     buckets = dedup.hyperplane_buckets(df, n_planes=6, dim=16)
-    pairs = {(r.vec_a, r.vec_b) for r in dedup.embedding_dup_pairs(buckets, 0.99).collect()}
+    pairs = {(r.vec_a, r.vec_b) for r in dedup.embedding_dup_pairs(buckets, df, 0.99).collect()}
     # the 5 perturbed copies of `base` are mutual near-dups in one bucket
     import itertools
 
@@ -201,7 +201,7 @@ def test_multi_table_lsh_recall(spark):
         )
         got = {
             (r.vec_a, r.vec_b)
-            for r in dedup.embedding_dup_pairs(buckets, 0.35).collect()
+            for r in dedup.embedding_dup_pairs(buckets, df, 0.35).collect()
         }
         assert got <= truth  # verify stage: no false positives ever
         return len(got & truth) / len(truth)

@@ -89,7 +89,7 @@ def main():
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     buckets = dedup.hyperplane_buckets(emb, n_planes=3, dim=64, n_tables=8)
-    epairs = dedup.embedding_dup_pairs(buckets, min_cosine=0.35)
+    epairs = dedup.embedding_dup_pairs(buckets, emb, min_cosine=0.35)
     record(
         "embedding_lsh", epairs,
         [
@@ -131,6 +131,11 @@ def main():
     from pyspark.sql import functions as F
 
     spark.sql("drop table if exists win_bucketed")
+    # a fresh in-memory catalog doesn't know tables left on disk by a
+    # previous run — clear the warehouse dir too or saveAsTable errors
+    import shutil
+
+    shutil.rmtree("spark-warehouse/win_bucketed", ignore_errors=True)
     (
         wins.write.mode("overwrite")
         .bucketBy(8, "file_id", "window_id")
