@@ -75,11 +75,16 @@ def candidate_pairs(
     # Collapsing groups by member-set hash keeps the pair set EXACTLY
     # (every pair of a dropped group comes from its kept twin) and turns
     # an 85x blowup into 1x.
-    # key = hash of the sorted member structs (NOT an arithmetic packing:
-    # file_id*2^32 overflows int64 for hash-mode 62-bit ids)
-    grouped = grouped.withColumn(
-        "ms_key", F.xxhash64(F.array_sort("ms"))
-    ).dropDuplicates(["ms_key"])
+    # key = TWO independently-seeded 64-bit hashes of the sorted member
+    # structs (128 bits total): a single-xxhash64 key has a ~B^2/2^65
+    # birthday collision chance — at 10^9 multi-bands that is percent-level
+    # odds of silently dropping a distinct member set's pairs.  (NOT an
+    # arithmetic packing: file_id*2^32 overflows int64 for hash-mode ids.)
+    grouped = grouped.withColumn("ms_sorted", F.array_sort("ms")).withColumn(
+        "ms_key", F.xxhash64("ms_sorted")
+    ).withColumn(
+        "ms_key2", F.xxhash64(F.lit(0x9E3779B9), "ms_sorted")
+    ).dropDuplicates(["ms_key", "ms_key2"]).drop("ms_sorted")
     multi = grouped.where(
         F.size(F.array_distinct(F.transform("ms", lambda m: m["file_id"]))) >= 2
     )

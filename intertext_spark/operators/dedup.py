@@ -177,10 +177,14 @@ def lsh_dup_pairs(
     (candidates.py) specialized to doc granularity."""
     grouped = bands.groupBy("band").agg(F.collect_set("doc_id").alias("ms"))
     # collapse identical member sets (identical docs share all bands —
-    # see candidates.candidate_pairs for the argument; pair set unchanged)
-    grouped = grouped.withColumn(
-        "ms_key", F.xxhash64(F.array_sort("ms"))
-    ).dropDuplicates(["ms_key"])
+    # see candidates.candidate_pairs for the argument; pair set unchanged).
+    # 128-bit dedup key (two seeded hashes): a lone 64-bit key can birthday-
+    # collide across distinct sets at scale and silently drop real pairs.
+    grouped = grouped.withColumn("ms_sorted", F.array_sort("ms")).withColumn(
+        "ms_key", F.xxhash64("ms_sorted")
+    ).withColumn(
+        "ms_key2", F.xxhash64(F.lit(0x9E3779B9), "ms_sorted")
+    ).dropDuplicates(["ms_key", "ms_key2"]).drop("ms_sorted")
     multi = grouped.where(F.size("ms") >= 2)
     if band_max_docs is not None:
         multi = multi.where(F.size("ms") <= band_max_docs)
