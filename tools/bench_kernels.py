@@ -1,0 +1,75 @@
+"""Kernel regression micro-bench: throughput of the numpy hot-path kernels
+in hashing.py, independent of Spark.  Run before/after touching a kernel —
+the box's numpy build has sharp perf cliffs (allocation page-faults, 2-D
+broadcast slowness) that unit tests cannot see.
+
+    python tools/bench_kernels.py
+
+Prints one JSON line; compare against the reference numbers in the comment
+below (measured on this sandbox, local run, warm).
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from intertext_spark import hashing  # noqa: E402
+
+# reference numbers (this sandbox, r02, concurrent-load run):
+# hash64_strings 0.46 Mtok/s, batch_simhash64 1.58 Mtok/s,
+# shingle_token_hashes 27 Mtok/s, minhash 131 Mshingle-perm/s,
+# band_hashes 61 Mvals/s
+
+
+def _tokens(n: int, seed: int = 0) -> list[str]:
+    rng = random.Random(seed)
+    return ["w%06d" % rng.randint(0, 99999) for _ in range(n)]
+
+
+def main():
+    out = {}
+
+    toks = _tokens(1_000_000)
+    t0 = time.time()
+    h = hashing.hash64_strings(toks)
+    out["hash64_strings_Mtok_s"] = round(len(toks) / (time.time() - t0) / 1e6, 2)
+
+    docs = [_tokens(500, seed=i) for i in range(2000)]
+    t0 = time.time()
+    hashing.batch_simhash64(docs)
+    out["batch_simhash64_Mtok_s"] = round(1_000_000 / (time.time() - t0) / 1e6, 2)
+
+    counts = np.full(2000, 500, dtype=np.int64)
+    t0 = time.time()
+    sh, shc = hashing.shingle_token_hashes(h, counts, 3)
+    out["shingle_token_hashes_Mtok_s"] = round(
+        1_000_000 / (time.time() - t0) / 1e6, 2
+    )
+
+    a, b = hashing.make_permutations(256, True, 42)
+    texts = [" ".join(_tokens(80, seed=i)) for i in range(5000)]
+    t0 = time.time()
+    sigs = hashing.minhash_signatures(texts, a, b, True, 4)
+    n_shingles = sum(len(t.encode()) - 3 for t in texts)
+    out["minhash_Mshingleperm_s"] = round(
+        n_shingles * 128 / (time.time() - t0) / 1e6, 1
+    )
+
+    t0 = time.time()
+    hashing.band_hashes(sigs, 4, 3)
+    out["band_hashes_Mvals_s"] = round(
+        sigs.shape[0] * 85 * 4 / (time.time() - t0) / 1e6, 1
+    )
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
