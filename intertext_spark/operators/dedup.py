@@ -462,24 +462,17 @@ def embedding_dup_pairs(
     )
 
 
-def ivf_assign(
-    df: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    seed: int = 42,
-) -> "tuple[DataFrame, np.ndarray]":
-    """IVF coarse quantizer: seeded random unit centroids (a k-means pass
-    would slot in here — assignment plumbing is identical), every vector
-    assigned to its nearest centroid by cosine.  -> (assigned df with
-    ``list_id``, centroids array).  One vectorized matmul per Arrow batch;
-    the assignment is the partition key for the inverted lists, so a
-    cluster-scale layout writes the table partitioned/bucketed by list_id
-    and a probe touches only nprobe partitions (partition pruning)."""
+def _seed_centroids(n_centroids: int, dim: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     cents = rng.normal(size=(n_centroids, dim))
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def _assign_udf(cents: np.ndarray):
+    """Arrow-batched nearest-centroid-by-cosine assignment: one vectorized
+    matmul per batch; the centroid matrix is closure-captured (tiny — it is
+    the model, serialized once per task)."""
 
     @F.pandas_udf(T.LongType())
     def assign(emb: pd.Series) -> pd.Series:
@@ -489,10 +482,93 @@ def ivf_assign(
         sims = (mat / norms) @ cents.T
         return pd.Series(np.argmax(sims, axis=1).astype(np.int64))
 
+    return assign
+
+
+def ivf_train(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) training of the IVF coarse quantizer.
+
+    Each iteration is fully distributed: assign every vector to its nearest
+    centroid (Arrow matmul), posexplode the embedding and partially
+    aggregate element sums per (list_id, pos) — map-side combine means only
+    ``n_centroids * dim`` rows per input partition reach the shuffle, and
+    only the ``n_centroids * dim`` final sums (the MODEL, a few KiB) ever
+    reach the driver.  New centroid = mean of its members, renormalized to
+    the unit sphere (cosine k-means); a centroid that captured nothing
+    keeps its previous position.
+
+    At 100-TB scale pass ``sample_fraction`` — quantizer quality saturates
+    on a bounded sample (standard IVF practice), so training cost is
+    O(sample), independent of corpus size; assignment of the full corpus
+    stays the one cheap matmul pass in :func:`ivf_assign`.
+    """
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("emb"))
+    if sample_fraction is not None:
+        vecs = vecs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    cents = _seed_centroids(n_centroids, dim, seed)
+    for _ in range(iters):
+        sums = (
+            vecs.select(
+                _assign_udf(cents)(F.col("emb")).alias("list_id"),
+                F.posexplode("emb").alias("pos", "val"),
+            )
+            .groupBy("list_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc = np.zeros((n_centroids, dim))
+        cnt = np.zeros(n_centroids, dtype=np.int64)
+        for r in sums:
+            acc[r.list_id, r.pos] = r.s
+            cnt[r.list_id] = r.n
+        for j in range(n_centroids):
+            if cnt[j] > 0:
+                v = acc[j] / cnt[j]
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new[j] = v / nv
+        cents = new
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    centroids: "np.ndarray | None" = None,
+) -> "tuple[DataFrame, np.ndarray]":
+    """IVF coarse quantizer assignment: every vector assigned to its
+    nearest centroid by cosine.  -> (assigned df with ``list_id``,
+    centroids array).  Centroids come from :func:`ivf_train` (k-means) when
+    given; otherwise seeded random unit vectors — the deterministic-gate
+    mode (the driver's ivf_topk_native probes all lists, where recall is
+    exact either way; pytest measures the trained-vs-random recall gap at
+    small nprobe).  One vectorized matmul per Arrow batch; the assignment
+    is the partition key for the inverted lists, so a cluster-scale layout
+    writes the table partitioned/bucketed by list_id and a probe touches
+    only nprobe partitions (partition pruning)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else _seed_centroids(n_centroids, dim, seed)
+    )
     out = df.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
-        assign(F.col(vec_col).cast("array<double>")).alias("list_id"),
+        _assign_udf(cents)(F.col(vec_col).cast("array<double>")).alias("list_id"),
     )
     return out, cents
 

@@ -525,7 +525,7 @@ def q_scatter_aggs(d: Dialect) -> str:
     return f"""
 select lang, source,
        count(*) as n_docs,
-       sum(n_chars) as sum_chars,
+       cast(sum(n_chars) as bigint) as sum_chars,
        cast({d.round4("cast(sum(n_chars) as double) / count(*)")} as double) as mean_chars
 from documents
 group by lang, source

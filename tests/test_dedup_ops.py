@@ -267,6 +267,67 @@ def test_bpe_token_stats_shapes(spark):
     assert got[1].n_bpe_pieces == 3 and got[1].n_ws_tokens == 3
 
 
+def test_ivf_trained_centroids_beat_random(spark):
+    """k-means-trained coarse quantizer (ivf_train) materially beats the
+    seeded-random baseline at small nprobe on clustered data, and the
+    distributed Lloyd step agrees with a local numpy reference.
+
+    Fixture: 16 unit-sphere cluster centers, 40 points each at spread
+    0.25, dim 32 — numpy-prototyped so the trained/random gap is well
+    clear of noise (random ~0.56-0.69 recall@nprobe=4, trained ~0.91+)."""
+    rng = np.random.RandomState(0)
+    n_clusters, per, dim, k_cent, nprobe, k = 16, 40, 32, 16, 4, 10
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.concatenate(
+        [c + 0.25 * rng.normal(size=(per, dim)) for c in centers]
+    )
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+
+    trained = dedup.ivf_train(df, n_centroids=k_cent, iters=5, dim=dim)
+    random_c = dedup._seed_centroids(k_cent, dim, seed=42)
+
+    # distributed Lloyd == local numpy Lloyd (same init, same rule)
+    ref = random_c.copy()
+    pn = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+    for _ in range(5):
+        a = np.argmax(pn @ ref.T, axis=1)
+        new = ref.copy()
+        for j in range(k_cent):
+            m = pts[a == j]
+            if len(m):
+                v = m.mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new[j] = v / nv
+        ref = new
+    assert np.allclose(trained, ref, atol=1e-9)
+
+    def recall(cents):
+        assigned, _ = dedup.ivf_assign(df, centroids=cents, dim=dim)
+        lists = {r.vec_id: r.list_id for r in assigned.select("vec_id", "list_id").collect()}
+        a = np.array([lists[i] for i in range(len(pts))])
+        tot = 0.0
+        for qi in np.random.RandomState(7).choice(len(pts), 30, replace=False):
+            q = pn[qi]
+            sims = pn @ q
+            sims[qi] = -9.0
+            true = set(np.argsort(-sims)[:k])
+            probe = np.argsort(-(cents @ q))[:nprobe]
+            mask = np.isin(a, probe)
+            mask[qi] = False
+            cand = np.where(mask)[0]
+            got = set(cand[np.argsort(-sims[cand])[:k]])
+            tot += len(true & got) / k
+        return tot / 30
+
+    r_rand, r_train = recall(random_c), recall(trained)
+    df.unpersist()
+    assert r_train >= r_rand + 0.12, (r_rand, r_train)
+    assert r_train >= 0.85, r_train
+
+
 def test_ivf_recall_vs_nprobe(spark):
     """IVF ANN: full probe is exactly brute force; small nprobe trades
     recall for scanning fewer inverted lists (the scale knob)."""

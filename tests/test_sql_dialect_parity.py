@@ -1,0 +1,122 @@
+"""Cross-engine type-trap sweep (driver correctness gate in miniature).
+
+Runs every sqlqueries.TEMPLATES entry on BOTH engines at sf0.001 and
+compares Arrow schemas + canonicalized values.  The Arrow-level schema
+check is the part the old check_sql_parity.py lacked: DuckDB's
+``sum(BIGINT)`` is HUGEINT (arrow decimal128(38,0)) while Spark's is
+BIGINT (int64) — python-level value equality hides that, but the
+driver's value hash does not (r2's only red row, scatter_aggs).  Type
+FAMILIES must match: integer widths are collapsed (the driver accepts
+int32 vs int64) but int / float / decimal / bool / string stay distinct,
+so any uncast engine-type divergence fails here before it reaches the
+driver.
+"""
+
+from __future__ import annotations
+
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+from intertext_spark.sqlqueries import DUCK, SPARK, TEMPLATES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def arrow_family(t) -> str:
+    """Collapse an arrow type to its comparison family.
+
+    Integer widths and signedness collapse to 'int' (both engines emit a
+    mix of int32/int64 for length()/size() etc. and the driver gate
+    accepts those), but decimal keeps its precision/scale so HUGEINT
+    (decimal128(38,0)) can never silently pass as an integer.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_family(t.value_type)}>"
+    return str(t)
+
+
+def norm(v):
+    """Canonicalize a python value WITHOUT cross-family coercion: a
+    Decimal never equals an int, a float never equals an int — the same
+    strictness the driver's value hash showed on scatter_aggs."""
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        return ("f", "nan" if math.isnan(v) else round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return ("d", str(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
+    return v
+
+
+def rows_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"create view {t} as select * from '{p}'")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def spark_views(spark):
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+    return spark
+
+
+@pytest.mark.parametrize("name", sorted(TEMPLATES))
+def test_template_cross_engine(name, spark_views, duck):
+    sdf = spark_views.sql(TEMPLATES[name](SPARK))
+    stab = sdf.toArrow()
+    dtab = duck.sql(TEMPLATES[name](DUCK)).fetch_arrow_table()
+
+    s_schema = sorted((f.name, arrow_family(f.type)) for f in stab.schema)
+    d_schema = sorted((f.name, arrow_family(f.type)) for f in dtab.schema)
+    assert s_schema == d_schema, (
+        f"{name}: arrow schema family mismatch\n  spark: {s_schema}\n  duck : {d_schema}"
+    )
+
+    srows = [tuple(r.values()) for r in stab.to_pylist()]
+    drows = [tuple(r.values()) for r in dtab.to_pylist()]
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    scols = [f.name for f in stab.schema]
+    dcols = [f.name for f in dtab.schema]
+    sk, dk = rows_key(srows, scols), rows_key(drows, dcols)
+    if sk != dk:
+        diff = next((a, b) for a, b in zip(sk, dk) if a != b)
+        pytest.fail(f"{name}: value mismatch\n  spark: {diff[0]}\n  duck : {diff[1]}")

@@ -1,7 +1,14 @@
 """Local replica of the driver's correctness gate: run every
 __spark_entry__.queries() entry on Spark, its oracle_sql() twin on DuckDB
-(when present), and compare row count + column names + order-insensitive
-values.  Queries without an oracle get a rows-only report line.
+(when present), and compare row count + column names + arrow type
+FAMILIES + order-insensitive values.  Queries without an oracle get a
+rows-only report line.
+
+The arrow-family check exists because the driver's value hash is
+representation-sensitive: r2's scatter_aggs had equal python values but
+DuckDB HUGEINT (decimal128) vs Spark BIGINT (int64), and this tool said
+OK while the driver said FAIL.  Integer widths collapse (int32 vs int64
+passes the driver); int / float / decimal / bool stay distinct.
 
 Usage: python tools/check_sql_parity.py [sf_dir] [name ...]
 """
@@ -24,17 +31,39 @@ TABLES = [
 ]
 
 
+def arrow_family(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_family(t.value_type)}>"
+    return str(t)
+
+
 def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return round(v, 9)
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
     import decimal
 
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, float):
+        return ("f", "nan" if math.isnan(v) else round(v, 9))
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 9)
+        return ("d", str(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm(x) for x in v)
     return v
 
 
@@ -62,9 +91,10 @@ def main():
     failures = []
     for name in names:
         try:
-            sdf = qs[name](spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            stab = qs[name](spark, sf_dir).toArrow()
+            scols = [f.name for f in stab.schema]
+            sfams = sorted((f.name, arrow_family(f.type)) for f in stab.schema)
+            srows = [tuple(r.values()) for r in stab.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error {str(e)[:300]}")
@@ -73,14 +103,15 @@ def main():
             print(f"ROWS {name}: {len(srows)} rows (no SQL oracle)")
             continue
         try:
-            dres = con.sql(oracles[name])
-            dcols = list(dres.columns)
-            drows = dres.fetchall()
+            dtab = con.sql(oracles[name]).fetch_arrow_table()
+            dcols = [f.name for f in dtab.schema]
+            dfams = sorted((f.name, arrow_family(f.type)) for f in dtab.schema)
+            drows = [tuple(r.values()) for r in dtab.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {str(e)[:300]}")
             continue
-        ok_schema = sorted(scols) == sorted(dcols)
+        ok_schema = sfams == dfams
         ok_count = len(srows) == len(drows)
         ok_vals = (
             ok_schema and ok_count and rows_key(srows, scols) == rows_key(drows, dcols)
@@ -88,7 +119,7 @@ def main():
         status = "OK  " if ok_vals else "FAIL"
         print(
             f"{status} {name}: rows {len(srows)}/{len(drows)} "
-            f"schema={'=' if ok_schema else f'{sorted(scols)} vs {sorted(dcols)}'} "
+            f"schema={'=' if ok_schema else f'{sfams} vs {dfams}'} "
             f"values={'=' if ok_vals else 'DIFF'}"
         )
         if status == "FAIL":
