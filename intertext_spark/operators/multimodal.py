@@ -1,11 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas stages.
 
-The container has no decode libraries (PIL/ffmpeg/librosa), so the decode
-kernels are STUBS behind ``_HAS_*`` import gates with a deterministic fake
-fallback — the Spark-side contract (schemas, batch shapes, partitioning,
-UDF signatures) is real and tested.  Swapping in a real decoder changes only
-the body of ``_decode_image_batch`` / ``_extract_audio_batch``.
+The perceptual-hash MATH is real: 32x32 area-mean resize -> orthonormal
+2-D DCT-II -> 8x8 low-frequency block -> median threshold -> 64 bits
+(the classic pHash construction), all pure numpy and bit-level tested
+against pinned vectors (tests/test_media_phash.py).  Only the bytes ->
+pixels DECODE needs an image library: when PIL is importable and the
+payload decodes, real pixels feed the hash; otherwise a deterministic
+fake grayscale (sha256-seeded) stands in, so the media queries produce
+identical results in both environments on the synthetic (non-decodable)
+corpus, and installing PIL can never break them.  Video frame EXTRACTION
+stays stubbed (it needs ffmpeg, not PIL): per-frame pixels are the fake
+gray of (payload, frame_idx), but each frame still goes through the real
+DCT kernel.
 """
 
 from __future__ import annotations
@@ -78,18 +85,101 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
 
 def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
     """Deterministic stand-in for decode+embed: sha256 expanded to floats.
-    Replace with a real decoder when the libs exist."""
+    Replace with a real embedding model when the libs exist."""
     h = hashlib.sha256(payload or b"").digest()
     raw = np.frombuffer((h * ((out_dim * 4) // len(h) + 1))[: out_dim * 4], dtype=np.uint32)
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
+# --------------------------------------------------------------------------
+# perceptual hash (real kernel, pure numpy)
+# --------------------------------------------------------------------------
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix C, so ``C @ g @ C.T`` is the 2-D
+    DCT-II of g."""
+    k = np.arange(n, dtype=np.float64)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    c[0] /= np.sqrt(2.0)
+    return c
+
+
+_DCT32 = _dct_basis(32)
+
+
+def _resize_area(gray: np.ndarray, out_h: int = 32, out_w: int = 32) -> np.ndarray:
+    """Area-mean (box-filter) resize via an integral image — the
+    downsampling step of pHash.  Inputs smaller than the target are first
+    nearest-neighbor upsampled so every output cell is non-empty."""
+    g = np.asarray(gray, dtype=np.float64)
+    h, w = g.shape
+    if h < out_h:
+        g = np.repeat(g, -(-out_h // h), axis=0)
+        h = g.shape[0]
+    if w < out_w:
+        g = np.repeat(g, -(-out_w // w), axis=1)
+        w = g.shape[1]
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = np.cumsum(np.cumsum(g, axis=0), axis=1)
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    s = ii[np.ix_(y1, x1)] - ii[np.ix_(y0, x1)] - ii[np.ix_(y1, x0)] + ii[np.ix_(y0, x0)]
+    return s / ((y1 - y0)[:, None] * (x1 - x0)[None, :])
+
+
+def phash64_from_gray(gray: np.ndarray) -> int:
+    """64-bit perceptual hash of a grayscale pixel array (classic pHash):
+    32x32 area resize -> 2-D DCT-II -> 8x8 low-frequency block -> bit =
+    coefficient > block median, row-major MSB-first.  Returns SIGNED int64
+    (Spark LongType).  Invariant under positive scaling of pixel values
+    (DCT is linear; the median scales with it)."""
+    g = _resize_area(gray, 32, 32)
+    d = _DCT32 @ g @ _DCT32.T
+    low = d[:8, :8].copy()
+    # noise floor: degenerate images (flat, pure gradient) leave most
+    # coefficients at float-cancellation noise (~1e-13 relative to DC);
+    # without a clamp the median threshold turns that noise into bits,
+    # breaking determinism across algebraically-equal DCT implementations
+    # and positive-scale invariance.  Clamp is DC-relative so natural
+    # images (coefficients >> noise) are untouched.
+    low[np.abs(low) < 1e-8 * max(1.0, abs(low[0, 0]))] = 0.0
+    bits = (low > np.median(low)).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _fake_gray(payload: bytes) -> np.ndarray:
+    """Deterministic 32x32 grayscale stand-in for a decoded image:
+    sha256(payload) seeds the pixel stream.  This is the decode STUB —
+    everything downstream of it (resize, DCT, threshold) is the real
+    kernel."""
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(32, 32)).astype(np.float64)
+
+
+def _decode_to_gray(payload: bytes) -> np.ndarray:
+    """bytes -> grayscale pixels.  Real PIL decode when the library exists
+    AND the payload is a decodable image; deterministic fake gray
+    otherwise, so non-decodable payloads (the synthetic corpus) hash
+    identically whether or not PIL is installed."""
+    if _HAS_PIL and payload:
+        import io
+
+        try:
+            with PIL.Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("L"), dtype=np.float64)
+        except Exception:
+            pass
+    return _fake_gray(payload)
+
+
 def _phash_of(payload: bytes) -> int:
-    # Real perceptual hash (decode with PIL, 8x8 grayscale, DCT, threshold)
-    # is not implemented yet; always use the deterministic stub so that
-    # installing PIL never breaks the media queries — _HAS_PIL only marks
-    # where the real kernel would slot in.
-    return int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big") >> 1
+    return phash64_from_gray(_decode_to_gray(payload))
 
 
 def image_features(media: DataFrame, out_dim: int = 32) -> DataFrame:
@@ -101,7 +191,7 @@ def image_features(media: DataFrame, out_dim: int = 32) -> DataFrame:
             if len(pdf) == 0:
                 continue
             feats = [_fake_decode(p, out_dim) for p in pdf["payload"]]
-            phashes = [np.int64(np.uint64(_phash_of(p))) for p in pdf["payload"]]
+            phashes = [np.int64(_phash_of(p)) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -136,8 +226,11 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            # frame extraction stub: per-frame pixels = fake gray of
+            # (payload, idx) — a real extractor (ffmpeg) would decode the
+            # idx-th frame here; the DCT hash downstream is the real kernel
             hashes = [
-                np.int64(np.uint64(_phash_of((p or b"") + bytes([i % 256]))))
+                np.int64(phash64_from_gray(_fake_gray((p or b"") + bytes([i % 256]))))
                 for p, i in zip(pdf["payload"], pdf["frame_idx"])
             ]
             yield pd.DataFrame(

@@ -74,3 +74,31 @@ def test_pipeline_matches_fixture_subset_fresh():
         ).fetchall())
     )
     assert got == want
+
+
+def test_media_fixture_fresh():
+    """The committed media fixtures (independent direct-summation DCT in
+    tools/make_fixtures.py) must match the engine's matmul-DCT kernel —
+    two algebraically-equal pHash implementations, bit-compared."""
+    from intertext_spark.operators.multimodal import _fake_gray, phash64_from_gray
+
+    rng = np.random.RandomState(42)
+    kinds = ["image", "audio", "video"]
+    media = [(i, kinds[i % 3], rng.bytes(256 + (i % 5) * 128)) for i in range(64)]
+
+    img = dict(duckdb.sql(
+        f"select media_id, phash from '{FIX}/media_image_features.parquet'"
+    ).fetchall())
+    for i, kind, payload in media:
+        if kind == "image":
+            assert img[i] == phash64_from_gray(_fake_gray(payload)), i
+
+    fr = {(a, b): c for a, b, c in duckdb.sql(
+        f"select media_id, frame_idx, frame_phash from '{FIX}/media_frame_samples.parquet'"
+    ).fetchall()}
+    for i, kind, payload in media:
+        if kind != "video":
+            continue
+        for idx in range(max(int(1000 + 250 * (i % 7)) // 500, 1)):
+            got = phash64_from_gray(_fake_gray(payload + bytes([idx % 256])))
+            assert fr[(i, idx)] == got, (i, idx)

@@ -1,0 +1,103 @@
+"""Bit-level tests for the real pHash kernel (multimodal.phash64_from_gray):
+32x32 area resize -> orthonormal 2-D DCT-II -> 8x8 low-freq block ->
+DC-relative noise clamp -> median threshold -> 64 bits.
+
+Pinned vectors make the stub/real decode boundary testable without PIL:
+the kernel's MATH is fully exercised here; only bytes->pixels decode is
+environment-dependent (and falls back to the deterministic fake gray).
+"""
+
+import numpy as np
+import pytest
+
+from intertext_spark.operators import multimodal as mm
+
+DC_ONLY = -(1 << 63)  # only the DC bit set (row-major MSB-first)
+
+# (name, gray-array builder, pinned signed-int64 phash)
+VECTORS = [
+    # flat image: every non-DC coefficient is exactly 0 after the noise
+    # clamp -> median 0 -> only DC > 0
+    ("const", lambda: np.full((32, 32), 128.0), DC_ONLY),
+    # horizontal ramp: energy on the (0, v) row only — 4 negative odd
+    # coefficients, 56 zeros -> median 0 -> DC-only again
+    ("grad", lambda: np.tile(np.arange(32, dtype=np.float64), (32, 1)), DC_ONLY),
+    # 1-px checkerboard: all energy at the highest frequency, OUTSIDE the
+    # 8x8 low block -> DC-only
+    ("checker",
+     lambda: ((np.indices((32, 32)).sum(axis=0) % 2) * 255).astype(np.float64),
+     DC_ONLY),
+    # non-square input exercises the area resize
+    ("big_grad", lambda: np.tile(np.linspace(0, 255, 64), (48, 1)), DC_ONLY),
+    # deterministic fake grays: full 64-bit patterns (the decode-stub path)
+    ("fake_empty", lambda: mm._fake_gray(b""), -7420799317418238641),
+    ("fake_abc", lambda: mm._fake_gray(b"abc"), -7385417025789443618),
+    # tiny input exercises the nearest-neighbor upsample path
+    ("small", lambda: np.array([[0.0, 255.0], [255.0, 0.0]]), -9218586670191804348),
+]
+
+
+@pytest.mark.parametrize("name,build,expected", VECTORS)
+def test_pinned_vectors(name, build, expected):
+    assert mm.phash64_from_gray(build()) == expected
+
+
+def test_positive_scale_invariance():
+    """DCT is linear and the median scales with the coefficients, so the
+    hash is invariant under positive scaling of pixel values (the clamp
+    keeps degenerate images deterministic too)."""
+    for g in [mm._fake_gray(b"xyz"), np.tile(np.arange(32, dtype=np.float64), (32, 1))]:
+        h = mm.phash64_from_gray(g)
+        assert mm.phash64_from_gray(g * 3.7) == h
+        assert mm.phash64_from_gray(g * 0.013) == h
+
+
+def test_resize_identity_at_target_size():
+    g = mm._fake_gray(b"id")
+    assert np.allclose(mm._resize_area(g, 32, 32), g)
+
+
+def test_resize_area_means():
+    # 4x4 -> 2x2 box filter: each output is the mean of a 2x2 cell
+    g = np.arange(16, dtype=np.float64).reshape(4, 4)
+    out = mm._resize_area(g, 2, 2)
+    assert np.allclose(out, [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_similar_images_close_distinct_images_far():
+    """Perceptual property on the real kernel: a small local perturbation
+    moves few bits; an unrelated image moves ~half of them."""
+    g = mm._fake_gray(b"base").copy()
+    h0 = mm.phash64_from_gray(g)
+    g2 = g.copy()
+    g2[:2, :2] += 30.0  # small local edit
+    d_near = bin((np.uint64(h0) ^ np.uint64(mm.phash64_from_gray(g2))).item()).count("1")
+    d_far = bin(
+        (np.uint64(h0) ^ np.uint64(mm.phash64_from_gray(mm._fake_gray(b"other")))).item()
+    ).count("1")
+    assert d_near <= 12 and d_far >= 20, (d_near, d_far)
+
+
+def test_decode_falls_back_without_breaking():
+    """Non-decodable payloads hash via the fake-gray path whether or not
+    PIL is installed (the r1 inverted-gate regression guard)."""
+    payload = b"\x89not-a-real-png"
+    expected = mm.phash64_from_gray(mm._fake_gray(payload))
+    assert mm._phash_of(payload) == expected
+    assert mm._phash_of(b"") == mm.phash64_from_gray(mm._fake_gray(b""))
+
+
+@pytest.mark.skipif(not mm._HAS_PIL, reason="PIL not installed")
+def test_real_decode_path_with_pil():
+    """With PIL present, a real encoded image decodes to pixels and the
+    hash comes from those pixels (not the fake gray)."""
+    import io
+
+    import PIL.Image
+
+    arr = (np.indices((32, 32)).sum(axis=0) * 4 % 256).astype(np.uint8)
+    buf = io.BytesIO()
+    PIL.Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+    assert mm._phash_of(payload) == mm.phash64_from_gray(arr.astype(np.float64))
+    assert mm._phash_of(payload) != mm.phash64_from_gray(mm._fake_gray(payload))

@@ -262,8 +262,38 @@ def media_fixtures(out_dir: str, n: int = 64, seed: int = 42):
         dur = int(1000 + 250 * (i % 7)) if kind != "image" else None
         media.append((i, kind, payload, dur))
 
+    def fake_gray(p: bytes) -> np.ndarray:
+        # the decode stub's spec (shared by definition with multimodal.py:
+        # sha256 seeds the pixel stream)
+        seed = int.from_bytes(hashlib.sha256(p or b"").digest()[:4], "big")
+        return np.random.RandomState(seed).randint(0, 256, size=(32, 32)).astype(np.float64)
+
+    def dct2_direct(g: np.ndarray) -> np.ndarray:
+        # independent rederivation of the orthonormal 2-D DCT-II: direct
+        # double summation (no basis-matrix matmul, no scipy) — slow but
+        # n=32 and ~90 hashes
+        n = g.shape[0]
+        out = np.zeros((n, n))
+        xs = np.arange(n)
+        for u in range(n):
+            cu = np.sqrt(1.0 / n) if u == 0 else np.sqrt(2.0 / n)
+            row = np.cos((2 * xs + 1) * u * np.pi / (2 * n))
+            for v in range(n):
+                cv = np.sqrt(1.0 / n) if v == 0 else np.sqrt(2.0 / n)
+                col = np.cos((2 * xs + 1) * v * np.pi / (2 * n))
+                out[u, v] = cu * cv * float(row @ g @ col)
+        return out
+
     def phash(p: bytes) -> int:
-        v = int.from_bytes(hashlib.sha256(p).digest()[:8], "big") >> 1
+        # pHash over the decode stub: 32x32 gray (already target-size, so
+        # the box resize is identity) -> DCT -> 8x8 block -> median bits
+        d = dct2_direct(fake_gray(p))
+        low = d[:8, :8]
+        low[np.abs(low) < 1e-8 * max(1.0, abs(low[0, 0]))] = 0.0  # noise floor (kernel spec)
+        med = float(np.median(low))
+        v = 0
+        for bit in (low > med).ravel():
+            v = (v << 1) | int(bit)
         return v - (1 << 64) if v >= (1 << 63) else v  # to int64
 
     def feature_csv(p: bytes, out_dim: int = 32) -> str:
