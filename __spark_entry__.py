@@ -108,6 +108,26 @@ def _pipeline_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipeline_matches_banished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banish path (reference intertext.py:212, 1084-1106): drop match rows
+    touching any window within banish_distance (4) BFS hops of file 6 —
+    the seed whose radius-4 ball leaves a discriminative remainder on the
+    sf0.01 corpus (most seeds wipe the whole densely-connected graph).
+    Reuses the memoized pipeline's persisted matches — banish is a
+    post-filter stage, so the gate pays one graph BFS, not a second
+    pipeline run.  Oracle: fixture from the pure-python BFS
+    (oracle.banished_nodes) over the same match set."""
+    from intertext_spark.operators.graph import banish_filter
+
+    res = _run_pipeline(spark, sf_dir)
+    bids = spark.createDataFrame([(6,)], "file_id long")
+    m = banish_filter(res["matches"], bids, DEFAULT.banish_distance)
+    return m.select(
+        "file_id_a", "file_id_b", "window_id_a", "window_id_b",
+        F.floor("similarity").cast("long").alias("similarity_int"),
+    )
+
+
 def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _run_pipeline(spark, sf_dir)
     return res["clusters"].select(
@@ -488,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # text-reuse pipeline stages
     q["pipeline_windows"] = _pipeline_windows
     q["pipeline_matches"] = _pipeline_matches
+    q["pipeline_matches_banished"] = _pipeline_matches_banished
     q["pipeline_clusters"] = _pipeline_clusters
     q["pipeline_groups"] = _pipeline_groups
     q["pipeline_match_strings"] = _match_strings_q
@@ -623,6 +644,7 @@ where doc_id = keeper
                       "fixtures", "sf0.01")
     for qname, fname in (
         ("pipeline_matches", "pipeline_matches"),
+        ("pipeline_matches_banished", "pipeline_matches_banished"),
         ("pipeline_clusters", "pipeline_clusters"),
         ("pipeline_groups", "pipeline_groups"),
         ("pipeline_match_strings", "pipeline_match_strings"),

@@ -242,15 +242,19 @@ def spans_to_window_candidates(
 ) -> DataFrame:
     """Map verified spans onto window-id candidate pairs for the validation
     stage (window k covers words [k*slide, k*slide+window), intertext.py
-    661-662): aligned windows fully inside the span on both sides."""
-    s, w = slide_length, window_length
+    661-662): aligned windows fully inside the span on both sides.
+
+    Pure-integer arithmetic throughout (``div``, and ceil(a/s) as
+    ``(a + s - 1) div s`` — exact for the non-negative offsets spans
+    carry): Spark's ``/`` is a DOUBLE op, silently wrong past 2^53, the
+    same discipline the graph codec already enforces."""
+    s, w = int(slide_length), int(window_length)
     n_windows = F.greatest(
-        ((F.col("span_len") - w) / s).cast("long") + 1, F.lit(0)
+        F.expr(f"(span_len - {w}) div {s}") + 1, F.lit(0)
     )
-    k0a = F.ceil(F.col("start_a") / s).cast("long")
     offs = F.when(
-        n_windows > 0, F.sequence(F.lit(0), n_windows - 1)
-    ).otherwise(F.array().cast("array<bigint>"))
+        n_windows > 0, F.sequence(F.lit(0), (n_windows - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
     exploded = spans.select(
         "doc_a", "doc_b", "start_a", "start_b", "span_len",
         F.explode(offs).alias("i"),
@@ -258,6 +262,6 @@ def spans_to_window_candidates(
     return exploded.select(
         F.col("doc_a").alias("file_id_a"),
         F.col("doc_b").alias("file_id_b"),
-        (F.ceil(F.col("start_a") / s) + F.col("i")).cast("long").alias("window_id_a"),
-        (F.ceil(F.col("start_b") / s) + F.col("i")).cast("long").alias("window_id_b"),
+        (F.expr(f"(start_a + {s - 1}) div {s}") + F.col("i")).cast("long").alias("window_id_a"),
+        (F.expr(f"(start_b + {s - 1}) div {s}") + F.col("i")).cast("long").alias("window_id_b"),
     ).distinct()

@@ -1,0 +1,117 @@
+"""Hand-computed end-to-end corpus (VERDICT r2 item 8: break the
+fixture-oracle circularity).
+
+Five single-turn conversations, 14 words each (= exactly one window,
+window_id 0, since window_length=14).  Every expected match / cluster /
+group below is derived BY HAND in the comments — written as literals and
+asserted against BOTH the pure-python oracle (intertext_spark.oracle) and
+the Spark pipeline, so a bug shared by oracle and engine (the trust chain
+behind the pinned fixtures) still fails here.
+
+Similarity arithmetic for the c1/c3 pair (the only non-verbatim match):
+  c1 = P + "november",  c3 = P + "xxxx"
+  where P = "alpha bravo charlie delta echo foxtrot golf hotel india
+  juliet kilo lima mike " (13 words, 65 letters + 13 spaces = 78 chars).
+  difflib (Ratcliff-Obershelp) longest common block = P (78 chars); the
+  right remainders "november" vs "xxxx" share no characters, so total
+  matched M = 78.  len(c1) = 78+8 = 86, len(c3) = 78+4 = 82.
+  ratio*100 = 200*78/(86+82) = 15600/168 = 92.857142857142854...
+  int() -> 92 (stored cluster sim), and 92.857... >= min_sim=50.
+"""
+
+import pytest
+
+from intertext_spark import oracle, schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.pipeline import Pipeline
+
+P_WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike"
+C1 = P_WORDS + " november"
+C3 = P_WORDS + " xxxx"
+C4 = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+
+WORDS_BY_CONV = {
+    "c1": C1.split(),
+    "c2": C1.split(),   # verbatim dup of c1
+    "c3": C3.split(),   # near dup of c1 (one tail word swapped)
+    "c4": C4.split(),   # unrelated
+    "c5": C4.split(),   # verbatim dup of c4
+}
+# file ids = sorted conv order: c1->0 c2->1 c3->2 c4->3 c5->4
+
+SIM_13_OF_14 = 15600 / 168  # = 92.857142857142854, derived above
+
+# (file_id_a, file_id_b, window_id_a, window_id_b, similarity)
+EXPECTED_MATCHES = {
+    (0, 1, 0, 0, 100.0),
+    (0, 2, 0, 0, SIM_13_OF_14),
+    (1, 2, 0, 0, SIM_13_OF_14),
+    (3, 4, 0, 0, 100.0),
+}
+
+# one single-window island per side per pair; cluster sim = int(mean)
+EXPECTED_CLUSTERS = {
+    (0, 1): [((0,), (0,), 100)],
+    (0, 2): [((0,), (0,), 92)],
+    (1, 2): [((0,), (0,), 92)],
+    (3, 4): [((0,), (0,), 100)],
+}
+
+# connected components over (file_id, window_id) nodes
+EXPECTED_GROUPS = {
+    frozenset({(0, 0), (1, 0), (2, 0)}),
+    frozenset({(3, 0), (4, 0)}),
+}
+
+
+def test_sanity_of_hand_arithmetic():
+    """The comment's character counts, re-checked mechanically."""
+    p = P_WORDS + " "
+    assert len(p) == 78 and len(C1) == 86 and len(C3) == 82
+    assert set("november") & set("xxxx") == set()
+    from difflib import SequenceMatcher
+
+    assert SequenceMatcher(None, C1, C3, autojunk=False).ratio() * 100 == SIM_13_OF_14
+
+
+def test_oracle_matches_literal_values():
+    r = oracle.run_pipeline(WORDS_BY_CONV, DEFAULT)
+    assert r["file_of"] == {"c1": 0, "c2": 1, "c3": 2, "c4": 3, "c5": 4}
+    assert set(map(tuple, r["matches"])) == EXPECTED_MATCHES
+    got_clusters = {
+        pair: [(tuple(a), tuple(b), s) for a, b, s in cl]
+        for pair, cl in r["clusters"].items()
+        if cl
+    }
+    assert got_clusters == EXPECTED_CLUSTERS
+    by_label: dict = {}
+    for node, lab in r["groups"].items():
+        by_label.setdefault(lab, set()).add(node)
+    assert set(map(frozenset, by_label.values())) == EXPECTED_GROUPS
+
+
+def test_spark_pipeline_matches_literal_values(spark):
+    rows = [
+        (conv, 0, "user", " ".join(words), None, None)
+        for conv, words in WORDS_BY_CONV.items()
+    ]
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    res = Pipeline(spark, DEFAULT).run(tdf)
+
+    got_matches = {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b, r.similarity)
+        for r in res["matches"].collect()
+    }
+    assert got_matches == EXPECTED_MATCHES
+
+    got_clusters: dict = {}
+    for r in res["clusters"].collect():
+        got_clusters.setdefault((r.file_id_a, r.file_id_b), []).append(
+            (tuple(r.window_ids_a), tuple(r.window_ids_b), r.similarity)
+        )
+    assert got_clusters == EXPECTED_CLUSTERS
+
+    by_group: dict = {}
+    for r in res["groups"].collect():
+        by_group.setdefault(r.group_id, set()).add((r.file_id, r.window_id))
+    assert set(map(frozenset, by_group.values())) == EXPECTED_GROUPS

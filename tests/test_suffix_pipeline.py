@@ -68,3 +68,29 @@ def test_suffix_pass_default_config_superset(spark, shifted_corpus):
         for r in plus["matches"].collect()
     }
     assert m0 <= m1
+
+
+def test_spans_to_window_candidates_integer_exact_at_large_offsets(spark):
+    """Window-id arithmetic is pure-integer (div), so offsets past 2^53 —
+    where Spark's double `/` loses unit precision — map exactly."""
+    from intertext_spark.operators.suffixpass import spans_to_window_candidates
+
+    big = (1 << 53) + 3  # not representable as a double
+    spans = spark.createDataFrame(
+        [(1, 2, big, big + 5, 22), (3, 4, 0, 4, 14)],
+        "doc_a long, doc_b long, start_a long, start_b long, span_len long",
+    )
+    got = {
+        (r.file_id_a, r.window_id_a, r.window_id_b)
+        for r in spans_to_window_candidates(spans, window_length=14, slide_length=4).collect()
+    }
+    # python-int reference: k0 = ceil(start/s); n = (span_len - w)//s + 1
+    expect = set()
+    for da, db, sa, sb, ln in [(1, 2, big, big + 5, 22), (3, 4, 0, 4, 14)]:
+        k0a, k0b = -(-sa // 4), -(-sb // 4)
+        for i in range((ln - 14) // 4 + 1):
+            expect.add((da, k0a + i, k0b + i))
+    assert got == expect
+    # the double-division formulation really would be wrong here: offsets
+    # past 2^53 alias as doubles, so `/`-based ids would collide
+    assert float(1 << 53) == float((1 << 53) + 1)

@@ -80,6 +80,31 @@ def pipeline_fixtures(sf_dir: str, out_dir: str, cache: str | None):
         os.path.join(out_dir, "pipeline_matches.parquet"),
     )
 
+    # banish-filtered matches: drop rows touching any window within
+    # banish_distance (default 4) BFS hops of file 6 — puts the graph-BFS
+    # banish path (operators/graph.py banish_filter) under the driver's
+    # eye with the oracle's independent BFS.  File 6 chosen because its
+    # radius-4 ball leaves a discriminative remainder on this corpus
+    # (6,650 of 58,407 rows survive); most seeds wipe the whole densely-
+    # connected graph, which would make the gate row trivially matchable.
+    from intertext_spark.oracle import banished_nodes
+
+    bad = banished_nodes(matches, {6}, DEFAULT.banish_distance)
+    bm = [m for m in matches
+          if (m[0], m[2]) not in bad and (m[1], m[3]) not in bad]
+    pq.write_table(
+        pa.table({
+            "file_id_a": pa.array([m[0] for m in bm], pa.int64()),
+            "file_id_b": pa.array([m[1] for m in bm], pa.int64()),
+            "window_id_a": pa.array([m[2] for m in bm], pa.int64()),
+            "window_id_b": pa.array([m[3] for m in bm], pa.int64()),
+            "similarity_int": pa.array(
+                [math.floor(m[4]) for m in bm], pa.int64()),
+        }),
+        os.path.join(out_dir, "pipeline_matches_banished.parquet"),
+    )
+    print(f"banished matches fixture: {len(bm)} of {len(matches)} rows survive")
+
     crows = [
         (fa, fb, a_ids, b_ids, sim)
         for (fa, fb), cl in clusters.items()
