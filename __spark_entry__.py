@@ -42,7 +42,7 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversation, words split into 12-word turns, role cycling, ts =
     epoch + turn_idx.  Pure built-ins; byte-stable given the input."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    words = F.filter(F.split("text", r"(?U)\s+"), lambda w: w != "")
+    words = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
     turns = F.when(
         F.size(words) > 0,
         F.transform(
@@ -202,6 +202,25 @@ def _minhash_dups_native(spark, sf_dir):
     )
 
 
+def _minhash_dups_skewed(spark, sf_dir):
+    """Skew stress for the salted LSH band join (dedup.py lsh_dup_pairs
+    big-band path): 20% of docs are rewritten to share a 60-word
+    boilerplate (skewed_documents_sql), so the hot bands' member sets
+    (~100 docs at sf0.01) exceed small_cap=64 and take the salted join.
+    Oracle = brute-force all-pairs Jaccard over the same skewed table —
+    set equality proves recall 1.0 under skew."""
+    from intertext_spark.operators import dedup
+    from intertext_spark.sqlqueries import skewed_documents_sql
+
+    _register_views(spark, sf_dir)
+    docs = spark.sql(skewed_documents_sql(SPARK))
+    bands = dedup.doc_minhash_bands(docs, shingle_words=3)
+    pairs = dedup.lsh_dup_pairs(bands)
+    return dedup.verify_jaccard(pairs, docs, shingle_words=3, threshold=0.5).select(
+        "doc_a", "doc_b", _round4(F.col("jaccard")).alias("jaccard")
+    )
+
+
 def _simhash_pairs_native(spark, sf_dir):
     from intertext_spark.operators import dedup
 
@@ -326,7 +345,7 @@ def _suffix_spans(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("file_id"),
-        F.filter(F.split("text", r"(?U)\s+"), lambda w: w != "").alias("words"),
+        F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "").alias("words"),
     )
     return long_verbatim_spans(docs, span_words=20)
 
@@ -390,7 +409,7 @@ def _xml_page_map_q(spark, sf_dir):
     from intertext_spark.operators.xmlextract import xml_page_map
 
     docs = _docs(spark, sf_dir)
-    words = F.filter(F.split("text", r"(?U)\s+"), lambda w: w != "")
+    words = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
     n_pages = F.ceil(F.size(words) / 25).cast("int")
     paged = F.concat(
         F.lit("<body>"),
@@ -486,6 +505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # engine-native operators (numpy/Arrow scale paths)
     q["exact_dedup_native"] = _exact_dedup_native
     q["minhash_dup_pairs_native"] = _minhash_dups_native
+    q["minhash_dup_pairs_skewed"] = _minhash_dups_skewed
     q["simhash_pairs_native"] = _simhash_pairs_native
     q["embedding_dup_pairs_native"] = _embedding_dups_native
     q["ann_topk_native"] = _ann_topk_native
@@ -548,6 +568,9 @@ from documents
     out["lang_id_native"] = q_lang_id_native_twin(DUCK)
     out["doc_fingerprints_native"] = q_fingerprints_native_twin(DUCK)
     out["minhash_dup_pairs_native"] = q_minhash_brute_twin(DUCK)
+    from intertext_spark.sqlqueries import q_minhash_skew_twin
+
+    out["minhash_dup_pairs_skewed"] = q_minhash_skew_twin(DUCK)
     out["embedding_dup_pairs_native"] = q_embedding_brute_twin(DUCK)
     from intertext_spark.sqlqueries import q_dedup_corpus_near_twin
 

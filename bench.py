@@ -160,6 +160,13 @@ def run_suite(spark, sf_dir: str) -> dict:
         spark.sql(TEMPLATES[name](SPARK)).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # native (non-template) headline ops: the salted-LSH skew stress path
+    qs = entrymod.queries()
+    for name in ["minhash_dup_pairs_skewed"]:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
     dt, n_turns, n_matches = _bench_pipeline(spark, sf_dir)
     timings["pipeline_matches"] = round(dt, 3)
     return {

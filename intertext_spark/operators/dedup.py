@@ -313,9 +313,12 @@ def simhash_dup_pairs(
     is expensive) would spend, so the plan is equi-join -> verify ->
     filter -> distinct, keeping the distinct on the small post-filter set.
     Skew/boilerplate control is ``chunk_max_docs``: chunk values held by
-    more docs than the cap are non-discriminative (the band_max_files
-    analog) and are dropped by a pre-join frequency filter; residual hot
-    values are AQE skew-join territory.  When the cap is set, the filter
+    more docs than the cap are dropped by a pre-join frequency filter (the
+    band_max_files analog); residual hot values are AQE skew-join
+    territory.  NOTE: the cap TRADES RECALL for skew control — a dropped
+    hot chunk can be the ONLY chunk a true near-dup pair shares, so the
+    pigeonhole exact-recall guarantee above holds only with the cap unset
+    (same caveat as band_max_files).  When the cap is set, the filter
     branch re-evaluates ``sims`` — persist it first if the signature UDF
     upstream is expensive (one .persist() at the caller beats recomputing
     the Arrow signing pass)."""

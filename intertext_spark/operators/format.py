@@ -111,7 +111,7 @@ def match_probabilities(
             )
         ).alias("s"),
     ).select(
-        *key, "s.side", F.explode(F.split("s.txt", r"(?U)\s+")).alias("word")
+        *key, "s.side", F.explode(F.split("s.txt", r"(?U)[\s\x1c-\x1f]+")).alias("word")
     )
     probs = (
         sides.join(counts, "word", "left")

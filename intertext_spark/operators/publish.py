@@ -41,7 +41,7 @@ def display_words(transcripts: DataFrame, doc_ids: DataFrame) -> DataFrame:
     window slice arithmetic stays valid — same invariant as the reference.
     """
     words_of = F.filter(
-        F.split(F.coalesce("text", F.lit("")), r"(?U)\s+"), lambda w: w != ""
+        F.split(F.coalesce("text", F.lit("")), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
     )
     per_turn = transcripts.groupBy("conv_id").agg(
         F.array_sort(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from .. import hashing
 
 # (?U): Unicode whitespace, matching python str.split() — see windows.WS
-_WORDS = lambda c: F.filter(F.split(F.col(c), r"(?U)\s+"), lambda w: w != "")  # noqa: E731
+_WORDS = lambda c: F.filter(F.split(F.col(c), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")  # noqa: E731
 
 STOPWORDS_EN = (
     "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",

@@ -20,12 +20,16 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import PipelineConfig
 
 # Unicode-aware whitespace split: Java's \s is ASCII-only, but the reference
-# tokenizes with python str.split() (intertext.py:1158), which splits on the
-# Unicode whitespace property (NBSP, U+2028, \x85, ...).  (?U) turns on
-# UNICODE_CHARACTER_CLASS so \s matches the same set.  Every engine-side
-# tokenization site uses this pattern; the SQL-twin oracles keep ASCII \s
-# (DuckDB RE2 has no equivalent) and are exercised on the ASCII gate corpus.
-WS = r"(?U)\s+"
+# tokenizes with python str.split() (intertext.py:1158), which splits on
+# str.isspace() characters (NBSP, U+2028, \x85, ...).  (?U) turns on
+# UNICODE_CHARACTER_CLASS so \s matches the Unicode White_Space property;
+# python additionally treats the U+001C-001F separator control characters
+# as whitespace (isspace() true, White_Space false), so the class adds them
+# explicitly — randomized parity (tests/test_randomized_parity.py) covers
+# both.  Every engine-side tokenization site uses this pattern; the
+# SQL-twin oracles keep ASCII \s (DuckDB RE2 has no equivalent) and are
+# exercised on the ASCII gate corpus.
+WS = r"(?U)[\s\x1c-\x1f]+"
 
 
 def strip_diacritics(df: DataFrame, text_col: str = "text") -> DataFrame:

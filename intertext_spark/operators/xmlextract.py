@@ -54,7 +54,7 @@ def xml_text(
         col = F.regexp_replace(col, f"(?is)<{tl}(?:\\s[^>]*)?>.*?</{tl}>", "")
         col = F.regexp_replace(col, f"(?is)<{tl}(?:\\s[^>]*)?/>", "")
     col = F.regexp_replace(col, r"<[^>]+>", " ")
-    col = F.trim(F.regexp_replace(col, r"(?U)\s+", " "))
+    col = F.trim(F.regexp_replace(col, r"(?U)[\s\x1c-\x1f]+", " "))
     return df.withColumn(out_col, col)
 
 
@@ -82,7 +82,15 @@ def xml_page_map(
     """-> (doc_id, window_id, page_id): which page each word window starts
     on (reference get_window_map semantics, intertext.py:1192-1237 — the
     lowercase read, the leading-content skip, the attr/inner-text/ordinal
-    page-id fallbacks, and the later-page-wins overwrite are all kept)."""
+    page-id fallbacks, and the later-page-wins overwrite are all kept).
+
+    Divergence note (same class as xml_text's): word counting strips tags
+    to SPACES (_strip_tags), while the reference's BeautifulSoup
+    get_text() joins text nodes with no separator — inline markup inside
+    a page ('a<i>b</i>' -> 'a b' here vs 'ab' there) can shift word
+    counts and therefore window->page assignment.  Tag-to-space is the
+    deliberate choice: fused words would otherwise change tokenization of
+    the page body itself."""
     slide = cfg.slide_length
     ptag = page_tag.lower()
     pattr = page_attr.lower() if page_attr else None

@@ -36,27 +36,51 @@ def _fingerprint(cfg: PipelineConfig, *parts: str) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def _hadoop_status(df: DataFrame, uri: str) -> "str | None":
+    """size:mtime of a URI via the Hadoop FileSystem API (the JVM gateway),
+    covering non-local schemes (hdfs://, s3a://, abfs://...) that os.stat
+    cannot reach.  None if the status call fails."""
+    try:
+        spark = df.sparkSession
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(uri)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        st = fs.getFileStatus(jpath)
+        return f"{st.getLen()}:{st.getModificationTime()}"
+    except Exception:
+        return None
+
+
 def _input_snapshot(df: DataFrame) -> str:
     """Content snapshot of the input source: file list + size + mtime.
     Folded into stage fingerprints so appended/rewritten data at the same
     path invalidates checkpoints instead of silently serving stale stage
     outputs.  Empty for non-file inputs (in-memory test frames), where the
-    caller's input_token is the only identity — same behavior as before."""
+    caller's input_token is the only identity — same behavior as before.
+
+    Local paths stat with nanosecond mtime; other schemes (hdfs://,
+    s3a://, ...) go through the Hadoop FileSystem API so an in-place
+    rewrite at the same remote path still invalidates checkpoints (the
+    cluster-scale case).  A path whose status cannot be read degrades to
+    its bare name — list membership still participates in the snapshot."""
     try:
         files = sorted(df.inputFiles())
     except Exception:
         return ""
     parts = []
     for f in files:
-        path = f[5:] if f.startswith("file:") else f
-        try:
-            st = os.stat(path)
-            # nanosecond mtime: a same-size rewrite within the same SECOND
-            # (plausible for regenerated fixed-width synthetic corpora)
-            # must still change the snapshot
-            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-        except OSError:
-            parts.append(f)
+        if f.startswith("file:") or "://" not in f:
+            path = f[5:] if f.startswith("file:") else f
+            try:
+                st = os.stat(path)
+                # nanosecond mtime: a same-size rewrite within the same
+                # SECOND (plausible for regenerated fixed-width synthetic
+                # corpora) must still change the snapshot
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            except OSError:
+                parts.append(f)
+        else:
+            status = _hadoop_status(df, f)
+            parts.append(f"{f}:{status}" if status else f)
     if not parts:
         return ""
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]

@@ -750,6 +750,54 @@ where j >= 0.5
 """
 
 
+HOT_BOILERPLATE = " ".join(f"boil{i}" for i in range(60))
+
+
+def skewed_documents_sql(d: Dialect) -> str:
+    """documents with 20% of rows (doc_id % 5 = 0) replaced by a shared
+    60-word boilerplate plus one per-doc unique tail word — a synthetic
+    hot-template corpus (the real-world shape: license headers, email
+    footers, scraped nav chrome).  At sf0.01 that is 100 of 500 docs
+    sharing most of their MinHash bands, pushing the hot bands' member
+    sets past lsh_dup_pairs' small_cap=64 and onto the SALTED join path.
+    Rendered identically on both engines (same CASE, same concat)."""
+    return (
+        f"select doc_id, case when doc_id % 5 = 0 then "
+        f"'{HOT_BOILERPLATE} t' || {d.str_('doc_id')} "
+        f"else text end as text from documents"
+    )
+
+
+def q_minhash_skew_twin(d: Dialect) -> str:
+    """Brute-force all-pairs word-3-gram Jaccard >= 0.5 over the skewed
+    (hot-boilerplate) corpus — ground truth for minhash_dup_pairs_skewed.
+    Set equality proves the salted-band path loses no pairs under skew
+    (recall 1.0): every hot pair's true Jaccard is ~58/60, far above
+    threshold, so any salt-join bug that drops a pair breaks the row."""
+    return f"""
+with skewed as ({skewed_documents_sql(d)}),
+shingle_sets as (
+  select doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> array_to_string(list_slice(words, i, i + 2), ' '))) as sh
+  from (select doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '') as words
+        from skewed)
+  where len(words) >= 3
+),
+scored as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         cast(len(list_intersect(a.sh, b.sh)) as double)
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) as j
+  from shingle_sets a join shingle_sets b on a.doc_id < b.doc_id
+)
+select doc_a, doc_b, cast({d.round4('j')} as double) as jaccard
+from scored
+where j >= 0.5
+"""
+
+
 def q_dedup_corpus_near_twin(d: Dialect) -> str:
     """Twin of the near-dup survivor corpus (dedup_corpus over LSH pairs):
     brute-force jaccard>=0.5 pairs (== the LSH+verify set, recall proven by

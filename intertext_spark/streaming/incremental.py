@@ -139,7 +139,7 @@ def streaming_token_throughput(
     """Watermarked windowed aggregation: token throughput per role per
     event-time window (late rows within the watermark update the window)."""
     words = F.filter(
-        F.split(F.coalesce("text", F.lit("")), r"(?U)\s+"), lambda w: w != ""
+        F.split(F.coalesce("text", F.lit("")), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
     )
     return (
         stream.withWatermark("ts", watermark)

@@ -359,3 +359,34 @@ def test_ivf_recall_vs_nprobe(spark):
     ).count()
     assert scanned < n * 0.6
     assigned.unpersist()
+
+
+def test_lsh_skew_salted_path_engages_and_loses_nothing(spark):
+    """Preconditions of the minhash_dup_pairs_skewed driver row, asserted
+    rather than assumed: on the hot-boilerplate corpus (i) a single band is
+    shared by >5% of all docs, (ii) the hot bands exceed small_cap so the
+    SALTED join path really runs, and (iii) the salted path yields exactly
+    the same pair set as the all-small path (no pairs lost to salting)."""
+    import duckdb
+
+    from intertext_spark.sqlqueries import SPARK as SPARK_D, skewed_documents_sql
+
+    sf = "/root/testdata/sf0.01"
+    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents")
+    docs = spark.sql(skewed_documents_sql(SPARK_D))
+    n_docs = docs.count()
+    bands = dedup.doc_minhash_bands(docs, shingle_words=3).persist()
+
+    hottest = (
+        bands.groupBy("band").count().agg(F.max("count").alias("m")).head().m
+    )
+    assert hottest > 0.05 * n_docs, (hottest, n_docs)  # >5% share one band
+    assert hottest > 64  # beyond small_cap => salted join engaged
+
+    salted = {(r.doc_a, r.doc_b) for r in dedup.lsh_dup_pairs(bands).collect()}
+    all_small = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.lsh_dup_pairs(bands, small_cap=1 << 20).collect()
+    }
+    bands.unpersist()
+    assert salted == all_small

@@ -170,3 +170,44 @@ def test_checkpoint_invalidated_by_input_change(spark, small_planted, tmp_path):
     r3 = p3.run(spark.read.parquet(tpath))
     assert not any(s["skipped"] for s in p3.stage_log)
     assert r3["doc_ids"].count() == len({r[0] for r in rows}) + 1
+
+
+def test_hadoop_status_matches_os_stat(spark):
+    """The non-local-scheme snapshot path (_hadoop_status, used for
+    hdfs://s3a:// inputs) — exercised here through the Hadoop LocalFS on a
+    file: URI: size must equal os.stat, and a rewrite changes the value."""
+    import os
+
+    from intertext_spark.pipeline import _hadoop_status, _input_snapshot
+
+    path = "/tmp/it_snapshot_probe.txt"
+    with open(path, "w") as f:
+        f.write("hello")
+    df = spark.range(1)  # any df — only carries the session
+    st = _hadoop_status(df, f"file:{path}")
+    assert st is not None and st.split(":")[0] == str(os.stat(path).st_size)
+    before = st
+    import time
+
+    time.sleep(0.01)
+    with open(path, "w") as f:
+        f.write("hello2")
+    assert _hadoop_status(df, f"file:{path}") != before
+    assert _hadoop_status(df, "file:/tmp/definitely_missing_xyz") is None
+    os.remove(path)
+
+
+def test_input_snapshot_rewrite_invalidates(spark, tmp_path):
+    """In-place rewrite at the same path changes the snapshot (the
+    staleness _input_snapshot exists to prevent)."""
+    from intertext_spark.pipeline import _input_snapshot
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(5).write.mode("overwrite").parquet(p)
+    s1 = _input_snapshot(spark.read.parquet(p))
+    import time
+
+    time.sleep(0.01)
+    spark.range(7).write.mode("overwrite").parquet(p)
+    s2 = _input_snapshot(spark.read.parquet(p))
+    assert s1 and s2 and s1 != s2

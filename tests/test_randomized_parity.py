@@ -124,7 +124,10 @@ def test_unicode_corpus_parity(spark):
     rng = random.Random(13)
     vocab = ["café", "señor", "déjà", "naïve", "über", "plain", "words",
              "également", "tränen", "mañana", "fière", "zèbre", "ordinary"]
-    ws_chars = [" ", " ", " ", " ", "　", "\x85", " "]
+    # includes U+001C/U+001E: python str.split() treats the C0 separator
+    # controls as whitespace but Unicode White_Space (Java (?U)\s) does
+    # not — windows.WS adds them explicitly; this corpus proves parity
+    ws_chars = [" ", " ", " ", " ", "　", "\x85", "\x1c", "\x1e", " "]
 
     def make_text(n):
         out = []
