@@ -201,6 +201,13 @@ def main():
         t8 = results[n_lo]["turns_per_sec"]
         t32 = results[n_hi]["turns_per_sec"]
         eff = (t32 / t8) / (n_hi / n_lo)
+        # preserve hand-written analysis below the marker across rewrites
+        marker = "<!-- MANUAL SECTIONS BELOW — preserved by bench.py --scaling -->"
+        tail = ""
+        if os.path.exists("BENCH/BASELINE.md"):
+            prev = open("BENCH/BASELINE.md").read()
+            if marker in prev:
+                tail = "\n" + marker + prev.split(marker, 1)[1]
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
                 f"""# BENCH — measured numbers
@@ -223,6 +230,7 @@ LSH banding -> difflib validation), {results[n_hi]['n_matches']} matches out.
 Headline per-query timings at sf0.1 live in BENCH_r*.json (driver-run
 `bench.py`).
 """
+                + tail
             )
         print(
             json.dumps(

@@ -236,7 +236,15 @@ def verify_jaccard(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Exact word-shingle Jaccard verification of candidate pairs ->
-    (doc_a, doc_b, jaccard) filtered to >= threshold.  JVM-side set ops."""
+    (doc_a, doc_b, jaccard) filtered to >= threshold.  JVM-side set ops.
+
+    Measured plan choice (sf0.1 skew corpus, 500k candidate pairs,
+    local[32]): string-shingle arrays verify in 5.05s vs 6.42s for
+    xxhash64-hashed long arrays — the per-shingle hash inside the
+    transform costs more than the smaller shuffle saves on one box, and
+    strings keep the Jaccard EXACT (no collision caveat for the oracle
+    gate).  On a real cluster with slow network shuffle the hashed
+    variant may win; re-measure there before switching."""
     from .windows import WS
 
     words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")

@@ -121,6 +121,25 @@ def main():
         ],
     )
 
+    # round-3: salted band join under hot-boilerplate skew (the
+    # minhash_dup_pairs_skewed gate row) — the plan must carry BOTH
+    # pair-expansion paths (small in-row + salted join, unioned) and the
+    # salt expression on the join key
+    from intertext_spark.sqlqueries import SPARK as SP, skewed_documents_sql
+
+    docs_tbl.createOrReplaceTempView("documents")
+    skewed = spark.sql(skewed_documents_sql(SP))
+    sk_bands = dedup.doc_minhash_bands(skewed, shingle_words=3)
+    record(
+        "lsh_salted", dedup.lsh_dup_pairs(sk_bands),
+        [
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            ("small + salted paths unioned", lambda p: "Union" in p),
+            ("salt on the join key (pmod(xxhash64))",
+             lambda p: "pmod" in p and "xxhash64" in p),
+        ],
+    )
+
     # bucketed-join evidence (SCALE.md stage 4a/4b): persist the windows
     # table bucketed by the join key; the candidate->text join must then
     # scan the bucketed side with NO Exchange above its FileScan (the
