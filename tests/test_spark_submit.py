@@ -1,0 +1,31 @@
+"""End-to-end spark-submit --py-files smoke (the north-rule deployment
+shape): library shipped ONLY as a zip, job run from a foreign cwd,
+checkpointed, then resumed — second run must skip every stage.  Wraps
+tools/submit_smoke.sh; ~2-3 min (two JVM launches)."""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+pytestmark = pytest.mark.skipif(
+    not shutil.which("/opt/spark/bin/spark-submit")
+    and not os.path.exists("/opt/spark/bin/spark-submit"),
+    reason="spark-submit not installed",
+)
+
+
+def test_submit_smoke_resumes():
+    proc = subprocess.run(
+        [os.path.join(REPO, "tools", "submit_smoke.sh")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "SUBMIT SMOKE OK" in proc.stdout
+    assert "resume skipped 8 stages" in proc.stdout

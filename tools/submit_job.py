@@ -1,0 +1,66 @@
+"""spark-submit entrypoint for the text-reuse pipeline (the north-rule
+deployment shape: ``spark-submit --py-files intertext_spark.zip
+tools/submit_job.py --input ... --output ...``).
+
+Builds its own SparkSession (master/executors come from spark-submit),
+reads a transcripts parquet table (conv_id, turn_idx, role, text, tool,
+ts), runs the full pipeline — optionally resumable via --checkpoint — and
+writes matches/clusters/groups as parquet under --output.
+
+Smoke-run in this sandbox (tools/submit_smoke.sh) from a foreign cwd with
+the library provided ONLY through --py-files, proving the package needs no
+repo-relative state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint root (resume)")
+    ap.add_argument("--input-token", default="", help="input identity token")
+    ap.add_argument("--band-max-files", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    b = SparkSession.builder.appName("intertext-spark-job").config(
+        "spark.sql.adaptive.enabled", "true"
+    )
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from intertext_spark.config import DEFAULT
+    from intertext_spark.pipeline import Pipeline
+
+    cfg = DEFAULT
+    if args.band_max_files is not None:
+        cfg = cfg.with_(band_max_files=args.band_max_files)
+
+    tdf = spark.read.parquet(args.input)
+    pipe = Pipeline(
+        spark, cfg, checkpoint_root=args.checkpoint, input_token=args.input_token
+    )
+    res = pipe.run(tdf)
+
+    counts = {}
+    for name in ("matches", "clusters", "groups"):
+        out = f"{args.output.rstrip('/')}/{name}"
+        res[name].write.mode("overwrite").parquet(out)
+        counts[name] = spark.read.parquet(out).count()
+
+    # one machine-readable result line (the driver-log contract)
+    print("INTERTEXT_RESULT " + json.dumps({"counts": counts, "stages": pipe.stage_log}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

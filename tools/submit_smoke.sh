@@ -1,0 +1,70 @@
+#!/usr/bin/env bash
+# spark-submit --py-files smoke: package the library as a zip, run the job
+# from a foreign cwd so ONLY the zip provides intertext_spark, then check
+# the result line.  Usage: tools/submit_smoke.sh [transcripts_parquet]
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+WORK="$(mktemp -d /tmp/it_submit.XXXXXX)"
+trap 'rm -rf "$WORK"' EXIT
+
+# package: the importable library only (no tests, no repo-root scripts)
+(cd "$REPO" && python -m zipfile -c "$WORK/intertext_spark.zip" intertext_spark/)
+
+INPUT="${1:-$WORK/transcripts.parquet}"
+if [ ! -e "$INPUT" ]; then
+  # derive a small transcripts table from sf0.001 documents
+  (cd "$REPO" && python - "$WORK/transcripts.parquet" <<'EOF'
+import sys
+from intertext_spark.session import get_spark
+import __spark_entry__ as e
+spark = get_spark(app="gen", master="local[4]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+e.transcripts_from_documents(spark, "/root/testdata/sf0.001").write.mode(
+    "overwrite").parquet(sys.argv[1])
+spark.stop()
+EOF
+  )
+fi
+
+cd "$WORK"   # foreign cwd: the repo is NOT on any path
+
+run_job() {
+  /opt/spark/bin/spark-submit \
+    --master "local[${SPARK_GRAFT_CPUS:-8}]" \
+    --conf spark.sql.shuffle.partitions=16 \
+    --conf spark.ui.showConsoleProgress=false \
+    --py-files "$WORK/intertext_spark.zip" \
+    "$REPO/tools/submit_job.py" \
+    --input "$INPUT" \
+    --output "$WORK/out" \
+    --checkpoint "$WORK/ckpt" \
+    --input-token smoke-v1 \
+    --band-max-files 16 \
+    2>&1 | tee "$1" | grep -E "INTERTEXT_RESULT|Exception|Error" || true
+}
+
+run_job "$WORK/submit.log"        # cold run: builds + checkpoints every stage
+run_job "$WORK/submit2.log"       # resume run: must skip every stage
+
+python - "$WORK" <<'EOF'
+import glob, json, sys
+work = sys.argv[1]
+
+def result(path):
+    log = open(path).read()
+    lines = [l for l in log.splitlines() if l.startswith("INTERTEXT_RESULT ")]
+    assert lines, f"no result line in {path}"
+    return json.loads(lines[0].split(" ", 1)[1])
+
+r1, r2 = result(work + "/submit.log"), result(work + "/submit2.log")
+assert r1["counts"]["matches"] > 0, r1
+assert r1["counts"] == r2["counts"], (r1["counts"], r2["counts"])
+assert r1["stages"] and not any(s["skipped"] for s in r1["stages"]), r1["stages"]
+assert r2["stages"] and all(s["skipped"] for s in r2["stages"]), r2["stages"]
+assert glob.glob(work + "/out/matches/*.parquet"), "no parquet output"
+assert glob.glob(work + "/ckpt/metrics.jsonl"), "no lineage metrics"
+n_metrics = sum(1 for _ in open(glob.glob(work + "/ckpt/metrics.jsonl")[0]))
+print("SUBMIT SMOKE OK:", r1["counts"],
+      f"| resume skipped {len(r2['stages'])} stages | {n_metrics} lineage rows")
+EOF
