@@ -1,0 +1,90 @@
+"""Edge-input probes for the full pipeline (the verify-skill checklist):
+empty input, null text turns, duplicate turn_idx, all-empty conversations.
+The contract under test: no crashes, deterministic results, and null/dup
+handling equal to the documented normalization."""
+
+from pyspark.sql import functions as F
+
+from intertext_spark import schemas
+from intertext_spark.config import DEFAULT
+from intertext_spark.pipeline import Pipeline
+
+
+def _rows_of(res):
+    return {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b, r.similarity)
+        for r in res["matches"].collect()
+    }
+
+
+def test_empty_transcripts(spark):
+    tdf = spark.createDataFrame([], schemas.TRANSCRIPTS)
+    res = Pipeline(spark, DEFAULT).run(tdf)
+    assert res["matches"].count() == 0
+    assert res["clusters"].count() == 0
+    assert res["groups"].count() == 0  # CC fixpoint terminates on no edges
+
+
+def test_null_text_turns_equal_empty_string(spark):
+    """A null text turn contributes nothing — identical to the same corpus
+    with '' in its place (array_join skips nulls; split drops empties)."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+    rows_null = [
+        ("a", 0, "user", base, None, None),
+        ("a", 1, "user", None, None, None),
+        ("b", 0, "user", base, None, None),
+    ]
+    rows_empty = [
+        ("a", 0, "user", base, None, None),
+        ("a", 1, "user", "", None, None),
+        ("b", 0, "user", base, None, None),
+    ]
+    r1 = Pipeline(spark, DEFAULT).run(
+        spark.createDataFrame(rows_null, schemas.TRANSCRIPTS)
+    )
+    r2 = Pipeline(spark, DEFAULT).run(
+        spark.createDataFrame(rows_empty, schemas.TRANSCRIPTS)
+    )
+    got1, got2 = _rows_of(r1), _rows_of(r2)
+    assert got1 == got2
+    assert got1  # the a/b verbatim pair actually matched
+
+
+def test_duplicate_turn_idx_deterministic(spark):
+    """Duplicate turn_idx is resolved by the struct sort's text tiebreak —
+    the same input always assembles the same word stream, shuffle
+    nondeterminism notwithstanding."""
+    words = [f"w{i}" for i in range(10)]
+    rows = [
+        ("a", 0, "user", " ".join(words[:5]), None, None),
+        ("a", 0, "user", " ".join(words[5:]), None, None),  # same turn_idx
+        ("b", 0, "user", " ".join(words[:5] + words[5:]), None, None),
+    ]
+    tdf = spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    from intertext_spark.operators.windows import assign_file_ids, docs_from_transcripts
+
+    outs = []
+    for _ in range(2):
+        ids = assign_file_ids(tdf)
+        docs = docs_from_transcripts(tdf.orderBy(F.rand(seed=_)), ids)
+        outs.append({r.conv_id: list(r.words) for r in docs.collect()})
+    assert outs[0] == outs[1]
+    # tiebreak = text order: 'w0...' sorts before 'w5...'
+    assert outs[0]["a"] == words
+    assert outs[0]["a"] == outs[0]["b"]
+
+
+def test_all_empty_conversation(spark):
+    rows = [
+        ("a", 0, "user", "", None, None),
+        ("a", 1, "user", "   ", None, None),
+        ("b", 0, "user", "some real words here but far too few", None, None),
+    ]
+    res = Pipeline(spark, DEFAULT).run(
+        spark.createDataFrame(rows, schemas.TRANSCRIPTS)
+    )
+    assert res["matches"].count() == 0
+    # empty/short convs still get file ids (docs stage keeps them; the
+    # window stage drops sub-window docs)
+    assert res["doc_ids"].count() == 2
+    assert res["windows"].count() == 0
