@@ -13,8 +13,12 @@ re-expressed for transcript tables:
       [--suffix-pass] [--update-metadata] [--strip-diacritics]
 
 Argument mapping from the reference CLI:
-  --infiles glob        -> --transcripts parquet path (conv_id = document)
-  --banish/--exclude/--only globs -> conv_id lists
+  --infiles glob        -> supported directly (plain-text or, with
+                           --xml-base-tag, XML file globs; conv_id =
+                           basename, sources.read_text_glob) — or use
+                           --transcripts for parquet/JSONL tables
+  --banish/--exclude/--only globs -> conv_ids OR fnmatch patterns resolved
+                           against conversation ids (sources.glob_convs)
   --update_metadata     -> --update-metadata (re-publish from checkpointed
                            matches without recomputation; stage-skip via the
                            checkpoint store replaces intertext.py:189-209)
@@ -32,13 +36,17 @@ def build_parser() -> argparse.ArgumentParser:
         prog="intertext_spark",
         description="PySpark-native text-reuse / near-duplicate pipeline",
     )
-    p.add_argument("--transcripts", required=True, help="parquet path (conv_id, turn_idx, role, text, tool, ts)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--transcripts", help="transcript table: parquet path or .jsonl (conv_id, turn_idx, role, text, tool, ts)")
+    src.add_argument("--infiles", help="glob of plain-text (or, with --xml-base-tag, XML) files — one document per file, conv_id = basename (the reference's -i/--infiles)")
+    p.add_argument("--xml-base-tag", help="with --infiles: treat files as XML, extract this tag's subtree")
+    p.add_argument("--xml-remove-tags", nargs="*", default=[], help="with --xml-base-tag: drop these elements before extraction")
     p.add_argument("--metadata", help="JSON file: {conv_id: {author,title,year,url}}")
     p.add_argument("--output", default="output", help="viewer JSON output dir")
     p.add_argument("--checkpoint", help="checkpoint/resume root (stages persist here)")
-    p.add_argument("--banish", nargs="*", default=[], help="conv_ids to banish (graph radius delete)")
-    p.add_argument("--exclude", nargs="*", default=[], help="conv_ids to exclude from formatting")
-    p.add_argument("--only", help="restrict matches to pairs touching this conv_id")
+    p.add_argument("--banish", nargs="*", default=[], help="conv_ids or fnmatch patterns to banish (graph radius delete; the reference's --banish glob)")
+    p.add_argument("--exclude", nargs="*", default=[], help="conv_ids or fnmatch patterns to exclude from formatting")
+    p.add_argument("--only", help="restrict matches to pairs touching this conv_id (fnmatch pattern allowed; must resolve to exactly one conv)")
     p.add_argument("--min-sim", type=float, default=50.0)
     p.add_argument("--window-length", type=int, default=14)
     p.add_argument("--slide-length", type=int, default=4)
@@ -72,6 +80,19 @@ def _load_metadata(spark, path):
     return spark.createDataFrame(rows, METADATA)
 
 
+def _load_transcripts(spark, args):
+    from . import sources
+
+    if getattr(args, "infiles", None):
+        if args.xml_base_tag:
+            return sources.read_xml_glob(
+                spark, args.infiles, base_tag=args.xml_base_tag,
+                remove_tags=tuple(args.xml_remove_tags),
+            )
+        return sources.read_text_glob(spark, args.infiles)
+    return sources.read_transcripts(spark, args.transcripts)
+
+
 def _republish_only(args, cfg) -> int:
     """--update-metadata fast path (reference intertext.py:136, 189-209):
     skip every pipeline stage, read the checkpointed docs + clusters, and
@@ -103,7 +124,7 @@ def _republish_only(args, cfg) -> int:
     # diacritics in display mode, intertext.py:1143-1144) — a publish-side
     # derivation, not a pipeline stage (reference create_reader_data also
     # re-reads inputs on the update path)
-    dwords = display_words(spark.read.parquet(args.transcripts),
+    dwords = display_words(_load_transcripts(spark, args),
                            store.read("doc_ids"))
     disp = display_matches(
         clusters, docs, meta_df, cfg,
@@ -157,15 +178,39 @@ def main(argv=None) -> int:
         return _republish_only(args, cfg)
     spark = get_spark(app="intertext-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
-    transcripts = spark.read.parquet(args.transcripts)
+    from . import sources
+
+    transcripts = _load_transcripts(spark, args)
+    input_token = args.infiles or args.transcripts
+
+    def resolve(patterns: list[str]) -> "list[str] | None":
+        """Expand fnmatch patterns against conv ids; pass plain ids
+        through untouched (so exact names need not exist yet)."""
+        out: list[str] = []
+        for pat in patterns:
+            if any(ch in pat for ch in "*?["):
+                out.extend(sources.glob_convs(transcripts, pat))
+            else:
+                out.append(pat)
+        return sorted(set(out)) or None
+
+    only_conv = args.only
+    if only_conv and any(ch in only_conv for ch in "*?["):
+        hits = sources.glob_convs(transcripts, only_conv)
+        if len(hits) != 1:
+            print(f"error: --only pattern {only_conv!r} matched "
+                  f"{len(hits)} conversations (need exactly 1)", file=sys.stderr)
+            spark.stop()
+            return 2
+        only_conv = hits[0]
 
     pipe = Pipeline(spark, cfg, checkpoint_root=args.checkpoint,
-                    input_token=args.transcripts)
+                    input_token=input_token)
     res = pipe.run(
         transcripts,
-        only_conv=args.only,
-        excluded_convs=args.exclude or None,
-        banished_convs=args.banish or None,
+        only_conv=only_conv,
+        excluded_convs=resolve(args.exclude),
+        banished_convs=resolve(args.banish),
     )
 
     meta_df = _load_metadata(spark, args.metadata) if args.metadata else None

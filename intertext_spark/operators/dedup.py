@@ -525,6 +525,7 @@ def ivf_train(
     vecs = df.select(F.col(vec_col).cast("array<double>").alias("emb"))
     if sample_fraction is not None:
         vecs = vecs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    vecs = vecs.persist()  # each Lloyd iteration rescans the training set
     cents = _seed_centroids(n_centroids, dim, seed)
     for _ in range(iters):
         sums = (
@@ -549,6 +550,7 @@ def ivf_train(
                 if nv > 0:
                     new[j] = v / nv
         cents = new
+    vecs.unpersist()
     return cents
 
 

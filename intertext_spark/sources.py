@@ -1,0 +1,122 @@
+"""Input sources: the reference's ingestion shapes as Spark readers.
+
+The reference consumes a glob of plain-text (or XML) files — one document
+per file, file_id = index in the sorted glob, metadata keyed by basename
+(intertext.py:242, 281) — while this engine's canonical input is a
+transcripts table (conv_id, turn_idx, role, text, tool, ts).  These
+readers map every reference input shape onto that table:
+
+  read_transcripts    parquet / JSONL transcript tables (schema-normalized)
+  read_text_glob      plain-text file glob -> one single-turn conversation
+                      per file, conv_id = basename — sorted-glob file_id
+                      order is preserved because assign_file_ids ranks
+                      conv_id lexicographically, exactly sorted(glob)
+  read_xml_glob       XML file glob -> xml_text extraction -> same shape
+  glob_convs          fnmatch pattern -> matching conv_ids (the reference's
+                      --banish/--exclude/--only globs, resolved against
+                      conversation ids instead of paths)
+
+Scale note: file-glob reads are driver-listed by Spark's FileIndex (fine
+to millions of files; beyond that, compact to parquet first — one text
+file per document is an anti-pattern at 10^12 scale regardless of
+engine).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .schemas import TRANSCRIPTS
+
+
+def read_transcripts(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Transcript table from parquet (default) or JSONL (``.jsonl``/
+    ``.json`` extension, or fmt='jsonl'), normalized to the TRANSCRIPTS
+    schema: missing optional columns null-filled, turn_idx cast to int,
+    ts cast to timestamp (epoch seconds or ISO strings both work)."""
+    if fmt is None:
+        fmt = "jsonl" if path.rstrip("/").endswith((".jsonl", ".json")) else "parquet"
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+    elif fmt == "jsonl":
+        df = spark.read.json(path)
+    else:
+        raise ValueError(f"unknown transcripts format: {fmt!r}")
+    cols = set(df.columns)
+    for field in TRANSCRIPTS.fields:
+        if field.name not in cols:
+            df = df.withColumn(field.name, F.lit(None).cast(field.dataType))
+    return df.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role").cast("string").alias("role"),
+        F.col("text").cast("string").alias("text"),
+        F.col("tool").cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+def _basename(col):
+    # input_file_name() yields a URI; basename = last path segment.  Spark
+    # URL-encodes special characters — decode so conv_id equals the real
+    # file name (space, %, unicode names round-trip).
+    return F.url_decode(F.element_at(F.split(col, "/"), -1))
+
+
+def read_text_glob(spark: SparkSession, pattern: str) -> DataFrame:
+    """Plain-text file glob -> TRANSCRIPTS frame: one single-turn
+    conversation per file, conv_id = file basename (reference
+    intertext.py:242,281 — metadata joins on basename; sorted-glob
+    file_id order falls out of assign_file_ids' lexicographic rank)."""
+    raw = spark.read.option("wholetext", True).text(pattern).select(
+        _basename(F.input_file_name()).alias("conv_id"),
+        F.col("value").alias("text"),
+    )
+    return raw.select(
+        "conv_id",
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("doc").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+
+
+def read_xml_glob(
+    spark: SparkSession,
+    pattern: str,
+    base_tag: str | None = None,
+    remove_tags: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """XML file glob -> extracted plain text (operators.xmlextract.xml_text
+    semantics: base_tag subtree, remove_tags dropped, tags stripped to
+    spaces) -> TRANSCRIPTS frame, one conversation per file."""
+    from .operators.xmlextract import xml_text
+
+    docs = read_text_glob(spark, pattern)
+    extracted = xml_text(
+        docs, text_col="text", out_col="extracted",
+        base_tag=base_tag, remove_tags=remove_tags,
+    )
+    return extracted.select(
+        "conv_id", "turn_idx", "role",
+        F.col("extracted").alias("text"), "tool", "ts",
+    )
+
+
+def glob_convs(transcripts: DataFrame, pattern: str) -> list[str]:
+    """conv_ids matching an fnmatch pattern — the reference's banish /
+    exclude / only globs (intertext.py:247-260), resolved against
+    conversation ids.  Spark-side rlike filter (fnmatch.translate emits a
+    Java-compatible regex), collected: banish/exclude sets are
+    interactively small by construction."""
+    # rlike is find-anywhere; translate() anchors only the end (\Z), so
+    # anchor the start too for fnmatch's full-match semantics
+    rx = r"\A" + fnmatch.translate(pattern)
+    return [
+        r.conv_id
+        for r in transcripts.select("conv_id").distinct()
+        .where(F.col("conv_id").rlike(rx)).collect()
+    ]

@@ -1,0 +1,105 @@
+"""Source readers (intertext_spark.sources): the reference's ingestion
+shapes — plain-text globs, XML globs, JSONL tables, fnmatch conv
+filters — mapped onto the transcripts schema."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from intertext_spark import sources
+from intertext_spark.config import DEFAULT
+from intertext_spark.operators.windows import assign_file_ids
+from intertext_spark.pipeline import Pipeline
+
+BASE = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima mike november"
+
+
+def test_read_text_glob_basenames_and_file_id_order(spark, tmp_path):
+    texts = {
+        "b_second.txt": BASE,
+        "a first.txt": BASE,  # space in name: url_decode path
+        "c_third.txt": "totally different words " * 4,
+    }
+    for name, text in texts.items():
+        (tmp_path / name).write_text(text)
+    tdf = sources.read_text_glob(spark, str(tmp_path / "*.txt"))
+    rows = {r.conv_id: r for r in tdf.collect()}
+    assert set(rows) == set(texts)
+    assert all(r.turn_idx == 0 and r.text == texts[c] for c, r in rows.items())
+    # file_id order == sorted(glob) basename order (reference
+    # intertext.py:242: sorted glob index)
+    ids = {r.conv_id: r.file_id for r in assign_file_ids(tdf).collect()}
+    assert ids == {c: i for i, c in enumerate(sorted(texts))}
+
+
+def test_text_glob_pipeline_end_to_end(spark, tmp_path):
+    (tmp_path / "x.txt").write_text(BASE)
+    (tmp_path / "y.txt").write_text(BASE)
+    (tmp_path / "z.txt").write_text("unrelated content entirely " * 3)
+    res = Pipeline(spark, DEFAULT).run(
+        sources.read_text_glob(spark, str(tmp_path / "*.txt"))
+    )
+    got = {(r.file_id_a, r.file_id_b, r.similarity) for r in res["matches"].collect()}
+    assert got == {(0, 1, 100.0)}  # x.txt == y.txt verbatim
+
+
+def test_read_xml_glob_extracts(spark, tmp_path):
+    (tmp_path / "doc.xml").write_text(
+        "<root><header>skip me</header><body>" + BASE + " <i>tail</i></body></root>"
+    )
+    tdf = sources.read_xml_glob(
+        spark, str(tmp_path / "*.xml"), base_tag="body", remove_tags=()
+    )
+    row = tdf.head()
+    assert row.conv_id == "doc.xml"
+    assert row.text.split() == (BASE + " tail").split()
+    assert "skip" not in row.text
+
+
+def test_read_transcripts_jsonl_normalizes(spark, tmp_path):
+    p = tmp_path / "t.jsonl"
+    with open(p, "w") as f:
+        # missing optional columns (role/tool/ts), turn_idx as number
+        f.write(json.dumps({"conv_id": "c1", "turn_idx": 0, "text": "hello world"}) + "\n")
+        f.write(json.dumps({"conv_id": "c1", "turn_idx": 1, "text": "again"}) + "\n")
+    tdf = sources.read_transcripts(spark, str(p))
+    assert [f.name for f in tdf.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ]
+    rows = sorted((r.conv_id, r.turn_idx, r.text, r.role) for r in tdf.collect())
+    assert rows == [("c1", 0, "hello world", None), ("c1", 1, "again", None)]
+    assert dict(tdf.dtypes)["turn_idx"] == "int"
+
+
+def test_glob_convs_full_match_semantics(spark):
+    tdf = spark.createDataFrame(
+        [(c, 0, None, "t", None, None) for c in ["abc", "bcd", "b1", "zb"]],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    # 'b*' must match only ids STARTING with b (rlike alone would also
+    # find 'b' mid-string: the \A anchor is load-bearing)
+    assert sorted(sources.glob_convs(tdf, "b*")) == ["b1", "bcd"]
+    assert sources.glob_convs(tdf, "*c*") == ["abc", "bcd"] or sorted(
+        sources.glob_convs(tdf, "*c*")
+    ) == ["abc", "bcd"]
+    assert sources.glob_convs(tdf, "b?") == ["b1"]
+
+
+def test_cli_infiles_and_banish_glob(spark, tmp_path):
+    """CLI leg: --infiles text glob + --banish pattern."""
+    from intertext_spark import cli
+
+    for name, text in [("p1.txt", BASE), ("p2.txt", BASE), ("q3.txt", BASE)]:
+        (tmp_path / name).write_text(text)
+    out = tmp_path / "out"
+    rc = cli.main([
+        "--infiles", str(tmp_path / "*.txt"),
+        "--output", str(out),
+        "--banish", "q*",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    # p1/p2/q3 are mutually verbatim; banishing q3 at radius 4 wipes the
+    # whole connected component — matches empty, but the run completes and
+    # publishes the output tree
+    assert (out / "api").exists() or any(out.iterdir())

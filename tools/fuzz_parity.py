@@ -1,0 +1,97 @@
+"""Seed-sweep fuzz: N independently-seeded planted corpora, each run
+through the Spark pipeline AND the pure-python oracle; asserts exact match
+/ cluster / group-partition equality per seed (the randomized-parity test
+at breadth).  One Spark session amortizes JVM startup across seeds.
+
+  python tools/fuzz_parity.py [n_seeds] [start_seed]
+
+Writes a summary line per seed and exits nonzero on the first divergence.
+Evidence artifact: BENCH/fuzz_parity.txt (appended, timestamped).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from intertext_spark import corpus, oracle, schemas  # noqa: E402
+from intertext_spark.config import DEFAULT  # noqa: E402
+from intertext_spark.pipeline import Pipeline  # noqa: E402
+from intertext_spark.session import get_spark  # noqa: E402
+
+
+def run_seed(spark, seed: int) -> dict:
+    pc = corpus.planted_transcripts(
+        n_convs=20,
+        seed=seed,
+        n_verbatim_pairs=2,
+        n_shifted_pairs=1,
+        n_noisy_per_level=1,
+        n_chains=1,
+        n_junk_pairs=1,
+        n_short=1,
+        n_self_repeat=1,
+    )
+    tdf = spark.createDataFrame(pc.rows, schemas.TRANSCRIPTS)
+    sres = Pipeline(spark, DEFAULT).run(tdf)
+    ores = oracle.run_pipeline(corpus.words_by_conv(pc.rows), DEFAULT)
+
+    got = {
+        (r.file_id_a, r.file_id_b, r.window_id_a, r.window_id_b): r.similarity
+        for r in sres["matches"].collect()
+    }
+    want = {(m[0], m[1], m[2], m[3]): m[4] for m in ores["matches"]}
+    assert set(got) == set(want), (
+        f"seed {seed}: match SET divergence "
+        f"(+{len(set(got) - set(want))} -{len(set(want) - set(got))})"
+    )
+    assert all(abs(got[k] - want[k]) < 1e-9 for k in want), (
+        f"seed {seed}: similarity value divergence"
+    )
+
+    sg: dict = {}
+    og: dict = {}
+    for r in sres["groups"].collect():
+        sg.setdefault(r.group_id, set()).add((r.file_id, r.window_id))
+    for node, lab in ores["groups"].items():
+        og.setdefault(lab, set()).add(node)
+    assert sorted(map(sorted, sg.values())) == sorted(map(sorted, og.values())), (
+        f"seed {seed}: group partition divergence"
+    )
+    for df in sres.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return {"matches": len(got), "groups": len(sg)}
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    start = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    spark = get_spark(app="fuzz-parity", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs("BENCH", exist_ok=True)
+    lines = []
+    t0 = time.time()
+    for seed in range(start, start + n):
+        stats = run_seed(spark, seed)
+        line = f"seed {seed}: OK  matches={stats['matches']} groups={stats['groups']}"
+        print(line)
+        lines.append(line)
+    total = time.time() - t0
+    with open("BENCH/fuzz_parity.txt", "a") as f:
+        f.write(
+            f"\n== {time.strftime('%Y-%m-%d %H:%M:%S')} — {n} seeds "
+            f"[{start},{start + n - 1}], {total:.1f}s, ALL EXACT ==\n"
+        )
+        f.write("\n".join(lines) + "\n")
+    print(f"ALL {n} seeds exact-parity in {total:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
