@@ -85,21 +85,32 @@ def test_glob_convs_full_match_semantics(spark):
     assert sources.glob_convs(tdf, "b?") == ["b1"]
 
 
-def test_cli_infiles_and_banish_glob(spark, tmp_path):
-    """CLI leg: --infiles text glob + --banish pattern."""
-    from intertext_spark import cli
+def test_cli_infiles_and_banish_glob(tmp_path):
+    """CLI leg: --infiles text glob + --banish pattern.  Subprocess, NOT
+    in-process: cli.main stops its SparkSession on exit, which would kill
+    the shared session fixture (same pattern as test_cli_and_turnmap)."""
+    import os
+    import subprocess
+    import sys
 
     for name, text in [("p1.txt", BASE), ("p2.txt", BASE), ("q3.txt", BASE)]:
         (tmp_path / name).write_text(text)
     out = tmp_path / "out"
-    rc = cli.main([
-        "--infiles", str(tmp_path / "*.txt"),
-        "--output", str(out),
-        "--banish", "q*",
-        "--master", "local[4]",
-    ])
-    assert rc == 0
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    proc = subprocess.run(
+        [sys.executable, "-m", "intertext_spark",
+         "--infiles", str(tmp_path / "*.txt"),
+         "--output", str(out),
+         "--banish", "q*",
+         "--master", "local[4]"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
     # p1/p2/q3 are mutually verbatim; banishing q3 at radius 4 wipes the
     # whole connected component — matches empty, but the run completes and
     # publishes the output tree
-    assert (out / "api").exists() or any(out.iterdir())
+    import json as _json
+
+    stats = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["matches"] == 0
+    assert out.exists() and any(out.iterdir())
