@@ -274,6 +274,31 @@ def _ivf_topk_native(spark, sf_dir):
     return _rank_rounded(scored)
 
 
+def _ann_topk_batch_native(spark, sf_dir):
+    """Batch IVF search (ivf_topk_batch) at full probe == exact, with
+    TRAINED centroids (ivf_train, 2 Lloyd iterations) — safe under the
+    gate because full probe scores every (query, vector) pair regardless
+    of the (float-sum-order-sensitive) centroid positions, so training
+    nondeterminism cannot leak into the output.  Queries = vec_id < 5,
+    corpus = the rest; oracle = SQL cross-join brute force.  Ranks over
+    ROUNDED cosines (the _rank_rounded discipline) per query."""
+    from pyspark.sql import Window
+
+    from intertext_spark.operators import dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where("vec_id >= 5")
+    queries = emb.where("vec_id < 5")
+    cents = dedup.ivf_train(base, n_centroids=8, iters=2, dim=64)
+    assigned, _ = dedup.ivf_assign(base, centroids=cents, dim=64)
+    raw = dedup.ivf_topk_batch(assigned, cents, queries, k=20, nprobe=8)
+    r = raw.select(
+        "query_id", "vec_id", _round4(F.col("cosine")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return r.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
+
+
 def _token_stats_native(spark, sf_dir):
     from intertext_spark.operators.textstats import token_stats
 
@@ -510,6 +535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_dup_pairs_native"] = _embedding_dups_native
     q["ann_topk_native"] = _ann_topk_native
     q["ivf_topk_native"] = _ivf_topk_native
+    q["ann_topk_batch_native"] = _ann_topk_batch_native
     q["token_stats_native"] = _token_stats_native
     q["quality_scores_native"] = _quality_native
     q["lang_id_native"] = _lang_id_native
@@ -550,6 +576,9 @@ from documents
 """
     out["ann_topk_native"] = TEMPLATES["cosine_topk"](DUCK)
     out["ivf_topk_native"] = TEMPLATES["cosine_topk"](DUCK)
+    from intertext_spark.sqlqueries import q_cosine_topk_batch
+
+    out["ann_topk_batch_native"] = q_cosine_topk_batch(DUCK)
     # engine-native twins: DuckDB re-derives the native operator's values
     # independently (see sqlqueries q_*_native_twin docstrings for the
     # exactness arguments; minhash twin is brute-force ground truth, so a

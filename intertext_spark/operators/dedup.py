@@ -611,6 +611,56 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search for a BATCH of queries (the realistic pipeline shape —
+    per-query driver loops don't scale): rank centroids per query (one
+    Arrow matmul), explode the nprobe probe lists, broadcast-join the
+    (small) query side onto the inverted lists, exact cosine rerank, and
+    per-query top-k via a row_number window.
+
+    -> (query_id, vec_id, cosine, rnk<=k).  nprobe == n_centroids probes
+    everything == exact brute force (how the driver gate value-checks it
+    against the SQL cross-join twin); at scale each query touches
+    nprobe/n_centroids of the table and the only wide op is the window's
+    shuffle on query_id."""
+    from pyspark.sql import Window
+
+    cents = centroids
+    nprobe = min(nprobe, cents.shape[0])
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_lists(emb: pd.Series) -> pd.Series:
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cents.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([r.astype("int32").tolist() for r in order])
+
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qemb"),
+        F.explode(
+            probe_lists(F.col(vec_col).cast("array<double>"))
+        ).alias("list_id"),
+    )
+    scored = assigned.join(F.broadcast(q), "list_id").select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("emb"), F.col("qemb")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -392,6 +392,33 @@ select vec_id, cosine, rnk from ranked where rnk <= 10
 """
 
 
+def q_cosine_topk_batch(d: Dialect) -> str:
+    """Brute-force BATCH top-k: queries = vec_id < 5, corpus = the rest,
+    5 nearest per query — ground truth for ann_topk_batch_native (IVF
+    batch search at full probe == exact)."""
+    e = d.to_double_arr("embedding")
+    cos = d.round4(
+        f"{d.dot('v.emb', 'q.qemb')} / "
+        f"(sqrt({d.dot('v.emb', 'v.emb')}) * sqrt({d.dot('q.qemb', 'q.qemb')}))"
+    )
+    return f"""
+with v as (select vec_id, {e} as emb from embeddings),
+q as (select vec_id as query_id, emb as qemb from v where vec_id < 5),
+scored as (
+  select q.query_id, v.vec_id, cast({cos} as double) as cosine
+  from v cross join q
+  where v.vec_id >= 5
+),
+ranked as (
+  select query_id, vec_id, cosine,
+         row_number() over (partition by query_id
+                            order by cosine desc, vec_id asc) as rnk
+  from scored
+)
+select query_id, vec_id, cosine, rnk from ranked where rnk <= 5
+"""
+
+
 def q_ann_bucketed(d: Dialect) -> str:
     """LSH-bucketed ANN: bucket = sign pattern of dims 1..4 (a 16-bucket
     random-hyperplane sketch with axis-aligned planes); search only the

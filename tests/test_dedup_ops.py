@@ -390,3 +390,30 @@ def test_lsh_skew_salted_path_engages_and_loses_nothing(spark):
     }
     bands.unpersist()
     assert salted == all_small
+
+
+def test_ivf_topk_batch_equals_per_query(spark):
+    """Batch IVF search == the single-query path for every query, at the
+    same (partial) nprobe and the same centroids."""
+    rng = np.random.RandomState(5)
+    n, dim = 200, 16
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    base = df.where("vec_id >= 4")
+    queries = df.where("vec_id < 4")
+    assigned, cents = dedup.ivf_assign(base, n_centroids=8, dim=dim)
+    assigned = assigned.persist()
+
+    batch = dedup.ivf_topk_batch(assigned, cents, queries, k=7, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.vec_id, round(r.cosine, 9)))
+    for qid in range(4):
+        single = dedup.ivf_topk(
+            assigned, cents, rows[qid][1], k=7, nprobe=3
+        ).collect()
+        want = [
+            (i + 1, r.vec_id, round(r.cosine, 9)) for i, r in enumerate(single)
+        ]
+        assert sorted(got[qid]) == want, qid
+    assigned.unpersist()
