@@ -1,0 +1,153 @@
+"""Streaming doc-level near-duplicate filter — the training-data ingestion
+shape: documents arrive in micro-batches, each batch is deduplicated
+against everything already accepted, survivors join the corpus.
+
+Semantics (deliberate, tested in tests/test_streaming_dedup.py):
+
+  * cross-batch: a new doc is REJECTED when its word-shingle Jaccard
+    against ANY previously-accepted doc reaches ``threshold`` (greedy
+    first-wins — the online dedup semantic; an accepted doc is never
+    retroactively evicted).  Candidates come from a MinHash band
+    semi-join against the accumulated band index, so the check scales as
+    |batch| x collisions, not |batch| x |corpus|.
+  * intra-batch: connected-component keeper (min doc_id) over the
+    batch's own dup graph — the batch ``dedup_corpus`` policy, so a
+    one-batch stream equals the batch pipeline exactly.  (A dup CHAIN
+    split across batches can differ from batch CC by design: greedy
+    keeps the first element of each arrival-order chain segment whose
+    predecessor was rejected — document-order delivery makes the two
+    agree.)
+  * at-least-once safe: a re-delivered doc_id that was already accepted
+    is dropped as a replay, not treated as a duplicate of itself.
+
+State is two parquet accumulators under ``root`` (at cluster scale:
+Iceberg tables partitioned/bucketed by band and doc_id):
+  accepted_docs  (doc_id, text)      the surviving corpus
+  accepted_bands (doc_id, band)      its LSH band index
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..operators.dedup import dedup_corpus, doc_minhash_bands, lsh_dup_pairs, verify_jaccard
+
+DOCUMENTS_STREAM = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+class IncrementalDedup:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        shingle_words: int = 3,
+        threshold: float = 0.5,
+        n_perm: int = 128,
+    ):
+        self.spark = spark
+        self.root = root
+        self.shingle_words = shingle_words
+        self.threshold = threshold
+        self.n_perm = n_perm
+        os.makedirs(root, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _exists(self, name: str) -> bool:
+        p = self._p(name)
+        return os.path.exists(p) and any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        )
+
+    def _bands(self, docs: DataFrame) -> DataFrame:
+        return doc_minhash_bands(
+            docs, shingle_words=self.shingle_words, n_perm=self.n_perm
+        )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+            .dropDuplicates(["doc_id"])
+            .persist()
+        )
+        if batch.isEmpty():
+            batch.unpersist()
+            return
+        have_state = self._exists("accepted_docs")
+        if have_state:
+            accepted = self.spark.read.parquet(self._p("accepted_docs"))
+            # replay filter: already-accepted ids are re-deliveries
+            batch = batch.join(
+                accepted.select("doc_id"), "doc_id", "left_anti"
+            ).persist()
+
+        alive = batch
+        if have_state:
+            acc_bands = self.spark.read.parquet(self._p("accepted_bands"))
+            cand = (
+                self._bands(batch)
+                .join(
+                    acc_bands.select(
+                        "band", F.col("doc_id").alias("doc_a")
+                    ),
+                    "band",
+                )
+                .select("doc_a", F.col("doc_id").alias("doc_b"))
+                .distinct()
+            )
+            union_texts = accepted.unionByName(batch)
+            dup_vs_accepted = verify_jaccard(
+                cand, union_texts,
+                shingle_words=self.shingle_words, threshold=self.threshold,
+            )
+            alive = batch.join(
+                dup_vs_accepted.select(F.col("doc_b").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            ).persist()
+
+        # intra-batch: CC keeper (min doc_id) — the batch dedup_corpus policy
+        alive_bands = self._bands(alive).persist()
+        intra = verify_jaccard(
+            lsh_dup_pairs(alive_bands), alive,
+            shingle_words=self.shingle_words, threshold=self.threshold,
+        )
+        kept = dedup_corpus(alive, intra.select("doc_a", "doc_b")).select(
+            "doc_id", "text"
+        )
+        kept.write.mode("append").parquet(self._p("accepted_docs"))
+        alive_bands.join(
+            kept.select("doc_id"), "doc_id", "left_semi"
+        ).write.mode("append").parquet(self._p("accepted_bands"))
+        alive_bands.unpersist()
+        batch.unpersist()
+
+    def accepted(self) -> DataFrame:
+        if not self._exists("accepted_docs"):
+            return self.spark.createDataFrame([], DOCUMENTS_STREAM)
+        return self.spark.read.parquet(self._p("accepted_docs"))
+
+    def run_stream(self, input_path: str, checkpoint: str | None = None):
+        """availableNow stream over a directory of documents parquet files
+        (one file per micro-batch via maxFilesPerTrigger=1)."""
+        stream = (
+            self.spark.readStream.schema(DOCUMENTS_STREAM)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_path)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint or self._p("_stream_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q

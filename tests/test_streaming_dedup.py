@@ -1,0 +1,121 @@
+"""IncrementalDedup (streaming doc-level near-dup filter): greedy
+first-wins across batches, batch-CC-keeper within a batch, replay-safe.
+Oracle = an in-test pure-python mirror of the documented semantics."""
+
+from pyspark.sql import functions as F
+
+from intertext_spark.operators import dedup
+from intertext_spark.streaming.dedupstream import DOCUMENTS_STREAM, IncrementalDedup
+
+B = " ".join(f"w{i}" for i in range(30))
+U = lambda tag: " ".join(f"{tag}{i}" for i in range(30))  # noqa: E731
+
+
+def _sh(text, k=3):
+    w = text.split()
+    return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+
+def _jac(a, b):
+    sa, sb = _sh(a), _sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def _greedy_oracle(batches, threshold=0.5):
+    """Mirror of the documented semantics: reject vs previously accepted,
+    then min-id CC keeper within the batch."""
+    accepted = {}
+    for batch in batches:
+        alive = [
+            (i, t) for i, t in batch
+            if i not in accepted
+            and all(_jac(t, at) < threshold for at in accepted.values())
+        ]
+        # intra-batch CC, keeper = min id
+        parent = {i: i for i, _ in alive}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, ti in alive:
+            for j, tj in alive:
+                if i < j and _jac(ti, tj) >= threshold:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        keep = {find(i) for i, _ in alive}
+        for i, t in alive:
+            if i in keep:
+                accepted[i] = t
+    return accepted
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, DOCUMENTS_STREAM)
+
+
+def test_incremental_dedup_matches_greedy_oracle(spark, tmp_path):
+    batches = [
+        [(0, B + " ta"), (1, B + " tb"), (2, U("x")), (3, U("y"))],
+        # 4 dups accepted 0; 5 dups accepted 2; 6 fresh
+        [(4, B + " tc"), (5, U("x") + " tail"), (6, U("z"))],
+        # 7 dups the REJECTED 1?  1 was rejected, so 7 (dup of B...) still
+        # collides with accepted 0 -> rejected; 8 fresh
+        [(7, B + " td"), (8, U("q"))],
+    ]
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    for bi, batch in enumerate(batches):
+        inc.process_batch(_df(spark, batch), bi)
+    got = {r.doc_id for r in inc.accepted().collect()}
+    want = set(_greedy_oracle(batches))
+    assert got == want == {0, 2, 3, 6, 8}
+
+
+def test_single_batch_equals_batch_dedup_corpus(spark, tmp_path):
+    rows = [
+        (0, B + " ta"), (1, B + " tb"), (2, U("x")),
+        (3, U("x") + " tail"), (4, U("y")), (5, B + " tc"),
+    ]
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    inc.process_batch(_df(spark, rows), 0)
+    got = {r.doc_id for r in inc.accepted().collect()}
+
+    docs = _df(spark, rows)
+    bands = dedup.doc_minhash_bands(docs, shingle_words=3)
+    pairs = dedup.verify_jaccard(
+        dedup.lsh_dup_pairs(bands), docs, shingle_words=3, threshold=0.5
+    )
+    want = {
+        r.doc_id
+        for r in dedup.dedup_corpus(docs, pairs.select("doc_a", "doc_b")).collect()
+    }
+    assert got == want == {0, 2, 4}
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    rows = [(0, B + " ta"), (1, U("x"))]
+    inc.process_batch(_df(spark, rows), 0)
+    before = sorted((r.doc_id, r.text) for r in inc.accepted().collect())
+    inc.process_batch(_df(spark, rows), 1)  # at-least-once re-delivery
+    after = sorted((r.doc_id, r.text) for r in inc.accepted().collect())
+    assert before == after == [(0, B + " ta"), (1, U("x"))]
+
+
+def test_run_stream_available_now(spark, tmp_path):
+    """End-to-end availableNow file stream.  Fixture is batch-order
+    invariant (each dup group lives inside one file), so the file
+    source's processing order cannot change the accepted set."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _df(spark, [(0, B + " ta"), (1, B + " tb"), (2, U("x"))]).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    _df(spark, [(10, U("y")), (11, U("y") + " tail"), (12, U("z"))]).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    inc.run_stream(str(src))
+    got = {r.doc_id for r in inc.accepted().collect()}
+    assert got == {0, 2, 10, 12}
