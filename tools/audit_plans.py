@@ -140,6 +140,22 @@ def main():
         ],
     )
 
+    # round-3: batch IVF ANN — the query side must broadcast (it is the
+    # small side by construction) and the per-query top-k must be a
+    # window, not a sort-limit per query
+    ivf_cents = dedup.ivf_train(emb, n_centroids=8, iters=1, dim=64)
+    ivf_assigned, _ = dedup.ivf_assign(emb.where("vec_id >= 5"), centroids=ivf_cents, dim=64)
+    record(
+        "ann_batch", dedup.ivf_topk_batch(
+            ivf_assigned, ivf_cents, emb.where("vec_id < 5"), k=5, nprobe=8
+        ),
+        [
+            ("query side broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("per-query top-k via window", lambda p: "Window" in p),
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+        ],
+    )
+
     # bucketed-join evidence (SCALE.md stage 4a/4b): persist the windows
     # table bucketed by the join key; the candidate->text join must then
     # scan the bucketed side with NO Exchange above its FileScan (the
