@@ -61,7 +61,22 @@ def attach_window_texts(candidates: DataFrame, windows: DataFrame) -> DataFrame:
 
 
 def score_matches(pairs_with_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """-> (file_id_a, file_id_b, window_id_a, window_id_b, similarity)."""
+    """-> (file_id_a, file_id_b, window_id_a, window_id_b, similarity).
+
+    Measured r3, sf0.1 (5.04M candidate pairs, local[32]): the stage is
+    44.2s of which ~34s is difflib ratio() on quick_ratio survivors.  Two
+    replacement attempts were measured and REJECTED:
+      * an exact numpy Ratcliff-Obershelp (bit-identical totals over 4k
+        adversarial cases, batched DP across pairs, difflib tie-rule
+        replicated via descending-i >= updates): only 1.2x — ragged
+        recursion levels eat the vectorization win at 90-char strings;
+      * distinct-(text_a, text_b) dedup before the scorer: only 1.1x —
+        window texts are near-unique combinations (4.74M distinct of
+        5.04M), so there is nothing to dedup (the text_a == text_b JVM
+        fast path already catches the 2.6k identical rows).
+    The remaining cost is intrinsic alignment work; the structural wins
+    (JVM prefilters, quick_ratio prune, matcher reuse, row-balanced
+    repartition, identical-text fast path) are all in place below."""
     min_sim = cfg.min_sim
 
     pre = pairs_with_text.where(
