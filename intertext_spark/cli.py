@@ -18,7 +18,7 @@ Argument mapping from the reference CLI:
                            basename, sources.read_text_glob) — or use
                            --transcripts for parquet/JSONL tables
   --banish/--exclude/--only globs -> conv_ids OR fnmatch patterns resolved
-                           against conversation ids (sources.glob_convs)
+                           against conversation ids (one distinct scan, literal-first)
   --update_metadata     -> --update-metadata (re-publish from checkpointed
                            matches without recomputation; stage-skip via the
                            checkpoint store replaces intertext.py:189-209)
@@ -178,25 +178,46 @@ def main(argv=None) -> int:
         return _republish_only(args, cfg)
     spark = get_spark(app="intertext-cli", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
-    from . import sources
-
     transcripts = _load_transcripts(spark, args)
     input_token = args.infiles or args.transcripts
 
+    import fnmatch
+
+    def _globlike(s: str) -> bool:
+        return any(ch in s for ch in "*?[")
+
+    # one distinct+collect TOTAL for all patterns (banish/exclude sets are
+    # interactively small; N patterns must not cost N input scans), and
+    # only when a glob-like argument is actually present
+    maybe_globs = list(args.banish) + list(args.exclude) + (
+        [args.only] if args.only else []
+    )
+    known_ids: "set[str] | None" = None
+    if any(_globlike(s) for s in maybe_globs):
+        known_ids = {
+            r.conv_id
+            for r in transcripts.select("conv_id").distinct().collect()
+        }
+
     def resolve(patterns: list[str]) -> "list[str] | None":
-        """Expand fnmatch patterns against conv ids; pass plain ids
-        through untouched (so exact names need not exist yet)."""
+        """Expand fnmatch patterns against conv ids.  An argument that IS
+        an existing conv_id is always taken literally — even when it
+        contains glob characters (ids like 'conv[1]' stay addressable);
+        plain non-glob names pass through untouched (exact names need not
+        exist yet)."""
         out: list[str] = []
         for pat in patterns:
-            if any(ch in pat for ch in "*?["):
-                out.extend(sources.glob_convs(transcripts, pat))
+            if _globlike(pat) and not (known_ids and pat in known_ids):
+                out.extend(fnmatch.filter(known_ids or (), pat))
             else:
                 out.append(pat)
         return sorted(set(out)) or None
 
     only_conv = args.only
-    if only_conv and any(ch in only_conv for ch in "*?["):
-        hits = sources.glob_convs(transcripts, only_conv)
+    if only_conv and _globlike(only_conv) and not (
+        known_ids and only_conv in known_ids
+    ):
+        hits = sorted(fnmatch.filter(known_ids or (), only_conv))
         if len(hits) != 1:
             print(f"error: --only pattern {only_conv!r} matched "
                   f"{len(hits)} conversations (need exactly 1)", file=sys.stderr)

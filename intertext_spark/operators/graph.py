@@ -118,6 +118,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .limit(1)
             .count()
         )
+        # jumped's localCheckpoint is eager — the superseded labels frame
+        # is strictly dead once `changed` is counted; without this, every
+        # iteration leaks one cached frame (r3 review finding).  The
+        # RETURNED labels stays checkpointed: callers still consume it.
+        labels.unpersist()
         labels = jumped
         if changed == 0:
             break

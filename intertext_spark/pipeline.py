@@ -36,18 +36,41 @@ def _fingerprint(cfg: PipelineConfig, *parts: str) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def _hadoop_status(df: DataFrame, uri: str) -> "str | None":
-    """size:mtime of a URI via the Hadoop FileSystem API (the JVM gateway),
-    covering non-local schemes (hdfs://, s3a://, abfs://...) that os.stat
-    cannot reach.  None if the status call fails."""
+def _hadoop_dir_status(df: DataFrame, uris: "list[str]") -> "dict[str, str]":
+    """size:mtime for remote URIs via the Hadoop FileSystem API — batched
+    as ONE listStatus per parent directory, not one RPC per file (an
+    s3a:// input with 10^4 objects would otherwise serialize 10^4 HEADs
+    on the driver).  URIs whose directory listing fails are absent from
+    the result."""
+    out: dict[str, str] = {}
+    by_dir: dict[str, list[str]] = {}
+    for u in uris:
+        by_dir.setdefault(u.rsplit("/", 1)[0], []).append(u)
     try:
         spark = df.sparkSession
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(uri)
-        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-        st = fs.getFileStatus(jpath)
-        return f"{st.getLen()}:{st.getModificationTime()}"
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
     except Exception:
-        return None
+        return out
+    for d, members in by_dir.items():
+        try:
+            jdir = jvm.org.apache.hadoop.fs.Path(d)
+            fs = jdir.getFileSystem(hconf)
+            listing = {
+                st.getPath().toString(): f"{st.getLen()}:{st.getModificationTime()}"
+                for st in fs.listStatus(jdir)
+            }
+            for u in members:
+                if u in listing:
+                    out[u] = listing[u]
+        except Exception:
+            continue
+    return out
+
+
+def _hadoop_status(df: DataFrame, uri: str) -> "str | None":
+    """size:mtime of one URI (via the batched per-directory listing)."""
+    return _hadoop_dir_status(df, [uri]).get(uri)
 
 
 def _input_snapshot(df: DataFrame) -> str:
@@ -57,19 +80,24 @@ def _input_snapshot(df: DataFrame) -> str:
     outputs.  Empty for non-file inputs (in-memory test frames), where the
     caller's input_token is the only identity — same behavior as before.
 
-    Local paths stat with nanosecond mtime; other schemes (hdfs://,
-    s3a://, ...) go through the Hadoop FileSystem API so an in-place
-    rewrite at the same remote path still invalidates checkpoints (the
-    cluster-scale case).  A path whose status cannot be read degrades to
-    its bare name — list membership still participates in the snapshot."""
+    Local paths stat with nanosecond mtime (inputFiles() URIs are
+    percent-encoded — 'sp ace.txt' lists as 'sp%20ace.txt' — so the path
+    is unquoted before os.stat); other schemes (hdfs://, s3a://, ...) go
+    through one batched Hadoop listStatus per parent directory.  A path
+    whose status cannot be read degrades to its bare name — list
+    membership still participates in the snapshot."""
+    from urllib.parse import unquote
+
     try:
         files = sorted(df.inputFiles())
     except Exception:
         return ""
     parts = []
+    remote = [f for f in files if not f.startswith("file:") and "://" in f]
+    remote_status = _hadoop_dir_status(df, remote) if remote else {}
     for f in files:
         if f.startswith("file:") or "://" not in f:
-            path = f[5:] if f.startswith("file:") else f
+            path = unquote(f[5:] if f.startswith("file:") else f)
             try:
                 st = os.stat(path)
                 # nanosecond mtime: a same-size rewrite within the same
@@ -79,7 +107,7 @@ def _input_snapshot(df: DataFrame) -> str:
             except OSError:
                 parts.append(f)
         else:
-            status = _hadoop_status(df, f)
+            status = remote_status.get(f)
             parts.append(f"{f}:{status}" if status else f)
     if not parts:
         return ""

@@ -58,22 +58,56 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str | None = None) -> 
     )
 
 
+def _percent_decode(col):
+    # input_file_name() yields a percent-encoded URI path.  url_decode is
+    # x-www-form-urlencoded — it would also turn literal '+' into space —
+    # so escape '+' to %2B first: the result is pure percent-decoding
+    # (space, %, unicode file names round-trip; 'a+b.txt' stays 'a+b.txt').
+    return F.url_decode(F.regexp_replace(col, r"\+", "%2B"))
+
+
 def _basename(col):
-    # input_file_name() yields a URI; basename = last path segment.  Spark
-    # URL-encodes special characters — decode so conv_id equals the real
-    # file name (space, %, unicode names round-trip).
-    return F.url_decode(F.element_at(F.split(col, "/"), -1))
+    return _percent_decode(F.element_at(F.split(col, "/"), -1))
 
 
-def read_text_glob(spark: SparkSession, pattern: str) -> DataFrame:
+def read_text_glob(
+    spark: SparkSession, pattern: str, ids: str = "basename"
+) -> DataFrame:
     """Plain-text file glob -> TRANSCRIPTS frame: one single-turn
-    conversation per file, conv_id = file basename (reference
+    conversation per file.
+
+    ids='basename' (default): conv_id = file basename (reference
     intertext.py:242,281 — metadata joins on basename; sorted-glob
-    file_id order falls out of assign_file_ids' lexicographic rank)."""
+    file_id order falls out of assign_file_ids' lexicographic rank).
+    Distinct files sharing a basename across directories would silently
+    MERGE into one conversation under this scheme, so duplicates raise a
+    ValueError directing the caller to ids='path'.
+
+    ids='path': conv_id = the full decoded path — always unique; use for
+    nested globs like 'root/*/*.txt'."""
+    if ids not in ("basename", "path"):
+        raise ValueError(f"ids must be 'basename' or 'path', got {ids!r}")
+    id_col = (
+        _basename(F.input_file_name())
+        if ids == "basename"
+        else _percent_decode(F.input_file_name())
+    )
     raw = spark.read.option("wholetext", True).text(pattern).select(
-        _basename(F.input_file_name()).alias("conv_id"),
+        id_col.alias("conv_id"),
         F.col("value").alias("text"),
     )
+    if ids == "basename":
+        dup = (
+            raw.groupBy("conv_id").count().where(F.col("count") > 1)
+            .limit(5).collect()
+        )
+        if dup:
+            names = [r.conv_id for r in dup]
+            raise ValueError(
+                f"read_text_glob: basenames {names} appear in multiple "
+                "directories under this glob and would merge into one "
+                "conversation; pass ids='path' for path-unique conv ids"
+            )
     return raw.select(
         "conv_id",
         F.lit(0).cast("int").alias("turn_idx"),
@@ -89,13 +123,14 @@ def read_xml_glob(
     pattern: str,
     base_tag: str | None = None,
     remove_tags: "tuple[str, ...]" = (),
+    ids: str = "basename",
 ) -> DataFrame:
     """XML file glob -> extracted plain text (operators.xmlextract.xml_text
     semantics: base_tag subtree, remove_tags dropped, tags stripped to
     spaces) -> TRANSCRIPTS frame, one conversation per file."""
     from .operators.xmlextract import xml_text
 
-    docs = read_text_glob(spark, pattern)
+    docs = read_text_glob(spark, pattern, ids=ids)
     extracted = xml_text(
         docs, text_col="text", out_col="extracted",
         base_tag=base_tag, remove_tags=remove_tags,

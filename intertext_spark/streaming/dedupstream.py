@@ -73,62 +73,95 @@ class IncrementalDedup:
         )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch = (
-            batch_df.select(F.col("doc_id").cast("long").alias("doc_id"), "text")
-            .dropDuplicates(["doc_id"])
-            .persist()
-        )
-        if batch.isEmpty():
-            batch.unpersist()
-            return
-        have_state = self._exists("accepted_docs")
-        if have_state:
-            accepted = self.spark.read.parquet(self._p("accepted_docs"))
-            # replay filter: already-accepted ids are re-deliveries
-            batch = batch.join(
-                accepted.select("doc_id"), "doc_id", "left_anti"
-            ).persist()
+        # Every cached artifact of this batch is released before return —
+        # a long-running stream must not pin per-batch state forever.
+        # Outputs land on parquet BEFORE cleanup, so nothing downstream
+        # can ever need a recompute of an unpersisted frame; cleanup then
+        # diff-unpersists ALL persistent RDDs created during the batch,
+        # which also covers connected_components' returned localCheckpoint
+        # (r3 review finding: the pre-fix code leaked frames per batch).
+        sc = self.spark.sparkContext
+        before_ids = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+        cached: list[DataFrame] = []
 
-        alive = batch
-        if have_state:
-            acc_bands = self.spark.read.parquet(self._p("accepted_bands"))
-            cand = (
-                self._bands(batch)
-                .join(
-                    acc_bands.select(
-                        "band", F.col("doc_id").alias("doc_a")
-                    ),
-                    "band",
-                )
-                .select("doc_a", F.col("doc_id").alias("doc_b"))
-                .distinct()
+        def _persist(df: DataFrame) -> DataFrame:
+            df = df.persist()
+            cached.append(df)
+            return df
+
+        try:
+            batch = _persist(
+                batch_df.select(
+                    F.col("doc_id").cast("long").alias("doc_id"), "text"
+                ).dropDuplicates(["doc_id"])
             )
-            union_texts = accepted.unionByName(batch)
-            dup_vs_accepted = verify_jaccard(
-                cand, union_texts,
+            if batch.isEmpty():
+                return
+            have_state = self._exists("accepted_docs")
+            if have_state:
+                accepted = self.spark.read.parquet(self._p("accepted_docs"))
+                # replay filter: already-accepted ids are re-deliveries
+                batch = _persist(
+                    batch.join(accepted.select("doc_id"), "doc_id", "left_anti")
+                )
+
+            alive = batch
+            if have_state:
+                acc_bands = self.spark.read.parquet(self._p("accepted_bands"))
+                cand = (
+                    self._bands(batch)
+                    .join(
+                        acc_bands.select("band", F.col("doc_id").alias("doc_a")),
+                        "band",
+                    )
+                    .select("doc_a", F.col("doc_id").alias("doc_b"))
+                    .distinct()
+                )
+                union_texts = accepted.unionByName(batch)
+                dup_vs_accepted = verify_jaccard(
+                    cand, union_texts,
+                    shingle_words=self.shingle_words, threshold=self.threshold,
+                )
+                alive = _persist(
+                    batch.join(
+                        dup_vs_accepted.select(
+                            F.col("doc_b").alias("doc_id")
+                        ).distinct(),
+                        "doc_id",
+                        "left_anti",
+                    )
+                )
+
+            # intra-batch: CC keeper (min doc_id) — the batch dedup_corpus
+            # policy.  kept is persisted because it feeds TWO writes (docs
+            # + its band index); without it the verify/CC chain runs twice.
+            alive_bands = _persist(self._bands(alive))
+            intra = verify_jaccard(
+                lsh_dup_pairs(alive_bands), alive,
                 shingle_words=self.shingle_words, threshold=self.threshold,
             )
-            alive = batch.join(
-                dup_vs_accepted.select(F.col("doc_b").alias("doc_id")).distinct(),
-                "doc_id",
-                "left_anti",
-            ).persist()
-
-        # intra-batch: CC keeper (min doc_id) — the batch dedup_corpus policy
-        alive_bands = self._bands(alive).persist()
-        intra = verify_jaccard(
-            lsh_dup_pairs(alive_bands), alive,
-            shingle_words=self.shingle_words, threshold=self.threshold,
-        )
-        kept = dedup_corpus(alive, intra.select("doc_a", "doc_b")).select(
-            "doc_id", "text"
-        )
-        kept.write.mode("append").parquet(self._p("accepted_docs"))
-        alive_bands.join(
-            kept.select("doc_id"), "doc_id", "left_semi"
-        ).write.mode("append").parquet(self._p("accepted_bands"))
-        alive_bands.unpersist()
-        batch.unpersist()
+            kept = dedup_corpus(alive, intra.select("doc_a", "doc_b")).select(
+                "doc_id", "text"
+            )
+            kept.write.mode("append").parquet(self._p("accepted_docs"))
+            # band index from the just-written parquet, not the cached
+            # plan: after this point no output depends on any in-memory
+            # frame, so the blanket unpersist below is safe
+            kept_ids = (
+                self.spark.read.parquet(self._p("accepted_docs"))
+                .join(alive.select("doc_id"), "doc_id", "left_semi")
+                .select("doc_id")
+            )
+            alive_bands.join(kept_ids, "doc_id", "left_semi").write.mode(
+                "append"
+            ).parquet(self._p("accepted_bands"))
+        finally:
+            for df in cached:
+                df.unpersist()
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet().toArray()):
+                if rid not in before_ids:
+                    jmap.get(rid).unpersist()
 
     def accepted(self) -> DataFrame:
         if not self._exists("accepted_docs"):

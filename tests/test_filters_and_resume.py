@@ -211,3 +211,20 @@ def test_input_snapshot_rewrite_invalidates(spark, tmp_path):
     spark.range(7).write.mode("overwrite").parquet(p)
     s2 = _input_snapshot(spark.read.parquet(p))
     assert s1 and s2 and s1 != s2
+
+
+def test_input_snapshot_encoded_local_path(spark, tmp_path):
+    """inputFiles() percent-encodes local paths ('sp ace' -> 'sp%20ace');
+    the snapshot must unquote before os.stat, or rewrites of space/%%-named
+    inputs silently keep serving stale checkpoints (r3 review finding)."""
+    import time
+
+    from intertext_spark.pipeline import _input_snapshot
+
+    p = str(tmp_path / "sp ace.parquet")
+    spark.range(3).write.mode("overwrite").parquet(p)
+    s1 = _input_snapshot(spark.read.parquet(p))
+    time.sleep(0.01)
+    spark.range(9).write.mode("overwrite").parquet(p)
+    s2 = _input_snapshot(spark.read.parquet(p))
+    assert s1 and s2 and s1 != s2

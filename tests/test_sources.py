@@ -114,3 +114,66 @@ def test_cli_infiles_and_banish_glob(tmp_path):
     stats = _json.loads(proc.stdout.strip().splitlines()[-1])
     assert stats["matches"] == 0
     assert out.exists() and any(out.iterdir())
+
+
+def test_basename_collision_raises_and_path_ids_work(spark, tmp_path):
+    (tmp_path / "s1").mkdir()
+    (tmp_path / "s2").mkdir()
+    (tmp_path / "s1" / "same.txt").write_text("one " * 20)
+    (tmp_path / "s2" / "same.txt").write_text("two " * 20)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="same.txt"):
+        sources.read_text_glob(spark, str(tmp_path / "*" / "*.txt"))
+    tdf = sources.read_text_glob(spark, str(tmp_path / "*" / "*.txt"), ids="path")
+    ids = sorted(r.conv_id for r in tdf.collect())
+    assert len(ids) == 2 and ids[0] != ids[1]
+    assert ids[0].endswith("s1/same.txt") and ids[1].endswith("s2/same.txt")
+
+
+def test_plus_and_space_filenames_round_trip(spark, tmp_path):
+    """input_file_name() percent-encodes; decoding must be percent-only —
+    form decoding would corrupt 'a+b.txt' into 'a b.txt' and collide with
+    a genuine 'a b.txt'."""
+    (tmp_path / "a+b.txt").write_text("plus name " * 5)
+    (tmp_path / "a b.txt").write_text("space name " * 5)
+    tdf = sources.read_text_glob(spark, str(tmp_path / "*.txt"))
+    ids = sorted(r.conv_id for r in tdf.collect())
+    assert ids == ["a b.txt", "a+b.txt"]
+
+
+def test_cli_literal_conv_id_with_glob_chars(spark, tmp_path):
+    """An argument that IS an existing conv_id is taken literally even
+    when it contains glob characters (r3 review finding: 'conv[1]' used
+    to fnmatch-resolve to 'conv1', silently excluding the wrong conv).
+    Discriminator: only conv[1] has a verbatim partner, so a correct
+    --exclude 'conv[1]' leaves ZERO matches; the pre-fix pattern reading
+    excluded conv1 instead and left the conv[1]/x pair alive."""
+    import os
+    import subprocess
+    import sys
+
+    rows = [
+        ("conv[1]", 0, "user", BASE, None, None),
+        ("conv1", 0, "user", "totally different words entirely " * 3, None, None),
+        ("x", 0, "user", BASE, None, None),
+    ]
+    tpath = str(tmp_path / "t.parquet")
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(tpath)
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    proc = subprocess.run(
+        [sys.executable, "-m", "intertext_spark",
+         "--transcripts", tpath,
+         "--output", str(tmp_path / "out"),
+         "--exclude", "conv[1]",
+         "--master", "local[4]"],
+        capture_output=True, text=True, env=env, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json as _json
+
+    stats = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert stats["matches"] == 0, stats

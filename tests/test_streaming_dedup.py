@@ -119,3 +119,16 @@ def test_run_stream_available_now(spark, tmp_path):
     inc.run_stream(str(src))
     got = {r.doc_id for r in inc.accepted().collect()}
     assert got == {0, 2, 10, 12}
+
+
+def test_process_batch_leaves_no_cached_frames(spark, tmp_path):
+    """Long-running streams must not pin per-batch caches: after each
+    process_batch every persisted frame is unpersisted (r3 review
+    finding — the pre-fix code leaked two frames per stateful batch)."""
+    sc = spark.sparkContext
+    baseline = sc._jsc.getPersistentRDDs().size()
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    inc.process_batch(_df(spark, [(0, B + " ta"), (1, U("x"))]), 0)
+    inc.process_batch(_df(spark, [(2, B + " tb"), (3, U("y"))]), 1)
+    inc.process_batch(_df(spark, [(4, U("z"))]), 2)
+    assert sc._jsc.getPersistentRDDs().size() == baseline
