@@ -24,16 +24,21 @@ from intertext_spark.session import get_spark  # noqa: E402
 
 
 def run_seed(spark, seed: int) -> dict:
+    # vary the corpus SHAPE with the seed, not just its content — skew
+    # (boilerplate), chain density, junk and short-conv mix all rotate so
+    # the sweep exercises different code paths per seed
+    shape = seed % 4
     pc = corpus.planted_transcripts(
-        n_convs=20,
+        n_convs=[20, 28, 26, 24][shape],
         seed=seed,
-        n_verbatim_pairs=2,
-        n_shifted_pairs=1,
-        n_noisy_per_level=1,
-        n_chains=1,
-        n_junk_pairs=1,
-        n_short=1,
-        n_self_repeat=1,
+        n_verbatim_pairs=[2, 4, 1, 3][shape],
+        n_shifted_pairs=[1, 2, 0, 1][shape],
+        n_noisy_per_level=[1, 0, 2, 1][shape],
+        n_chains=[1, 2, 0, 1][shape],
+        n_junk_pairs=[1, 0, 2, 1][shape],
+        n_short=[1, 3, 0, 2][shape],
+        n_self_repeat=[1, 0, 2, 1][shape],
+        **({"boilerplate_frac": 0.2} if shape == 3 else {}),
     )
     tdf = spark.createDataFrame(pc.rows, schemas.TRANSCRIPTS)
     sres = Pipeline(spark, DEFAULT).run(tdf)
