@@ -8,8 +8,11 @@ Semantics (deliberate, tested in tests/test_streaming_dedup.py):
     against ANY previously-accepted doc reaches ``threshold`` (greedy
     first-wins — the online dedup semantic; an accepted doc is never
     retroactively evicted).  Candidates come from a MinHash band
-    semi-join against the accumulated band index, so the check scales as
-    |batch| x collisions, not |batch| x |corpus|.
+    semi-join against the accumulated band index, and the verify input
+    is restricted to the COLLIDED accepted docs (semi-join on the
+    candidate ``doc_a`` set), so the per-batch cost is
+    |batch| x collisions, not |batch| x |corpus| — neither the join nor
+    the shingling pass ever touches non-colliding corpus docs.
   * intra-batch: connected-component keeper (min doc_id) over the
     batch's own dup graph — the batch ``dedup_corpus`` policy, so a
     one-batch stream equals the batch pipeline exactly.  (A dup CHAIN
@@ -24,11 +27,24 @@ State is two parquet accumulators under ``root`` (at cluster scale:
 Iceberg tables partitioned/bucketed by band and doc_id):
   accepted_docs  (doc_id, text)      the surviving corpus
   accepted_bands (doc_id, band)      its LSH band index
+
+Commit protocol (two appends cannot be atomic on plain parquet): bands
+are written FIRST and ``accepted_docs`` is the commit point.  A crash
+between the two appends leaves orphan band rows (bands without a doc);
+orphans are harmless because the candidate ``doc_a`` side is semi-joined
+against ``accepted_docs`` before verification — a doc that never
+committed can never reject anything — and the retry re-appends both
+(duplicate band rows are collapsed by the candidate ``distinct`` and
+removed by :meth:`compact`).  The failure mode this closes: with
+docs-first ordering, a crash after the docs append would let the replay
+filter drop the batch while its band index was never written, silently
+accepting every future near-duplicate of those docs.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -72,6 +88,46 @@ class IncrementalDedup:
             docs, shingle_words=self.shingle_words, n_perm=self.n_perm
         )
 
+    def _cross_batch_survivors(
+        self, batch: DataFrame, accepted: DataFrame, acc_bands: DataFrame
+    ) -> "tuple[DataFrame, DataFrame]":
+        """Batch docs that survive the greedy check against the accepted
+        corpus.  -> (alive, verify_texts); ``verify_texts`` is exposed for
+        the scan-size contract test: it holds exactly the COLLIDED
+        accepted docs plus the batch — never the whole corpus — so the
+        shingling inside verify_jaccard is O(collisions + |batch|)."""
+        cand = (
+            self._bands(batch)
+            .join(
+                acc_bands.select("band", F.col("doc_id").alias("doc_a")),
+                "band",
+            )
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
+            .distinct()
+        )
+        # accepted_docs is the commit point: orphan band rows (crash
+        # between the bands append and the docs append, see module
+        # docstring) must never reject a doc — and on retry the batch's
+        # own orphan bands would otherwise make every doc a "duplicate"
+        # of itself via its replayed text
+        cand = cand.join(
+            accepted.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi"
+        )
+        collided = cand.select(F.col("doc_a").alias("doc_id")).distinct()
+        verify_texts = accepted.join(collided, "doc_id", "left_semi").unionByName(
+            batch
+        )
+        dup_vs_accepted = verify_jaccard(
+            cand, verify_texts,
+            shingle_words=self.shingle_words, threshold=self.threshold,
+        )
+        alive = batch.join(
+            dup_vs_accepted.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+        return alive, verify_texts
+
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         # Every cached artifact of this batch is released before return —
         # a long-running stream must not pin per-batch state forever.
@@ -108,29 +164,8 @@ class IncrementalDedup:
             alive = batch
             if have_state:
                 acc_bands = self.spark.read.parquet(self._p("accepted_bands"))
-                cand = (
-                    self._bands(batch)
-                    .join(
-                        acc_bands.select("band", F.col("doc_id").alias("doc_a")),
-                        "band",
-                    )
-                    .select("doc_a", F.col("doc_id").alias("doc_b"))
-                    .distinct()
-                )
-                union_texts = accepted.unionByName(batch)
-                dup_vs_accepted = verify_jaccard(
-                    cand, union_texts,
-                    shingle_words=self.shingle_words, threshold=self.threshold,
-                )
-                alive = _persist(
-                    batch.join(
-                        dup_vs_accepted.select(
-                            F.col("doc_b").alias("doc_id")
-                        ).distinct(),
-                        "doc_id",
-                        "left_anti",
-                    )
-                )
+                alive, _ = self._cross_batch_survivors(batch, accepted, acc_bands)
+                alive = _persist(alive)
 
             # intra-batch: CC keeper (min doc_id) — the batch dedup_corpus
             # policy.  kept is persisted because it feeds TWO writes (docs
@@ -140,21 +175,17 @@ class IncrementalDedup:
                 lsh_dup_pairs(alive_bands), alive,
                 shingle_words=self.shingle_words, threshold=self.threshold,
             )
-            kept = dedup_corpus(alive, intra.select("doc_a", "doc_b")).select(
-                "doc_id", "text"
+            kept = _persist(
+                dedup_corpus(alive, intra.select("doc_a", "doc_b")).select(
+                    "doc_id", "text"
+                )
             )
+            # commit protocol (module docstring): bands first, docs second
+            # — the docs append is the commit point
+            alive_bands.join(
+                kept.select("doc_id"), "doc_id", "left_semi"
+            ).write.mode("append").parquet(self._p("accepted_bands"))
             kept.write.mode("append").parquet(self._p("accepted_docs"))
-            # band index from the just-written parquet, not the cached
-            # plan: after this point no output depends on any in-memory
-            # frame, so the blanket unpersist below is safe
-            kept_ids = (
-                self.spark.read.parquet(self._p("accepted_docs"))
-                .join(alive.select("doc_id"), "doc_id", "left_semi")
-                .select("doc_id")
-            )
-            alive_bands.join(kept_ids, "doc_id", "left_semi").write.mode(
-                "append"
-            ).parquet(self._p("accepted_bands"))
         finally:
             for df in cached:
                 df.unpersist()
@@ -167,6 +198,35 @@ class IncrementalDedup:
         if not self._exists("accepted_docs"):
             return self.spark.createDataFrame([], DOCUMENTS_STREAM)
         return self.spark.read.parquet(self._p("accepted_docs"))
+
+    def compact(self, n_files: int = 4) -> None:
+        """Offline maintenance: rewrite both accumulators into ``n_files``
+        parquet files each, dropping duplicate band rows and orphan bands
+        (crash-retry artifacts of the append protocol).  Per-batch appends
+        otherwise accumulate one small file set per micro-batch, degrading
+        every later band semi-join's scan; run this periodically while the
+        stream is stopped (the directory swap below is NOT atomic — at
+        cluster scale the same operation is Iceberg's rewrite_data_files
+        action, which is, and can run concurrently with the stream)."""
+        if not self._exists("accepted_docs"):
+            return
+        docs = self.spark.read.parquet(self._p("accepted_docs"))
+        bands = (
+            self.spark.read.parquet(self._p("accepted_bands"))
+            .dropDuplicates(["doc_id", "band"])
+            .join(docs.select("doc_id"), "doc_id", "left_semi")
+        )
+        # write BOTH tmps before swapping anything: the bands rewrite
+        # reads the docs parquet (semi-join), so the docs directory must
+        # survive until every rewrite job has run
+        staged = []
+        for name, df in (("accepted_docs", docs), ("accepted_bands", bands)):
+            tmp = self._p(name + "__compact")
+            df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+            staged.append((name, tmp))
+        for name, tmp in staged:
+            shutil.rmtree(self._p(name))
+            os.rename(tmp, self._p(name))
 
     def run_stream(self, input_path: str, checkpoint: str | None = None):
         """availableNow stream over a directory of documents parquet files

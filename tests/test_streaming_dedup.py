@@ -132,3 +132,73 @@ def test_process_batch_leaves_no_cached_frames(spark, tmp_path):
     inc.process_batch(_df(spark, [(2, B + " tb"), (3, U("y"))]), 1)
     inc.process_batch(_df(spark, [(4, U("z"))]), 2)
     assert sc._jsc.getPersistentRDDs().size() == baseline
+
+
+def test_cross_batch_verify_scans_only_collisions(spark, tmp_path):
+    """The r3 verdict finding: verify input must hold only the COLLIDED
+    accepted docs + the batch, never the whole corpus — per-batch cost is
+    O(collisions), matching the module docstring's contract."""
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    rows0 = [(i, U(f"a{i}x")) for i in range(40)]
+    inc.process_batch(_df(spark, rows0), 0)
+    batch = _df(spark, [(100, rows0[5][1] + " extra"), (101, U("zq"))])
+    accepted = inc.accepted()
+    acc_bands = spark.read.parquet(str(tmp_path / "state" / "accepted_bands"))
+    alive, verify_texts = inc._cross_batch_survivors(batch, accepted, acc_bands)
+    n_collided = (
+        inc._bands(batch)
+        .join(acc_bands.select("band", F.col("doc_id").alias("doc_a")), "band")
+        .select("doc_a").distinct()
+        .join(accepted.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi")
+        .count()
+    )
+    assert n_collided >= 1                          # the near-dup collides
+    assert verify_texts.count() == n_collided + 2   # collided + batch ...
+    assert n_collided < 40                          # ... not the corpus
+    assert {r.doc_id for r in alive.collect()} == {101}
+
+
+def test_orphan_bands_never_reject(spark, tmp_path):
+    """Commit-protocol recovery (bands first, docs are the commit point):
+    a crash between the bands append and the docs append leaves orphan
+    band rows; on retry the doc must be accepted — not rejected as a
+    near-duplicate of its own replayed text."""
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    inc.process_batch(_df(spark, [(0, U("base"))]), 0)
+    state = tmp_path / "state"
+    # simulate the crash: bands of doc 7 land, its docs row does not
+    inc._bands(_df(spark, [(7, U("orph"))])).write.mode("append").parquet(
+        str(state / "accepted_bands")
+    )
+    inc.process_batch(_df(spark, [(7, U("orph"))]), 1)  # the retry
+    assert {r.doc_id for r in inc.accepted().collect()} == {0, 7}
+    # and a real near-dup of the now-committed doc is still rejected
+    inc.process_batch(_df(spark, [(8, U("orph") + " tail")]), 2)
+    assert {r.doc_id for r in inc.accepted().collect()} == {0, 7}
+
+
+def test_compact_preserves_state_and_dedups_bands(spark, tmp_path):
+    """compact() rewrites both accumulators: same accepted set, band rows
+    unique and orphan-free, file count bounded — so many-batch streams do
+    not degrade the per-batch band semi-join with ever-more small files."""
+    import os as _os
+
+    root = tmp_path / "state"
+    inc = IncrementalDedup(spark, str(root))
+    for bi in range(6):
+        rows = [(10 * bi + j, U(f"b{bi}j{j}q")) for j in range(3)]
+        inc.process_batch(_df(spark, rows), bi)
+    before = {(r.doc_id, r.text) for r in inc.accepted().collect()}
+    files = lambda d: [f for f in _os.listdir(root / d) if f.endswith(".parquet")]  # noqa: E731
+    assert len(files("accepted_bands")) > 1  # one append per batch piled up
+    inc.compact(n_files=1)
+    assert {(r.doc_id, r.text) for r in inc.accepted().collect()} == before
+    assert len(files("accepted_docs")) == 1
+    assert len(files("accepted_bands")) == 1
+    bands = spark.read.parquet(str(root / "accepted_bands"))
+    assert bands.count() == bands.dropDuplicates(["doc_id", "band"]).count()
+    assert bands.join(inc.accepted(), "doc_id", "left_anti").count() == 0
+    # the stream keeps working over compacted state
+    keep_text = dict(before)[0]
+    inc.process_batch(_df(spark, [(99, keep_text + " zz")]), 99)
+    assert {r.doc_id for r in inc.accepted().collect()} == {d for d, _ in before}
