@@ -30,6 +30,8 @@ import argparse
 import json
 import sys
 
+from pyspark.sql import functions as F
+
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -186,38 +188,50 @@ def main(argv=None) -> int:
     def _globlike(s: str) -> bool:
         return any(ch in s for ch in "*?[")
 
-    # one distinct+collect TOTAL for all patterns (banish/exclude sets are
-    # interactively small; N patterns must not cost N input scans), and
-    # only when a glob-like argument is actually present
+    # Spark-side pattern resolution (r3 verdict finding: the old path
+    # collected EVERY conv_id to the driver — the full conversation
+    # dimension, tens of GB at 10^9 convs).  ONE distinct scan total for
+    # all patterns, collecting only (a) pattern strings that exist
+    # verbatim as conv ids (the literal-first rule, via isin) and (b) ids
+    # matched by any pattern's anchored regex (fnmatch.translate pushed
+    # into rlike — sources.glob_convs semantics, case-sensitive on every
+    # platform unlike fnmatch.filter's os.path.normcase).
     maybe_globs = list(args.banish) + list(args.exclude) + (
         [args.only] if args.only else []
     )
-    known_ids: "set[str] | None" = None
-    if any(_globlike(s) for s in maybe_globs):
-        known_ids = {
+    globlike = sorted({s for s in maybe_globs if _globlike(s)})
+    literal_ids: "set[str]" = set()
+    matched_ids: "list[str]" = []
+    if globlike:
+        cond = F.col("conv_id").isin(globlike)
+        for pat in globlike:
+            cond = cond | F.col("conv_id").rlike(r"\A" + fnmatch.translate(pat))
+        matched_ids = [
             r.conv_id
-            for r in transcripts.select("conv_id").distinct().collect()
-        }
+            for r in transcripts.select("conv_id").distinct().where(cond).collect()
+        ]
+        literal_ids = set(globlike) & set(matched_ids)
 
     def resolve(patterns: list[str]) -> "list[str] | None":
         """Expand fnmatch patterns against conv ids.  An argument that IS
         an existing conv_id is always taken literally — even when it
         contains glob characters (ids like 'conv[1]' stay addressable);
         plain non-glob names pass through untouched (exact names need not
-        exist yet)."""
+        exist yet).  Per-group attribution refines the collected match
+        superset locally with fnmatchcase over the (small) matched set."""
         out: list[str] = []
         for pat in patterns:
-            if _globlike(pat) and not (known_ids and pat in known_ids):
-                out.extend(fnmatch.filter(known_ids or (), pat))
+            if _globlike(pat) and pat not in literal_ids:
+                out.extend(i for i in matched_ids if fnmatch.fnmatchcase(i, pat))
             else:
                 out.append(pat)
         return sorted(set(out)) or None
 
     only_conv = args.only
-    if only_conv and _globlike(only_conv) and not (
-        known_ids and only_conv in known_ids
-    ):
-        hits = sorted(fnmatch.filter(known_ids or (), only_conv))
+    if only_conv and _globlike(only_conv) and only_conv not in literal_ids:
+        hits = sorted(
+            i for i in matched_ids if fnmatch.fnmatchcase(i, only_conv)
+        )
         if len(hits) != 1:
             print(f"error: --only pattern {only_conv!r} matched "
                   f"{len(hits)} conversations (need exactly 1)", file=sys.stderr)

@@ -41,7 +41,16 @@ def _hadoop_dir_status(df: DataFrame, uris: "list[str]") -> "dict[str, str]":
     as ONE listStatus per parent directory, not one RPC per file (an
     s3a:// input with 10^4 objects would otherwise serialize 10^4 HEADs
     on the driver).  URIs whose directory listing fails are absent from
-    the result."""
+    the result.
+
+    Spark's inputFiles() URIs are percent-encoded while Hadoop
+    Path.toString() escapes differently, so both sides are compared
+    PERCENT-DECODED (the same normalization the local-path branch of
+    _input_snapshot applies) — exact string equality would silently miss
+    remote paths with spaces/unicode and degrade the snapshot to
+    name-only, defeating the rewrite-invalidation it exists for."""
+    from urllib.parse import unquote
+
     out: dict[str, str] = {}
     by_dir: dict[str, list[str]] = {}
     for u in uris:
@@ -57,12 +66,14 @@ def _hadoop_dir_status(df: DataFrame, uris: "list[str]") -> "dict[str, str]":
             jdir = jvm.org.apache.hadoop.fs.Path(d)
             fs = jdir.getFileSystem(hconf)
             listing = {
-                st.getPath().toString(): f"{st.getLen()}:{st.getModificationTime()}"
+                unquote(st.getPath().toString()):
+                    f"{st.getLen()}:{st.getModificationTime()}"
                 for st in fs.listStatus(jdir)
             }
             for u in members:
-                if u in listing:
-                    out[u] = listing[u]
+                status = listing.get(unquote(u))
+                if status is not None:
+                    out[u] = status
         except Exception:
             continue
     return out

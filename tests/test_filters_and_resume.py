@@ -228,3 +228,25 @@ def test_input_snapshot_encoded_local_path(spark, tmp_path):
     spark.range(9).write.mode("overwrite").parquet(p)
     s2 = _input_snapshot(spark.read.parquet(p))
     assert s1 and s2 and s1 != s2
+
+
+def test_hadoop_status_percent_encoded_uri(spark):
+    """Spark's inputFiles() URIs are percent-encoded ('sp ace' lists as
+    'sp%20ace'); the Hadoop-branch snapshot must still find the file —
+    both sides compare percent-DECODED (r3 advice finding: exact string
+    equality silently missed remote paths with spaces/unicode)."""
+    import os
+
+    from intertext_spark.pipeline import _hadoop_status
+
+    path = "/tmp/it snapshot spåce.txt"
+    with open(path, "w") as f:
+        f.write("hello spaces")
+    df = spark.range(1)
+    from urllib.parse import quote
+
+    encoded = "file:" + quote(path)
+    assert "%20" in encoded
+    st = _hadoop_status(df, encoded)
+    assert st is not None and st.split(":")[0] == str(os.stat(path).st_size)
+    os.remove(path)
