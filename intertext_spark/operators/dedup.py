@@ -532,6 +532,10 @@ def ivf_train(
     stays the one cheap matmul pass in :func:`ivf_assign`.
     """
     vecs = df.select(F.col(vec_col).cast("array<double>").alias("emb"))
+    # ragged guard (r3 advice finding): a longer array would index past
+    # the accumulator and make the per-(list_id,pos) counts divergent,
+    # silently skewing centroid means — train only on exactly-dim vectors
+    vecs = vecs.where(F.size("emb") == dim)
     if sample_fraction is not None:
         vecs = vecs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
     vecs = vecs.persist()  # each Lloyd iteration rescans the training set
@@ -551,7 +555,8 @@ def ivf_train(
         cnt = np.zeros(n_centroids, dtype=np.int64)
         for r in sums:
             acc[r.list_id, r.pos] = r.s
-            cnt[r.list_id] = r.n
+            if r.pos == 0:  # member count, not count-per-pos of the last row
+                cnt[r.list_id] = r.n
         for j in range(n_centroids):
             if cnt[j] > 0:
                 v = acc[j] / cnt[j]
@@ -628,6 +633,7 @@ def ivf_topk_batch(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: "int | None" = 100_000,
 ) -> DataFrame:
     """IVF search for a BATCH of queries (the realistic pipeline shape —
     per-query driver loops don't scale): rank centroids per query (one
@@ -639,11 +645,40 @@ def ivf_topk_batch(
     everything == exact brute force (how the driver gate value-checks it
     against the SQL cross-join twin); at scale each query touches
     nprobe/n_centroids of the table and the only wide op is the window's
-    shuffle on query_id."""
+    shuffle on query_id.
+
+    The broadcast side is the exploded query frame, so an unbounded query
+    set would blow the broadcast: sets larger than
+    ``max_broadcast_queries`` are split into hash chunks (pmod of
+    xxhash64(query_id)) and searched chunk-by-chunk — per-query top-k is
+    independent of chunking, so the unioned result is IDENTICAL to the
+    one-shot path (pinned in tests/test_dedup_ops.py).  Pass ``None`` to
+    disable the guard."""
     from pyspark.sql import Window
 
     cents = centroids
     nprobe = min(nprobe, cents.shape[0])
+
+    if max_broadcast_queries is not None:
+        n_queries = queries.count()
+        if n_queries > max_broadcast_queries:
+            n_chunks_q = -(-n_queries // max_broadcast_queries)
+            parts = [
+                ivf_topk_batch(
+                    assigned, cents,
+                    queries.where(
+                        F.pmod(F.xxhash64(F.col(id_col).cast("long")),
+                               F.lit(n_chunks_q)) == i
+                    ),
+                    k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                    max_broadcast_queries=None,
+                )
+                for i in range(n_chunks_q)
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(emb: pd.Series) -> pd.Series:

@@ -462,3 +462,50 @@ def test_phash_default_banding_equals_16_chunk_pairs(spark):
         assert len(pairs(chunk_max_docs=0)) == 0
     finally:
         feats.unpersist()
+
+
+def test_ivf_topk_batch_chunked_equals_one_shot(spark):
+    """A query set above max_broadcast_queries is searched in hash chunks;
+    per-query top-k is independent of chunking, so results must be
+    identical to the unchunked path."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = [(int(i), rng.normal(size=8).tolist()) for i in range(60)]
+    qs = [(int(100 + i), rng.normal(size=8).tolist()) for i in range(25)]
+    bdf = spark.createDataFrame(base, "vec_id long, embedding array<double>")
+    qdf = spark.createDataFrame(qs, "vec_id long, embedding array<double>")
+    assigned, cents = dedup.ivf_assign(bdf, n_centroids=4, dim=8)
+    assigned = assigned.persist()
+    try:
+        def run(cap):
+            return {
+                (r.query_id, r.vec_id, r.rnk)
+                for r in dedup.ivf_topk_batch(
+                    assigned, cents, qdf, k=3, nprobe=4,
+                    max_broadcast_queries=cap,
+                ).collect()
+            }
+
+        one_shot = run(None)
+        assert run(7) == one_shot          # 25 queries -> 4 hash chunks
+        assert len(one_shot) == 25 * 3
+    finally:
+        assigned.unpersist()
+
+
+def test_ivf_train_ignores_ragged_embeddings(spark):
+    """Vectors whose length != dim must not poison training (r3 advice:
+    a longer array raised IndexError; ragged counts skewed the means).
+    Centroids trained with ragged rows present == centroids trained on
+    only the clean rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    clean = [(int(i), rng.normal(size=8).tolist()) for i in range(40)]
+    ragged = [(1000, rng.normal(size=12).tolist()), (1001, [1.0, 2.0])]
+    clean_df = spark.createDataFrame(clean, "vec_id long, embedding array<double>")
+    mixed_df = spark.createDataFrame(clean + ragged, "vec_id long, embedding array<double>")
+    c1 = dedup.ivf_train(clean_df, n_centroids=4, iters=2, dim=8, seed=3)
+    c2 = dedup.ivf_train(mixed_df, n_centroids=4, iters=2, dim=8, seed=3)
+    assert np.allclose(c1, c2)
