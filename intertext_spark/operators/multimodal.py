@@ -4,12 +4,14 @@ with typed metadata, processed by Arrow-batched mapInPandas stages.
 The perceptual-hash MATH is real: 32x32 area-mean resize -> orthonormal
 2-D DCT-II -> 8x8 low-frequency block -> median threshold -> 64 bits
 (the classic pHash construction), all pure numpy and bit-level tested
-against pinned vectors (tests/test_media_phash.py).  Only the bytes ->
-pixels DECODE needs an image library: when PIL is importable and the
-payload decodes, real pixels feed the hash; otherwise a deterministic
-fake grayscale (sha256-seeded) stands in, so the media queries produce
-identical results in both environments on the synthetic (non-decodable)
-corpus, and installing PIL can never break them.  Video frame EXTRACTION
+against pinned vectors (tests/test_media_phash.py).  The bytes -> pixels
+DECODE is three-tier: a dependency-free parser for uncompressed PGM/BMP
+(real pixels in ANY environment, checked against an independent in-test
+parser), then PIL for every other format when importable, then a
+deterministic fake grayscale (sha256-seeded) — so the media queries
+produce identical results in both environments on the synthetic
+(non-decodable) corpus AND on PGM/BMP payloads, and installing PIL can
+never break them.  Video frame EXTRACTION
 stays stubbed (it needs ffmpeg, not PIL): per-frame pixels are the fake
 gray of (payload, frame_idx), but each frame still goes through the real
 DCT kernel.
@@ -162,11 +164,94 @@ def _fake_gray(payload: bytes) -> np.ndarray:
     return rng.randint(0, 256, size=(32, 32)).astype(np.float64)
 
 
+def _decode_pgm(b: bytes) -> np.ndarray:
+    """Binary PGM (P5, maxval <= 255): magic, '#'-comment-aware header
+    tokens (width height maxval), one whitespace byte, raw rows."""
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":
+            while b[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while b[pos:pos + 1] and not b[pos:pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    w, h, maxval = vals
+    pos += 1  # exactly one whitespace byte separates header from raster
+    if not (0 < w <= 8192 and 0 < h <= 8192 and 0 < maxval <= 255):
+        raise ValueError("pgm header out of range")
+    data = b[pos:pos + w * h]
+    if len(data) != w * h:
+        raise ValueError("pgm raster truncated")
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w).astype(np.float64)
+
+
+def _decode_bmp24(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER or larger):
+    4-byte-padded BGR rows, bottom-up unless height is negative.  Gray
+    conversion uses PIL's exact L formula ((R*19595 + G*38470 + B*7471 +
+    0x8000) >> 16) so the hash is identical whether this decoder or
+    PIL.convert('L') produced the pixels."""
+    import struct
+
+    if len(b) < 54:
+        raise ValueError("bmp too short")
+    offset = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
+        raise ValueError("unsupported bmp variant")
+    top_down = h < 0
+    h = abs(h)
+    if not (0 < w <= 8192 and 0 < h <= 8192 and offset >= 14 + hdr_size):
+        raise ValueError("bmp header out of range")
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(b) < offset + stride * h:
+        raise ValueError("bmp raster truncated")
+    rows = np.frombuffer(b, dtype=np.uint8, offset=offset, count=stride * h)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.uint32)
+    if not top_down:
+        px = px[::-1]
+    luma = (px[..., 2] * 19595 + px[..., 1] * 38470 + px[..., 0] * 7471 + 0x8000) >> 16
+    return luma.astype(np.float64)
+
+
+def _decode_builtin(payload: bytes) -> "np.ndarray | None":
+    """Dependency-free decode of two uncompressed formats — binary PGM
+    (P5) and 24-bit BI_RGB BMP — with strict header validation so
+    arbitrary binary payloads (the synthetic corpus) fall through to the
+    fake-gray stub.  Tried BEFORE PIL: these formats decode identically
+    in every environment by construction (no library bit-exactness
+    assumption), and the real decode -> hash path is testable without
+    PIL (r3 verdict item 6; tests/test_media_phash.py pins the pixels
+    against an independently-written in-test parser)."""
+    try:
+        if payload[:2] == b"P5":
+            return _decode_pgm(payload)
+        if payload[:2] == b"BM":
+            return _decode_bmp24(payload)
+    except Exception:
+        return None
+    return None
+
+
 def _decode_to_gray(payload: bytes) -> np.ndarray:
-    """bytes -> grayscale pixels.  Real PIL decode when the library exists
-    AND the payload is a decodable image; deterministic fake gray
-    otherwise, so non-decodable payloads (the synthetic corpus) hash
-    identically whether or not PIL is installed."""
+    """bytes -> grayscale pixels.  Built-in PGM/BMP decode first (real
+    pixels in ANY environment), then PIL for every other format when the
+    library exists and the payload decodes, deterministic fake gray
+    otherwise — so non-decodable payloads (the synthetic corpus) hash
+    identically whether or not PIL is installed, and PGM/BMP payloads
+    hash identically too (the built-in path wins in both worlds)."""
+    if payload:
+        g = _decode_builtin(payload)
+        if g is not None:
+            return g
     if _HAS_PIL and payload:
         import io
 

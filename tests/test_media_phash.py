@@ -101,3 +101,109 @@ def test_real_decode_path_with_pil():
     payload = buf.getvalue()
     assert mm._phash_of(payload) == mm.phash64_from_gray(arr.astype(np.float64))
     assert mm._phash_of(payload) != mm.phash64_from_gray(mm._fake_gray(payload))
+
+
+# ---------------------------------------------------------------------------
+# real-decode path (built-in PGM/BMP decoder): always-run, PIL-free
+# ---------------------------------------------------------------------------
+
+def _make_pgm(arr):
+    """Independent P5 writer (test-local)."""
+    h, w = arr.shape
+    return b"P5\n# test comment\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def _make_bmp24(rgb):
+    """Independent 24-bit bottom-up BI_RGB BMP writer (test-local)."""
+    import struct
+
+    h, w, _ = rgb.shape
+    stride = ((w * 3 + 3) // 4) * 4
+    raster = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = (int(v) for v in rgb[y, x])
+            row += bytes([b, g, r])
+        row += b"\x00" * (stride - len(row))
+        raster += row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return bytes(header + dib + raster)
+
+
+def _parse_bmp_oracle(b):
+    """Independent pixel oracle: per-pixel loop parser, no numpy reshape
+    tricks shared with the implementation."""
+    import struct
+
+    offset = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    stride = ((w * 3 + 3) // 4) * 4
+    out = np.zeros((h, w))
+    for y in range(h):
+        src_row = h - 1 - y  # bottom-up
+        for x in range(w):
+            o = offset + src_row * stride + x * 3
+            bb, gg, rr = b[o], b[o + 1], b[o + 2]
+            out[y, x] = (rr * 19595 + gg * 38470 + bb * 7471 + 0x8000) >> 16
+    return out
+
+
+def test_builtin_pgm_decode_real_pixels():
+    """The real decode -> hash path runs WITHOUT PIL: a pinned P5 payload
+    decodes to exactly the written pixels and hashes from them (not the
+    fake gray)."""
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    payload = _make_pgm(arr)
+    got = mm._decode_to_gray(payload)
+    assert np.array_equal(got, arr.astype(np.float64))
+    assert mm._phash_of(payload) == mm.phash64_from_gray(arr.astype(np.float64))
+    assert mm._phash_of(payload) != mm.phash64_from_gray(mm._fake_gray(payload))
+
+
+def test_builtin_bmp_decode_matches_independent_parser():
+    """24-bit BMP decodes to the same gray pixels as a per-pixel loop
+    oracle written independently in this test (PIL's exact L formula),
+    including the 4-byte row padding of a non-multiple-of-4 width."""
+    rng = np.random.RandomState(6)
+    rgb = rng.randint(0, 256, size=(10, 7, 3))  # w=7 -> padded stride
+    payload = _make_bmp24(rgb)
+    got = mm._decode_to_gray(payload)
+    want = _parse_bmp_oracle(payload)
+    assert got.shape == (10, 7)
+    assert np.array_equal(got, want)
+
+
+def test_builtin_decode_rejects_garbage_and_truncation():
+    """Strict validation: random bytes behind the magic, truncated
+    rasters, and unsupported variants all fall through to fake gray —
+    the synthetic corpus can never accidentally 'decode'."""
+    cases = [
+        b"BM" + b"\x01" * 80,                     # garbage header
+        _make_pgm(np.zeros((8, 8)))[:-10],        # truncated raster
+        b"P5\n8 8\n70000\n" + b"\x00" * 64,       # maxval out of range
+        b"BMxx",                                  # too short
+    ]
+    for payload in cases:
+        assert mm._decode_builtin(payload) is None
+        assert mm._phash_of(payload) == mm.phash64_from_gray(mm._fake_gray(payload))
+
+
+@pytest.mark.skipif(not mm._HAS_PIL, reason="PIL not installed")
+def test_builtin_decode_bit_exact_with_pil():
+    """When PIL exists, its decode of the same PGM/BMP bytes must equal
+    the built-in parser pixel-for-pixel (the cross-environment identity
+    argument for the built-in-first ordering)."""
+    import io
+
+    import PIL.Image
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, size=(12, 9)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(6, 5, 3))
+    for payload in (_make_pgm(arr), _make_bmp24(rgb)):
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            pil_px = np.asarray(im.convert("L"), dtype=np.float64)
+        assert np.array_equal(mm._decode_builtin(payload), pil_px)
