@@ -128,6 +128,50 @@ def _pipeline_matches_banished(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ONLY_FILE = 9            # moderate match count (~336 touching rows at sf0.01)
+_EXCLUDED_FILES = [98, 290, 466]  # the three hottest files — discriminative cut
+
+
+def _pipeline_matches_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Only-filtered pipeline (reference --only, intertext.py:533-535):
+    candidate construction restricted INSIDE the band join to pairs
+    touching file 9 (pipeline.build_candidate_stage with only_id — the
+    same code path Pipeline.run takes), then difflib scoring over the
+    restricted set.  Reuses the memoized hashbands/docs/windows stages,
+    so the gate pays scoring on ~1/150th of the pairs, not a second
+    pipeline run.  Oracle: fixture = the pure-python oracle's full match
+    set post-filtered to rows touching file 9 — equivalent because
+    scoring is per-pair and the candidate only-filter keeps exactly the
+    touching pairs (test_only_filter_parity pins this)."""
+    from intertext_spark.operators.matches import attach_window_texts, score_matches
+    from intertext_spark.pipeline import build_candidate_stage
+
+    res = _run_pipeline(spark, sf_dir)
+    c = build_candidate_stage(res["hashbands"], res["docs"], DEFAULT, _ONLY_FILE)
+    m = score_matches(attach_window_texts(c, res["windows"]), DEFAULT)
+    return m.select(
+        "file_id_a", "file_id_b", "window_id_a", "window_id_b",
+        F.floor("similarity").cast("long").alias("similarity_int"),
+    )
+
+
+def _pipeline_matches_excluded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclude-filtered pipeline (reference --exclude, intertext.py:
+    309-314): drop match rows touching files {98, 290, 466} (the corpus'
+    hottest) via the same broadcast anti-join operator Pipeline.run uses
+    (operators.graph.exclude_filter).  Oracle: fixture from the
+    pure-python oracle's match set under the same per-file cut."""
+    from intertext_spark.operators.graph import exclude_filter
+
+    res = _run_pipeline(spark, sf_dir)
+    ex = spark.createDataFrame([(f,) for f in _EXCLUDED_FILES], "file_id long")
+    m = exclude_filter(res["matches"], ex)
+    return m.select(
+        "file_id_a", "file_id_b", "window_id_a", "window_id_b",
+        F.floor("similarity").cast("long").alias("similarity_int"),
+    )
+
+
 def _pipeline_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _run_pipeline(spark, sf_dir)
     return res["clusters"].select(
@@ -555,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipeline_windows"] = _pipeline_windows
     q["pipeline_matches"] = _pipeline_matches
     q["pipeline_matches_banished"] = _pipeline_matches_banished
+    q["pipeline_matches_only"] = _pipeline_matches_only
+    q["pipeline_matches_excluded"] = _pipeline_matches_excluded
     q["pipeline_clusters"] = _pipeline_clusters
     q["pipeline_groups"] = _pipeline_groups
     q["pipeline_match_strings"] = _match_strings_q
@@ -697,6 +743,8 @@ where doc_id = keeper
     for qname, fname in (
         ("pipeline_matches", "pipeline_matches"),
         ("pipeline_matches_banished", "pipeline_matches_banished"),
+        ("pipeline_matches_only", "pipeline_matches_only"),
+        ("pipeline_matches_excluded", "pipeline_matches_excluded"),
         ("pipeline_clusters", "pipeline_clusters"),
         ("pipeline_groups", "pipeline_groups"),
         ("pipeline_match_strings", "pipeline_match_strings"),

@@ -177,3 +177,16 @@ def banish_filter(
         "left_anti",
     )
     return m
+
+
+def exclude_filter(matches: DataFrame, excluded_file_ids: DataFrame) -> DataFrame:
+    """Drop match rows TOUCHING any excluded file (the reference's
+    --exclude semantics, intertext.py:309-314): unlike banish there is no
+    BFS radius — exclusion is per-file, so two broadcast anti-joins (one
+    per side) suffice.  excluded_file_ids: DataFrame(file_id: long)."""
+    ex_a = excluded_file_ids.select(F.col("file_id").alias("file_id_a"))
+    ex_b = excluded_file_ids.select(F.col("file_id").alias("file_id_b"))
+    return (
+        matches.join(F.broadcast(ex_a), "file_id_a", "left_anti")
+        .join(F.broadcast(ex_b), "file_id_b", "left_anti")
+    )

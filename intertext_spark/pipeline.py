@@ -27,8 +27,39 @@ from .operators.graph import (
     banish_filter,
     connected_components,
     decode_groups,
+    exclude_filter,
     match_edges,
 )
+
+
+def build_candidate_stage(
+    hb: DataFrame, docs: DataFrame, cfg: PipelineConfig, only_id: "int | None" = None
+) -> DataFrame:
+    """Candidate construction shared by Pipeline.run and the driver-gate
+    only-filtered query (reference --only, intertext.py:533-535): LSH
+    band candidates — the only filter applies INSIDE the band join
+    (candidates.py), so the restricted run never expands non-matching
+    pairs — plus the optional suffix-array seeding, deduplicated."""
+    c = candidate_pairs(hb, cfg, only_id)
+    if cfg.enable_suffix_pass:
+        from .operators.suffixpass import (
+            long_verbatim_spans,
+            spans_to_window_candidates,
+        )
+
+        spans = long_verbatim_spans(docs, cfg.suffix_span_words)
+        extra = spans_to_window_candidates(
+            spans, cfg.window_length, cfg.slide_length
+        )
+        if only_id is not None:
+            extra = extra.where(
+                (F.col("file_id_a") == only_id)
+                | (F.col("file_id_b") == only_id)
+            )
+        c = c.unionByName(extra).dropDuplicates(
+            ["file_id_a", "file_id_b", "window_id_a", "window_id_b"]
+        )
+    return c
 
 
 def _fingerprint(cfg: PipelineConfig, *parts: str) -> str:
@@ -190,29 +221,9 @@ class Pipeline:
             )
             only_id = only_id.file_id if only_id else None
 
-        def build_candidates():
-            c = candidate_pairs(hb, cfg, only_id)
-            if cfg.enable_suffix_pass:
-                from .operators.suffixpass import (
-                    long_verbatim_spans,
-                    spans_to_window_candidates,
-                )
-
-                spans = long_verbatim_spans(docs, cfg.suffix_span_words)
-                extra = spans_to_window_candidates(
-                    spans, cfg.window_length, cfg.slide_length
-                )
-                if only_id is not None:
-                    extra = extra.where(
-                        (F.col("file_id_a") == only_id)
-                        | (F.col("file_id_b") == only_id)
-                    )
-                c = c.unionByName(extra).dropDuplicates(
-                    ["file_id_a", "file_id_b", "window_id_a", "window_id_b"]
-                )
-            return c
-
-        cands = self._stage("candidates", build_candidates)
+        cands = self._stage(
+            "candidates", lambda: build_candidate_stage(hb, docs, cfg, only_id)
+        )
         matches = self._stage(
             "matches",
             lambda: score_matches(attach_window_texts(cands, windows), cfg),
@@ -236,12 +247,7 @@ class Pipeline:
                 ),
                 "conv_id",
             ).select("file_id")
-            ex_a = ex_ids.select(F.col("file_id").alias("file_id_a"))
-            ex_b = ex_ids.select(F.col("file_id").alias("file_id_b"))
-            matches = (
-                matches.join(ex_a, "file_id_a", "left_anti")
-                .join(ex_b, "file_id_b", "left_anti")
-            )
+            matches = exclude_filter(matches, ex_ids)
 
         gated = apply_max_file_sim(matches, window_counts(windows), cfg)
         if self.store is None:

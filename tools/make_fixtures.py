@@ -68,17 +68,20 @@ def pipeline_fixtures(sf_dir: str, out_dir: str, cache: str | None):
     file_of, wbc = res["file_of"], res["wbc"]
     words_of_file = {fid: wbc[c] for c, fid in file_of.items()}
 
-    pq.write_table(
-        pa.table({
-            "file_id_a": pa.array([m[0] for m in matches], pa.int64()),
-            "file_id_b": pa.array([m[1] for m in matches], pa.int64()),
-            "window_id_a": pa.array([m[2] for m in matches], pa.int64()),
-            "window_id_b": pa.array([m[3] for m in matches], pa.int64()),
-            "similarity_int": pa.array(
-                [math.floor(m[4]) for m in matches], pa.int64()),
-        }),
-        os.path.join(out_dir, "pipeline_matches.parquet"),
-    )
+    def _write_matches(rows, name):
+        pq.write_table(
+            pa.table({
+                "file_id_a": pa.array([m[0] for m in rows], pa.int64()),
+                "file_id_b": pa.array([m[1] for m in rows], pa.int64()),
+                "window_id_a": pa.array([m[2] for m in rows], pa.int64()),
+                "window_id_b": pa.array([m[3] for m in rows], pa.int64()),
+                "similarity_int": pa.array(
+                    [math.floor(m[4]) for m in rows], pa.int64()),
+            }),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+
+    _write_matches(matches, "pipeline_matches")
 
     # banish-filtered matches: drop rows touching any window within
     # banish_distance (default 4) BFS hops of file 6 — puts the graph-BFS
@@ -92,18 +95,23 @@ def pipeline_fixtures(sf_dir: str, out_dir: str, cache: str | None):
     bad = banished_nodes(matches, {6}, DEFAULT.banish_distance)
     bm = [m for m in matches
           if (m[0], m[2]) not in bad and (m[1], m[3]) not in bad]
-    pq.write_table(
-        pa.table({
-            "file_id_a": pa.array([m[0] for m in bm], pa.int64()),
-            "file_id_b": pa.array([m[1] for m in bm], pa.int64()),
-            "window_id_a": pa.array([m[2] for m in bm], pa.int64()),
-            "window_id_b": pa.array([m[3] for m in bm], pa.int64()),
-            "similarity_int": pa.array(
-                [math.floor(m[4]) for m in bm], pa.int64()),
-        }),
-        os.path.join(out_dir, "pipeline_matches_banished.parquet"),
-    )
+    _write_matches(bm, "pipeline_matches_banished")
     print(f"banished matches fixture: {len(bm)} of {len(matches)} rows survive")
+
+    # only-filtered matches (reference --only): rows touching file 9 —
+    # the per-pair scoring makes candidate-stage restriction equivalent
+    # to post-filtering the full match set, so the oracle is the filter.
+    # excluded (reference --exclude): rows touching NONE of {98,290,466}
+    # (the corpus' hottest files — a discriminative cut).  Ids must match
+    # __spark_entry__._ONLY_FILE / _EXCLUDED_FILES.
+    only_id = 9
+    om = [m for m in matches if m[0] == only_id or m[1] == only_id]
+    _write_matches(om, "pipeline_matches_only")
+    ex = {98, 290, 466}
+    em = [m for m in matches if m[0] not in ex and m[1] not in ex]
+    _write_matches(em, "pipeline_matches_excluded")
+    print(f"only fixture: {len(om)} rows; excluded fixture: {len(em)} of"
+          f" {len(matches)} rows survive")
 
     crows = [
         (fa, fb, a_ids, b_ids, sim)
