@@ -11,10 +11,11 @@ parser), then PIL for every other format when importable, then a
 deterministic fake grayscale (sha256-seeded) — so the media queries
 produce identical results in both environments on the synthetic
 (non-decodable) corpus AND on PGM/BMP payloads, and installing PIL can
-never break them.  Video frame EXTRACTION
-stays stubbed (it needs ffmpeg, not PIL): per-frame pixels are the fake
-gray of (payload, frame_idx), but each frame still goes through the real
-DCT kernel.
+never break them.  Video frame EXTRACTION is real for uncompressed
+24-bit AVI payloads (_parse_avi_frames, the same dependency-free tier);
+compressed codecs need ffmpeg and fall back to the deterministic fake
+gray of (payload, frame_idx) — every frame goes through the real DCT
+kernel either way.
 """
 
 from __future__ import annotations
@@ -190,12 +191,29 @@ def _decode_pgm(b: bytes) -> np.ndarray:
     return np.frombuffer(data, dtype=np.uint8).reshape(h, w).astype(np.float64)
 
 
-def _decode_bmp24(b: bytes) -> np.ndarray:
-    """Uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER or larger):
+def _dib24_to_gray(raw: bytes, w: int, h_signed: int, offset: int = 0) -> np.ndarray:
+    """Shared DIB raster decode (BMP body == AVI '00db' frame body):
     4-byte-padded BGR rows, bottom-up unless height is negative.  Gray
     conversion uses PIL's exact L formula ((R*19595 + G*38470 + B*7471 +
     0x8000) >> 16) so the hash is identical whether this decoder or
     PIL.convert('L') produced the pixels."""
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if not (0 < w <= 8192 and 0 < h <= 8192):
+        raise ValueError("dib dims out of range")
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(raw) < offset + stride * h:
+        raise ValueError("dib raster truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8, offset=offset, count=stride * h)
+    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.uint32)
+    if not top_down:
+        px = px[::-1]
+    luma = (px[..., 2] * 19595 + px[..., 1] * 38470 + px[..., 0] * 7471 + 0x8000) >> 16
+    return luma.astype(np.float64)
+
+
+def _decode_bmp24(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP (BITMAPINFOHEADER or larger)."""
     import struct
 
     if len(b) < 54:
@@ -207,19 +225,56 @@ def _decode_bmp24(b: bytes) -> np.ndarray:
     comp = struct.unpack_from("<I", b, 30)[0]
     if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
         raise ValueError("unsupported bmp variant")
-    top_down = h < 0
-    h = abs(h)
-    if not (0 < w <= 8192 and 0 < h <= 8192 and offset >= 14 + hdr_size):
+    if offset < 14 + hdr_size:
         raise ValueError("bmp header out of range")
-    stride = ((w * 3 + 3) // 4) * 4
-    if len(b) < offset + stride * h:
-        raise ValueError("bmp raster truncated")
-    rows = np.frombuffer(b, dtype=np.uint8, offset=offset, count=stride * h)
-    px = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3).astype(np.uint32)
-    if not top_down:
-        px = px[::-1]
-    luma = (px[..., 2] * 19595 + px[..., 1] * 38470 + px[..., 0] * 7471 + 0x8000) >> 16
-    return luma.astype(np.float64)
+    return _dib24_to_gray(b, w, h, offset)
+
+
+def _parse_avi_frames(payload: bytes) -> "list[np.ndarray] | None":
+    """Uncompressed 24-bit BI_RGB AVI: walk the RIFF tree, take dims from
+    the 'strf' BITMAPINFOHEADER, decode every '..db'/'..dc' DIB chunk
+    under the 'movi' LIST as a frame.  Returns gray frames in stream
+    order, or None when the payload is not such an AVI (strict magic +
+    header validation, so arbitrary binary payloads — the synthetic
+    corpus — never parse).  The dependency-free analog of the PGM/BMP
+    image tier: REAL frame extraction without ffmpeg for the one video
+    container a pure parser can decode; compressed codecs still fall
+    back to the deterministic fake gray."""
+    import struct
+
+    try:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+        dims: "list[tuple[int, int]]" = []
+        frames_raw: "list[bytes]" = []
+
+        def walk(pos: int, end: int) -> None:
+            while pos + 8 <= end:
+                cid = payload[pos:pos + 4]
+                (sz,) = struct.unpack_from("<I", payload, pos + 4)
+                body = pos + 8
+                if body + sz > end:
+                    raise ValueError("chunk overruns container")
+                if cid in (b"RIFF", b"LIST"):
+                    walk(body + 4, body + sz)  # skip the list-type fourcc
+                elif cid == b"strf" and sz >= 40 and not dims:
+                    _, bw, bh = struct.unpack_from("<Iii", payload, body)
+                    planes, bpp = struct.unpack_from("<HH", payload, body + 12)
+                    comp = struct.unpack_from("<I", payload, body + 16)[0]
+                    if planes != 1 or bpp != 24 or comp != 0:
+                        raise ValueError("unsupported avi codec")
+                    dims.append((bw, bh))
+                elif cid[2:4] in (b"db", b"dc"):
+                    frames_raw.append(payload[body:body + sz])
+                pos = body + sz + (sz & 1)  # RIFF pads chunks to even
+
+        walk(12, len(payload))
+        if not dims or not frames_raw:
+            return None
+        w, h_signed = dims[0]
+        return [_dib24_to_gray(raw, w, h_signed) for raw in frames_raw]
+    except Exception:
+        return None
 
 
 def _decode_builtin(payload: bytes) -> "np.ndarray | None":
@@ -294,9 +349,18 @@ def image_features(media: DataFrame, out_dim: int = 32) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     """videos -> one row per sampled frame (frame count derived from
-    duration metadata; frame hash = deterministic stub).  Frame expansion
-    happens JVM-side (sequence+explode); only the per-frame kernel is
-    Python."""
+    duration metadata).  Frame expansion happens JVM-side
+    (sequence+explode); only the per-frame kernel is Python.  Frame
+    PIXELS are real when the payload is an uncompressed 24-bit AVI
+    (_parse_avi_frames — parsed once per payload and cached across the
+    batch's frame rows), deterministic fake gray of (payload, idx)
+    otherwise (compressed codecs need ffmpeg); the DCT hash downstream
+    is always the real kernel.
+
+    Scale note: explode duplicates the payload bytes per frame row — fine
+    for metadata-count stubs and short clips; a long-video build should
+    instead mapInPandas over ONE row per video and emit its frame rows,
+    keeping each payload in exactly one Arrow batch."""
     frames = media.where(F.col("kind") == "video").select(
         "media_id",
         "payload",
@@ -311,13 +375,18 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # frame extraction stub: per-frame pixels = fake gray of
-            # (payload, idx) — a real extractor (ffmpeg) would decode the
-            # idx-th frame here; the DCT hash downstream is the real kernel
-            hashes = [
-                np.int64(phash64_from_gray(_fake_gray((p or b"") + bytes([i % 256]))))
-                for p, i in zip(pdf["payload"], pdf["frame_idx"])
-            ]
+            parsed: dict[bytes, "list[np.ndarray] | None"] = {}
+            hashes = []
+            for p, i in zip(pdf["payload"], pdf["frame_idx"]):
+                key = bytes(p or b"")
+                if key not in parsed:
+                    parsed[key] = _parse_avi_frames(key)
+                fr = parsed[key]
+                if fr is not None and i < len(fr):
+                    g = fr[i]
+                else:
+                    g = _fake_gray(key + bytes([i % 256]))
+                hashes.append(np.int64(phash64_from_gray(g)))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

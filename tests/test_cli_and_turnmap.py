@@ -34,6 +34,7 @@ def test_window_turn_map_arithmetic(spark):
     assert m[2] == (1, 2)
 
 
+@pytest.mark.slow  # subprocess JVM launch
 def test_cli_end_to_end(tmp_path, spark):
     pc = corpus.planted_transcripts(
         n_convs=10, n_verbatim_pairs=2, n_shifted_pairs=0, n_noisy_per_level=0,

@@ -120,6 +120,7 @@ def test_checkpoint_resume(spark, small_planted, tmp_path):
     assert os.path.exists(os.path.join(root, "metrics.jsonl"))
 
 
+@pytest.mark.slow  # full-corpus e2e parity
 def test_elegy_reference_corpus_parity(spark):
     """The reference's own sample corpus (18 Gray's-Elegy texts,
     transcript-ified per FIXTURES.md F1): full Spark-vs-oracle parity and

@@ -207,3 +207,87 @@ def test_builtin_decode_bit_exact_with_pil():
         with PIL.Image.open(io.BytesIO(payload)) as im:
             pil_px = np.asarray(im.convert("L"), dtype=np.float64)
         assert np.array_equal(mm._decode_builtin(payload), pil_px)
+
+
+def _make_avi24(frames_rgb):
+    """Independent uncompressed-AVI writer (test-local): RIFF/AVI with an
+    hdrl LIST (avih + strl/strh/strf), then a movi LIST of 00db DIB
+    chunks, bottom-up 4-byte-padded BGR rows."""
+    import struct
+
+    h, w, _ = frames_rgb[0].shape
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def dib(rgb):
+        out = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                r, g, b = (int(v) for v in rgb[y, x])
+                row += bytes([b, g, r])
+            row += b"\x00" * (stride - len(row))
+            out += row
+        return bytes(out)
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(fourcc, body):
+        return chunk(b"LIST", fourcc + body)
+
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    strh = b"vids" + b"DIB " + b"\x00" * 48
+    avih = b"\x00" * 32 + struct.pack("<ii", w, h) + b"\x00" * 16
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames_rgb))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_frame_extraction_real_pixels(spark):
+    """Uncompressed-AVI payloads yield REAL per-frame pixels through the
+    full Spark path: frame_phash equals the kernel on the independently
+    written frames (converted by the shared PIL L formula), and differs
+    from the fake-gray stub."""
+    import pandas as pd  # noqa: F401
+
+    rng = np.random.RandomState(21)
+    frames = [rng.randint(0, 256, size=(9, 7, 3)) for _ in range(3)]
+    payload = _make_avi24(frames)
+    got_frames = mm._parse_avi_frames(payload)
+    assert got_frames is not None and len(got_frames) == 3
+    # independent pixel oracle: per-pixel loop on the ORIGINAL arrays
+    for g, rgb in zip(got_frames, frames):
+        want = np.zeros((9, 7))
+        for y in range(9):
+            for x in range(7):
+                r, gg, b = (int(v) for v in rgb[y, x])
+                want[y, x] = (r * 19595 + gg * 38470 + b * 7471 + 0x8000) >> 16
+        assert np.array_equal(g, want)
+    # through Spark: duration 1500ms -> 3 sampled frames at 500ms
+    media = spark.createDataFrame(
+        [(5, "video", "video/x-msvideo", bytearray(payload), 7, 9, 1500)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r.frame_idx: r.frame_phash for r in mm.sample_frames(media).collect()}
+    assert set(rows) == {0, 1, 2}
+    for i, g in enumerate(got_frames):
+        assert rows[i] == mm.phash64_from_gray(g)
+        assert rows[i] != mm.phash64_from_gray(
+            mm._fake_gray(payload + bytes([i % 256]))
+        )
+
+
+def test_avi_parser_rejects_non_avi_and_truncation():
+    rng = np.random.RandomState(22)
+    good = _make_avi24([rng.randint(0, 256, size=(6, 6, 3))])
+    assert mm._parse_avi_frames(good) is not None
+    assert mm._parse_avi_frames(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 16) is None
+    assert mm._parse_avi_frames(good[:40]) is None        # truncated header
+    assert mm._parse_avi_frames(good[:-12]) is None       # truncated raster chunk
+    assert mm._parse_avi_frames(b"\x01\x02" * 40) is None  # garbage
+    # fake-gray fallback still deterministic for non-AVI video payloads
+    p = b"not-an-avi-payload"
+    assert mm.phash64_from_gray(mm._fake_gray(p + b"\x00")) == mm.phash64_from_gray(
+        mm._fake_gray(p + b"\x00")
+    )

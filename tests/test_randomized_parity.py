@@ -8,6 +8,8 @@ from intertext_spark import corpus, oracle, schemas
 from intertext_spark.config import DEFAULT
 from intertext_spark.pipeline import Pipeline
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("seed", [7, 99991])
 def test_random_corpus_parity(spark, seed):

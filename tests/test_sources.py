@@ -4,6 +4,7 @@ filters — mapped onto the transcripts schema."""
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from intertext_spark import sources
@@ -85,6 +86,7 @@ def test_glob_convs_full_match_semantics(spark):
     assert sources.glob_convs(tdf, "b?") == ["b1"]
 
 
+@pytest.mark.slow  # subprocess JVM launch
 def test_cli_infiles_and_banish_glob(tmp_path):
     """CLI leg: --infiles text glob + --banish pattern.  Subprocess, NOT
     in-process: cli.main stops its SparkSession on exit, which would kill
@@ -142,6 +144,7 @@ def test_plus_and_space_filenames_round_trip(spark, tmp_path):
     assert ids == ["a b.txt", "a+b.txt"]
 
 
+@pytest.mark.slow  # subprocess JVM launch
 def test_cli_literal_conv_id_with_glob_chars(spark, tmp_path):
     """An argument that IS an existing conv_id is taken literally even
     when it contains glob characters (r3 review finding: 'conv[1]' used

@@ -129,6 +129,7 @@ def test_clusters_parity(spark, planted_results):
     assert got == want
 
 
+@pytest.mark.slow  # full-corpus e2e parity
 def test_duplicate_groups_parity_and_recall(spark, planted_results, planted):
     sres, ores = planted_results
     assert group_partitions_spark(sres) == group_partitions_oracle(ores)

@@ -11,11 +11,14 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-pytestmark = pytest.mark.skipif(
-    not shutil.which("/opt/spark/bin/spark-submit")
-    and not os.path.exists("/opt/spark/bin/spark-submit"),
-    reason="spark-submit not installed",
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not shutil.which("/opt/spark/bin/spark-submit")
+        and not os.path.exists("/opt/spark/bin/spark-submit"),
+        reason="spark-submit not installed",
+    ),
+]
 
 
 def test_submit_smoke_resumes():

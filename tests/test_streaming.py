@@ -16,6 +16,8 @@ from intertext_spark.streaming.incremental import (
     streaming_turn_dedup,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def planted():

@@ -6,6 +6,9 @@ from pyspark.sql import functions as F
 
 from intertext_spark.operators import dedup
 from intertext_spark.streaming.dedupstream import DOCUMENTS_STREAM, IncrementalDedup
+import pytest
+
+pytestmark = pytest.mark.slow
 
 B = " ".join(f"w{i}" for i in range(30))
 U = lambda tag: " ".join(f"{tag}{i}" for i in range(30))  # noqa: E731

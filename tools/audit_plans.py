@@ -238,6 +238,21 @@ def main():
         ],
     )
 
+    # round-4: exclude filter — the excluded-file set is interactively
+    # small and must BROADCAST on both anti-join sides; the matches side
+    # must not shuffle for the filter
+    from intertext_spark.operators.graph import exclude_filter
+
+    ex_ids = spark.createDataFrame([(1,), (2,)], "file_id long")
+    record(
+        "exclude_filter", exclude_filter(matches, ex_ids),
+        [
+            ("two broadcast anti-joins",
+             lambda p: p.count("BroadcastHashJoin") >= 2 and "LeftAnti" in p),
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
