@@ -30,8 +30,6 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import functions as F
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -193,9 +191,9 @@ def main(argv=None) -> int:
     # dimension, tens of GB at 10^9 convs).  ONE distinct scan total for
     # all patterns, collecting only (a) pattern strings that exist
     # verbatim as conv ids (the literal-first rule, via isin) and (b) ids
-    # matched by any pattern's anchored regex (fnmatch.translate pushed
-    # into rlike — sources.glob_convs semantics, case-sensitive on every
-    # platform unlike fnmatch.filter's os.path.normcase).
+    # matched by any pattern's anchored regex (sources.glob_regex — the
+    # shared glob_convs translation, case-sensitive on every platform
+    # unlike fnmatch.filter's os.path.normcase).
     maybe_globs = list(args.banish) + list(args.exclude) + (
         [args.only] if args.only else []
     )
@@ -203,9 +201,13 @@ def main(argv=None) -> int:
     literal_ids: "set[str]" = set()
     matched_ids: "list[str]" = []
     if globlike:
+        from pyspark.sql import functions as F
+
+        from .sources import glob_regex
+
         cond = F.col("conv_id").isin(globlike)
         for pat in globlike:
-            cond = cond | F.col("conv_id").rlike(r"\A" + fnmatch.translate(pat))
+            cond = cond | F.col("conv_id").rlike(glob_regex(pat))
         matched_ids = [
             r.conv_id
             for r in transcripts.select("conv_id").distinct().where(cond).collect()

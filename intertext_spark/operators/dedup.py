@@ -650,35 +650,42 @@ def ivf_topk_batch(
     The broadcast side is the exploded query frame, so an unbounded query
     set would blow the broadcast: sets larger than
     ``max_broadcast_queries`` are split into hash chunks (pmod of
-    xxhash64(query_id)) and searched chunk-by-chunk — per-query top-k is
-    independent of chunking, so the unioned result is IDENTICAL to the
-    one-shot path (pinned in tests/test_dedup_ops.py).  Pass ``None`` to
-    disable the guard."""
+    xxhash64 over the RAW id column — hashing a cast would collapse
+    non-numeric ids onto one chunk) and searched SEQUENTIALLY, each
+    chunk's (small, <= chunk*k rows) result materialized via eager
+    localCheckpoint before the next chunk starts — so at most one chunk
+    broadcast is ever live, and a lazy union can't let AQE float all the
+    broadcasts concurrently.  The query frame is persisted across the
+    count + per-chunk filters, so an expensive upstream (e.g. an
+    embedding UDF) runs once.  Per-query top-k is independent of
+    chunking, so the result is IDENTICAL to the one-shot path (pinned in
+    tests/test_dedup_ops.py).  Pass ``None`` to disable the guard."""
     from pyspark.sql import Window
 
     cents = centroids
     nprobe = min(nprobe, cents.shape[0])
 
     if max_broadcast_queries is not None:
-        n_queries = queries.count()
-        if n_queries > max_broadcast_queries:
-            n_chunks_q = -(-n_queries // max_broadcast_queries)
-            parts = [
-                ivf_topk_batch(
-                    assigned, cents,
-                    queries.where(
-                        F.pmod(F.xxhash64(F.col(id_col).cast("long")),
-                               F.lit(n_chunks_q)) == i
-                    ),
-                    k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
-                    max_broadcast_queries=None,
-                )
-                for i in range(n_chunks_q)
-            ]
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
+        queries = queries.persist()
+        try:
+            n_queries = queries.count()
+            if n_queries > max_broadcast_queries:
+                n_chunks_q = -(-n_queries // max_broadcast_queries)
+                out = None
+                for i in range(n_chunks_q):
+                    part = ivf_topk_batch(
+                        assigned, cents,
+                        queries.where(
+                            F.pmod(F.xxhash64(F.col(id_col)),
+                                   F.lit(n_chunks_q)) == i
+                        ),
+                        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                        max_broadcast_queries=None,
+                    ).localCheckpoint()  # eager: runs THIS chunk's search now
+                    out = part if out is None else out.unionByName(part)
+                return out
+        finally:
+            queries.unpersist()
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(emb: pd.Series) -> pd.Series:

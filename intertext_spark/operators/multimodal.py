@@ -230,22 +230,26 @@ def _decode_bmp24(b: bytes) -> np.ndarray:
     return _dib24_to_gray(b, w, h, offset)
 
 
-def _parse_avi_frames(payload: bytes) -> "list[np.ndarray] | None":
+def _parse_avi_frames(payload: bytes) -> "tuple[list[np.ndarray], float | None] | None":
     """Uncompressed 24-bit BI_RGB AVI: walk the RIFF tree, take dims from
-    the 'strf' BITMAPINFOHEADER, decode every '..db'/'..dc' DIB chunk
-    under the 'movi' LIST as a frame.  Returns gray frames in stream
-    order, or None when the payload is not such an AVI (strict magic +
-    header validation, so arbitrary binary payloads — the synthetic
-    corpus — never parse).  The dependency-free analog of the PGM/BMP
-    image tier: REAL frame extraction without ffmpeg for the one video
-    container a pure parser can decode; compressed codecs still fall
-    back to the deterministic fake gray."""
+    the 'strf' BITMAPINFOHEADER, fps from the video 'strh'
+    (dwRate/dwScale, falling back to avih dwMicroSecPerFrame), decode
+    every '..db'/'..dc' DIB chunk under the 'movi' LIST as a frame.
+    Returns (gray frames in stream order, fps or None when the header
+    doesn't declare one), or None when the payload is not such an AVI
+    (strict magic + header validation, so arbitrary binary payloads —
+    the synthetic corpus — never parse).  The dependency-free analog of
+    the PGM/BMP image tier: REAL frame extraction without ffmpeg for the
+    one video container a pure parser can decode; compressed codecs
+    still fall back to the deterministic fake gray."""
     import struct
 
     try:
         if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
             return None
         dims: "list[tuple[int, int]]" = []
+        strh_fps: "list[float]" = []
+        avih_fps: "list[float]" = []
         frames_raw: "list[bytes]" = []
 
         def walk(pos: int, end: int) -> None:
@@ -264,6 +268,15 @@ def _parse_avi_frames(payload: bytes) -> "list[np.ndarray] | None":
                     if planes != 1 or bpp != 24 or comp != 0:
                         raise ValueError("unsupported avi codec")
                     dims.append((bw, bh))
+                elif (cid == b"strh" and sz >= 28
+                      and payload[body:body + 4] == b"vids" and not strh_fps):
+                    scale, rate = struct.unpack_from("<II", payload, body + 20)
+                    if scale > 0 and rate > 0:
+                        strh_fps.append(rate / scale)
+                elif cid == b"avih" and sz >= 4 and not avih_fps:
+                    (uspf,) = struct.unpack_from("<I", payload, body)
+                    if uspf > 0:
+                        avih_fps.append(1e6 / uspf)
                 elif cid[2:4] in (b"db", b"dc"):
                     frames_raw.append(payload[body:body + sz])
                 pos = body + sz + (sz & 1)  # RIFF pads chunks to even
@@ -272,7 +285,10 @@ def _parse_avi_frames(payload: bytes) -> "list[np.ndarray] | None":
         if not dims or not frames_raw:
             return None
         w, h_signed = dims[0]
-        return [_dib24_to_gray(raw, w, h_signed) for raw in frames_raw]
+        grays = [_dib24_to_gray(raw, w, h_signed) for raw in frames_raw]
+        # stream header fps wins over the main-header fallback
+        fps = strh_fps[0] if strh_fps else (avih_fps[0] if avih_fps else None)
+        return grays, fps
     except Exception:
         return None
 
@@ -355,7 +371,12 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     (_parse_avi_frames — parsed once per payload and cached across the
     batch's frame rows), deterministic fake gray of (payload, idx)
     otherwise (compressed codecs need ffmpeg); the DCT hash downstream
-    is always the real kernel.
+    is always the real kernel.  ``frame_idx`` is a TIME-sample index
+    (sample i sits at t = i*every_ms); for real AVIs it maps to the
+    stream frame floor(t * fps / 1000) using the header's declared rate
+    (sample-index == stream-index when no rate is declared), clamped to
+    the last frame when duration metadata outruns the actual stream — a
+    video's samples are therefore all-real or all-fake, never mixed.
 
     Scale note: explode duplicates the payload bytes per frame row — fine
     for metadata-count stubs and short clips; a long-video build should
@@ -375,15 +396,18 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            parsed: dict[bytes, "list[np.ndarray] | None"] = {}
+            parsed: dict = {}
             hashes = []
             for p, i in zip(pdf["payload"], pdf["frame_idx"]):
                 key = bytes(p or b"")
                 if key not in parsed:
                     parsed[key] = _parse_avi_frames(key)
-                fr = parsed[key]
-                if fr is not None and i < len(fr):
-                    g = fr[i]
+                hit = parsed[key]
+                if hit is not None:
+                    fr, fps = hit
+                    t_ms = int(i) * every_ms
+                    stream_idx = int(t_ms * fps / 1000.0) if fps else int(i)
+                    g = fr[min(stream_idx, len(fr) - 1)]
                 else:
                     g = _fake_gray(key + bytes([i % 256]))
                 hashes.append(np.int64(phash64_from_gray(g)))

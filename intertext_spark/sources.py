@@ -141,15 +141,21 @@ def read_xml_glob(
     )
 
 
+def glob_regex(pattern: str) -> str:
+    """fnmatch pattern -> \\A-anchored Java-compatible regex for rlike.
+    rlike is find-anywhere and fnmatch.translate anchors only the end
+    (\\Z), so the start anchor restores full-match semantics.  The single
+    home of this translation — used by glob_convs and the CLI's one-scan
+    pattern resolver (cli.py), which must stay in lockstep."""
+    return r"\A" + fnmatch.translate(pattern)
+
+
 def glob_convs(transcripts: DataFrame, pattern: str) -> list[str]:
     """conv_ids matching an fnmatch pattern — the reference's banish /
     exclude / only globs (intertext.py:247-260), resolved against
-    conversation ids.  Spark-side rlike filter (fnmatch.translate emits a
-    Java-compatible regex), collected: banish/exclude sets are
-    interactively small by construction."""
-    # rlike is find-anywhere; translate() anchors only the end (\Z), so
-    # anchor the start too for fnmatch's full-match semantics
-    rx = r"\A" + fnmatch.translate(pattern)
+    conversation ids.  Spark-side rlike filter (glob_regex), collected:
+    banish/exclude sets are interactively small by construction."""
+    rx = glob_regex(pattern)
     return [
         r.conv_id
         for r in transcripts.select("conv_id").distinct()

@@ -73,6 +73,23 @@ class IncrementalDedup:
         self.threshold = threshold
         self.n_perm = n_perm
         os.makedirs(root, exist_ok=True)
+        self._recover()
+
+    def _recover(self) -> None:
+        """Heal a crash mid-:meth:`compact`: the swap renames the live
+        directory aside to ``<name>__old`` before renaming the compacted
+        tmp into place, so the worst crash leaves the pre-compact state
+        recoverable rather than an absent commit point.  Restore it here
+        and clear stale compaction leftovers."""
+        for name in ("accepted_docs", "accepted_bands"):
+            live = self._p(name)
+            old = self._p(name + "__old")
+            tmp = self._p(name + "__compact")
+            if not os.path.exists(live) and os.path.exists(old):
+                os.rename(old, live)
+            if os.path.exists(live):
+                for d in (old, tmp):
+                    shutil.rmtree(d, ignore_errors=True)
 
     def _p(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -205,9 +222,12 @@ class IncrementalDedup:
         (crash-retry artifacts of the append protocol).  Per-batch appends
         otherwise accumulate one small file set per micro-batch, degrading
         every later band semi-join's scan; run this periodically while the
-        stream is stopped (the directory swap below is NOT atomic — at
-        cluster scale the same operation is Iceberg's rewrite_data_files
-        action, which is, and can run concurrently with the stream)."""
+        stream is stopped.  The swap is not atomic but IS crash-safe:
+        live renames aside to ``__old`` before the compacted tmp renames
+        in, and :meth:`_recover` (run on construction) restores ``__old``
+        if a crash left the live path absent — the pre-compact state is
+        never lost.  At cluster scale the same operation is Iceberg's
+        rewrite_data_files action, which is atomic and stream-concurrent."""
         if not self._exists("accepted_docs"):
             return
         docs = self.spark.read.parquet(self._p("accepted_docs"))
@@ -225,8 +245,10 @@ class IncrementalDedup:
             df.repartition(n_files).write.mode("overwrite").parquet(tmp)
             staged.append((name, tmp))
         for name, tmp in staged:
-            shutil.rmtree(self._p(name))
+            old = self._p(name + "__old")
+            os.rename(self._p(name), old)  # aside, recoverable (_recover)
             os.rename(tmp, self._p(name))
+            shutil.rmtree(old)
 
     def run_stream(self, input_path: str, checkpoint: str | None = None):
         """availableNow stream over a directory of documents parquet files

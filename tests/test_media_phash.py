@@ -209,7 +209,7 @@ def test_builtin_decode_bit_exact_with_pil():
         assert np.array_equal(mm._decode_builtin(payload), pil_px)
 
 
-def _make_avi24(frames_rgb):
+def _make_avi24(frames_rgb, fps=None):
     """Independent uncompressed-AVI writer (test-local): RIFF/AVI with an
     hdrl LIST (avih + strl/strh/strf), then a movi LIST of 00db DIB
     chunks, bottom-up 4-byte-padded BGR rows."""
@@ -236,7 +236,11 @@ def _make_avi24(frames_rgb):
         return chunk(b"LIST", fourcc + body)
 
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
-    strh = b"vids" + b"DIB " + b"\x00" * 48
+    # AVISTREAMHEADER: fccType, fccHandler, flags, prio, lang, init,
+    # dwScale(off 20), dwRate(off 24), ...
+    scale, rate = (1, int(fps)) if fps else (0, 0)
+    strh = (b"vids" + b"DIB " + b"\x00" * 12
+            + struct.pack("<II", scale, rate) + b"\x00" * 28)
     avih = b"\x00" * 32 + struct.pack("<ii", w, h) + b"\x00" * 16
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
     movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames_rgb))
@@ -254,8 +258,9 @@ def test_avi_frame_extraction_real_pixels(spark):
     rng = np.random.RandomState(21)
     frames = [rng.randint(0, 256, size=(9, 7, 3)) for _ in range(3)]
     payload = _make_avi24(frames)
-    got_frames = mm._parse_avi_frames(payload)
-    assert got_frames is not None and len(got_frames) == 3
+    got_frames, got_fps = mm._parse_avi_frames(payload)
+    assert got_fps is None  # writer declares no rate -> sample idx == stream idx
+    assert len(got_frames) == 3
     # independent pixel oracle: per-pixel loop on the ORIGINAL arrays
     for g, rgb in zip(got_frames, frames):
         want = np.zeros((9, 7))
@@ -291,3 +296,25 @@ def test_avi_parser_rejects_non_avi_and_truncation():
     assert mm.phash64_from_gray(mm._fake_gray(p + b"\x00")) == mm.phash64_from_gray(
         mm._fake_gray(p + b"\x00")
     )
+
+
+def test_avi_fps_mapping_and_clamp(spark):
+    """frame_idx is a TIME-sample index: with a declared stream rate the
+    sample at t = i*every_ms maps to stream frame floor(t*fps/1000), and
+    samples past the actual stream clamp to the last frame (all-real,
+    never mixed with fake)."""
+    rng = np.random.RandomState(27)
+    frames = [rng.randint(0, 256, size=(8, 6, 3)) for _ in range(5)]
+    payload = _make_avi24(frames, fps=4)  # frame every 250ms
+    got_frames, got_fps = mm._parse_avi_frames(payload)
+    assert got_fps == 4.0 and len(got_frames) == 5
+    # duration 3000ms -> 6 samples at 500ms: t=0..2500 -> stream 0,2,4,6->4...
+    media = spark.createDataFrame(
+        [(9, "video", "video/x-msvideo", bytearray(payload), 6, 8, 3000)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r.frame_idx: r.frame_phash for r in mm.sample_frames(media).collect()}
+    assert set(rows) == set(range(6))
+    want_stream = [0, 2, 4, 4, 4, 4]  # floor(i*500*4/1000), clamped to 4
+    for i, sidx in enumerate(want_stream):
+        assert rows[i] == mm.phash64_from_gray(got_frames[sidx]), (i, sidx)

@@ -205,3 +205,29 @@ def test_compact_preserves_state_and_dedups_bands(spark, tmp_path):
     keep_text = dict(before)[0]
     inc.process_batch(_df(spark, [(99, keep_text + " zz")]), 99)
     assert {r.doc_id for r in inc.accepted().collect()} == {d for d, _ in before}
+
+
+def test_compact_crash_mid_swap_recovers(spark, tmp_path):
+    """A crash between the two renames of the compact swap leaves the
+    live path absent but the __old directory intact; constructing a new
+    IncrementalDedup over the root must restore the pre-compact state
+    (self-healing, no data loss window)."""
+    import os as _os
+    import shutil as _shutil
+
+    root = tmp_path / "state"
+    inc = IncrementalDedup(spark, str(root))
+    inc.process_batch(_df(spark, [(0, U("aa")), (1, U("bb"))]), 0)
+    before = {(r.doc_id, r.text) for r in inc.accepted().collect()}
+    # simulate the worst crash point: live renamed aside, tmp not yet in
+    _os.rename(root / "accepted_docs", root / "accepted_docs__old")
+    (root / "accepted_docs__compact").mkdir()
+    inc2 = IncrementalDedup(spark, str(root))  # _recover runs here
+    assert {(r.doc_id, r.text) for r in inc2.accepted().collect()} == before
+    assert not _os.path.exists(root / "accepted_docs__old")
+    assert not _os.path.exists(root / "accepted_docs__compact")
+    # and a stale __old next to a LIVE dir is just cleared
+    _shutil.copytree(root / "accepted_bands", root / "accepted_bands__old")
+    inc3 = IncrementalDedup(spark, str(root))
+    assert not _os.path.exists(root / "accepted_bands__old")
+    assert {(r.doc_id, r.text) for r in inc3.accepted().collect()} == before
