@@ -378,48 +378,47 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
     the last frame when duration metadata outruns the actual stream — a
     video's samples are therefore all-real or all-fake, never mixed.
 
-    Scale note: explode duplicates the payload bytes per frame row — fine
-    for metadata-count stubs and short clips; a long-video build should
-    instead mapInPandas over ONE row per video and emit its frame rows,
-    keeping each payload in exactly one Arrow batch."""
-    frames = media.where(F.col("kind") == "video").select(
+    Shape: ONE input row per video — the sample count is computed
+    JVM-side from duration metadata, but the fan-out to frame rows
+    happens inside the Arrow stage, so each payload crosses to Python
+    exactly once and is parsed exactly once.  (The r3 shape exploded
+    JVM-side first, duplicating the payload bytes per frame row — wrong
+    at scale for real video payloads.)"""
+    vids = media.where(F.col("kind") == "video").select(
         "media_id",
         "payload",
-        F.explode(
-            F.sequence(
-                F.lit(0), F.greatest((F.col("duration_ms") / every_ms).cast("int") - 1, F.lit(0))
-            )
-        ).alias("frame_idx"),
+        F.greatest(
+            (F.col("duration_ms") / every_ms).cast("int"), F.lit(1)
+        ).alias("n_samples"),
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            parsed: dict = {}
-            hashes = []
-            for p, i in zip(pdf["payload"], pdf["frame_idx"]):
+            mids, idxs, hashes = [], [], []
+            for mid, p, n in zip(pdf["media_id"], pdf["payload"], pdf["n_samples"]):
                 key = bytes(p or b"")
-                if key not in parsed:
-                    parsed[key] = _parse_avi_frames(key)
-                hit = parsed[key]
-                if hit is not None:
-                    fr, fps = hit
-                    t_ms = int(i) * every_ms
-                    stream_idx = int(t_ms * fps / 1000.0) if fps else int(i)
-                    g = fr[min(stream_idx, len(fr) - 1)]
-                else:
-                    g = _fake_gray(key + bytes([i % 256]))
-                hashes.append(np.int64(phash64_from_gray(g)))
+                hit = _parse_avi_frames(key)
+                for i in range(int(n)):
+                    if hit is not None:
+                        fr, fps = hit
+                        stream_idx = int(i * every_ms * fps / 1000.0) if fps else i
+                        g = fr[min(stream_idx, len(fr) - 1)]
+                    else:
+                        g = _fake_gray(key + bytes([i % 256]))
+                    mids.append(mid)
+                    idxs.append(i)
+                    hashes.append(phash64_from_gray(g))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].values,
-                    "frame_idx": pdf["frame_idx"].values,
-                    "frame_phash": hashes,
+                    "media_id": np.array(mids, dtype=np.int64),
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "frame_phash": np.array(hashes, dtype=np.int64),
                 }
             )
 
-    return frames.mapInPandas(compute, FRAME_SAMPLES)
+    return vids.mapInPandas(compute, FRAME_SAMPLES)
 
 
 def phash_dup_pairs(
