@@ -231,3 +231,36 @@ def test_compact_crash_mid_swap_recovers(spark, tmp_path):
     inc3 = IncrementalDedup(spark, str(root))
     assert not _os.path.exists(root / "accepted_bands__old")
     assert {(r.doc_id, r.text) for r in inc3.accepted().collect()} == before
+
+
+def test_incremental_dedup_randomized_sweep(spark, tmp_path):
+    """Randomized batched corpora vs the pure-python greedy oracle: random
+    mixes of unique docs and high-overlap near-dups (clear margin above
+    threshold, so band recall is ~1 and the check is deterministic),
+    split into random batch boundaries — guards the r4 rework
+    (collision-bounded verify, bands-first commit protocol) at breadth."""
+    import random
+
+    for seed in (3, 11, 27):
+        rng = random.Random(seed)
+        templates = [
+            " ".join(f"t{seed}x{t}w{i}" for i in range(30)) for t in range(6)
+        ]
+        docs = []
+        for d in range(30):
+            if rng.random() < 0.4:
+                t = rng.randrange(6)
+                docs.append((d, templates[t] + f" tail{seed}d{d}a tail{seed}d{d}b"))
+            else:
+                docs.append((d, " ".join(f"u{seed}d{d}w{i}" for i in range(30))))
+        batches, pos = [], 0
+        while pos < len(docs):
+            n = rng.randrange(3, 9)
+            batches.append(docs[pos:pos + n])
+            pos += n
+        inc = IncrementalDedup(spark, str(tmp_path / f"sweep{seed}"))
+        for bi, batch in enumerate(batches):
+            inc.process_batch(_df(spark, batch), bi)
+        want = set(_greedy_oracle(batches))
+        got = {r.doc_id for r in inc.accepted().collect()}
+        assert got == want, (seed, sorted(got ^ want))
