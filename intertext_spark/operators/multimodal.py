@@ -339,8 +339,11 @@ def _phash_of(payload: bytes) -> int:
 
 
 def image_features(media: DataFrame, out_dim: int = 32) -> DataFrame:
-    """images -> (media_id, phash, feature[out_dim]).  Arrow-batched; the
-    decode kernel is the stub above."""
+    """images -> (media_id, phash, feature[out_dim]).  Arrow-batched.
+    phash uses the 3-tier decode (_decode_to_gray: built-in PGM/BMP ->
+    PIL -> fake gray); the EMBEDDING feature remains the deterministic
+    _fake_decode stand-in (a real model needs weights this container
+    lacks — the Spark plumbing around it is the tested part)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -99,7 +99,16 @@ def assign_file_ids(transcripts: DataFrame, mode: str = "sorted") -> DataFrame:
 
     with_pid = ordered.withColumn("pid", F.spark_partition_id()).withColumn(
         "rn", F.row_number().over(Window.partitionBy("pid").orderBy("conv_id"))
-    )
+    ).localCheckpoint()
+    # ^ freeze ONE execution (r4 determinism bug, caught by the
+    # spark-submit scaling study): RangePartitioner SAMPLES its bounds
+    # with a per-RDD seed, so the sizes collect below and the downstream
+    # join would otherwise each re-execute the range partitioning with
+    # DIFFERENT bounds — the offsets then misalign and two conversations
+    # can share a file_id (observed at 6k convs: ~5k ids flapped between
+    # runs, corrupting window texts and match rows).  Materializing once
+    # makes every job read the same partitioning; correctness needs
+    # consistency, not deterministic bounds.
     sizes = {r.pid: r["count"] for r in with_pid.groupBy("pid").count().collect()}
     if not sizes:
         from ..schemas import DOC_IDS

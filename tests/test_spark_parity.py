@@ -186,3 +186,27 @@ def test_short_convs_zero_windows(spark, planted_results):
     assert short_ids  # corpus plants some
     got_files = {r.file_id for r in sres["windows"].collect()}
     assert not (short_ids & got_files)
+
+
+def test_file_id_assignment_bijective_and_stable_at_scale(spark):
+    """Regression for the r4 determinism bug: repartitionByRange SAMPLES
+    its bounds per execution, so without freezing one execution the
+    sizes-collect job and the downstream join could disagree on the
+    partitioning — misaligned offsets then let two conversations share a
+    file_id (observed: ~5k of 6k ids flapped between runs).  The ids must
+    be a bijection onto [0, n) matching exact lexicographic rank, and two
+    independent calls must agree."""
+    from intertext_spark.operators.windows import assign_file_ids
+
+    convs = [(f"c{i:05d}x{i % 7}",) for i in range(6000)]
+    from pyspark.sql import functions as F
+
+    tdf = spark.createDataFrame(convs, ["conv_id"]).withColumn(
+        "text", F.lit("w")
+    )
+    m1 = {r.conv_id: r.file_id for r in assign_file_ids(tdf).collect()}
+    m2 = {r.conv_id: r.file_id for r in assign_file_ids(tdf).collect()}
+    assert m1 == m2
+    assert sorted(m1.values()) == list(range(6000))
+    want = {c: i for i, c in enumerate(sorted(m1))}
+    assert m1 == want

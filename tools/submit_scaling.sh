@@ -1,0 +1,72 @@
+#!/usr/bin/env bash
+# N vs 4N scaling THROUGH spark-submit --py-files (the north rule's exact
+# deployment shape): package the library as a zip, run the same pipeline
+# job over the same F4 corpus at local[N] and local[4N] from a foreign
+# cwd, report both throughputs and the efficiency.
+# Usage: tools/submit_scaling.sh [N]   (default N=2 -> arms local[2]/local[8])
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+WORK="$(mktemp -d /tmp/it_scaling.XXXXXX)"
+trap 'rm -rf "$WORK"' EXIT
+N="${1:-2}"
+N4=$((N * 4))
+
+(cd "$REPO" && python -m zipfile -c "$WORK/intertext_spark.zip" intertext_spark/)
+
+CORPUS="$REPO/BENCH/scaling_corpus.parquet"
+if [ ! -e "$CORPUS" ]; then
+  (cd "$REPO" && python - <<'EOF'
+import bench
+bench._scaling_corpus_path()
+EOF
+  )
+fi
+
+cd "$WORK"   # foreign cwd: the repo is NOT on any path
+
+run_arm() {  # $1 = cores, $2 = logfile
+  # --driver-memory must be on the submit line: the driver JVM is already
+  # up by the time session conf is read, so get_spark's
+  # spark.driver.memory is a no-op under spark-submit
+  SPARK_GRAFT_MASTER="local[$1]" /opt/spark/bin/spark-submit \
+    --master "local[$1]" \
+    --driver-memory "${SPARK_GRAFT_DRIVER_MEM:-16g}" \
+    --conf spark.ui.showConsoleProgress=false \
+    --py-files "$WORK/intertext_spark.zip" \
+    "$REPO/tools/submit_scaling_job.py" \
+    --input "$CORPUS" \
+    2>&1 | tee "$2" | grep -E "INTERTEXT_SCALING_RESULT|Exception|Error" || true
+}
+
+run_arm "$N"  "$WORK/arm_n.log"
+run_arm "$N4" "$WORK/arm_4n.log"
+
+python - "$WORK" "$N" <<'EOF'
+import json, sys
+work, n = sys.argv[1], int(sys.argv[2])
+
+def result(path):
+    for line in open(path):
+        if line.startswith("INTERTEXT_SCALING_RESULT "):
+            return json.loads(line.split(" ", 1)[1])
+    raise SystemExit(f"no result line in {path}")
+
+a, b = result(work + "/arm_n.log"), result(work + "/arm_4n.log")
+assert a["n_matches"] == b["n_matches"], (a, b)
+eff = (b["turns_per_sec"] / a["turns_per_sec"]) / 4.0
+print(json.dumps({
+    "metric": "submit_pipeline_scaling",
+    "unit": "efficiency",
+    "value": round(eff, 3),
+    "queries": {
+        f"local[{n}]_wall_s": a["wall_s"],
+        f"local[{n*4}]_wall_s": b["wall_s"],
+        f"local[{n}]_turns_per_sec": a["turns_per_sec"],
+        f"local[{n*4}]_turns_per_sec": b["turns_per_sec"],
+    },
+    "n_matches": a["n_matches"],
+}))
+assert eff >= 0.8, f"scaling efficiency {eff} below the 0.8 target"
+print(f"SUBMIT SCALING OK: {eff:.3f} efficiency local[{n}] -> local[{n*4}]")
+EOF

@@ -1,0 +1,59 @@
+"""spark-submit job for the N vs 4N scaling study (BASELINE.json north
+rule: 'the spark-submit --py-files job must hit >=0.8 throughput scaling
+efficiency between N and 4N executors').  The library arrives ONLY via
+--py-files; parallelism comes from SPARK_GRAFT_MASTER / --master.  Timing
+covers the pipeline region (session already up — in local mode the
+'executors' exist at session start, and both arms pay identical JVM
+startup outside the timed region, same discipline as bench.py)."""
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="transcripts parquet")
+    args = ap.parse_args()
+
+    from intertext_spark.config import DEFAULT
+    from intertext_spark.pipeline import Pipeline
+    from intertext_spark.session import get_spark
+
+    spark = get_spark(app="submit-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    tdf = spark.read.parquet(args.input).persist()
+    n_turns = tdf.count()
+
+    # untimed steady-state warmup (same discipline as bench.py): JIT the
+    # hot codegen paths and spin up the Arrow workers on a ~3% hash slice
+    # so BOTH arms measure warm throughput — a cold JVM penalizes each
+    # arm by a constant, which distorts the N vs 4N ratio
+    from pyspark.sql import functions as F
+
+    warm = tdf.where(F.pmod(F.xxhash64("conv_id"), F.lit(32)) == 0)
+    wres = Pipeline(spark, DEFAULT).run(warm)
+    wres["matches"].write.format("noop").mode("overwrite").save()
+    for df in wres.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+    t0 = time.time()
+    res = Pipeline(spark, DEFAULT).run(tdf)
+    n_matches = res["matches"].count()
+    dt = time.time() - t0
+
+    print("INTERTEXT_SCALING_RESULT " + json.dumps({
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "wall_s": round(dt, 2),
+        "n_turns": n_turns,
+        "n_matches": n_matches,
+        "turns_per_sec": round(n_turns / dt, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
