@@ -186,11 +186,22 @@ def main():
             int(x)
             for x in os.environ.get("SPARK_GRAFT_SCALING_PAIR", "2,8").split(",")
         )
+        # best-of-R per arm, identically applied: this box's run-to-run
+        # wall variance (measured ±10% on the slow arm — 263-322s for the
+        # same local[2] job within one day) otherwise swamps the N->4N
+        # ratio; the best observed throughput is the least-interfered
+        # steady-state estimate for BOTH arms.
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
         results = {}
         for cpus in pair:
-            spark = _make_spark(cpus)
-            dt, n_turns, n_matches = _bench_pipeline_scaling(spark, corpus_path)
-            spark.stop()
+            best = None
+            for _ in range(repeats):
+                spark = _make_spark(cpus)
+                dt, n_turns, n_matches = _bench_pipeline_scaling(spark, corpus_path)
+                spark.stop()
+                if best is None or dt < best[0]:
+                    best = (dt, n_turns, n_matches)
+            dt, n_turns, n_matches = best
             results[cpus] = {
                 "wall_s": round(dt, 2),
                 "turns_per_sec": round(n_turns / dt, 1),
