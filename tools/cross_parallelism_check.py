@@ -1,0 +1,99 @@
+"""Cross-parallelism invariance check: run EVERY __spark_entry__.queries()
+entry at two parallelism levels (separate processes, separate JVMs) and
+assert the result SETS are identical.
+
+Why this exists: the sf0.01 oracle gate runs at one fixed master, so a
+result that depends on partitioning (sampled range bounds, partition-id
+arithmetic, order-sensitive aggregation) can pass the gate at every
+round and still be wrong on a cluster.  Round 4's file_id bug —
+repartitionByRange re-sampling its bounds between jobs, letting two
+conversations share an id — was invisible to the gate and 68 fuzz seeds,
+and was caught ONLY by comparing match sets across cluster sizes.  This
+tool makes that comparison a one-command sweep over the whole query
+surface.
+
+    python tools/cross_parallelism_check.py [sf_dir] [masterA] [masterB]
+
+Defaults: sf0.01, local[4] vs local[16].  Exits nonzero on any diff.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_ARM_SCRIPT = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+from intertext_spark.session import get_spark
+import __spark_entry__ as e
+
+master, sf_dir, out = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = get_spark(app="xpar", master=master,
+                  shuffle_partitions=int(os.environ.get("XPAR_SHUFFLE", "32")))
+spark.sparkContext.setLogLevel("ERROR")
+for name, fn in e.queries().items():
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").parquet(os.path.join(out, name))
+    print("WROTE", name, flush=True)
+spark.stop()
+"""
+
+
+def run_arm(master: str, sf_dir: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    script = _ARM_SCRIPT.format(repo=REPO)
+    proc = subprocess.run(
+        [sys.executable, "-c", script, master, sf_dir, out],
+        capture_output=True, text=True, timeout=3600,
+    )
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"arm {master} failed")
+
+
+def main() -> int:
+    import duckdb
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    master_a = sys.argv[2] if len(sys.argv) > 2 else "local[4]"
+    master_b = sys.argv[3] if len(sys.argv) > 3 else "local[16]"
+    work = tempfile.mkdtemp(prefix="xpar_")
+    out_a, out_b = os.path.join(work, "a"), os.path.join(work, "b")
+    print(f"arm A: {master_a} ...", flush=True)
+    run_arm(master_a, sf_dir, out_a)
+    print(f"arm B: {master_b} ...", flush=True)
+    run_arm(master_b, sf_dir, out_b)
+
+    con = duckdb.connect()
+    failed = []
+    for name in sorted(os.listdir(out_a)):
+        pa_, pb = os.path.join(out_a, name), os.path.join(out_b, name)
+        if not os.path.isdir(pb):
+            failed.append((name, "missing in arm B"))
+            continue
+        ca = con.execute(f"select count(*) from read_parquet('{pa_}/*.parquet')").fetchone()[0]
+        cb = con.execute(f"select count(*) from read_parquet('{pb}/*.parquet')").fetchone()[0]
+        d1 = con.execute(
+            f"select count(*) from (select * from read_parquet('{pa_}/*.parquet')"
+            f" except select * from read_parquet('{pb}/*.parquet'))").fetchone()[0]
+        d2 = con.execute(
+            f"select count(*) from (select * from read_parquet('{pb}/*.parquet')"
+            f" except select * from read_parquet('{pa_}/*.parquet'))").fetchone()[0]
+        if ca != cb or d1 or d2:
+            failed.append((name, f"rows {ca}/{cb}, diff {d1}+{d2}"))
+            print(f"FAIL {name}: rows {ca}/{cb}, only-in-A {d1}, only-in-B {d2}")
+        else:
+            print(f"OK   {name}: {ca} rows identical")
+    print(f"\n{'ALL' if not failed else len(failed)} "
+          f"{'OK' if not failed else 'FAILED'} "
+          f"({master_a} vs {master_b}, {sf_dir})")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
