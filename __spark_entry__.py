@@ -378,6 +378,17 @@ def _fingerprints_native(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def _span_dedup_q(spark, sf_dir):
+    """C4-style corpus-wide span dedup (keep the globally first occurrence
+    of every exact 10-word chunk; C4 uses three-sentence spans — fixed
+    word-count chunks are the sentence-free analog).  One shuffle keyed by
+    chunk + one reassembly groupBy, no Python.  Oracle: independent DuckDB
+    rederivation (window first-occurrence + ordered string_agg)."""
+    from intertext_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir), span_words=10)
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     """Survivor corpus after exact dedup (keeper = min doc_id per content
     hash) — SQL-oracle-checkable end product."""
@@ -585,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id_native"] = _lang_id_native
     q["doc_fingerprints_native"] = _fingerprints_native
     q["exact_dedup_corpus"] = _exact_dedup_corpus
+    q["span_dedup"] = _span_dedup_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -720,6 +732,40 @@ select doc_id, n_ws_tokens, n_bpe_pieces,
        cast(floor((cast(n_bpe_pieces as double) / n_ws_tokens) * 10000 + 0.5) / 10000 as double) as pieces_per_word
 from base
 where n_ws_tokens > 0
+"""
+    # span_dedup: DuckDB rederives first-occurrence chunking independently.
+    # sum(CASE..) must cast to bigint (DuckDB sum(int) -> HUGEINT, the r2
+    # scatter_aggs arrow-type lesson); string_agg over an all-removed doc
+    # is NULL -> coalesce '' (Spark's array_join of empty is '').
+    out["span_dedup"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+structs as (
+  select doc_id,
+         unnest(list_transform(
+           generate_series(0, cast((len(words) + 9) // 10 as int) - 1),
+           i -> struct_pack(chunk_idx := i,
+                            chunk := array_to_string(list_slice(words, i*10 + 1, i*10 + 10), ' ')))) as c
+  from w
+  where len(words) > 0
+),
+chunks as (
+  select doc_id, c.chunk_idx as chunk_idx, c.chunk as chunk from structs
+),
+ranked as (
+  select doc_id, chunk_idx, chunk,
+         row_number() over (partition by chunk order by doc_id, chunk_idx) as rn
+  from chunks
+)
+select doc_id,
+       count(*) as n_chunks,
+       cast(sum(case when rn > 1 then 1 else 0 end) as bigint) as n_removed,
+       coalesce(string_agg(case when rn = 1 then chunk end, ' ' order by chunk_idx), '') as cleaned_text
+from ranked
+group by doc_id
 """
     out["exact_dedup_corpus"] = """
 select doc_id, lang, source, n_chars

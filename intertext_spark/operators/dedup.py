@@ -49,6 +49,73 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    span_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style corpus-wide span dedup: split every document into
+    consecutive non-overlapping ``span_words``-word chunks (last chunk may
+    be short), keep only the globally FIRST occurrence of each exact chunk
+    (first = min (doc_id, chunk_idx) — a total order, so the result is
+    deterministic under any partitioning), and rebuild each document from
+    its surviving chunks.  -> (doc_id, n_chunks, n_removed, cleaned_text);
+    empty documents are dropped (no chunks).
+
+    The C4 pipeline does this with three-sentence spans; fixed word-count
+    spans are the sentence-free corpus analog.  Scale shape: exactly two
+    exchanges (plan-checked) — the global first-occurrence window keyed by
+    chunk text (at 10^12 turns key it by md5(chunk) to bound shuffle key
+    width) and the doc_id reassembly groupBy — no joins, no Python."""
+    from pyspark.sql import Window
+    from .windows import WS
+
+    k = span_words
+    words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
+    # ceil(size/k) via integer div (the graph-codec discipline: no double
+    # division on counts)
+    n_chunks = F.expr(f"(size(ws) + {k - 1}) div {k}").cast("int")
+    exploded = (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), words.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(F.slice("ws", i * k + 1, k), " "),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    first = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = exploded.select(
+        "doc_id", "chunk_idx", "chunk",
+        (F.row_number().over(first) == 1).alias("kept"),
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "kept", "chunk"))
+                        ),
+                        lambda s: s["kept"],
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+        .select("doc_id", "n_chunks", "n_removed", "cleaned_text")
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     dup_pairs: DataFrame,

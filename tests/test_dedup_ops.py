@@ -509,3 +509,30 @@ def test_ivf_train_ignores_ragged_embeddings(spark):
     c1 = dedup.ivf_train(clean_df, n_centroids=4, iters=2, dim=8, seed=3)
     c2 = dedup.ivf_train(mixed_df, n_centroids=4, iters=2, dim=8, seed=3)
     assert np.allclose(c1, c2)
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    """C4-style span dedup: the globally first (doc_id, chunk_idx)
+    occurrence of an exact k-word chunk survives; later occurrences are
+    removed; a doc whose every chunk is a repeat cleans to ''."""
+    S = " ".join(f"s{i}" for i in range(10))       # the shared 10-word span
+    U = lambda t: " ".join(f"{t}{i}" for i in range(10))  # noqa: E731
+    rows = [
+        (0, U("a") + " " + S),            # chunks: [a-span, S]  (first S)
+        (1, S + " " + U("b")),            # S repeats -> removed, b kept
+        (2, S),                           # all chunks repeat -> ''
+        (3, U("c") + " tail1 tail2"),     # short last chunk, unique
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.span_dedup(df, span_words=10).collect()}
+    assert out[0].n_chunks == 2 and out[0].n_removed == 0
+    assert out[0].cleaned_text == U("a") + " " + S
+    assert out[1].n_chunks == 2 and out[1].n_removed == 1
+    assert out[1].cleaned_text == U("b")
+    assert out[2].n_chunks == 1 and out[2].n_removed == 1
+    assert out[2].cleaned_text == ""
+    assert out[3].n_chunks == 2 and out[3].n_removed == 0
+    assert out[3].cleaned_text == U("c") + " tail1 tail2"
+    # empty docs are dropped
+    df2 = spark.createDataFrame([(9, "")], ["doc_id", "text"])
+    assert dedup.span_dedup(df2).count() == 0
