@@ -378,6 +378,16 @@ def _fingerprints_native(spark, sf_dir):
     return doc_fingerprints(_docs(spark, sf_dir))
 
 
+def _pack_offsets_q(spark, sf_dir):
+    """Training-sequence packing offsets (GPT-style concat-and-chunk):
+    global token prefix sum in doc_id order + the seq_len packs each doc
+    spans.  Distributed prefix sum (range partition + frozen execution +
+    one tiny offsets collect).  Oracle: DuckDB running-sum window."""
+    from intertext_spark.operators.textstats import pack_offsets
+
+    return pack_offsets(_docs(spark, sf_dir), seq_len=2048)
+
+
 def _span_dedup_q(spark, sf_dir):
     """C4-style corpus-wide span dedup (keep the globally first occurrence
     of every exact 10-word chunk; C4 uses three-sentence spans — fixed
@@ -597,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_fingerprints_native"] = _fingerprints_native
     q["exact_dedup_corpus"] = _exact_dedup_corpus
     q["span_dedup"] = _span_dedup_q
+    q["pack_offsets"] = _pack_offsets_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -732,6 +743,29 @@ select doc_id, n_ws_tokens, n_bpe_pieces,
        cast(floor((cast(n_bpe_pieces as double) / n_ws_tokens) * 10000 + 0.5) / 10000 as double) as pieces_per_word
 from base
 where n_ws_tokens > 0
+"""
+    # pack_offsets: DuckDB rederives the global token prefix sum with one
+    # running-sum window (fine single-node; the engine does the
+    # distributed two-phase version).  casts: len()/sum() surface as
+    # BIGINT/HUGEINT — bigint everywhere (the arrow-type lesson).
+    out["pack_offsets"] = """
+with t as (
+  select doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) as n
+  from documents
+),
+c as (
+  select doc_id, n,
+         sum(n) over (order by doc_id rows between unbounded preceding and current row) as cum
+  from t where n > 0
+)
+select doc_id,
+       cast(n as bigint) as n_tokens,
+       cast(cum - n as bigint) as start_offset,
+       cast(cum as bigint) as end_offset,
+       cast((cum - n) // 2048 as bigint) as pack_first,
+       cast((cum - 1) // 2048 as bigint) as pack_last
+from c
 """
     # span_dedup: DuckDB rederives first-occurrence chunking independently.
     # sum(CASE..) must cast to bigint (DuckDB sum(int) -> HUGEINT, the r2

@@ -214,3 +214,81 @@ def doc_fingerprints(
         .select("doc_id", F.explode("fps").alias("fp"))
         .distinct()
     )
+
+
+def pack_offsets(
+    df: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing offsets (GPT-style concat-and-chunk): lay
+    every document's tokens end-to-end in doc_id order and slice the
+    stream into fixed ``seq_len`` windows — each doc gets its global token
+    offsets and the packs it spans.
+
+    -> (doc_id, n_tokens, start_offset, end_offset, pack_first, pack_last)
+    with end exclusive, pack_first = start div L, pack_last = (end-1)
+    div L (graph-codec discipline: integer div, exact past 2^53 tokens).
+    Empty documents are dropped (they occupy no tokens).
+
+    Shape: the distributed prefix sum — range-partition by doc_id,
+    per-partition running sums, cumulative partition offsets via ONE tiny
+    collect, broadcast back.  The intermediate is localCheckpoint-frozen
+    because RangePartitioner samples its bounds per execution
+    (assign_file_ids' r4 determinism lesson: the offsets collect and the
+    downstream join must read the SAME partitioning)."""
+    from pyspark.sql import Window
+
+    words = _WORDS(text_col)
+    counts = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.size(words).cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+    )
+    spark = df.sparkSession
+    n_part = max(1, min(200, spark.sparkContext.defaultParallelism))
+    with_pid = (
+        counts.repartitionByRange(n_part, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "run",
+            F.sum("n_tokens").over(
+                Window.partitionBy("pid").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .localCheckpoint()
+    )
+    totals = {
+        r.pid: r.total
+        for r in with_pid.groupBy("pid").agg(F.max("run").alias("total")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    if not offsets:
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, start_offset long, end_offset long,"
+                " pack_first long, pack_last long"
+        )
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], ["pid", "off"]
+    )
+    end = F.col("off") + F.col("run")
+    start = end - F.col("n_tokens")
+    return (
+        with_pid.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            end.alias("end_offset"),
+            F.expr(f"(off + run - n_tokens) div {seq_len}").alias("pack_first"),
+            F.expr(f"(off + run - 1) div {seq_len}").alias("pack_last"),
+        )
+    )

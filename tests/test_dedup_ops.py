@@ -536,3 +536,30 @@ def test_span_dedup_keeps_first_occurrence(spark):
     # empty docs are dropped
     df2 = spark.createDataFrame([(9, "")], ["doc_id", "text"])
     assert dedup.span_dedup(df2).count() == 0
+
+
+def test_pack_offsets_prefix_sum_and_pack_spans(spark):
+    """Concat-and-chunk packing offsets: global prefix sum in doc_id
+    order; pack_first/pack_last bracket the seq_len windows a doc spans
+    (straddling docs span two); empty docs occupy no tokens; two calls
+    agree (the frozen-execution prefix-sum pattern)."""
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(7))),   # tokens 0-6
+        (1, " ".join(f"b{i}" for i in range(8))),   # tokens 7-14 (straddles)
+        (2, ""),                                     # dropped
+        (3, " ".join(f"c{i}" for i in range(5))),   # tokens 15-19
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.pack_offsets(df, seq_len=10).collect()}
+    assert set(out) == {0, 1, 3}
+    assert (out[0].start_offset, out[0].end_offset) == (0, 7)
+    assert (out[1].start_offset, out[1].end_offset) == (7, 15)
+    assert (out[3].start_offset, out[3].end_offset) == (15, 20)
+    assert (out[0].pack_first, out[0].pack_last) == (0, 0)
+    assert (out[1].pack_first, out[1].pack_last) == (0, 1)  # straddles
+    assert (out[3].pack_first, out[3].pack_last) == (1, 1)
+    again = {r.doc_id: tuple(r) for r in textstats.pack_offsets(df, seq_len=10).collect()}
+    assert again == {k: tuple(v) for k, v in out.items()}
+    # all-empty input -> empty typed frame
+    empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
+    assert textstats.pack_offsets(empty).count() == 0
