@@ -399,6 +399,22 @@ def _span_dedup_q(spark, sf_dir):
     return span_dedup(_docs(spark, sf_dir), span_words=10)
 
 
+def _repetition_stats_q(spark, sf_dir):
+    """Gopher-style repetition gates (Rae et al. 2021 §A1.1): duplicate
+    2-gram fraction + char fraction of the most frequent 2-gram.  Zero
+    shuffles — per-doc mode via a fold over the sorted gram array.
+    Oracle: DuckDB unnest + group-by + window rederivation."""
+    from intertext_spark.operators.textstats import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir), gram_words=2)
+    return out.select(
+        "doc_id", "n_grams",
+        _round4(F.col("dup_gram_frac")).alias("dup_gram_frac"),
+        "top_gram", "top_gram_n",
+        _round4(F.col("top_gram_char_frac")).alias("top_gram_char_frac"),
+    )
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     """Survivor corpus after exact dedup (keeper = min doc_id per content
     hash) — SQL-oracle-checkable end product."""
@@ -608,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup_corpus"] = _exact_dedup_corpus
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
+    q["repetition_stats"] = _repetition_stats_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -800,6 +817,45 @@ select doc_id,
        coalesce(string_agg(case when rn = 1 then chunk end, ' ' order by chunk_idx), '') as cleaned_text
 from ranked
 group by doc_id
+"""
+    # repetition_stats: DuckDB rederives the per-doc gram mode with
+    # unnest + group-by + one window (single-node fine; the engine does
+    # the shuffle-free sorted-array fold).  Ties -> smallest gram, same
+    # as the fold's strict-> rule; fractions round4'd on both sides.
+    out["repetition_stats"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+g as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(words) - 1),
+                i -> array_to_string(list_slice(words, i, i + 1), ' '))) as gram
+  from w where len(words) >= 2
+),
+cnt as (select doc_id, gram, count(*) as n from g group by doc_id, gram),
+top as (
+  select doc_id, gram, n from cnt
+  qualify row_number() over (partition by doc_id order by n desc, gram asc) = 1
+),
+agg as (
+  select doc_id, cast(sum(n) as bigint) as n_grams,
+         cast(count(*) as bigint) as n_distinct
+  from cnt group by doc_id
+),
+stream as (
+  select doc_id, length(array_to_string(words, ' ')) as slen
+  from w where len(words) >= 2
+)
+select a.doc_id, a.n_grams,
+       cast(floor((1 - cast(a.n_distinct as double) / a.n_grams) * 10000 + 0.5) / 10000 as double) as dup_gram_frac,
+       t.gram as top_gram,
+       cast(t.n as bigint) as top_gram_n,
+       cast(floor((cast(t.n * length(t.gram) as double) / s.slen) * 10000 + 0.5) / 10000 as double) as top_gram_char_frac
+from agg a
+join top t using (doc_id)
+join stream s using (doc_id)
 """
     out["exact_dedup_corpus"] = """
 select doc_id, lang, source, n_chars

@@ -292,3 +292,74 @@ def pack_offsets(
             F.expr(f"(off + run - 1) div {seq_len}").alias("pack_last"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    gram_words: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition signals over word n-grams
+    (Rae et al. 2021 §A1.1 use the char fraction of the most frequent
+    2/3/4-gram and the duplicate-n-gram fraction as quality gates; the
+    reference corpus is single-line, so the line/paragraph variants reduce
+    to these).
+
+    -> (doc_id, n_grams, dup_gram_frac, top_gram, top_gram_n,
+    top_gram_char_frac) where dup_gram_frac = fraction of n-gram
+    occurrences that repeat an earlier one, top_gram = the most frequent
+    n-gram (ties -> lexicographically smallest), and top_gram_char_frac =
+    occurrence_count * len(top_gram) / chars of the single-space word
+    stream (count x len accounting, so OVERLAPPING occurrences — "a a a"'s
+    two "a a" grams share the middle word — can push it past 1.0; use it
+    as a threshold signal, not a proportion).  Documents with < gram_words
+    words have no grams and are dropped.
+
+    Scale shape: ZERO shuffles — the per-doc mode is a single fold over
+    the array_sort'ed gram array (equal grams are adjacent after the sort,
+    so one linear run-length pass finds the max run), all inside
+    whole-stage codegen.  The alternative explode -> groupBy(doc, gram) ->
+    window costs two wide exchanges on a key set ~n_tokens wide; this
+    costs none and is bounded by the doc's own length."""
+    k = gram_words
+    words = _WORDS(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (k - 1)),
+        lambda i: F.array_join(F.slice("ws", i, k), " "),
+    )
+
+    def step(a, g):
+        run_n = F.when(g == a["cur"], a["cur_n"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("cur"),
+            run_n.alias("cur_n"),
+            # strict > keeps the FIRST (sorted = smallest) gram on ties
+            F.when(run_n > a["best_n"], g).otherwise(a["best"]).alias("best"),
+            F.greatest(run_n, a["best_n"]).alias("best_n"),
+        )
+
+    top = F.aggregate(
+        F.array_sort("grams"),
+        F.struct(
+            F.lit("").alias("cur"), F.lit(0).alias("cur_n"),
+            F.lit("").alias("best"), F.lit(0).alias("best_n"),
+        ),
+        step,
+    )
+    stream_len = F.length(F.array_join("ws", " "))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .where(F.size("ws") >= k)
+        .select("doc_id", "ws", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("long").alias("n_grams"),
+            (F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double")
+             / F.size("grams")).alias("dup_gram_frac"),
+            top["best"].alias("top_gram"),
+            top["best_n"].cast("long").alias("top_gram_n"),
+            (top["best_n"] * F.length(top["best"])
+             / stream_len.cast("double")).alias("top_gram_char_frac"),
+        )
+    )

@@ -563,3 +563,45 @@ def test_pack_offsets_prefix_sum_and_pack_spans(spark):
     # all-empty input -> empty typed frame
     empty = spark.createDataFrame([(9, "")], ["doc_id", "text"])
     assert textstats.pack_offsets(empty).count() == 0
+
+
+def test_repetition_stats_gopher_signals(spark):
+    """Gopher repetition gates: dup-2gram fraction, most-frequent-2gram
+    char fraction, tie -> lexicographically smallest gram; sub-gram-length
+    docs are dropped; a Counter brute force pins a random corpus."""
+    rows = [
+        (0, "x y x y x y"),        # grams: xy yx xy yx xy -> top 'x y' n=3
+        (1, "a b c d"),            # all distinct, tie -> 'a b'
+        (2, "solo"),               # < 2 words -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_grams == 5 and out[0].top_gram == "x y" and out[0].top_gram_n == 3
+    assert abs(out[0].dup_gram_frac - (1 - 2 / 5)) < 1e-12
+    # 3 occurrences x 3 chars / len('x y x y x y')=11
+    assert abs(out[0].top_gram_char_frac - 9 / 11) < 1e-12
+    assert out[1].top_gram == "a b" and out[1].top_gram_n == 1
+    assert out[1].dup_gram_frac == 0.0
+
+    # randomized brute-force parity (Counter semantics)
+    import collections
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 60))))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    for i, text in rows:
+        ws = text.split()
+        grams = [" ".join(ws[j:j + 2]) for j in range(len(ws) - 1)]
+        c = collections.Counter(grams)
+        top_n = max(c.values())
+        top = min(g for g, n in c.items() if n == top_n)
+        r = got[i]
+        assert r.n_grams == len(grams)
+        assert abs(r.dup_gram_frac - (1 - len(c) / len(grams))) < 1e-12
+        assert (r.top_gram, r.top_gram_n) == (top, top_n)
+        assert abs(r.top_gram_char_frac - top_n * len(top) / len(" ".join(ws))) < 1e-12
