@@ -415,6 +415,29 @@ def _repetition_stats_q(spark, sf_dir):
     )
 
 
+def _source_cap_q(spark, sf_dir):
+    """Domain-frequency-cap sampling (web-corpus domain balancing): keep
+    the top-10 docs per source by (n_chars desc, doc_id).  Skew-safe
+    two-phase top-K in the engine; oracle is the single-window SQL
+    (single-node DuckDB needs no salting)."""
+    from intertext_spark.operators.sampling import source_cap
+
+    return source_cap(_docs(spark, sf_dir), cap=10)
+
+
+def _deterministic_sample_q(spark, sf_dir):
+    """Partitioning-invariant 1-in-3 subsample keyed on a content hash of
+    doc_id.  The gate passes the md5 hash-bridge expression so DuckDB
+    recomputes the exact survivor set; production default is xxhash64."""
+    from intertext_spark.operators.sampling import deterministic_sample
+
+    bridge = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"
+    )
+    out = deterministic_sample(_docs(spark, sf_dir), 1, 3, hash_expr=bridge)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     """Survivor corpus after exact dedup (keeper = min doc_id per content
     hash) — SQL-oracle-checkable end product."""
@@ -625,6 +648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
+    q["source_cap"] = _source_cap_q
+    q["deterministic_sample"] = _deterministic_sample_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -856,6 +881,25 @@ select a.doc_id, a.n_grams,
 from agg a
 join top t using (doc_id)
 join stream s using (doc_id)
+"""
+    # source_cap: single-window top-K per source (DuckDB single-node
+    # needs no salting; the engine's two-phase result is provably equal).
+    out["source_cap"] = """
+select doc_id, source, n_chars, cast(rnk as bigint) as rank
+from (
+  select doc_id, source, n_chars,
+         row_number() over (partition by source
+                            order by n_chars desc, doc_id asc) as rnk
+  from documents
+) t
+where rnk <= 10
+"""
+    # deterministic_sample: same md5 hash-bridge predicate, recomputed by
+    # DuckDB (non-negative 60-bit value, so % == pmod on both engines).
+    out["deterministic_sample"] = """
+select doc_id, lang, source, n_chars
+from documents
+where ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 3 < 1
 """
     out["exact_dedup_corpus"] = """
 select doc_id, lang, source, n_chars

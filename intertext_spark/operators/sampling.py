@@ -1,0 +1,76 @@
+"""Corpus curation / sampling operators for training-data pipelines:
+domain-frequency caps and deterministic subsampling.
+
+Web-scale corpora are heavily skewed by domain (a handful of boilerplate
+hosts dominate raw crawls); standard curation caps documents per domain
+and samples the rest deterministically so reruns are reproducible.  All
+JVM-side — windows and hash arithmetic, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def source_cap(
+    df: DataFrame,
+    cap: int,
+    key_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Frequency-capped domain balancing: keep at most ``cap`` documents
+    per ``key_col`` (source / domain / shard), preferring larger
+    ``order_col`` (a quality proxy) and breaking ties by smaller id — a
+    total order, so the survivor set is deterministic under any
+    partitioning.  -> (doc_id, <key_col>, <order_col>, rank) with rank in
+    1..cap per key.
+
+    Scale shape: a naive row_number window keyed by domain puts EVERY row
+    of a hot domain through one reducer (a raw crawl's top host can be
+    ~1% of 10^12 docs).  Two-phase top-K instead: phase 1 ranks within
+    (key, salt=xxhash64(id) % n_salts) — per-task input is bounded by
+    |domain| / n_salts — and keeps cap per salted group; phase 2 ranks
+    the <= n_salts * cap survivors per key.  The global top-cap of a key
+    is a subset of the union of its per-salt top-caps, so the two-phase
+    result is exactly the one-phase result.  Raise n_salts with executor
+    count; both exchanges are hash-partitioned and AQE-coalesced.
+    """
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    salted = df.select(id_col, key_col, order_col).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(key_col, "salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= cap)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= cap)
+        .select(id_col, key_col, order_col, "rank")
+    )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rate_num: int,
+    rate_den: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_expr=None,
+) -> DataFrame:
+    """Reproducible content-keyed subsample: keep a row iff
+    pmod(hash(id), rate_den) < rate_num — exactly the same survivor set
+    on every run, any partitioning, any cluster size (unlike df.sample,
+    whose output depends on partition layout).  Integer ratio instead of
+    a double rate so the predicate is exact.  Narrow-only: a filter, no
+    shuffle.  ``hash_expr`` defaults to xxhash64(id, seed) (the scale
+    path); pass the md5 hash-bridge Column to make the survivor set
+    recomputable by an external SQL engine (the gate does)."""
+    if hash_expr is None:
+        hash_expr = F.xxhash64(F.col(id_col), F.lit(seed))
+    return df.where(F.pmod(hash_expr, F.lit(rate_den)) < rate_num)

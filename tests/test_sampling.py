@@ -1,0 +1,71 @@
+"""Corpus-curation sampling operators: domain-frequency caps and
+deterministic subsampling."""
+
+from pyspark.sql import Window, functions as F
+
+from intertext_spark.operators import sampling
+
+
+def _skewed(spark, n_hot=400, n_cold=10):
+    """One hot domain holding most rows + a tail, n_chars with ties."""
+    rows = [(i, "hot", (i * 7) % 50) for i in range(n_hot)]
+    rows += [(1000 + i, f"cold{i % 3}", i % 5) for i in range(n_cold)]
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_source_cap_two_phase_equals_single_window(spark):
+    """The salted two-phase top-K returns exactly the one-phase
+    row_number result (survivors AND ranks), including ties broken by
+    doc_id, on a corpus where one domain dominates."""
+    df = _skewed(spark)
+    got = {
+        (r.doc_id): (r.source, r.n_chars, r.rank)
+        for r in sampling.source_cap(df, cap=7).collect()
+    }
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    want = {
+        r.doc_id: (r.source, r.n_chars, r.rank)
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == want
+    assert sum(1 for s, _, _ in got.values() if s == "hot") == 7
+
+
+def test_source_cap_partitioning_invariant(spark):
+    """Same survivor set at 1 partition and under a random repartition —
+    the total order (n_chars desc, doc_id) leaves nothing to layout."""
+    df = _skewed(spark, n_hot=100, n_cold=30)
+    a = sorted(tuple(r) for r in sampling.source_cap(df.coalesce(1), cap=4).collect())
+    b = sorted(
+        tuple(r)
+        for r in sampling.source_cap(df.repartition(13, "n_chars"), cap=4).collect()
+    )
+    assert a == b
+
+
+def test_source_cap_small_domains_untouched(spark):
+    """Domains below the cap keep every row."""
+    df = _skewed(spark, n_hot=5, n_cold=9)  # cold0..2 have 3 rows each
+    out = sampling.source_cap(df, cap=10).groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in out} == {
+        "hot": 5, "cold0": 3, "cold1": 3, "cold2": 3
+    }
+
+
+def test_deterministic_sample_reproducible_and_seeded(spark):
+    df = _skewed(spark, n_hot=300, n_cold=0)
+    s1 = {r.doc_id for r in sampling.deterministic_sample(df, 1, 4).collect()}
+    s2 = {
+        r.doc_id
+        for r in sampling.deterministic_sample(df.repartition(11), 1, 4).collect()
+    }
+    assert s1 == s2  # layout-invariant
+    # rate lands near 1/4 (hash uniformity, not exactness)
+    assert 0.15 < len(s1) / 300 < 0.35
+    s3 = {r.doc_id for r in sampling.deterministic_sample(df, 1, 4, seed=9).collect()}
+    assert s3 != s1  # seed changes the survivor set
+    # rate_num=rate_den keeps everything; 0 keeps nothing
+    assert sampling.deterministic_sample(df, 4, 4).count() == 300
+    assert sampling.deterministic_sample(df, 0, 4).count() == 0
