@@ -438,6 +438,29 @@ def _deterministic_sample_q(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _semdedup_q(spark, sf_dir):
+    """SemDeDup gate mode: centroids = 8 smallest-id vectors (so DuckDB
+    can recompute the exact assignment), round4 cosines before ranking
+    and thresholding (the float-parity convention); production swaps in
+    ivf_train centroids.  The synthetic embeddings have no pair above
+    cosine 0.52, so the gate plants 50 echo vectors (id+10000, scaled by
+    2 — scaling by 2 is exact in IEEE754, so cosine is exactly 1.0 and
+    the echo lands in its source's cluster): the dominated path provably
+    fires and DuckDB replants the identical echoes."""
+    from intertext_spark.operators.dedup import semdedup
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    echo = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return semdedup(
+        base.unionByName(echo), n_centroids=8, min_cosine=0.80, round_digits=4
+    )
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     """Survivor corpus after exact dedup (keeper = min doc_id per content
     hash) — SQL-oracle-checkable end product."""
@@ -650,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_stats"] = _repetition_stats_q
     q["source_cap"] = _source_cap_q
     q["deterministic_sample"] = _deterministic_sample_q
+    q["semdedup"] = _semdedup_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -881,6 +905,46 @@ select a.doc_id, a.n_grams,
 from agg a
 join top t using (doc_id)
 join stream s using (doc_id)
+"""
+    # semdedup: DuckDB recomputes the gate-mode run exactly — centroids =
+    # 8 smallest-id vectors, argmax-cosine assignment (round4, cid tie),
+    # dominated = exists smaller-id cluster-mate with cosine >= 0.80.
+    # Cosines via the Dialect dot macro (explicit fold order -> doubles
+    # bit-identical to Spark's aggregate/zip_with).
+    _e = DUCK.to_double_arr("embedding")
+    _ccos = DUCK.round4(
+        f"{DUCK.dot('v.emb', 'c.cvec')} / (sqrt({DUCK.dot('v.emb', 'v.emb')})"
+        f" * sqrt({DUCK.dot('c.cvec', 'c.cvec')}))"
+    )
+    _pcos = DUCK.round4(
+        f"{DUCK.dot('a.emb', 'b.emb')} / (sqrt({DUCK.dot('a.emb', 'a.emb')})"
+        f" * sqrt({DUCK.dot('b.emb', 'b.emb')}))"
+    )
+    out["semdedup"] = f"""
+with base as (select vec_id, {_e} as emb from embeddings),
+v as (
+  select vec_id, emb from base
+  union all
+  select vec_id + 10000, list_transform(emb, x -> x * 2.0) from base
+  where vec_id < 50
+),
+cents as (select vec_id as cid, emb as cvec from v order by vec_id limit 8),
+scored as (
+  select v.vec_id, v.emb, c.cid, cast({_ccos} as double) as c_cos
+  from v cross join cents c
+),
+assigned as (
+  select vec_id, emb, cid as cluster_id from scored
+  qualify row_number() over (partition by vec_id order by c_cos desc, cid asc) = 1
+),
+dominated as (
+  select distinct b.vec_id
+  from assigned a
+  join assigned b on a.cluster_id = b.cluster_id and a.vec_id < b.vec_id
+  where cast({_pcos} as double) >= 0.80
+)
+select a.vec_id, a.cluster_id, (d.vec_id is null) as kept
+from assigned a left join dominated d on a.vec_id = d.vec_id
 """
     # source_cap: single-window top-K per source (DuckDB single-node
     # needs no salting; the engine's two-phase result is provably equal).

@@ -793,3 +793,90 @@ def brute_force_topk(
         cosine_expr(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    n_centroids: int = 8,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+    cluster_max_docs: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): partition the embedding space into
+    clusters, then remove within-cluster semantic duplicates — a vector is
+    removed iff an EARLIER (smaller-id) vector in the same cluster has
+    cosine >= min_cosine to it (deterministic total order, so the survivor
+    set is partitioning-invariant).  -> (vec_id, cluster_id, kept).
+
+    ``centroids`` is any (cid:long, cvec:array<double>) table — ivf_train
+    output at scale; default = the ``n_centroids`` smallest-id vectors
+    (deterministic and SQL-recomputable, the gate mode).  The centroid
+    side is broadcast; assignment = argmax cosine with (cosine desc, cid)
+    tie order.  ``round_digits`` rounds cosines before ranking/threshold
+    (the cross-engine float-parity convention, see _rank_rounded); leave
+    None in production.
+
+    Scale shape: the pair join is keyed by cluster_id, so candidate count
+    is sum |c|^2 over clusters — the paper's own cost model; k controls
+    the tradeoff.  A degenerate hot cluster (k too small for the corpus)
+    is excluded by ``cluster_max_docs`` (same recall-trade knob as
+    simhash's chunk_max_docs): its members are all kept, never paired.
+    """
+    e = emb.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    if centroids is None:
+        spark = emb.sparkSession
+        head = e.orderBy("vec_id").limit(n_centroids).collect()
+        centroids = spark.createDataFrame(
+            [(r.vec_id, r.emb) for r in head], "cid long, cvec array<double>"
+        )
+    cos = cosine_expr(F.col("emb"), F.col("cvec"))
+    if round_digits is not None:
+        p = 10 ** round_digits
+        cos = F.floor(cos * p + F.lit(0.5)) / p
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    assigned = (
+        e.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "emb", "cid", cos.alias("c_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "emb", F.col("cid").alias("cluster_id"))
+    )
+    if cluster_max_docs is not None:
+        cw = Window.partitionBy("cluster_id")
+        assigned = assigned.withColumn("c_n", F.count("*").over(cw))
+        pairable = assigned.where(F.col("c_n") <= cluster_max_docs)
+    else:
+        pairable = assigned
+    a = pairable.select(
+        F.col("cluster_id"), F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+    )
+    b = pairable.select(
+        F.col("cluster_id"), F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+    )
+    pcos = cosine_expr(F.col("emb_a"), F.col("emb_b"))
+    if round_digits is not None:
+        p = 10 ** round_digits
+        pcos = F.floor(pcos * p + F.lit(0.5)) / p
+    dominated = (
+        a.join(b, "cluster_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(pcos >= min_cosine)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dom", F.lit(True))
+    )
+    return (
+        assigned.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id", "cluster_id",
+            F.coalesce(~F.col("dom"), F.lit(True)).alias("kept"),
+        )
+    )

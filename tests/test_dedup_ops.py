@@ -605,3 +605,57 @@ def test_repetition_stats_gopher_signals(spark):
         assert abs(r.dup_gram_frac - (1 - len(c) / len(grams))) < 1e-12
         assert (r.top_gram, r.top_gram_n) == (top, top_n)
         assert abs(r.top_gram_char_frac - top_n * len(top) / len(" ".join(ws))) < 1e-12
+
+
+def test_semdedup_echo_removal_and_invariance(spark):
+    """SemDeDup: planted scaled echoes (cosine exactly 1.0) are dominated
+    by their smaller-id source; survivors are layout-invariant; the
+    centroid table can come from ivf_train output."""
+    rng = np.random.RandomState(11)
+    base = [(int(i), (rng.normal(size=8)).tolist()) for i in range(30)]
+    echo = [(100 + i, [2.0 * x for x in v]) for i, v in base[:6]]
+    df = spark.createDataFrame(base + echo, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in dedup.semdedup(df, n_centroids=4, min_cosine=0.99).collect()}
+    assert len(out) == 36
+    for i, v in base[:6]:
+        assert out[i].kept, f"source {i} must survive"
+        assert not out[100 + i].kept, f"echo {100 + i} must be dominated"
+        assert out[i].cluster_id == out[100 + i].cluster_id
+    assert all(out[i].kept for i, _ in base[6:])
+    # layout invariance
+    again = {
+        r.vec_id: (r.cluster_id, r.kept)
+        for r in dedup.semdedup(df.repartition(7), n_centroids=4, min_cosine=0.99).collect()
+    }
+    assert again == {k: (v.cluster_id, v.kept) for k, v in out.items()}
+    # explicit centroid table (the ivf_train handoff shape)
+    cents_np = dedup.ivf_train(df, n_centroids=4, iters=2, dim=8, seed=5)
+    cents_df = spark.createDataFrame(
+        [(int(i), row.tolist()) for i, row in enumerate(cents_np)],
+        "cid long, cvec array<double>",
+    )
+    out2 = dedup.semdedup(df, centroids=cents_df, min_cosine=0.99).collect()
+    assert {r.vec_id for r in out2 if not r.kept} == {100 + i for i, _ in base[:6]}
+
+
+def test_semdedup_cluster_max_docs_excludes_hot_cluster(spark):
+    """A cluster above cluster_max_docs is never paired: all its members
+    are kept (the documented recall trade), other clusters still dedup."""
+    rng = np.random.RandomState(3)
+    anchor = rng.normal(size=8)
+    # 10 near-identical vectors around one anchor (one hot cluster) plus
+    # a far pair of echoes elsewhere
+    hot = [(int(i), (anchor + rng.normal(scale=1e-3, size=8)).tolist()) for i in range(10)]
+    other = rng.normal(size=8)
+    cold = [(50, other.tolist()), (51, (2.0 * other).tolist())]
+    df = spark.createDataFrame(hot + cold, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(0, anchor.tolist()), (1, other.tolist())], "cid long, cvec array<double>"
+    )
+    capped = {r.vec_id: r.kept for r in dedup.semdedup(
+        df, centroids=cents, min_cosine=0.99, cluster_max_docs=5).collect()}
+    assert all(capped[i] for i in range(10))      # hot cluster untouched
+    assert capped[50] and not capped[51]          # cold pair still deduped
+    uncapped = {r.vec_id: r.kept for r in dedup.semdedup(
+        df, centroids=cents, min_cosine=0.99).collect()}
+    assert sum(1 for i in range(10) if not uncapped[i]) == 9  # min id survives

@@ -156,6 +156,41 @@ def main():
         ],
     )
 
+    # round-4: corpus-curation ops
+    from intertext_spark.operators import sampling, textstats
+
+    record(
+        "repetition_stats", textstats.repetition_stats(docs_tbl),
+        [
+            # per-doc mode via sorted-array fold: narrow-only plan
+            ("zero shuffles",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 0),
+            ("no join", lambda p: "Join" not in p),
+        ],
+    )
+    record(
+        "source_cap", sampling.source_cap(docs_tbl, cap=10),
+        [
+            # two-phase top-K = exactly two window exchanges
+            ("exactly two shuffles (salted + final window)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 2),
+            ("salted phase-1 key (pmod(xxhash64))",
+             lambda p: "pmod" in p and "xxhash64" in p),
+        ],
+    )
+    record(
+        "semdedup", dedup.semdedup(emb, n_centroids=8, min_cosine=0.8),
+        [
+            # centroid assignment broadcasts the tiny centroid table
+            ("centroids broadcast (BroadcastNestedLoopJoin)",
+             lambda p: "BroadcastNestedLoop" in p),
+            # the pair join is keyed by cluster_id, never a cartesian
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            ("pair join keyed on cluster_id",
+             lambda p: "cluster_id" in p and ("SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p)),
+        ],
+    )
+
     # bucketed-join evidence (SCALE.md stage 4a/4b): persist the windows
     # table bucketed by the join key; the candidate->text join must then
     # scan the bucketed side with NO Exchange above its FileScan (the
