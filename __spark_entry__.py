@@ -461,6 +461,22 @@ def _semdedup_q(spark, sf_dir):
     )
 
 
+def _dedup_against_q(spark, sf_dir):
+    """Cross-corpus near-dedup gate: odd doc_ids are the incoming batch,
+    even doc_ids the existing corpus; LSH-banded candidates + exact
+    Jaccard verify.  Oracle: brute-force cross-corpus Jaccard in DuckDB
+    (exact recall check — any band-miss would show as a row mismatch)."""
+    from intertext_spark.operators.dedup import dedup_against
+
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    out = dedup_against(new, ref, threshold=0.5)
+    return out.select(
+        "doc_id", "dup_of", _round4(F.col("jaccard")).alias("jaccard"), "kept"
+    )
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     """Survivor corpus after exact dedup (keeper = min doc_id per content
     hash) — SQL-oracle-checkable end product."""
@@ -674,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_cap"] = _source_cap_q
     q["deterministic_sample"] = _deterministic_sample_q
     q["semdedup"] = _semdedup_q
+    q["dedup_against"] = _dedup_against_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -945,6 +962,40 @@ dominated as (
 )
 select a.vec_id, a.cluster_id, (d.vec_id is null) as kept
 from assigned a left join dominated d on a.vec_id = d.vec_id
+"""
+    # dedup_against: brute-force cross-corpus Jaccard (new = odd ids,
+    # ref = even), best ref per new doc by (jaccard desc, ref_id asc);
+    # unmatched -> (-1, 0.0, kept).  Same \s+ tokenization + 3-word
+    # shingle set as the engine's verify stage.
+    out["dedup_against"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+sh as (
+  select doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> array_to_string(list_slice(words, i, i + 2), ' '))) as s
+  from w where len(words) >= 3
+),
+pairs as (
+  select n.doc_id as doc_id, r.doc_id as ref_id,
+         cast(len(list_intersect(n.s, r.s)) as double)
+           / (len(n.s) + len(r.s) - len(list_intersect(n.s, r.s))) as j
+  from sh n join sh r on n.doc_id % 2 = 1 and r.doc_id % 2 = 0
+),
+best as (
+  select doc_id, ref_id, j from pairs where j >= 0.5
+  qualify row_number() over (partition by doc_id order by j desc, ref_id asc) = 1
+)
+select d.doc_id,
+       coalesce(b.ref_id, -1) as dup_of,
+       cast(floor(coalesce(b.j, 0.0) * 10000 + 0.5) / 10000 as double) as jaccard,
+       (b.ref_id is null) as kept
+from (select doc_id from documents where doc_id % 2 = 1) d
+left join best b using (doc_id)
 """
     # source_cap: single-window top-K per source (DuckDB single-node
     # needs no salting; the engine's two-phase result is provably equal).

@@ -659,3 +659,29 @@ def test_semdedup_cluster_max_docs_excludes_hot_cluster(spark):
     uncapped = {r.vec_id: r.kept for r in dedup.semdedup(
         df, centroids=cents, min_cosine=0.99).collect()}
     assert sum(1 for i in range(10) if not uncapped[i]) == 9  # min id survives
+
+
+def test_dedup_against_cross_corpus_only(spark):
+    """dedup_against flags new-vs-ref near-dups only: two identical NEW
+    docs are both kept (no new-new dedup), a new doc matching a ref doc
+    is flagged with the right dup_of/jaccard, ties pick the smallest ref
+    id, and an empty reference keeps everything."""
+    base = " ".join(f"w{i}" for i in range(40))
+    ref_rows = [(0, base), (2, base), (4, " ".join(f"z{i}" for i in range(40)))]
+    new_rows = [
+        (101, base),                                  # dup of ref 0 (tie 0 vs 2 -> 0)
+        (103, " ".join(f"y{i}" for i in range(40))),  # unique -> kept
+        (105, " ".join(f"q{i}" for i in range(40))),  # same as 107: new-new only
+        (107, " ".join(f"q{i}" for i in range(40))),
+    ]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.dedup_against(new, ref, threshold=0.5).collect()}
+    assert set(out) == {101, 103, 105, 107}
+    assert not out[101].kept and out[101].dup_of == 0 and out[101].jaccard == 1.0
+    assert out[103].kept and out[103].dup_of == -1 and out[103].jaccard == 0.0
+    assert out[105].kept and out[107].kept  # new-new pairs are NOT flagged
+    # empty reference corpus -> everything kept
+    empty_ref = spark.createDataFrame([], "doc_id long, text string")
+    out2 = dedup.dedup_against(new, empty_ref).collect()
+    assert all(r.kept for r in out2) and len(out2) == 4
