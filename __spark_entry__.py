@@ -477,6 +477,28 @@ def _dedup_against_q(spark, sf_dir):
     )
 
 
+def _dsir_weights_q(spark, sf_dir):
+    """DSIR importance weights gate: raw = all documents, target = the
+    lang='en' slice, 512 hashed buckets via the md5 bridge so DuckDB
+    rebuilds identical features; log-ratios quantized at 6 digits (the
+    cross-libm ln() guard) and the position-ordered fold makes the double
+    sum engine-exact."""
+    from intertext_spark.operators.sampling import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+
+    def hash_fn(c):  # the md5 hash bridge, applied to a lambda-bound Column
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    out = dsir_weights(
+        docs, docs.where(F.col("lang") == "en"),
+        n_buckets=512, alpha=1.0, hash_fn=hash_fn, quantize_digits=6,
+    )
+    return out.select(
+        "doc_id", "n_grams", _round4(F.col("logw")).alias("logw")
+    )
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     """Survivor corpus after exact dedup (keeper = min doc_id per content
     hash) — SQL-oracle-checkable end product."""
@@ -691,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["deterministic_sample"] = _deterministic_sample_q
     q["semdedup"] = _semdedup_q
     q["dedup_against"] = _dedup_against_q
+    q["dsir_weights"] = _dsir_weights_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -996,6 +1019,55 @@ select d.doc_id,
        (b.ref_id is null) as kept
 from (select doc_id from documents where doc_id % 2 = 1) d
 left join best b using (doc_id)
+"""
+    # dsir_weights: DuckDB rebuilds the hashed unigram+bigram stream with
+    # identical md5-bridge buckets, the same add-1 smoothed bucket models,
+    # 6-digit-quantized log-ratios, and a position-ordered list_reduce
+    # fold so the double sum matches Spark's aggregate bit-for-bit.
+    out["dsir_weights"] = """
+with w as (
+  select doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+streams as (
+  select doc_id, lang,
+         list_concat(words,
+           case when len(words) >= 2 then
+             list_transform(generate_series(1, len(words) - 1),
+               i -> array_to_string(list_slice(words, i, i + 1), ' '))
+           else [] end) as st
+  from w where len(words) >= 1
+),
+g as (
+  select doc_id, lang, s.pos as pos, s.bucket as bucket
+  from (
+    select doc_id, lang,
+           unnest(list_transform(generate_series(1, len(st)),
+             i -> struct_pack(
+               pos := i - 1,
+               bucket := ('0x' || substring(md5(st[i]), 1, 15))::BIGINT % 512))) as s
+    from streams
+  )
+),
+rc as (select bucket, count(*) as rc from g group by bucket),
+tc as (select bucket, count(*) as tc from g where lang = 'en' group by bucket),
+tot as (
+  select (select count(*) from g) as r_total,
+         (select count(*) from g where lang = 'en') as t_total
+),
+ratio as (
+  select coalesce(rc.bucket, tc.bucket) as bucket,
+         floor((ln((coalesce(tc.tc, 0) + 1.0) / (tot.t_total + 1.0 * 512))
+              - ln((coalesce(rc.rc, 0) + 1.0) / (tot.r_total + 1.0 * 512)))
+               * 1000000 + 0.5) / 1000000 as ratio
+  from rc full outer join tc on rc.bucket = tc.bucket, tot
+)
+select g.doc_id, cast(count(*) as bigint) as n_grams,
+       cast(floor(list_reduce(list_prepend(0.0, list(r.ratio order by g.pos)),
+                  (acc, v) -> acc + v) * 10000 + 0.5) / 10000 as double) as logw
+from g join ratio r using (bucket)
+group by g.doc_id
 """
     # source_cap: single-window top-K per source (DuckDB single-node
     # needs no salting; the engine's two-phase result is provably equal).

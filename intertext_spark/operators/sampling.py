@@ -74,3 +74,106 @@ def deterministic_sample(
     if hash_expr is None:
         hash_expr = F.xxhash64(F.col(id_col), F.lit(seed))
     return df.where(F.pmod(hash_expr, F.lit(rate_den)) < rate_num)
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+    quantize_digits: int | None = None,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how target-like its hashed n-gram profile is.  Features are word
+    unigrams + bigrams hashed into ``n_buckets``; bucket unigram models
+    p_target / p_raw get add-``alpha`` smoothing; a document's log weight
+    is sum over its gram stream of ln p_target[b(g)] - ln p_raw[b(g)].
+    Resample raw docs proportional to exp(logw) (deterministic_sample on
+    a weight-thresholded frame, or Gumbel top-k) to build the mixture.
+
+    -> (doc_id, n_grams, logw), one row per raw doc with >= 1 word.
+
+    Determinism: the per-doc sum folds the gram stream in POSITION order
+    (groupBy collects (pos, ratio) pairs, sorts, then folds), so the
+    double result is independent of partitioning — and recomputable by an
+    external engine.  ``hash_fn`` defaults to xxhash64 (production); the
+    gate passes the md5 hash-bridge so DuckDB rebuilds identical buckets.
+    ``quantize_digits`` rounds each bucket's log-ratio before the fold
+    (the gate's cross-libm guard: ln() may differ in the last ulp between
+    JVM and C runtimes); leave None in production.
+
+    Scale shape: two bucket-count aggregations (map-side partial, B-row
+    results), one B-row broadcast join onto the exploded gram stream, one
+    groupBy(doc) reassembly — no driver-side data beyond the two scalar
+    gram totals (model-sized)."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+
+    def gram_stream(df):
+        words = F.filter(
+            F.split(F.col(text_col), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
+        )
+        # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a 1-word
+        # doc must get an empty bigram list, not two bogus ones
+        bi = F.when(
+            F.size("ws") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.array_join(F.slice("ws", i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(F.col("ws"), bi)
+        return (
+            df.select(F.col(id_col).cast("long").alias("doc_id"), words.alias("ws"))
+            .where(F.size("ws") >= 1)
+            .select(
+                "doc_id",
+                F.posexplode(
+                    F.transform(grams, lambda g: F.pmod(hash_fn(g), F.lit(n_buckets)))
+                ).alias("pos", "bucket"),
+            )
+        )
+
+    raw_g = gram_stream(raw)
+    tgt_g = gram_stream(target)
+    raw_counts = raw_g.groupBy("bucket").agg(F.count("*").alias("rc"))
+    tgt_counts = tgt_g.groupBy("bucket").agg(F.count("*").alias("tc"))
+    r_total = raw_counts.agg(F.sum("rc")).collect()[0][0] or 0
+    t_total = tgt_counts.agg(F.sum("tc")).collect()[0][0] or 0
+    ratio = (
+        raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("tc", F.lit(0)) + alpha)
+                      / (t_total + alpha * n_buckets))
+                - F.log((F.coalesce("rc", F.lit(0)) + alpha)
+                        / (r_total + alpha * n_buckets))
+            ).alias("ratio"),
+        )
+    )
+    if quantize_digits is not None:
+        p = 10 ** quantize_digits
+        ratio = ratio.select(
+            "bucket", (F.floor(F.col("ratio") * p + F.lit(0.5)) / p).alias("ratio")
+        )
+    return (
+        raw_g.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ratio"))),
+                    lambda s: s["ratio"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("logw"),
+        )
+        .select("doc_id", "n_grams", "logw")
+    )

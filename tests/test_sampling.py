@@ -69,3 +69,55 @@ def test_deterministic_sample_reproducible_and_seeded(spark):
     # rate_num=rate_den keeps everything; 0 keeps nothing
     assert sampling.deterministic_sample(df, 4, 4).count() == 300
     assert sampling.deterministic_sample(df, 0, 4).count() == 0
+
+
+def test_dsir_weights_brute_force_and_guard(spark):
+    """DSIR weights equal a numpy recomputation (same hash via Spark,
+    same smoothing); target-like docs outrank off-target docs; a 1-word
+    doc yields exactly one gram (the sequence(1,0) counts-DOWN guard)."""
+    import math
+
+    rows = [
+        (0, "en", "alpha beta alpha beta alpha"),
+        (1, "en", "alpha beta gamma"),
+        (2, "xx", "zeta eta theta iota"),
+        (3, "xx", "alpha beta alpha"),
+        (4, "xx", "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    tgt = df.where("lang = 'en'")
+    B = 64
+    out = {r.doc_id: r for r in sampling.dsir_weights(df, tgt, n_buckets=B).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[4].n_grams == 1  # 'solo': one unigram, no phantom bigrams
+
+    # numpy recomputation using Spark's own xxhash64 for bucket identity
+    from pyspark.sql import functions as F
+    def grams(t):
+        ws = t.split()
+        return ws + [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+    all_grams = sorted({g for _, _, t in rows for g in grams(t)})
+    hdf = spark.createDataFrame([(g,) for g in all_grams], ["g"])
+    hmap = {r.g: r.b for r in hdf.select("g", F.pmod(F.xxhash64("g"), F.lit(B)).alias("b")).collect()}
+    rc, tc = {}, {}
+    for _, lang, t in rows:
+        for g in grams(t):
+            b = hmap[g]
+            rc[b] = rc.get(b, 0) + 1
+            if lang == "en":
+                tc[b] = tc.get(b, 0) + 1
+    rt, tt = sum(rc.values()), sum(tc.values())
+    for i, lang, t in rows:
+        w = sum(
+            math.log((tc.get(hmap[g], 0) + 1.0) / (tt + B))
+            - math.log((rc.get(hmap[g], 0) + 1.0) / (rt + B))
+            for g in grams(t)
+        )
+        assert abs(out[i].logw - w) < 1e-9, (i, out[i].logw, w)
+        assert out[i].n_grams == len(grams(t))
+    # target-like beats off-target
+    assert out[0].logw > out[2].logw
+    # layout invariance (position-ordered fold)
+    again = {r.doc_id: r.logw for r in sampling.dsir_weights(
+        df.repartition(9), tgt.repartition(4), n_buckets=B).collect()}
+    assert again == {k: v.logw for k, v in out.items()}
