@@ -499,6 +499,31 @@ def _dsir_weights_q(spark, sf_dir):
     )
 
 
+def _turn_dedup_q(spark, sf_dir):
+    """Corpus-wide exact dedup at TURN granularity, scoped to assistant
+    turns (canned-opener boilerplate) — user turns pass through.  One
+    md5-keyed window exchange.  Oracle: DuckDB rebuilds the transcript
+    derivation and the same keeper window."""
+    from intertext_spark.operators.convstats import turn_dedup
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    return turn_dedup(tdf, roles=["assistant"])
+
+
+def _conv_stats_q(spark, sf_dir):
+    """Per-conversation curation stats (turn counts, tool calls, self-
+    repetition fraction, mean turn chars, ts span) — one groupBy."""
+    from intertext_spark.operators.convstats import conv_stats
+
+    out = conv_stats(transcripts_from_documents(spark, sf_dir))
+    return out.select(
+        "conv_id", "n_turns", "n_assistant", "n_tool_calls",
+        _round4(F.col("dup_turn_frac")).alias("dup_turn_frac"),
+        _round4(F.col("mean_turn_chars")).alias("mean_turn_chars"),
+        "span_seconds",
+    )
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     """Survivor corpus after exact dedup (keeper = min doc_id per content
     hash) — SQL-oracle-checkable end product."""
@@ -714,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semdedup"] = _semdedup_q
     q["dedup_against"] = _dedup_against_q
     q["dsir_weights"] = _dsir_weights_q
+    q["turn_dedup"] = _turn_dedup_q
+    q["conv_stats"] = _conv_stats_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -1068,6 +1095,58 @@ select g.doc_id, cast(count(*) as bigint) as n_grams,
                   (acc, v) -> acc + v) * 10000 + 0.5) / 10000 as double) as logw
 from g join ratio r using (bucket)
 group by g.doc_id
+"""
+    # turn_dedup / conv_stats: DuckDB re-derives the transcripts table
+    # exactly as transcripts_from_documents does (12-word turns, role
+    # cycle, tool on every 4th turn, ts = epoch + turn_idx), then the
+    # same keeper window / per-conv aggregates.
+    _TRANSCRIPTS_CTE = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+t as (
+  select lpad(cast(doc_id as varchar), 8, '0') as conv_id,
+         unnest(list_transform(
+           generate_series(0, greatest(len(words) - 1, 0) // 12),
+           i -> struct_pack(
+             turn_idx := i,
+             text := array_to_string(list_slice(words, i*12 + 1, i*12 + 12), ' ')))) as s
+  from w
+),
+tr as (
+  select conv_id,
+         cast(s.turn_idx as int) as turn_idx,
+         (['user','assistant','system','tool'])[(s.turn_idx % 4) + 1] as role,
+         s.text as text,
+         case when s.turn_idx % 4 = 3 then 'search' end as tool,
+         1704067200 + s.turn_idx as ts_sec
+  from t
+)
+"""
+    out["turn_dedup"] = _TRANSCRIPTS_CTE + """,
+keyed as (
+  select conv_id, turn_idx, role,
+         case when role = 'assistant' and length(text) > 0 then md5(text)
+              else conv_id || '#' || cast(turn_idx as varchar) end as k
+  from tr
+)
+select conv_id, turn_idx, role,
+       (row_number() over (partition by k order by conv_id, turn_idx) = 1) as kept,
+       cast(count(*) over (partition by k) as bigint) as n_copies
+from keyed
+"""
+    out["conv_stats"] = _TRANSCRIPTS_CTE + """
+select conv_id,
+       cast(count(*) as bigint) as n_turns,
+       cast(sum(case when role = 'assistant' then 1 else 0 end) as bigint) as n_assistant,
+       cast(sum(case when tool is not null then 1 else 0 end) as bigint) as n_tool_calls,
+       cast(floor((1 - cast(count(distinct text) as double) / count(*)) * 10000 + 0.5) / 10000 as double) as dup_turn_frac,
+       cast(floor((cast(sum(length(text)) as double) / count(*)) * 10000 + 0.5) / 10000 as double) as mean_turn_chars,
+       cast(max(ts_sec) - min(ts_sec) as bigint) as span_seconds
+from tr
+group by conv_id
 """
     # source_cap: single-window top-K per source (DuckDB single-node
     # needs no salting; the engine's two-phase result is provably equal).

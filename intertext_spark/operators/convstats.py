@@ -1,0 +1,88 @@
+"""Transcript-native operators over the BASELINE input shape
+(conv_id, turn_idx, role, text, tool, ts): corpus-wide turn-level
+boilerplate dedup and per-conversation health statistics.
+
+Multi-turn agent transcripts repeat at the TURN granularity (system
+prompts, canned assistant openers, tool invocation shells) long before
+whole conversations near-duplicate — these operators work that axis;
+document-level near-dup over reassembled conversations stays with the
+pipeline / dedup operators.  All JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def turn_dedup(tdf: DataFrame, roles: "list[str] | None" = None) -> DataFrame:
+    """Corpus-wide exact turn dedup: for every turn, the globally FIRST
+    occurrence of its exact text (first = min (conv_id, turn_idx), a
+    total order -> partitioning-invariant) is the keeper.  -> one row per
+    turn: (conv_id, turn_idx, role, kept, n_copies).  ``roles`` restricts
+    dedup to those roles (e.g. ["assistant"] to strip canned assistant
+    boilerplate while never touching user turns); other turns pass
+    through kept=true, n_copies=1.
+
+    Scale shape: exact_dup_groups at turn granularity — ONE exchange
+    keyed by md5(text) (128-bit, collision-safe at 10^12 turns), window
+    min/count, no joins.  Empty-text turns are never treated as copies
+    of each other (a transcript hole is not boilerplate)."""
+    in_scope = F.lit(True) if roles is None else F.col("role").isin(roles)
+    scoped = in_scope & (F.length("text") > 0)
+    w = Window.partitionBy("scope_hash")
+    return (
+        tdf.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            # out-of-scope turns get a per-turn unique key so the window
+            # leaves them alone in the same single pass
+            F.when(scoped, F.md5("text"))
+            .otherwise(F.concat_ws("#", F.col("conv_id"), F.col("turn_idx")))
+            .alias("scope_hash"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            (
+                F.struct("conv_id", "turn_idx")
+                == F.min(F.struct("conv_id", "turn_idx")).over(w)
+            ).alias("kept"),
+            F.count("*").over(w).alias("n_copies"),
+        )
+    )
+
+
+def conv_stats(tdf: DataFrame) -> DataFrame:
+    """Per-conversation health stats for transcript curation:
+    (conv_id, n_turns, n_assistant, n_tool_calls, dup_turn_frac,
+    mean_turn_chars, span_seconds).  dup_turn_frac = fraction of turns
+    whose exact text repeats an earlier turn IN THE SAME conversation
+    (self-repetition — looping agents); span_seconds = ts range.
+
+    Scale shape: one groupBy(conv_id) with map-side partial aggregation;
+    the within-conv repeat count uses count_distinct over the collected
+    turn set — bounded by conversation length, no second shuffle."""
+    return (
+        tdf.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+                "n_assistant"
+            ),
+            F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias(
+                "n_tool_calls"
+            ),
+            (
+                F.lit(1.0)
+                - F.count_distinct(F.col("text")).cast("double") / F.count("*")
+            ).alias("dup_turn_frac"),
+            (F.sum(F.length("text")).cast("double") / F.count("*")).alias(
+                "mean_turn_chars"
+            ),
+            (
+                F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+            ).alias("span_seconds"),
+        )
+    )

@@ -1,0 +1,55 @@
+"""Transcript-native curation operators: turn-level boilerplate dedup and
+per-conversation stats."""
+
+import datetime as dt
+
+from intertext_spark.operators import convstats
+
+EP = dt.datetime(2024, 1, 1)
+
+
+def _tdf(spark):
+    rows = [
+        # conv A: canned assistant opener repeated in conv B
+        ("a", 0, "user", "hi there", None, EP),
+        ("a", 1, "assistant", "how can I help", None, EP + dt.timedelta(seconds=1)),
+        ("a", 2, "user", "hi there", None, EP + dt.timedelta(seconds=2)),
+        ("b", 0, "user", "yo", None, EP),
+        ("b", 1, "assistant", "how can I help", "search", EP + dt.timedelta(seconds=4)),
+        ("b", 2, "assistant", "", None, EP + dt.timedelta(seconds=5)),
+        ("c", 0, "assistant", "", None, EP),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_turn_dedup_scoped_to_assistant(spark):
+    """Assistant boilerplate dedups across conversations (first keeper by
+    (conv_id, turn_idx)); user turns NEVER dedup even when identical;
+    empty turns are never copies of each other."""
+    out = {(r.conv_id, r.turn_idx): r for r in
+           convstats.turn_dedup(_tdf(spark), roles=["assistant"]).collect()}
+    assert len(out) == 7
+    assert out[("a", 1)].kept and out[("a", 1)].n_copies == 2
+    assert not out[("b", 1)].kept and out[("b", 1)].n_copies == 2
+    # identical user turns untouched (out of scope)
+    assert out[("a", 0)].kept and out[("a", 0)].n_copies == 1
+    assert out[("a", 2)].kept and out[("a", 2)].n_copies == 1
+    # empty assistant turns in two convs: both kept
+    assert out[("b", 2)].kept and out[("c", 0)].kept
+    # unscoped: user repeat now dedups too
+    all_out = {(r.conv_id, r.turn_idx): r for r in
+               convstats.turn_dedup(_tdf(spark)).collect()}
+    assert all_out[("a", 0)].kept and not all_out[("a", 2)].kept
+
+
+def test_conv_stats_values(spark):
+    out = {r.conv_id: r for r in convstats.conv_stats(_tdf(spark)).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a.n_turns, a.n_assistant, a.n_tool_calls) == (3, 1, 0)
+    assert abs(a.dup_turn_frac - (1 - 2 / 3)) < 1e-12  # 'hi there' repeats
+    assert a.span_seconds == 2
+    assert (b.n_turns, b.n_assistant, b.n_tool_calls) == (3, 2, 1)
+    assert b.span_seconds == 5
+    assert (c.n_turns, c.mean_turn_chars) == (1, 0.0)
