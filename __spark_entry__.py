@@ -499,6 +499,26 @@ def _dsir_weights_q(spark, sf_dir):
     )
 
 
+def _gumbel_topk_q(spark, sf_dir):
+    """DSIR resampling step: Gumbel-top-100 over the dsir_weights gate
+    output (already round4'd, so both engines feed identical weights);
+    md5-bridge noise hash + 6-digit key quantization, rank ties ->
+    smaller id.  Oracle recomputes weight + -ln(-ln(u)) from the same
+    dsir CTE."""
+    from intertext_spark.operators.sampling import gumbel_topk
+
+    weights = _dsir_weights_q(spark, sf_dir).select("doc_id", "logw")
+
+    def hash_fn(c):  # md5 bridge, seed folded into the key string
+        return F.conv(
+            F.substring(F.md5(F.concat(c.cast("string"), F.lit(":0"))), 1, 15), 16, 10
+        ).cast("long")
+
+    return gumbel_topk(
+        weights, k=100, weight_col="logw", hash_fn=hash_fn, quantize_digits=6
+    )
+
+
 def _turn_dedup_q(spark, sf_dir):
     """Corpus-wide exact dedup at TURN granularity, scoped to assistant
     turns (canned-opener boilerplate) — user turns pass through.  One
@@ -741,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsir_weights"] = _dsir_weights_q
     q["turn_dedup"] = _turn_dedup_q
     q["conv_stats"] = _conv_stats_q
+    q["gumbel_topk"] = _gumbel_topk_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -1095,6 +1116,22 @@ select g.doc_id, cast(count(*) as bigint) as n_grams,
                   (acc, v) -> acc + v) * 10000 + 0.5) / 10000 as double) as logw
 from g join ratio r using (bucket)
 group by g.doc_id
+"""
+    # gumbel_topk: Gumbel-top-100 over the (round4'd) dsir weights —
+    # u = (md5bridge(id || ':0') % 2^20 + 0.5) / 2^20, key = logw +
+    # -ln(-ln(u)) quantized at 6 digits, top 100 by (key desc, id asc).
+    out["gumbel_topk"] = f"""
+with dsir as ({out["dsir_weights"]}),
+keyed as (
+  select doc_id, logw,
+         floor((logw + -ln(-ln((('0x' || substring(md5(cast(doc_id as varchar) || ':0'), 1, 15))::BIGINT % 1048576 + 0.5) / 1048576)))
+               * 1000000 + 0.5) / 1000000 as gkey
+  from dsir
+)
+select doc_id, logw, gkey,
+       cast(row_number() over (order by gkey desc, doc_id asc) as bigint) as rank
+from keyed
+qualify rank <= 100
 """
     # turn_dedup / conv_stats: DuckDB re-derives the transcripts table
     # exactly as transcripts_from_documents does (12-word turns, role

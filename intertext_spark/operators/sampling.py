@@ -177,3 +177,49 @@ def dsir_weights(
         )
         .select("doc_id", "n_grams", "logw")
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "logw",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn=None,
+    quantize_digits: int | None = None,
+    m_buckets: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic Gumbel-top-k resampling — sampling WITHOUT
+    replacement proportional to exp(weight) (the DSIR resampling step;
+    Vieira 2014): every row gets key = weight + G, G = -ln(-ln(u)) with
+    u = (hash(id) % M + 0.5) / M a reproducible uniform in (0,1), and the
+    k largest keys win.  Hash-derived noise means the selected set is
+    identical on any partitioning / cluster size and fully auditable.
+    -> (doc_id, <weight_col>, gkey, rank) for the k selected rows.
+
+    ``hash_fn`` defaults to xxhash64(id, seed); the gate passes the md5
+    bridge.  ``quantize_digits`` rounds the key before ranking (the
+    cross-libm ln guard; rank ties -> smaller id).
+
+    Scale shape: orderBy(key).limit(k) compiles to TakeOrderedAndProject
+    — per-partition top-k heaps, then one merge of n_part*k rows; fine
+    for k up to ~10^6.  For larger k, threshold on a quantile of gkey
+    instead (one agg + a filter)."""
+    if hash_fn is None:
+        def hash_fn(c):
+            return F.xxhash64(c, F.lit(seed))
+    u = (F.pmod(hash_fn(F.col(id_col)), F.lit(m_buckets)) + 0.5) / m_buckets
+    key = F.col(weight_col) + (-F.log(-F.log(u)))
+    if quantize_digits is not None:
+        p = 10 ** quantize_digits
+        key = F.floor(key * p + F.lit(0.5)) / p
+    from pyspark.sql import Window
+
+    picked = (
+        df.select(F.col(id_col), F.col(weight_col), key.alias("gkey"))
+        .orderBy(F.desc("gkey"), F.asc(id_col))
+        .limit(k)
+    )
+    # rank window runs over the k selected rows only (post-limit)
+    w = Window.orderBy(F.desc("gkey"), F.asc(id_col))
+    return picked.withColumn("rank", F.row_number().over(w).cast("long"))

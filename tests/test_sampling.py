@@ -121,3 +121,21 @@ def test_dsir_weights_brute_force_and_guard(spark):
     again = {r.doc_id: r.logw for r in sampling.dsir_weights(
         df.repartition(9), tgt.repartition(4), n_buckets=B).collect()}
     assert again == {k: v.logw for k, v in out.items()}
+
+
+def test_gumbel_topk_deterministic_and_weight_monotone(spark):
+    """Gumbel-top-k: identical selection on any layout; strongly heavier
+    rows win (a +50 log-weight dominates any Gumbel draw at M=2^20,
+    whose range is about (-2.6, 14.5)); seed changes the draw."""
+    rows = [(i, 0.0) for i in range(200)] + [(500 + i, 50.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, logw double")
+    got = sampling.gumbel_topk(df, k=20).collect()
+    assert len(got) == 20
+    ids = {r.doc_id for r in got}
+    assert {500 + i for i in range(5)} <= ids  # heavy rows always selected
+    assert [r.rank for r in sorted(got, key=lambda r: -r.gkey)] == list(range(1, 21))
+    again = {r.doc_id: r.rank for r in sampling.gumbel_topk(df.repartition(17), k=20).collect()}
+    assert again == {r.doc_id: r.rank for r in got}
+    other = {r.doc_id for r in sampling.gumbel_topk(df, k=20, seed=7).collect()}
+    assert other != ids  # different draw among the uniform-weight rows
+    assert {500 + i for i in range(5)} <= other
