@@ -519,6 +519,20 @@ def _gumbel_topk_q(spark, sf_dir):
     )
 
 
+def _loop_detect_q(spark, sf_dir):
+    """Agent-loop detection over assistant turns (word-set Jaccard vs the
+    previous assistant turn, one conv-keyed window).  Jaccard is an exact
+    int/int division — identical doubles on both engines; round4 is
+    display convention only."""
+    from intertext_spark.operators.convstats import loop_detect
+
+    out = loop_detect(transcripts_from_documents(spark, sf_dir), min_jaccard=0.5)
+    return out.select(
+        "conv_id", "turn_idx",
+        _round4(F.col("jaccard")).alias("jaccard"), "is_loop",
+    )
+
+
 def _turn_dedup_q(spark, sf_dir):
     """Corpus-wide exact dedup at TURN granularity, scoped to assistant
     turns (canned-opener boilerplate) — user turns pass through.  One
@@ -762,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["turn_dedup"] = _turn_dedup_q
     q["conv_stats"] = _conv_stats_q
     q["gumbel_topk"] = _gumbel_topk_q
+    q["loop_detect"] = _loop_detect_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -1173,6 +1188,32 @@ select conv_id, turn_idx, role,
        (row_number() over (partition by k order by conv_id, turn_idx) = 1) as kept,
        cast(count(*) over (partition by k) as bigint) as n_copies
 from keyed
+"""
+    out["loop_detect"] = _TRANSCRIPTS_CTE + """,
+sets as (
+  select conv_id, turn_idx,
+         list_distinct(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) as ws
+  from tr where role = 'assistant'
+),
+lagged as (
+  select conv_id, turn_idx, ws,
+         lag(ws) over (partition by conv_id order by turn_idx) as prev
+  from sets
+),
+scored as (
+  select conv_id, turn_idx,
+         case when prev is null
+                   or (len(ws) + len(prev) - len(list_intersect(ws, prev))) = 0
+              then 0.0
+              else cast(len(list_intersect(ws, prev)) as double)
+                   / (len(ws) + len(prev) - len(list_intersect(ws, prev)))
+         end as j
+  from lagged
+)
+select conv_id, turn_idx,
+       cast(floor(j * 10000 + 0.5) / 10000 as double) as jaccard,
+       (j >= 0.5) as is_loop
+from scored
 """
     out["conv_stats"] = _TRANSCRIPTS_CTE + """
 select conv_id,

@@ -86,3 +86,44 @@ def conv_stats(tdf: DataFrame) -> DataFrame:
             ).alias("span_seconds"),
         )
     )
+
+
+def loop_detect(
+    tdf: DataFrame,
+    min_jaccard: float = 0.6,
+    role: str = "assistant",
+) -> DataFrame:
+    """Agent-loop detection: flag ``role`` turns that near-repeat the
+    PREVIOUS same-role turn of the same conversation (word-set Jaccard >=
+    ``min_jaccard``; exact repeats score 1.0) — the degenerate-loop
+    signature of agent transcripts (an assistant stuck re-emitting the
+    same plan/tool call).  -> one row per in-role turn: (conv_id,
+    turn_idx, jaccard, is_loop); the first in-role turn of a conversation
+    scores 0.0.  Unigram sets, not shingles: turns are short (a 12-word
+    turn has at most 10 3-shingles) and loops repeat vocabulary before
+    they repeat phrasing.  Empty turns never count as loops (empty-set
+    Jaccard is defined 0 here — a transcript hole is not a loop).
+
+    Scale shape: one window exchange keyed by conv_id (conversations are
+    the natural partition; lag(1) within each), word sets built narrow —
+    no joins, no Python."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ws = F.array_distinct(
+        F.filter(F.split(F.col("text"), r"(?U)[\s\x1c-\x1f]+"), lambda x: x != "")
+    )
+    inter = F.size(F.array_intersect("ws", "prev"))
+    union = F.size("ws") + F.size("prev") - inter
+    jacc = F.when(
+        F.col("prev").isNull() | (union == 0), F.lit(0.0)
+    ).otherwise(inter.cast("double") / union)
+    return (
+        tdf.where(F.col("role") == role)
+        .select("conv_id", "turn_idx", ws.alias("ws"))
+        .withColumn("prev", F.lag("ws").over(w))
+        .select(
+            "conv_id",
+            "turn_idx",
+            jacc.alias("jaccard"),
+            (jacc >= min_jaccard).alias("is_loop"),
+        )
+    )

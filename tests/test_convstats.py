@@ -53,3 +53,32 @@ def test_conv_stats_values(spark):
     assert (b.n_turns, b.n_assistant, b.n_tool_calls) == (3, 2, 1)
     assert b.span_seconds == 5
     assert (c.n_turns, c.mean_turn_chars) == (1, 0.0)
+
+
+def test_loop_detect_flags_repeating_assistant_turns(spark):
+    """A stuck agent re-emitting the same reply is flagged from its
+    second emission; paraphrases above the set threshold count; user
+    turns and other conversations don't interfere; empty turns never
+    loop."""
+    rows = [
+        ("a", 0, "user", "do the thing", None, EP),
+        ("a", 1, "assistant", "run search tool now", None, EP),
+        ("a", 2, "user", "still broken", None, EP),
+        ("a", 3, "assistant", "run search tool now", None, EP),     # exact loop
+        ("a", 4, "user", "??", None, EP),
+        ("a", 5, "assistant", "now run search tool again", None, EP),  # 4/5 overlap
+        ("b", 0, "assistant", "run search tool now", None, EP),     # new conv: no prev
+        ("b", 1, "assistant", "", None, EP),
+        ("b", 2, "assistant", "", None, EP),                        # empty: not a loop
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {(r.conv_id, r.turn_idx): r for r in
+           convstats.loop_detect(tdf, min_jaccard=0.6).collect()}
+    assert set(out) == {("a", 1), ("a", 3), ("a", 5), ("b", 0), ("b", 1), ("b", 2)}
+    assert not out[("a", 1)].is_loop and out[("a", 1)].jaccard == 0.0
+    assert out[("a", 3)].is_loop and out[("a", 3)].jaccard == 1.0
+    assert out[("a", 5)].is_loop and abs(out[("a", 5)].jaccard - 4 / 5) < 1e-12
+    assert not out[("b", 0)].is_loop        # first assistant turn of conv b
+    assert not out[("b", 2)].is_loop        # empty-vs-empty is not a loop
