@@ -191,6 +191,37 @@ def main():
         ],
     )
 
+    from intertext_spark.operators import convstats
+
+    tdf_full = e.transcripts_from_documents(spark, sf_dir)
+    record(
+        "turn_dedup", convstats.turn_dedup(tdf_full, roles=["assistant"]),
+        [
+            ("one shuffle only (md5-keyed window)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no join", lambda p: "Join" not in p),
+        ],
+    )
+    record(
+        "loop_detect", convstats.loop_detect(tdf_full),
+        [
+            ("one conv-keyed shuffle only",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no join", lambda p: "Join" not in p),
+        ],
+    )
+    record(
+        "gumbel_topk", sampling.gumbel_topk(
+            sampling.dsir_weights(docs_tbl, docs_tbl.where("lang = 'en'")), k=50
+        ),
+        [
+            ("global top-k via TakeOrdered (per-partition heaps)",
+             lambda p: "TakeOrderedAndProject" in p),
+            ("dsir ratio table broadcast onto the gram stream",
+             lambda p: "BroadcastHashJoin" in p),
+        ],
+    )
+
     # bucketed-join evidence (SCALE.md stage 4a/4b): persist the windows
     # table bucketed by the join key; the candidate->text join must then
     # scan the bucketed side with NO Exchange above its FileScan (the
