@@ -519,6 +519,23 @@ def _gumbel_topk_q(spark, sf_dir):
     )
 
 
+def _mix_corpora_q(spark, sf_dir):
+    """Mixture construction gate: 5:3:2 over src0/src1/src2, md5-bridge
+    pick hash.  INTEGER weights keep the share arithmetic bit-identical
+    across engines (w/sum(w) is one exact-input double division); DuckDB
+    recomputes counts, budget, quotas, and the exact hash-ranked pick."""
+    from intertext_spark.operators.sampling import mix_corpora
+
+    bridge = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return mix_corpora(
+        _docs(spark, sf_dir),
+        targets={"src0": 5, "src1": 3, "src2": 2},
+        hash_expr=bridge,
+    )
+
+
 def _loop_detect_q(spark, sf_dir):
     """Agent-loop detection over assistant turns (word-set Jaccard vs the
     previous assistant turn, one conv-keyed window).  Jaccard is an exact
@@ -777,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conv_stats"] = _conv_stats_q
     q["gumbel_topk"] = _gumbel_topk_q
     q["loop_detect"] = _loop_detect_q
+    q["mix_corpora"] = _mix_corpora_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -1147,6 +1165,26 @@ select doc_id, logw, gkey,
        cast(row_number() over (order by gkey desc, doc_id asc) as bigint) as rank
 from keyed
 qualify rank <= 100
+"""
+    # mix_corpora: DuckDB recomputes the quota math (integer weights ->
+    # exact-input double divisions, floor == python int() on positives)
+    # and the md5-bridge hash-ranked pick per source.
+    out["mix_corpora"] = """
+with tgt as (select * from (values ('src0', 5), ('src1', 3), ('src2', 2)) as t(source, w)),
+sh as (select source, cast(w as double) / (select cast(sum(w) as double) from tgt) as share from tgt),
+cnt as (select d.source, count(*) as c from documents d join sh using (source) group by d.source),
+n as (select min(cast(floor(c / share) as bigint)) as n from cnt join sh using (source) where share > 0),
+q as (select sh.source, cast(floor(n.n * sh.share) as bigint) as quota from sh, n),
+ranked as (
+  select d.doc_id, d.source,
+         row_number() over (partition by d.source
+            order by ('0x' || substring(md5(cast(d.doc_id as varchar)), 1, 15))::BIGINT asc,
+                     d.doc_id asc) as rnk
+  from documents d join q using (source)
+)
+select r.doc_id, r.source, cast(r.rnk as bigint) as pick_rank
+from ranked r join q using (source)
+where r.rnk <= q.quota
 """
     # turn_dedup / conv_stats: DuckDB re-derives the transcripts table
     # exactly as transcripts_from_documents does (12-word turns, role

@@ -223,3 +223,64 @@ def gumbel_topk(
     # rank window runs over the k selected rows only (post-limit)
     w = Window.orderBy(F.desc("gkey"), F.asc(id_col))
     return picked.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def mix_corpora(
+    df: DataFrame,
+    targets: "dict[str, float]",
+    total: int | None = None,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_expr=None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Deterministic mixture construction: subsample each source so the
+    output hits the ``targets`` proportions (shares over the listed
+    sources; unlisted sources are dropped).  ``total`` is the output
+    budget; default = the LARGEST total achievable without upsampling any
+    source (floor(min_s count_s / share_s)).  Each source's quota_s =
+    floor(total * share_s) rows are picked by hash-rank — rows ordered by
+    (hash(id), id) within source, smallest quota_s win — so the mixture
+    is reproducible on any layout and refreshing the corpus only shifts
+    the tail of each source.  -> (doc_id, <key_col>, pick_rank).
+
+    Scale shape: one dimension-sized per-source count collect (the quota
+    math is driver-side model state, like ivf centroids), quotas
+    broadcast back, then the source_cap two-phase salted top-K with
+    per-row quota caps — a hot source never funnels through one reducer.
+    ``hash_expr`` defaults to xxhash64(id, seed); the gate passes the md5
+    bridge so an external engine recomputes the exact pick."""
+    if hash_expr is None:
+        hash_expr = F.xxhash64(F.col(id_col), F.lit(seed))
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(key_col).isin(list(targets)))
+        .groupBy(key_col).count().collect()
+    }
+    share_sum = float(sum(targets.values()))
+    shares = {s: v / share_sum for s, v in targets.items()}
+    feasible = min(
+        (int(counts.get(s, 0) / sh) for s, sh in shares.items() if sh > 0),
+        default=0,
+    )
+    n = feasible if total is None else min(total, feasible)
+    quotas = [(s, int(n * sh)) for s, sh in shares.items()]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(quotas, [key_col, "quota"])
+    base = (
+        df.select(id_col, key_col)
+        .join(F.broadcast(qdf), key_col)
+        .withColumn("hkey", hash_expr)
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.lit(n_salts)))
+    )
+    order = [F.col("hkey").asc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(key_col, "salt").orderBy(*order)
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        base.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= F.col("quota"))
+        .withColumn("pick_rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("pick_rank") <= F.col("quota"))
+        .select(id_col, key_col, "pick_rank")
+    )

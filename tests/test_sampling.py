@@ -139,3 +139,33 @@ def test_gumbel_topk_deterministic_and_weight_monotone(spark):
     other = {r.doc_id for r in sampling.gumbel_topk(df, k=20, seed=7).collect()}
     assert other != ids  # different draw among the uniform-weight rows
     assert {500 + i for i in range(5)} <= other
+
+
+def test_mix_corpora_quotas_and_invariance(spark):
+    """Mixture hits floor(N*share) per source with N = max feasible
+    without upsampling; unlisted sources dropped; explicit total caps;
+    layout-invariant pick; a source at its full count is fully used."""
+    rows = (
+        [(i, "a", 0) for i in range(100)]
+        + [(200 + i, "b", 0) for i in range(20)]
+        + [(400 + i, "junk", 0) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # shares a:0.75 b:0.25 -> feasible N = min(100/.75, 20/.25) = 80
+    out = sampling.mix_corpora(df, {"a": 3, "b": 1})
+    got = out.groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got} == {"a": 60, "b": 20}
+    # explicit smaller budget
+    out2 = sampling.mix_corpora(df, {"a": 3, "b": 1}, total=40)
+    assert {r.source: r["count"] for r in out2.groupBy("source").count().collect()} == {"a": 30, "b": 10}
+    # layout invariance
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in sampling.mix_corpora(
+        df.repartition(13), {"a": 3, "b": 1}).collect())
+    assert a == b
+    # pick_rank is 1..quota per source
+    ranks = {r.source: sorted(x.pick_rank for x in out.collect() if x.source == r.source)
+             for r in got}
+    assert ranks["b"] == list(range(1, 21))
+    # a target source absent from the corpus -> empty mixture
+    assert sampling.mix_corpora(df, {"a": 1, "missing": 1}).count() == 0
