@@ -930,7 +930,9 @@ def dedup_against(
     cand = nb.join(rb, "band").select("new_id", "ref_id").distinct()
 
     def _sets(df, ids, out_id):
-        words = F.filter(F.split(F.col(text_col), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+        from .windows import WS
+
+        words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
         sh = F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),

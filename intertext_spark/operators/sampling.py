@@ -140,8 +140,11 @@ def dsir_weights(
 
     raw_g = gram_stream(raw)
     tgt_g = gram_stream(target)
-    raw_counts = raw_g.groupBy("bucket").agg(F.count("*").alias("rc"))
-    tgt_counts = tgt_g.groupBy("bucket").agg(F.count("*").alias("tc"))
+    # persist the B-row count frames: the totals collect and the ratio
+    # join both read them, and without the cache each reader re-explodes
+    # the full gram stream
+    raw_counts = raw_g.groupBy("bucket").agg(F.count("*").alias("rc")).persist()
+    tgt_counts = tgt_g.groupBy("bucket").agg(F.count("*").alias("tc")).persist()
     r_total = raw_counts.agg(F.sum("rc")).collect()[0][0] or 0
     t_total = tgt_counts.agg(F.sum("tc")).collect()[0][0] or 0
     ratio = (
@@ -161,6 +164,14 @@ def dsir_weights(
         ratio = ratio.select(
             "bucket", (F.floor(F.col("ratio") * p + F.lit(0.5)) / p).alias("ratio")
         )
+    # the ratio table IS the model (B rows, like IVF centroids): collect
+    # it, release both count caches (lifecycle returns to baseline), and
+    # broadcast the literal table into the scoring join
+    rows = [(r.bucket, float(r.ratio)) for r in ratio.collect()]
+    raw_counts.unpersist()
+    tgt_counts.unpersist()
+    spark = raw.sparkSession
+    ratio = spark.createDataFrame(rows, "bucket long, ratio double")
     return (
         raw_g.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")

@@ -169,3 +169,16 @@ def test_mix_corpora_quotas_and_invariance(spark):
     assert ranks["b"] == list(range(1, 21))
     # a target source absent from the corpus -> empty mixture
     assert sampling.mix_corpora(df, {"a": 1, "missing": 1}).count() == 0
+
+
+def test_dsir_weights_cache_lifecycle_and_empty(spark):
+    """The B-row count caches are released before return (model-sized
+    ratio table collected like IVF centroids); empty corpus -> empty
+    typed frame."""
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame([(1, "a b c"), (2, "a c")], "doc_id long, text string")
+    assert sampling.dsir_weights(df, df.where("doc_id = 1"), n_buckets=16).count() == 2
+    assert sc._jsc.getPersistentRDDs().size() == base
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert sampling.dsir_weights(empty, empty, n_buckets=16).count() == 0
