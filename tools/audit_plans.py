@@ -191,6 +191,26 @@ def main():
         ],
     )
 
+    record(
+        "dedup_against", dedup.dedup_against(
+            docs_tbl.where("doc_id % 2 = 1"), docs_tbl.where("doc_id % 2 = 0")
+        ),
+        [
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            # both corpora pruned to collided ids BEFORE shingling
+            ("collided-only shingle verify (left-semi prunes)",
+             lambda p: "LeftSemi" in p),
+        ],
+    )
+    record(
+        "mix_corpora", sampling.mix_corpora(docs_tbl, {"src0": 5, "src1": 3, "src2": 2}),
+        [
+            ("quota table broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("salted two-phase pick (pmod(xxhash64))",
+             lambda p: "pmod" in p and "xxhash64" in p),
+        ],
+    )
+
     from intertext_spark.operators import convstats
 
     tdf_full = e.transcripts_from_documents(spark, sf_dir)
