@@ -536,6 +536,25 @@ def _mix_corpora_q(spark, sf_dir):
     )
 
 
+def _curate_corpus_q(spark, sf_dir):
+    """End-to-end curation recipe: exact dedup -> length gate (>= 60
+    chars) -> domain cap (12/source) -> deterministic 1-in-2 sample
+    (md5 bridge).  Oracle chains the same four stages as CTEs."""
+    from intertext_spark.curate import curate_corpus
+
+    bridge = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    out, _metrics = curate_corpus(
+        _docs(spark, sf_dir),
+        min_chars=60,
+        cap_per_source=12,
+        sample=(1, 2),
+        sample_hash_expr=bridge,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def _loop_detect_q(spark, sf_dir):
     """Agent-loop detection over assistant turns (word-set Jaccard vs the
     previous assistant turn, one conv-keyed window).  Jaccard is an exact
@@ -795,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gumbel_topk"] = _gumbel_topk_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
+    q["curate_corpus"] = _curate_corpus_q
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
@@ -1165,6 +1185,28 @@ select doc_id, logw, gkey,
        cast(row_number() over (order by gkey desc, doc_id asc) as bigint) as rank
 from keyed
 qualify rank <= 100
+"""
+    # curate_corpus: the four-stage recipe as chained CTEs — exact-dedup
+    # keeper, length gate, single-window domain cap, md5-bridge sample.
+    out["curate_corpus"] = """
+with s1 as (
+  select doc_id, lang, source, n_chars, text from (
+    select d.*, min(doc_id) over (partition by md5(text)) as keeper
+    from documents d
+  ) t where doc_id = keeper
+),
+s2 as (select * from s1 where length(text) >= 60),
+s3 as (
+  select doc_id, lang, source, n_chars from (
+    select doc_id, lang, source, n_chars,
+           row_number() over (partition by source
+                              order by n_chars desc, doc_id asc) as rnk
+    from s2
+  ) t where rnk <= 12
+)
+select doc_id, lang, source, n_chars
+from s3
+where ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 2 < 1
 """
     # mix_corpora: DuckDB recomputes the quota math (integer weights ->
     # exact-input double divisions, floor == python int() on positives)

@@ -161,8 +161,11 @@ def run_suite(spark, sf_dir: str) -> dict:
         timings[name] = round(time.time() - t0, 3)
 
     # native (non-template) headline ops: the salted-LSH skew stress path
+    # plus two r4 curation-family representatives (cross-corpus banded
+    # dedup; DSIR gram-stream scoring) so the driver records the new
+    # operator family's cost alongside the pipeline
     qs = entrymod.queries()
-    for name in ["minhash_dup_pairs_skewed"]:
+    for name in ["minhash_dup_pairs_skewed", "dedup_against", "dsir_weights"]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)

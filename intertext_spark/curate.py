@@ -1,0 +1,80 @@
+"""End-to-end corpus curation recipe: compose the curation operators into
+one pass with per-stage metrics (the training-data analog of
+Pipeline.run's stage_log).
+
+Stage order is the standard web-corpus sequence — drop exact copies
+first (cheapest, biggest win), then gate on length, then cap domains,
+then subsample — so every later (more selective) stage sees the smallest
+possible input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_chars: int | None = None,
+    cap_per_source: int | None = None,
+    sample: "tuple[int, int] | None" = None,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_hash_expr=None,
+) -> "tuple[DataFrame, list[dict]]":
+    """Run the curation recipe over a documents table -> (survivors,
+    metrics).  Stages (each optional except exact dedup):
+
+      1. exact dedup        keeper = min id per md5(text)
+      2. length gate        length(text) >= min_chars
+      3. domain cap         source_cap(cap_per_source) by (n_chars, id)
+      4. deterministic 1-in-k sample  sample = (num, den)
+
+    ``metrics`` is a list of {stage, rows_in, rows_out} dicts in run
+    order (per-stage counts — one lightweight job each, the same
+    observability contract as Pipeline.stage_log; at cluster scale wire
+    them to the store's metrics.jsonl).  Survivors keep the input
+    columns.  Deterministic end to end: every stage is keyed on total
+    orders or content hashes, so the output is partitioning-invariant."""
+    from .operators import sampling
+    from .operators.dedup import exact_dup_groups
+
+    metrics: list[dict] = []
+    cur = docs
+    n_in = cur.count()
+
+    keepers = (
+        exact_dup_groups(cur, id_col=id_col, text_col=text_col)
+        .where(F.col("doc_id") == F.col("keeper_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    cur = cur.join(keepers, id_col, "left_semi")
+    n = cur.count()
+    metrics.append({"stage": "exact_dedup", "rows_in": n_in, "rows_out": n})
+    n_in = n
+
+    if min_chars is not None:
+        cur = cur.where(F.length(text_col) >= min_chars)
+        n = cur.count()
+        metrics.append({"stage": "length_gate", "rows_in": n_in, "rows_out": n})
+        n_in = n
+
+    if cap_per_source is not None:
+        picked = sampling.source_cap(cur, cap=cap_per_source, id_col=id_col).select(
+            id_col
+        )
+        cur = cur.join(picked, id_col, "left_semi")
+        n = cur.count()
+        metrics.append({"stage": "source_cap", "rows_in": n_in, "rows_out": n})
+        n_in = n
+
+    if sample is not None:
+        num, den = sample
+        cur = sampling.deterministic_sample(
+            cur, num, den, id_col=id_col, seed=seed, hash_expr=sample_hash_expr
+        )
+        n = cur.count()
+        metrics.append({"stage": "sample", "rows_in": n_in, "rows_out": n})
+
+    return cur, metrics

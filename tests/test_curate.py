@@ -1,0 +1,55 @@
+"""End-to-end curation recipe: stage composition + metrics contract."""
+
+from pyspark.sql import functions as F
+
+from intertext_spark.curate import curate_corpus
+
+
+def _docs(spark):
+    rows = []
+    # 4 exact copies of one text (keeper = min id), spread across sources
+    for i, src in [(0, "a"), (1, "a"), (2, "b"), (3, "b")]:
+        rows.append((i, "en", src, "the same exact duplicated text body here"))
+    # short docs (fail a 30-char gate)
+    rows += [(10, "en", "a", "tiny"), (11, "en", "b", "small one")]
+    # a hot source with many long docs (cap bites)
+    for i in range(20):
+        rows.append((100 + i, "en", "hot", f"long document body number {i} " + "x" * 40))
+    # a cold source
+    rows += [(200, "de", "cold", "ein ausreichend langes dokument " + "y" * 20)]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"]).select(
+        "doc_id", "lang", "source", F.length("text").alias("n_chars"), "text"
+    )
+
+
+def test_curate_corpus_stages_and_metrics(spark):
+    df = _docs(spark)
+    out, metrics = curate_corpus(df, min_chars=30, cap_per_source=5)
+    ids = {r.doc_id for r in out.collect()}
+    assert 0 in ids and {1, 2, 3}.isdisjoint(ids)      # exact dedup keeps min id
+    assert {10, 11}.isdisjoint(ids)                    # length gate
+    assert sum(1 for i in ids if 100 <= i < 200) == 5  # cap bites the hot source
+    assert 200 in ids                                  # cold source survives
+    # metrics: contiguous stage chain, rows_in of each stage == rows_out of prev
+    assert [m["stage"] for m in metrics] == ["exact_dedup", "length_gate", "source_cap"]
+    assert metrics[0]["rows_in"] == 27 and metrics[0]["rows_out"] == 24
+    for prev, nxt in zip(metrics, metrics[1:]):
+        assert nxt["rows_in"] == prev["rows_out"]
+    assert metrics[-1]["rows_out"] == out.count()
+
+
+def test_curate_corpus_sample_stage_and_invariance(spark):
+    df = _docs(spark)
+    out1, m1 = curate_corpus(df, min_chars=30, cap_per_source=5, sample=(1, 2))
+    out2, m2 = curate_corpus(
+        df.repartition(7), min_chars=30, cap_per_source=5, sample=(1, 2)
+    )
+    assert sorted(tuple(r) for r in out1.collect()) == sorted(
+        tuple(r) for r in out2.collect()
+    )
+    assert m1 == m2
+    assert m1[-1]["stage"] == "sample"
+    # dedup-only run keeps every non-duplicate
+    out3, m3 = curate_corpus(df)
+    assert m3 == [{"stage": "exact_dedup", "rows_in": 27, "rows_out": 24}]
+    assert out3.count() == 24
