@@ -123,6 +123,33 @@ class Dialect:
             f"i -> ({a})[i] * ({b})[i])), (acc, v) -> acc + v)"
         )
 
+    def agg_list(self, x: str) -> str:
+        """Aggregate values into a list (order unspecified on BOTH engines
+        — only use where downstream consumption is order-insensitive,
+        e.g. distinct pair expansion)."""
+        return f"collect_list({x})" if self.name == "spark" else f"list({x})"
+
+    def named2(self, n1: str, v1: str, n2: str, v2: str) -> str:
+        if self.name == "spark":
+            return f"named_struct('{n1}', {v1}, '{n2}', {v2})"
+        return f"struct_pack({n1} := {v1}, {n2} := {v2})"
+
+    def arr_of(self, *items: str) -> str:
+        body = ", ".join(items)
+        return f"array({body})" if self.name == "spark" else f"[{body}]"
+
+    def pair_expand(self, ms: str, pred: str) -> str:
+        """All (a, b) element pairs of list ``ms`` passing ``pred`` (a
+        lambda body over p with fields p.a / p.b), built IN-ROW.  The
+        equi-self-join alternative re-evaluates the member-list CTE per
+        join side (neither engine materializes WITH CTEs) — measured 12x
+        slower on the signature-heavy band CTEs.  In-row cost is
+        |bucket|^2 structs before the filter: fine for gate/bench bucket
+        sizes; the native operators (lsh_dup_pairs, simhash_dup_pairs)
+        remain the capped/salted scale path."""
+        inner = self.transform(ms, f"y -> {self.named2('a', 'x', 'b', 'y')}")
+        return self.filter_(f"flatten({self.transform(ms, f'x -> {inner}')})", f"p -> {pred}")
+
     def round4(self, x: str) -> str:
         """4-decimal rounding via floor — Spark's round() decimal-string
         HALF_UP and DuckDB's binary rounding disagree on exact .5
@@ -274,15 +301,27 @@ bands as (
 )"""
 
 
+def _band_pairs_ctes(d: Dialect) -> str:
+    """bands -> distinct candidate pairs via ONE aggregation + in-row
+    pair expansion (d.pair_expand has the join-vs-groupBy measurement)."""
+    return f"""
+grouped as (select band, {d.agg_list('doc_id')} as ms from bands group by band),
+pairs as (
+  select distinct p.a as doc_a, p.b as doc_b
+  from (select {d.explode(d.pair_expand('ms', 'p.a < p.b'))} as p
+        from grouped where {d.size('ms')} >= 2) t
+)"""
+
+
 def q_lsh_candidate_pairs(d: Dialect) -> str:
     """LSH banding: 3 bands of 2 signature values; docs sharing a band key
     become candidate pairs with canonical doc_a < doc_b
     (band grouping per intertext.py:427-454)."""
     return f"""
 with {_minhash_sig_cte(d)},
-{_bands_cte(d)}
-select distinct l.doc_id as doc_a, r.doc_id as doc_b
-from bands l join bands r on l.band = r.band and l.doc_id < r.doc_id
+{_bands_cte(d)},
+{_band_pairs_ctes(d).strip()}
+select doc_a, doc_b from pairs
 """
 
 
@@ -298,10 +337,7 @@ def q_ngram_jaccard_pairs(d: Dialect) -> str:
     return f"""
 with {_minhash_sig_cte(d)},
 {_bands_cte(d)},
-pairs as (
-  select distinct l.doc_id as doc_a, r.doc_id as doc_b
-  from bands l join bands r on l.band = r.band and l.doc_id < r.doc_id
-),
+{_band_pairs_ctes(d).strip()},
 shingle_sets as (
   select doc_id, {sh} as sh
   from (select doc_id, {d.splitws('text')} as words from documents)
@@ -343,30 +379,27 @@ def q_simhash_dup_pairs(d: Dialect) -> str:
     """SimHash near-dup pairs: block on either 8-bit half (a Hamming-ball
     LSH — any pair within distance 1 shares a half; wider distances are a
     recall trade documented here), verify Hamming distance <= 3."""
-    ham = d.hamming64("sh_a", "sh_b")
-    # two equi-joins (one per half) instead of one OR-join: an OR predicate
-    # forces a nested-loop plan on both engines; equi-keys hash-join.
+    ham = d.hamming64("p.a.s", "p.b.s")
+    # family-tagged key explode (one signature pass) + grouped in-row pair
+    # expansion with the Hamming verify inside the expansion lambda — the
+    # former per-half self-joins re-evaluated the sims CTE four times and
+    # ran 2x slower (see d.pair_expand)
+    keys = d.arr_of(
+        f"concat('h#', {d.str_(d.shr('simhash16', '8'))})",
+        f"concat('l#', {d.str_('simhash16 % 256')})",
+    )
+    member = d.named2("i", "doc_id", "s", "simhash16")
     return f"""
 with sims as ({q_simhash(d).strip()}),
 keyed as (
-  select doc_id, simhash16,
-         {d.shr('simhash16', '8')} as hi,
-         simhash16 % 256 as lo
-  from sims
+  select doc_id, simhash16, {d.explode(keys)} as k from sims
 ),
-blocked as (
-  select l.doc_id as doc_a, r.doc_id as doc_b,
-         l.simhash16 as sh_a, r.simhash16 as sh_b
-  from keyed l join keyed r on l.hi = r.hi and l.doc_id < r.doc_id
-  union all
-  select l.doc_id as doc_a, r.doc_id as doc_b,
-         l.simhash16 as sh_a, r.simhash16 as sh_b
-  from keyed l join keyed r on l.lo = r.lo and l.doc_id < r.doc_id
-),
-hammed as (
-  select doc_a, doc_b, {ham} as hamming from blocked
+grouped as (select k, {d.agg_list(member)} as ms from keyed group by k),
+pp as (
+  select {d.explode(d.pair_expand('ms', f'p.a.i < p.b.i and {ham} <= 3'))} as p
+  from grouped where {d.size('ms')} >= 2
 )
-select distinct doc_a, doc_b from hammed where hamming <= 3
+select distinct p.a.i as doc_a, p.b.i as doc_b from pp
 """
 
 
