@@ -922,11 +922,18 @@ def dedup_against(
         n_perm=n_perm, shingle_words=shingle_words, band_len=band_len,
     ).select("band", F.col("doc_id").alias("ref_id"))
     if band_max_docs is not None:
-        caps = (
-            nb.groupBy("band").count().where(F.col("count") > band_max_docs)
+        # candidate volume for band b is |new_b| x |ref_b| — a band hot on
+        # either side explodes the join, so drop any band whose COMBINED
+        # membership exceeds the cap from both sides (the documented
+        # boilerplate-band recall trade, cf. band_max_files)
+        hot = (
+            nb.select("band").unionByName(rb.select("band"))
+            .groupBy("band").count()
+            .where(F.col("count") > band_max_docs)
             .select("band")
         )
-        nb = nb.join(caps, "band", "left_anti")
+        nb = nb.join(hot, "band", "left_anti")
+        rb = rb.join(hot, "band", "left_anti")
     cand = nb.join(rb, "band").select("new_id", "ref_id").distinct()
 
     def _sets(df, ids, out_id):

@@ -685,3 +685,22 @@ def test_dedup_against_cross_corpus_only(spark):
     empty_ref = spark.createDataFrame([], "doc_id long, text string")
     out2 = dedup.dedup_against(new, empty_ref).collect()
     assert all(r.kept for r in out2) and len(out2) == 4
+
+
+def test_dedup_against_band_cap_drops_hot_bands_both_sides(spark):
+    """band_max_docs drops boilerplate bands by COMBINED membership, from
+    both corpora: a shared-text flood stops producing candidates (its
+    members are all kept), while a normal pair still dedups."""
+    boiler = " ".join(f"b{i}" for i in range(40))
+    uniq = " ".join(f"u{i}" for i in range(40))
+    ref = [(i, boiler) for i in range(20)] + [(50, uniq)]
+    new = [(100 + i, boiler) for i in range(20)] + [(150, uniq)]
+    ref_df = spark.createDataFrame(ref, ["doc_id", "text"])
+    new_df = spark.createDataFrame(new, ["doc_id", "text"])
+    capped = {r.doc_id: r.kept for r in dedup.dedup_against(
+        new_df, ref_df, threshold=0.5, band_max_docs=8).collect()}
+    assert all(capped[100 + i] for i in range(20))  # flood: no candidates
+    assert not capped[150]                          # normal pair still caught
+    uncapped = {r.doc_id: r.kept for r in dedup.dedup_against(
+        new_df, ref_df, threshold=0.5).collect()}
+    assert not any(uncapped[100 + i] for i in range(20))
