@@ -1,6 +1,6 @@
 """End-to-end corpus curation recipe: compose the curation operators into
 one pass with per-stage metrics (the training-data analog of
-Pipeline.run's stage_log).
+Pipeline.run's stage_log), optionally checkpointed.
 
 Stage order is the standard web-corpus sequence — drop exact copies
 first (cheapest, biggest win), then gate on length, then cap domains,
@@ -9,6 +9,8 @@ possible input.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -22,6 +24,8 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     sample_hash_expr=None,
+    store=None,
+    input_token: str = "v0",
 ) -> "tuple[DataFrame, list[dict]]":
     """Run the curation recipe over a documents table -> (survivors,
     metrics).  Stages (each optional except exact dedup):
@@ -31,50 +35,88 @@ def curate_corpus(
       3. domain cap         source_cap(cap_per_source) by (n_chars, id)
       4. deterministic 1-in-k sample  sample = (num, den)
 
-    ``metrics`` is a list of {stage, rows_in, rows_out} dicts in run
-    order (per-stage counts — one lightweight job each, the same
-    observability contract as Pipeline.stage_log; at cluster scale wire
-    them to the store's metrics.jsonl).  Survivors keep the input
-    columns.  Deterministic end to end: every stage is keyed on total
-    orders or content hashes, so the output is partitioning-invariant."""
+    ``metrics`` is a list of {stage, rows_in, rows_out, skipped} dicts in
+    run order.  Survivors keep the input columns.  Deterministic end to
+    end: every stage keys on a total order or content hash, so the
+    output is partitioning-invariant.
+
+    With ``store`` (a CheckpointStore) each stage lands as a checkpointed
+    table named curate_<stage> whose fingerprint chains
+    (input_token | stage | params | previous fingerprint) — rerunning
+    with the same token and params skips straight to the stored outputs
+    (skipped=True, the Pipeline.run resume contract), and per-partition
+    lineage rows land in the store's metrics.jsonl.  Without ``store``
+    the per-stage counts are lightweight jobs only."""
     from .operators import sampling
     from .operators.dedup import exact_dup_groups
 
     metrics: list[dict] = []
-    cur = docs
-    n_in = cur.count()
+    fp = input_token
+    n_in = docs.count()
 
-    keepers = (
-        exact_dup_groups(cur, id_col=id_col, text_col=text_col)
-        .where(F.col("doc_id") == F.col("keeper_id"))
-        .select(F.col("doc_id").alias(id_col))
-    )
-    cur = cur.join(keepers, id_col, "left_semi")
-    n = cur.count()
-    metrics.append({"stage": "exact_dedup", "rows_in": n_in, "rows_out": n})
-    n_in = n
+    def run_stage(name: str, params: str, build):
+        nonlocal fp, n_in
+        if store is None:
+            df = build()
+            n = df.count()
+            metrics.append(
+                {"stage": name, "rows_in": n_in, "rows_out": n, "skipped": False}
+            )
+            n_in = n
+            return df
+        fp = hashlib.sha256(f"{fp}|{name}|{params}".encode()).hexdigest()
+        res = store.read_or_build(f"curate_{name}", fp, build)
+        metrics.append(
+            {
+                "stage": name,
+                "rows_in": n_in,
+                "rows_out": res.rows,
+                "skipped": res.skipped,
+            }
+        )
+        n_in = res.rows
+        return res.df
+
+    def dedup_stage():
+        keepers = (
+            exact_dup_groups(docs, id_col=id_col, text_col=text_col)
+            .where(F.col("doc_id") == F.col("keeper_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return docs.join(keepers, id_col, "left_semi")
+
+    cur = run_stage("exact_dedup", "md5", dedup_stage)
 
     if min_chars is not None:
-        cur = cur.where(F.length(text_col) >= min_chars)
-        n = cur.count()
-        metrics.append({"stage": "length_gate", "rows_in": n_in, "rows_out": n})
-        n_in = n
+        prev = cur
+        cur = run_stage(
+            "length_gate", f"min_chars={min_chars}",
+            lambda: prev.where(F.length(text_col) >= min_chars),
+        )
 
     if cap_per_source is not None:
-        picked = sampling.source_cap(cur, cap=cap_per_source, id_col=id_col).select(
-            id_col
-        )
-        cur = cur.join(picked, id_col, "left_semi")
-        n = cur.count()
-        metrics.append({"stage": "source_cap", "rows_in": n_in, "rows_out": n})
-        n_in = n
+        prev = cur
+
+        def cap_stage():
+            picked = sampling.source_cap(
+                prev, cap=cap_per_source, id_col=id_col
+            ).select(id_col)
+            return prev.join(picked, id_col, "left_semi")
+
+        cur = run_stage("source_cap", f"cap={cap_per_source}", cap_stage)
 
     if sample is not None:
         num, den = sample
-        cur = sampling.deterministic_sample(
-            cur, num, den, id_col=id_col, seed=seed, hash_expr=sample_hash_expr
+        prev = cur
+        # a custom hash_expr is opaque to the fingerprint — encode its
+        # presence; callers vary input_token when the expression changes
+        cur = run_stage(
+            "sample",
+            f"rate={num}/{den},seed={seed},custom_hash={sample_hash_expr is not None}",
+            lambda: sampling.deterministic_sample(
+                prev, num, den, id_col=id_col, seed=seed,
+                hash_expr=sample_hash_expr,
+            ),
         )
-        n = cur.count()
-        metrics.append({"stage": "sample", "rows_in": n_in, "rows_out": n})
 
     return cur, metrics

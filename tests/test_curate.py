@@ -51,5 +51,30 @@ def test_curate_corpus_sample_stage_and_invariance(spark):
     assert m1[-1]["stage"] == "sample"
     # dedup-only run keeps every non-duplicate
     out3, m3 = curate_corpus(df)
-    assert m3 == [{"stage": "exact_dedup", "rows_in": 27, "rows_out": 24}]
+    assert m3 == [{"stage": "exact_dedup", "rows_in": 27, "rows_out": 24, "skipped": False}]
     assert out3.count() == 24
+
+
+def test_curate_corpus_checkpoint_resume(spark, tmp_path):
+    """With a CheckpointStore, every stage lands as a curate_<stage>
+    table; an identical rerun skips all stages; changing a parameter
+    invalidates that stage (and downstream) via the fingerprint chain."""
+    from intertext_spark.store import CheckpointStore
+
+    df = _docs(spark)
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    out1, m1 = curate_corpus(df, min_chars=30, cap_per_source=5,
+                             store=store, input_token="t1")
+    assert [m["skipped"] for m in m1] == [False, False, False]
+    out2, m2 = curate_corpus(df, min_chars=30, cap_per_source=5,
+                             store=store, input_token="t1")
+    assert [m["skipped"] for m in m2] == [True, True, True]
+    assert sorted(r.doc_id for r in out2.collect()) == sorted(
+        r.doc_id for r in out1.collect()
+    )
+    # parameter change re-runs that stage and everything after
+    _, m3 = curate_corpus(df, min_chars=40, cap_per_source=5,
+                          store=store, input_token="t1")
+    assert [m["skipped"] for m in m3] == [True, False, False]
+    # lineage metrics landed
+    assert (tmp_path / "ckpt" / "metrics.jsonl").exists()
