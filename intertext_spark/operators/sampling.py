@@ -168,8 +168,10 @@ def dsir_weights(
     # it, release both count caches (lifecycle returns to baseline), and
     # broadcast the literal table into the scoring join
     rows = [(r.bucket, float(r.ratio)) for r in ratio.collect()]
-    raw_counts.unpersist()
-    tgt_counts.unpersist()
+    # blocking: an async drain can straddle a later caller's
+    # getPersistentRDDs baseline snapshot (cache-lifecycle tests pin this)
+    raw_counts.unpersist(blocking=True)
+    tgt_counts.unpersist(blocking=True)
     spark = raw.sparkSession
     ratio = spark.createDataFrame(rows, "bucket long, ratio double")
     return (
