@@ -555,6 +555,24 @@ def _curate_corpus_q(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _pq_topk_native(spark, sf_dir):
+    """Product-quantization ADC top-10 for vec_id=0's embedding under
+    seeded codebooks (m=8, k=16).  Sequential-fold distances + round4
+    quantization make encode and ADC bit-recomputable by DuckDB from the
+    inlined codebook literals; pq_train (k-means) is pytest-measured
+    (trained-vs-random quantization error), mirroring the ivf pattern."""
+    from pyspark.sql import Window
+    from intertext_spark.operators import pq
+
+    cbs = pq.seed_codebooks(8, 16, 8, seed=42)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").collect()[0].embedding]
+    codes = pq.pq_encode(emb.where("vec_id != 0"), cbs, round_digits=4)
+    top = pq.pq_topk(codes, cbs, q, topk=10, round_digits=4)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def _loop_detect_q(spark, sf_dir):
     """Agent-loop detection over assistant turns (word-set Jaccard vs the
     previous assistant turn, one conv-keyed window).  Jaccard is an exact
@@ -796,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_native"] = _ann_topk_native
     q["ivf_topk_native"] = _ivf_topk_native
     q["ann_topk_batch_native"] = _ann_topk_batch_native
+    q["pq_topk_native"] = _pq_topk_native
     q["token_stats_native"] = _token_stats_native
     q["quality_scores_native"] = _quality_native
     q["lang_id_native"] = _lang_id_native
@@ -855,6 +874,9 @@ from documents
     from intertext_spark.sqlqueries import q_cosine_topk_batch
 
     out["ann_topk_batch_native"] = q_cosine_topk_batch(DUCK)
+    from intertext_spark.sqlqueries import q_pq_adc_twin
+
+    out["pq_topk_native"] = q_pq_adc_twin(DUCK)
     # engine-native twins: DuckDB re-derives the native operator's values
     # independently (see sqlqueries q_*_native_twin docstrings for the
     # exactness arguments; minhash twin is brute-force ground truth, so a

@@ -1,0 +1,205 @@
+"""Product quantization (PQ) — the memory half of the canonical IVF-PQ
+billion-scale ANN layout (Jegou et al. 2011).
+
+A dim-D vector is split into ``m`` subvectors; each subspace gets a
+k-codeword L2 codebook; a vector is stored as ``m`` small codes (dim=64
+float32 -> 8 bytes at m=8, a 32x compression), and a query is answered
+by ADC (asymmetric distance computation): precompute the m x k table of
+||q_sub - codeword||^2 once per query, then every stored vector's
+approximate distance is m table lookups — no float vector is ever read
+at search time.
+
+Spark shapes:
+  * pq_train — per-subspace L2 k-means where each Lloyd iteration is ONE
+    distributed pass (codes for all m subspaces from one Arrow UDF,
+    partial element sums per (subspace, code, pos) shuffle only
+    m*k*subdim rows per partition); only the model reaches the driver
+    (the ivf_train contract).
+  * pq_encode — one Arrow UDF pass -> (vec_id, codes array<int>).
+  * pq_topk — ADC scan entirely JVM-side: the m*k distance table is a
+    broadcast literal array and the per-row distance is a fold over the
+    code array; orderBy + limit is a TakeOrdered.
+
+Float determinism: every distance is accumulated SEQUENTIALLY over
+positions (an explicit loop, not np.sum — numpy's pairwise summation
+tree differs from a left fold at the last ulp), so the gate's DuckDB
+twin (list_reduce left fold) recomputes encodings and ADC distances
+bit-identically; ``round_digits`` quantizes before argmin/ranking (ties
+-> lower code / lower vec_id), the repo's cross-engine convention.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def seed_codebooks(m: int, k: int, subdim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random codebooks (m, k, subdim) — the untrained gate
+    mode (cf. dedup._seed_centroids); pq_train refines them."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(m, k, subdim))
+
+
+def _sub_dists(batch: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, subdim) x (k, subdim) -> (n, k) squared L2, accumulated
+    sequentially over positions (matches a SQL left fold exactly)."""
+    n, subdim = batch.shape
+    acc = np.zeros((n, cb.shape[0]))
+    for i in range(subdim):
+        d = batch[:, i, None] - cb[None, :, i]
+        acc += d * d
+    return acc
+
+
+def _encode_batch(mat: np.ndarray, cbs: np.ndarray, round_digits: "int | None") -> np.ndarray:
+    """(n, dim) -> (n, m) int32 codes; ties -> lowest code (argmin takes
+    the first minimum)."""
+    m, k, subdim = cbs.shape
+    out = np.empty((len(mat), m), dtype=np.int32)
+    for j in range(m):
+        d = _sub_dists(mat[:, j * subdim:(j + 1) * subdim], cbs[j])
+        if round_digits is not None:
+            p = 10.0 ** round_digits
+            d = np.floor(d * p + 0.5) / p
+        out[:, j] = d.argmin(axis=1)
+    return out
+
+
+def _encode_udf(cbs: np.ndarray, round_digits: "int | None"):
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(emb: pd.Series) -> pd.Series:
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        codes = _encode_batch(mat, cbs, round_digits)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: "int | None" = None,
+) -> DataFrame:
+    """-> (vec_id, codes array<int>, one code per subspace).  Vectors
+    whose length differs from the codebook dim are dropped (the ragged
+    guard, cf. ivf_train)."""
+    m, _, subdim = codebooks.shape
+    dim = m * subdim
+    return (
+        df.where(F.size(F.col(vec_col)) == dim)
+        .select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            _encode_udf(codebooks, round_digits)(
+                F.col(vec_col).cast("array<double>")
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> np.ndarray:
+    """Per-subspace L2 k-means (Lloyd) -> codebooks (m, k, dim/m).  Each
+    iteration: one Arrow pass computes ALL m codes per vector, posexplode
+    partially aggregates element sums per (subspace, code, pos) — only
+    m*k*subdim sum rows (the model) reach the driver.  Empty codewords
+    keep their previous position.  ``sample_fraction`` bounds training
+    cost at corpus scale (quantizer quality saturates on a sample)."""
+    assert dim % m == 0, "dim must divide into m subspaces"
+    subdim = dim // m
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("emb"))
+    vecs = vecs.where(F.size("emb") == dim)
+    if sample_fraction is not None:
+        vecs = vecs.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    vecs = vecs.persist()
+    cbs = seed_codebooks(m, k, subdim, seed)
+    for _ in range(iters):
+        enc = _encode_udf(cbs, None)
+        sums = (
+            vecs.select(enc(F.col("emb")).alias("codes"), F.col("emb"))
+            .select(F.posexplode("emb").alias("pos", "val"), F.col("codes"))
+            .select(
+                F.expr(f"pos div {subdim}").cast("int").alias("j"),
+                F.element_at(
+                    "codes", F.expr(f"pos div {subdim}").cast("int") + 1
+                ).alias("code"),
+                F.pmod("pos", F.lit(subdim)).alias("sub_pos"),
+                "val",
+            )
+            .groupBy("j", "code", "sub_pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cbs.copy()
+        acc = np.zeros((m, k, subdim))
+        cnt = np.zeros((m, k), dtype=np.int64)
+        for r in sums:
+            acc[r.j, r.code, r.sub_pos] = r.s
+            if r.sub_pos == 0:
+                cnt[r.j, r.code] = r.n
+        for j in range(m):
+            for c in range(k):
+                if cnt[j, c] > 0:
+                    new[j, c] = acc[j, c] / cnt[j, c]
+        cbs = new
+    vecs.unpersist(blocking=True)
+    return cbs
+
+
+def adc_table(codebooks: np.ndarray, query: "list[float]") -> np.ndarray:
+    """(m, k) table of ||q_sub - codeword||^2, sequential accumulation."""
+    m, k, subdim = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    table = np.zeros((m, k))
+    for j in range(m):
+        table[j] = _sub_dists(q[None, j * subdim:(j + 1) * subdim], codebooks[j])[0]
+    return table
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    query: "list[float]",
+    topk: int = 10,
+    round_digits: "int | None" = None,
+) -> DataFrame:
+    """ADC top-k: -> (vec_id, adc_dist) for the ``topk`` nearest stored
+    codes.  The m*k distance table is computed once on the driver
+    (model-sized) and broadcast as a flat literal; the per-row distance
+    is a JVM fold over the code array — the scan never touches a float
+    vector.  Ranking on (dist asc, vec_id asc); ``round_digits``
+    quantizes the per-entry table AND the ranking key (gate mode)."""
+    m, k, _ = codebooks.shape
+    table = adc_table(codebooks, query)
+    if round_digits is not None:
+        p = 10.0 ** round_digits
+        table = np.floor(table * p + 0.5) / p
+    flat = [float(x) for x in table.reshape(-1)]
+    tcol = F.lit(flat)  # array<double> literal, broadcast by closure
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(tcol, (j * k + F.element_at("codes", j + 1) + 1).cast("int")),
+    )
+    out = codes_df.select("vec_id", dist.alias("adc_dist"))
+    if round_digits is not None:
+        p = 10 ** round_digits
+        out = out.select(
+            "vec_id", (F.floor(F.col("adc_dist") * p + F.lit(0.5)) / p).alias("adc_dist")
+        )
+    return out.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(topk)

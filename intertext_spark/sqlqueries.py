@@ -922,6 +922,73 @@ where l.doc_id is null or d.doc_id = k.keeper
 """
 
 
+def q_pq_adc_twin(d: Dialect) -> str:
+    """Twin of pq_topk_native (operators/pq.py): DuckDB re-derives the PQ
+    encoding AND the ADC scan from scratch given only the codebook model
+    (m=8, k=16, subdim=8 literals regenerated here from RandomState(42) —
+    the same derivation, written independently) and the data.  Per vector
+    and subspace the squared-L2 distance to each codeword is an explicit
+    left-assoc 8-term sum (== pq._sub_dists's sequential accumulation),
+    rounded via floor-round4 BEFORE argmin (ties -> lowest code, matching
+    np.argmin's first-minimum); the query-side m x k ADC table is computed
+    the same way from vec_id=0's embedding, and the per-vector ADC
+    distance is a j-ordered 8-term left-assoc sum over table lookups
+    (== the Spark fold over sequence(0, m-1)), rounded again.  A value
+    match therefore proves encode + table + fold are all bit-identical."""
+    rng = np.random.RandomState(42)
+    cbs = rng.normal(size=(8, 16, 8))
+    rows = ",\n  ".join(
+        f"({j}, {c}, [{', '.join(repr(float(w)) for w in cbs[j, c])}])"
+        for j in range(8)
+        for c in range(16)
+    )
+    # sequential squared-L2: ((e[j*8+1]-w[1])^2 + ...) left-assoc == the
+    # numpy loop's acc += d*d over positions (0.0 + x == x in IEEE)
+    terms_e = " + ".join(
+        f"(e.emb[cb.j*8+{i + 1}] - cb.w[{i + 1}]) * (e.emb[cb.j*8+{i + 1}] - cb.w[{i + 1}])"
+        for i in range(8)
+    )
+    terms_q = " + ".join(
+        f"(q.qe[cb.j*8+{i + 1}] - cb.w[{i + 1}]) * (q.qe[cb.j*8+{i + 1}] - cb.w[{i + 1}])"
+        for i in range(8)
+    )
+    r4 = d.round4
+    return f"""
+with cb(j, c, w) as (values
+  {rows}
+),
+q as (select (embedding)::DOUBLE[] as qe from embeddings where vec_id = 0),
+dists as (
+  select e.vec_id, cb.j, cb.c, {r4(terms_e)} as dist
+  from (select vec_id, (embedding)::DOUBLE[] as emb from embeddings
+        where vec_id != 0 and len(embedding) = 64) e, cb
+),
+codes as (
+  select vec_id, j, c as code from (
+    select vec_id, j, c,
+           row_number() over (partition by vec_id, j order by dist asc, c asc) as rn
+    from dists) where rn = 1
+),
+t as (
+  select cb.j, cb.c, {r4(terms_q)} as tdist from cb, q
+),
+lists as (
+  select codes.vec_id, list(t.tdist order by codes.j) as l
+  from codes join t on t.j = codes.j and t.c = codes.code
+  group by codes.vec_id
+),
+adc as (
+  select vec_id, {r4('l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]+l[8]')} as adc_dist
+  from lists
+)
+select vec_id, adc_dist,
+       cast(row_number() over (order by adc_dist asc, vec_id asc) as bigint) as rnk
+from adc
+order by adc_dist asc, vec_id asc
+limit 10
+"""
+
+
 # name -> template fn; shared by __spark_entry__.queries() and oracle_sql().
 TEMPLATES = {
     "exact_dedup": q_exact_dedup,

@@ -1,0 +1,115 @@
+"""Product quantization (operators/pq.py): encode and ADC search against
+local numpy oracles, distributed training against a local per-subspace
+Lloyd reference, and the ragged-input guard.
+
+Cross-engine exactness of the gate path (round4 quantization, fold
+order, tiebreaks) is covered by the pq_topk_native driver row and its
+DuckDB twin (sqlqueries.q_pq_adc_twin); these tests pin the un-rounded
+numpy semantics the twin's argument rests on."""
+
+import numpy as np
+import pytest
+
+from intertext_spark.operators import pq
+
+
+def _corpus(rng, n, dim):
+    return rng.normal(size=(n, dim))
+
+
+def _make_df(spark, mat):
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _np_encode(mat, cbs):
+    m, k, subdim = cbs.shape
+    out = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        sub = mat[:, j * subdim:(j + 1) * subdim]
+        d = ((sub[:, None, :] - cbs[j][None, :, :]) ** 2).sum(axis=2)
+        out[:, j] = d.argmin(axis=1)
+    return out
+
+
+def test_pq_encode_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    mat = _corpus(rng, 120, 32)
+    cbs = pq.seed_codebooks(m=4, k=8, subdim=8, seed=11)
+    got = {r.vec_id: list(r.codes) for r in pq.pq_encode(_make_df(spark, mat), cbs).collect()}
+    want = _np_encode(mat, cbs)
+    assert len(got) == len(mat)
+    for i in range(len(mat)):
+        assert got[i] == list(want[i]), f"vec {i}"
+
+
+def test_pq_topk_matches_numpy_adc(spark):
+    """ADC ranking == numpy: encode, build the m x k table for a held-out
+    query, rank by table-lookup sums with (dist, vec_id) tiebreak."""
+    rng = np.random.RandomState(13)
+    mat = _corpus(rng, 200, 32)
+    q = rng.normal(size=32)
+    cbs = pq.seed_codebooks(m=4, k=8, subdim=8, seed=11)
+    codes_df = pq.pq_encode(_make_df(spark, mat), cbs)
+    got = [(r.vec_id, r.adc_dist) for r in pq.pq_topk(codes_df, cbs, list(q), topk=15).collect()]
+
+    codes = _np_encode(mat, cbs)
+    table = pq.adc_table(cbs, list(q))
+    dists = np.array([sum(table[j, codes[i, j]] for j in range(4)) for i in range(len(mat))])
+    want = sorted(range(len(mat)), key=lambda i: (dists[i], i))[:15]
+    assert [v for v, _ in got] == want
+    for (_, d_got), i in zip(got, want):
+        assert d_got == pytest.approx(dists[i], abs=1e-9)
+
+
+def test_pq_train_matches_local_lloyd_and_cuts_error(spark):
+    """The distributed per-subspace Lloyd step (one Arrow pass + element-sum
+    shuffle per iteration) equals a local numpy Lloyd from the same init,
+    and training materially cuts quantization error vs random codebooks
+    on clustered data."""
+    rng = np.random.RandomState(0)
+    m, k, dim = 4, 8, 16
+    subdim = dim // m
+    centers = rng.normal(size=(32, dim))
+    pts = np.concatenate([c + 0.2 * rng.normal(size=(20, dim)) for c in centers])
+    df = _make_df(spark, pts)
+
+    iters = 3
+    trained = pq.pq_train(df, m=m, k=k, dim=dim, iters=iters, seed=42)
+
+    ref = pq.seed_codebooks(m, k, subdim, seed=42)
+    for _ in range(iters):
+        codes = _np_encode(pts, ref)
+        new = ref.copy()
+        for j in range(m):
+            sub = pts[:, j * subdim:(j + 1) * subdim]
+            for c in range(k):
+                mem = sub[codes[:, j] == c]
+                if len(mem):
+                    new[j, c] = mem.mean(axis=0)
+        ref = new
+    assert np.allclose(trained, ref, atol=1e-9)
+
+    def qerr(cbs):
+        codes = _np_encode(pts, cbs)
+        recon = np.concatenate([cbs[j][codes[:, j]] for j in range(m)], axis=1)
+        return float(((pts - recon) ** 2).sum(axis=1).mean())
+
+    e_rand = qerr(pq.seed_codebooks(m, k, subdim, seed=42))
+    e_trained = qerr(trained)
+    # measured ~0.57x on this fixture; assert a material (>25%) cut with
+    # headroom so k-means init noise can't flake the suite
+    assert e_trained < 0.75 * e_rand, (e_trained, e_rand)
+
+
+def test_pq_encode_drops_ragged(spark):
+    cbs = pq.seed_codebooks(m=2, k=4, subdim=4, seed=5)
+    rows = [
+        (0, [0.1] * 8),
+        (1, [0.2] * 7),   # short -> dropped
+        (2, [0.3] * 9),   # long -> dropped
+        (3, [0.4] * 8),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = sorted(r.vec_id for r in pq.pq_encode(df, cbs).collect())
+    assert got == [0, 3]
