@@ -573,6 +573,26 @@ def _pq_topk_native(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def _ivfpq_topk_native(spark, sf_dir):
+    """IVF-PQ residual ADC top-10 (nprobe=4 of 8 lists) for vec_id=0's
+    embedding under seeded centroids (seed=43) + codebooks (seed=42).
+    round4 quantization at every argmin/ranking stage makes coarse
+    assignment, residual encoding, probe selection, and the ADC sum all
+    bit-recomputable by DuckDB (q_ivfpq_adc_twin); ivfpq_train quality is
+    pytest-measured (residual codebooks cut quantization error vs raw)."""
+    from pyspark.sql import Window
+    from intertext_spark.operators import pq
+
+    cents = pq.seed_codebooks(1, 8, 64, seed=43)[0]
+    cbs = pq.seed_codebooks(8, 16, 8, seed=42)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.where("vec_id = 0").collect()[0].embedding]
+    idx = pq.ivfpq_index(emb.where("vec_id != 0"), cents, cbs, round_digits=4)
+    top = pq.ivfpq_topk(idx, cents, cbs, q, topk=10, nprobe=4, round_digits=4)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def _loop_detect_q(spark, sf_dir):
     """Agent-loop detection over assistant turns (word-set Jaccard vs the
     previous assistant turn, one conv-keyed window).  Jaccard is an exact
@@ -815,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_topk_native"] = _ivf_topk_native
     q["ann_topk_batch_native"] = _ann_topk_batch_native
     q["pq_topk_native"] = _pq_topk_native
+    q["ivfpq_topk_native"] = _ivfpq_topk_native
     q["token_stats_native"] = _token_stats_native
     q["quality_scores_native"] = _quality_native
     q["lang_id_native"] = _lang_id_native
@@ -874,9 +895,10 @@ from documents
     from intertext_spark.sqlqueries import q_cosine_topk_batch
 
     out["ann_topk_batch_native"] = q_cosine_topk_batch(DUCK)
-    from intertext_spark.sqlqueries import q_pq_adc_twin
+    from intertext_spark.sqlqueries import q_ivfpq_adc_twin, q_pq_adc_twin
 
     out["pq_topk_native"] = q_pq_adc_twin(DUCK)
+    out["ivfpq_topk_native"] = q_ivfpq_adc_twin(DUCK)
     # engine-native twins: DuckDB re-derives the native operator's values
     # independently (see sqlqueries q_*_native_twin docstrings for the
     # exactness arguments; minhash twin is brute-force ground truth, so a

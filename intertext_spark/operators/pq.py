@@ -203,3 +203,161 @@ def pq_topk(
             "vec_id", (F.floor(F.col("adc_dist") * p + F.lit(0.5)) / p).alias("adc_dist")
         )
     return out.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(topk)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + PQ on residuals (the full Jegou et al. 2011
+# billion-scale layout).  The index table is (vec_id, list_id, codes) —
+# at cluster scale written partitioned/bucketed by list_id so a probe
+# touches only nprobe partitions (partition pruning), with each row m
+# bytes of codes instead of dim floats (32x at m=8/dim=64).
+
+
+def _ivfpq_index_udf(cents: np.ndarray, cbs: np.ndarray, round_digits: "int | None"):
+    schema = T.StructType(
+        [
+            T.StructField("list_id", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def index(emb: pd.Series) -> pd.DataFrame:
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        d = _sub_dists(mat, cents)
+        if round_digits is not None:
+            p = 10.0 ** round_digits
+            d = np.floor(d * p + 0.5) / p
+        lists = d.argmin(axis=1)
+        codes = _encode_batch(mat - cents[lists], cbs, round_digits)
+        return pd.DataFrame(
+            {"list_id": lists.astype(np.int32), "codes": list(codes)}
+        )
+
+    return index
+
+
+def ivfpq_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: "int | None" = None,
+) -> DataFrame:
+    """-> (vec_id, list_id, codes): nearest-centroid assignment (squared
+    L2, sequential fold, ``round_digits`` quantized before argmin, ties
+    -> lowest list) and PQ codes of the RESIDUAL vector — assignment,
+    subtraction and encoding happen in ONE Arrow pass, so each embedding
+    crosses to Python exactly once.  Ragged vectors are dropped."""
+    ncent, dim = centroids.shape
+    m, _, subdim = codebooks.shape
+    assert m * subdim == dim
+    s = _ivfpq_index_udf(centroids, codebooks, round_digits)(
+        F.col(vec_col).cast("array<double>")
+    )
+    return (
+        df.where(F.size(F.col(vec_col)) == dim)
+        .select(F.col(id_col).cast("long").alias("vec_id"), s.alias("s"))
+        .select("vec_id", F.col("s.list_id").alias("list_id"), F.col("s.codes").alias("codes"))
+    )
+
+
+def ivfpq_train(
+    df: DataFrame,
+    n_centroids: int = 8,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """-> (centroids, codebooks).  The coarse quantizer IS single-subspace
+    PQ training (pq_train with m=1, k=n_centroids), then the codebooks are
+    trained on the residual stream (one extra Arrow pass per Lloyd
+    iteration via pq_train on a residual column)."""
+    coarse = pq_train(
+        df, m=1, k=n_centroids, dim=dim, iters=iters, vec_col=vec_col,
+        seed=seed, sample_fraction=sample_fraction,
+    )[0]
+    cents = coarse
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def residual(emb: pd.Series) -> pd.Series:
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        lists = _sub_dists(mat, cents).argmin(axis=1)
+        return pd.Series(list(mat - cents[lists]))
+
+    res = (
+        df.where(F.size(F.col(vec_col)) == dim)
+        .select(residual(F.col(vec_col).cast("array<double>")).alias("embedding"))
+    )
+    cbs = pq_train(
+        res, m=m, k=k, dim=dim, iters=iters, vec_col="embedding",
+        seed=seed + 1, sample_fraction=sample_fraction,
+    )
+    return cents, cbs
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query: "list[float]",
+    topk: int = 10,
+    nprobe: int = 4,
+    round_digits: "int | None" = None,
+) -> DataFrame:
+    """IVF-PQ ADC search: probe the ``nprobe`` nearest lists (centroid
+    ranking on the driver — model-sized), with a PER-LIST ADC table built
+    from the residual query ``q - centroid[list]``; approx distance =
+    sum_j table[list][j][codes[j]].  The nprobe*m*k table ships as one
+    flat broadcast literal + a list_id -> slot CASE chain, the per-row
+    distance is a JVM fold, and ``isin(probed)`` prunes partitions when
+    the index is list_id-partitioned — the scan never touches a float
+    vector.  Ties -> lower list / lower vec_id; ``round_digits``
+    quantizes probe ranking, table entries, and the final distance."""
+    ncent, dim = centroids.shape
+    m, k, _ = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    cd = _sub_dists(q[None, :], centroids)[0]
+    if round_digits is not None:
+        p = 10.0 ** round_digits
+        cd = np.floor(cd * p + 0.5) / p
+    probed = sorted(range(ncent), key=lambda c: (cd[c], c))[:nprobe]
+    flat: list[float] = []
+    for lid in probed:
+        table = adc_table(codebooks, q - centroids[lid])
+        if round_digits is not None:
+            p = 10.0 ** round_digits
+            table = np.floor(table * p + 0.5) / p
+        flat.extend(float(x) for x in table.reshape(-1))
+    tcol = F.lit(flat)
+    slot = F.when(F.col("list_id") == probed[0], F.lit(0))
+    for i, lid in enumerate(probed[1:], start=1):
+        slot = slot.when(F.col("list_id") == lid, F.lit(i))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            tcol,
+            (F.col("_slot") * (m * k) + j * k + F.element_at("codes", j + 1) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+    out = (
+        codes_df.where(F.col("list_id").isin([int(x) for x in probed]))
+        .withColumn("_slot", slot)
+        .select("vec_id", "list_id", dist.alias("adc_dist"))
+    )
+    if round_digits is not None:
+        p = 10 ** round_digits
+        out = out.select(
+            "vec_id", "list_id",
+            (F.floor(F.col("adc_dist") * p + F.lit(0.5)) / p).alias("adc_dist"),
+        )
+    return out.orderBy(F.asc("adc_dist"), F.asc("vec_id")).limit(topk)

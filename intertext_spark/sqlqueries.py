@@ -989,6 +989,111 @@ limit 10
 """
 
 
+def q_ivfpq_adc_twin(d: Dialect) -> str:
+    """Twin of ivfpq_topk_native (operators/pq.py): the full IVF-PQ
+    residual search re-derived in DuckDB from the model literals (8
+    centroids seed=43, 8x16 codebooks seed=42) and the data — coarse
+    assignment (64-pos sequential fold via list_reduce, round4 before
+    argmin, ties -> lowest centroid), residual PQ encoding (8-term
+    left-assoc sums, as q_pq_adc_twin), probe selection (4 nearest
+    centroids to vec_id=0's embedding, same rounding/tiebreak), per-list
+    residual ADC tables, and the j-ordered 8-term ADC sum.  A value match
+    proves every stage of the layout is bit-identical across engines."""
+    cents = np.random.RandomState(43).normal(size=(1, 8, 64))[0]
+    cbs = np.random.RandomState(42).normal(size=(8, 16, 8))
+    cent_rows = ",\n  ".join(
+        f"({c}, [{', '.join(repr(float(w)) for w in cents[c])}])" for c in range(8)
+    )
+    cb_rows = ",\n  ".join(
+        f"({j}, {c}, [{', '.join(repr(float(w)) for w in cbs[j, c])}])"
+        for j in range(8)
+        for c in range(16)
+    )
+    # sequential 64-pos squared-L2 fold (== pq._sub_dists's loop): a left
+    # fold with explicit 0.0 init over position order
+    def l2fold(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, x) -> acc + x)"
+        )
+
+    terms_r = " + ".join(
+        f"(r.res[cb.j*8+{i + 1}] - cb.w[{i + 1}]) * (r.res[cb.j*8+{i + 1}] - cb.w[{i + 1}])"
+        for i in range(8)
+    )
+    terms_t = " + ".join(
+        f"(t0.qres[cb.j*8+{i + 1}] - cb.w[{i + 1}]) * (t0.qres[cb.j*8+{i + 1}] - cb.w[{i + 1}])"
+        for i in range(8)
+    )
+    r4 = d.round4
+    return f"""
+with cent(cid, v) as (values
+  {cent_rows}
+),
+cb(j, c, w) as (values
+  {cb_rows}
+),
+q as (select (embedding)::DOUBLE[] as qe from embeddings where vec_id = 0),
+e as (select vec_id, (embedding)::DOUBLE[] as emb from embeddings
+      where vec_id != 0 and len(embedding) = 64),
+assign_d as (
+  select e.vec_id, cent.cid, {r4(l2fold('e.emb', 'cent.v'))} as dist
+  from e, cent
+),
+assigned as (
+  select vec_id, cid as list_id from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by dist asc, cid asc) as rn
+    from assign_d) where rn = 1
+),
+r as (
+  select e.vec_id, a.list_id,
+         list_transform(generate_series(1, 64), i -> e.emb[i] - cent.v[i]) as res
+  from e join assigned a using (vec_id) join cent on cent.cid = a.list_id
+),
+code_d as (
+  select r.vec_id, r.list_id, cb.j, cb.c, {r4(terms_r)} as dist
+  from r, cb
+),
+codes as (
+  select vec_id, list_id, j, c as code from (
+    select vec_id, list_id, j, c,
+           row_number() over (partition by vec_id, j order by dist asc, c asc) as rn
+    from code_d) where rn = 1
+),
+probe as (
+  select cid, v from (
+    select cent.cid, cent.v,
+           row_number() over (order by {r4(l2fold('q.qe', 'cent.v'))} asc, cent.cid asc) as rn
+    from cent, q) where rn <= 4
+),
+t0 as (
+  select probe.cid,
+         list_transform(generate_series(1, 64), i -> q.qe[i] - probe.v[i]) as qres
+  from probe, q
+),
+t as (
+  select t0.cid, cb.j, cb.c, {r4(terms_t)} as tdist from t0, cb
+),
+lists as (
+  select codes.vec_id, codes.list_id, list(t.tdist order by codes.j) as l
+  from codes
+  join t on t.cid = codes.list_id and t.j = codes.j and t.c = codes.code
+  group by codes.vec_id, codes.list_id
+),
+adc as (
+  select vec_id, list_id,
+         {r4('l[1]+l[2]+l[3]+l[4]+l[5]+l[6]+l[7]+l[8]')} as adc_dist
+  from lists
+)
+select vec_id, list_id, adc_dist,
+       cast(row_number() over (order by adc_dist asc, vec_id asc) as bigint) as rnk
+from adc
+order by adc_dist asc, vec_id asc
+limit 10
+"""
+
+
 # name -> template fn; shared by __spark_entry__.queries() and oracle_sql().
 TEMPLATES = {
     "exact_dedup": q_exact_dedup,

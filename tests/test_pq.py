@@ -102,6 +102,128 @@ def test_pq_train_matches_local_lloyd_and_cuts_error(spark):
     assert e_trained < 0.75 * e_rand, (e_trained, e_rand)
 
 
+def _np_ivfpq(mat, cents, cbs):
+    """Local oracle: (lists, residual codes) for the IVF-PQ index."""
+    m, k, subdim = cbs.shape
+
+    def subd(batch, cb):
+        acc = np.zeros((len(batch), cb.shape[0]))
+        for i in range(batch.shape[1]):
+            d = batch[:, i, None] - cb[None, :, i]
+            acc += d * d
+        return acc
+
+    lists = subd(mat, cents).argmin(axis=1)
+    res = mat - cents[lists]
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        codes[:, j] = subd(res[:, j * subdim:(j + 1) * subdim], cbs[j]).argmin(axis=1)
+    return lists, codes
+
+
+def test_ivfpq_index_matches_numpy(spark):
+    """One-Arrow-pass assignment + residual encoding == the local oracle."""
+    rng = np.random.RandomState(21)
+    mat = _corpus(rng, 150, 32)
+    cents = pq.seed_codebooks(1, 8, 32, seed=9)[0]
+    cbs = pq.seed_codebooks(4, 8, 8, seed=11)
+    got = {
+        r.vec_id: (r.list_id, list(r.codes))
+        for r in pq.ivfpq_index(_make_df(spark, mat), cents, cbs).collect()
+    }
+    lists, codes = _np_ivfpq(mat, cents, cbs)
+    assert len(got) == len(mat)
+    for i in range(len(mat)):
+        assert got[i] == (lists[i], list(codes[i])), f"vec {i}"
+
+
+def test_ivfpq_topk_matches_numpy(spark):
+    """Probe selection, per-list residual ADC tables, and ranking == the
+    local oracle; only vectors in the nprobe nearest lists are scored."""
+    rng = np.random.RandomState(23)
+    mat = _corpus(rng, 250, 32)
+    q = rng.normal(size=32)
+    cents = pq.seed_codebooks(1, 8, 32, seed=9)[0]
+    cbs = pq.seed_codebooks(4, 8, 8, seed=11)
+    idx = pq.ivfpq_index(_make_df(spark, mat), cents, cbs)
+    nprobe = 3
+    got = [
+        (r.vec_id, r.list_id, r.adc_dist)
+        for r in pq.ivfpq_topk(idx, cents, cbs, list(q), topk=12, nprobe=nprobe).collect()
+    ]
+
+    lists, codes = _np_ivfpq(mat, cents, cbs)
+    cd = [float(((q - c) ** 2).sum()) for c in cents]
+    probed = sorted(range(8), key=lambda c: (cd[c], c))[:nprobe]
+    cand = [i for i in range(len(mat)) if lists[i] in probed]
+    dists = {}
+    for i in cand:
+        t = pq.adc_table(cbs, q - cents[lists[i]])
+        dists[i] = sum(t[j, codes[i, j]] for j in range(4))
+    want = sorted(cand, key=lambda i: (dists[i], i))[:12]
+    assert [v for v, _, _ in got] == want
+    for v, lid, d in got:
+        assert lid == lists[v]
+        assert d == pytest.approx(dists[v], abs=1e-9)
+    # pruning is real: some corpus vectors sit outside the probed lists
+    assert len(cand) < len(mat)
+
+
+def test_ivfpq_train_cuts_error_and_routes_probes(spark):
+    """Training both stages (coarse k-means, then residual codebooks)
+    materially cuts reconstruction error vs the seeded model, and the
+    trained coarse quantizer ROUTES: probing 1 list of 8 already recalls
+    as much of the true L2 top-k as probing all 8 (measured 0.5 == 0.5 on
+    this fixture; the remaining loss is PQ distortion, not routing).
+
+    Code-budget note, measured on this fixture: at m=4/k=8 (12 bits for
+    dim 16) trained full-probe recall DROPS to 0.2 — within a trained
+    cluster every residual quantizes to near-identical codes and the
+    top-10 among 60 tied approximations is arbitrary.  m=8/k=16 (32
+    bits) discriminates within clusters; sizing k*m against cluster
+    sizes matters more than training itself."""
+    rng = np.random.RandomState(5)
+    m, k, dim, ncent = 8, 16, 16, 8
+    centers = rng.normal(size=(ncent, dim))
+    pts = np.concatenate([c + 0.3 * rng.normal(size=(60, dim)) for c in centers])
+    df = _make_df(spark, pts).persist()
+    q = centers[0] + 0.3 * rng.normal(size=dim)
+
+    cents_t, cbs_t = pq.ivfpq_train(df, n_centroids=ncent, m=m, k=k, dim=dim, iters=3)
+    cents_s = pq.seed_codebooks(1, ncent, dim, seed=42)[0]
+    cbs_s = pq.seed_codebooks(m, k, dim // m, seed=43)
+
+    def recon_err(cents, cbs):
+        lists, codes = _np_ivfpq(pts, cents, cbs)
+        recon = cents[lists] + np.concatenate(
+            [cbs[j][codes[:, j]] for j in range(m)], axis=1
+        )
+        return float(((pts - recon) ** 2).sum(axis=1).mean())
+
+    e_seed, e_train = recon_err(cents_s, cbs_s), recon_err(cents_t, cbs_t)
+    assert e_train < 0.5 * e_seed, (e_train, e_seed)
+
+    true_top = set(
+        sorted(range(len(pts)), key=lambda i: float(((pts[i] - q) ** 2).sum()))[:10]
+    )
+    idx_t = pq.ivfpq_index(df, cents_t, cbs_t)
+
+    def recall(nprobe):
+        got = {
+            r.vec_id
+            for r in pq.ivfpq_topk(
+                idx_t, cents_t, cbs_t, list(q), topk=10, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & true_top) / 10
+
+    r1, r_full = recall(1), recall(ncent)
+    # measured 0.5/0.5; margins absorb ulp-order noise in distributed sums
+    assert r1 >= 0.4, r1
+    assert r1 >= r_full - 0.1, (r1, r_full)
+    df.unpersist()
+
+
 def test_pq_encode_drops_ragged(spark):
     cbs = pq.seed_codebooks(m=2, k=4, subdim=4, seed=5)
     rows = [

@@ -339,6 +339,52 @@ def main():
         ],
     )
 
+    # round-4: PQ ADC scan — the distance table is a broadcast literal and
+    # the per-row distance a JVM fold, so the whole search must be ONE
+    # shuffle-free pass ending in a TakeOrdered (local top-k per partition
+    # + single driver merge; no global sort exchange, no join at all)
+    from intertext_spark.operators import pq
+
+    cbs = pq.seed_codebooks(8, 16, 8, seed=42)
+    codes = pq.pq_encode(emb.where("vec_id != 0"), cbs)
+    record(
+        "pq_adc", pq.pq_topk(codes, cbs, [0.0] * 64, topk=10),
+        [
+            ("zero exchanges (encode + ADC + top-k are one narrow pass)",
+             lambda p: "Exchange" not in p),
+            ("top-k is TakeOrdered, not a global sort",
+             lambda p: "TakeOrdered" in p and "Sort " not in p),
+            ("no join/cartesian anywhere",
+             lambda p: "Join" not in p and "Cartesian" not in p),
+        ],
+    )
+
+    # round-4: IVF-PQ — with the index WRITTEN partitioned by list_id (the
+    # cluster layout), an nprobe search must prune to the probed
+    # partitions at the scan (PartitionFilters carries the isin), stay
+    # join-free, and end in a TakeOrdered
+    import tempfile
+
+    cents8 = pq.seed_codebooks(1, 8, 64, seed=43)[0]
+    with tempfile.TemporaryDirectory() as td:
+        pq.ivfpq_index(emb.where("vec_id != 0"), cents8, cbs).write.partitionBy(
+            "list_id"
+        ).parquet(f"{td}/ivfpq_index")
+        idx = spark.read.parquet(f"{td}/ivfpq_index")
+        record(
+            "ivfpq_search", pq.ivfpq_topk(idx, cents8, cbs, [0.0] * 64, topk=10, nprobe=4),
+            [
+                ("probe prunes partitions at the scan (list_id isin in "
+                 "PartitionFilters)",
+                 lambda p: "PartitionFilters" in p
+                 and "list_id" in p.split("PartitionFilters")[1].splitlines()[0]),
+                ("no join/cartesian (ADC table is a broadcast literal)",
+                 lambda p: "Join" not in p and "Cartesian" not in p),
+                ("top-k is TakeOrdered, not a global sort",
+                 lambda p: "TakeOrdered" in p and "Sort " not in p),
+            ],
+        )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
