@@ -165,7 +165,14 @@ def run_suite(spark, sf_dir: str) -> dict:
     # dedup; DSIR gram-stream scoring) so the driver records the new
     # operator family's cost alongside the pipeline
     qs = entrymod.queries()
-    for name in ["minhash_dup_pairs_skewed", "dedup_against", "dsir_weights"]:
+    # (ivfpq_topk_native: the r4 memory-resident ANN path — coarse assign
+    # + residual PQ encode in one Arrow pass, then a zero-shuffle ADC scan)
+    for name in [
+        "minhash_dup_pairs_skewed",
+        "dedup_against",
+        "dsir_weights",
+        "ivfpq_topk_native",
+    ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
