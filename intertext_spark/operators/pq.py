@@ -170,6 +170,53 @@ def adc_table(codebooks: np.ndarray, query: "list[float]") -> np.ndarray:
     return table
 
 
+# Above this many table entries the ADC table ships inside an Arrow UDF
+# closure instead of a plan literal: Catalyst embeds array literals in
+# the plan tree (serialized per task), so a k=256 / high-nprobe table
+# (nprobe*m*k can reach 10^5-10^6 doubles) would bloat every task's
+# plan.  Both paths are narrow (zero shuffles) and numerically identical
+# (the UDF accumulates over j in the same sequential order).
+MAX_LITERAL_TABLE_ENTRIES = 16384
+
+
+def _adc_udf(table: np.ndarray):
+    """(n_tables*m*k,)-flattened ADC lookup as an Arrow UDF over
+    (slot, codes): sequential j-order accumulation, == the JVM fold."""
+    n_tables, m, k = table.shape
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(slot: pd.Series, codes: pd.Series) -> pd.Series:
+        c = np.array(codes.tolist(), dtype=np.int64)
+        s = slot.to_numpy(dtype=np.int64)
+        acc = np.zeros(len(c))
+        for j in range(m):
+            acc = acc + table[s, j, c[:, j]]
+        return pd.Series(acc)
+
+    return adc
+
+
+def _adc_dist_col(table: np.ndarray, slot_col, codes_col="codes"):
+    """Distance column for a stacked (n_tables, m, k) ADC table: a JVM
+    fold over a flat literal when the table is small, an Arrow lookup
+    when it would bloat the plan.  Sequential j-order either way."""
+    n_tables, m, k = table.shape
+    if table.size <= MAX_LITERAL_TABLE_ENTRIES:
+        tcol = F.lit([float(x) for x in table.reshape(-1)])
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(
+                tcol,
+                (slot_col * (m * k) + j * k + F.element_at(codes_col, j + 1) + 1).cast(
+                    "int"
+                ),
+            ),
+        )
+    return _adc_udf(table)(slot_col.cast("long"), F.col(codes_col))
+
+
 def pq_topk(
     codes_df: DataFrame,
     codebooks: np.ndarray,
@@ -179,23 +226,17 @@ def pq_topk(
 ) -> DataFrame:
     """ADC top-k: -> (vec_id, adc_dist) for the ``topk`` nearest stored
     codes.  The m*k distance table is computed once on the driver
-    (model-sized) and broadcast as a flat literal; the per-row distance
-    is a JVM fold over the code array — the scan never touches a float
-    vector.  Ranking on (dist asc, vec_id asc); ``round_digits``
+    (model-sized) and shipped as a flat plan literal folded JVM-side —
+    or, above MAX_LITERAL_TABLE_ENTRIES, inside an Arrow UDF closure
+    (identical values, still zero-shuffle) — so the scan never touches a
+    float vector.  Ranking on (dist asc, vec_id asc); ``round_digits``
     quantizes the per-entry table AND the ranking key (gate mode)."""
     m, k, _ = codebooks.shape
     table = adc_table(codebooks, query)
     if round_digits is not None:
         p = 10.0 ** round_digits
         table = np.floor(table * p + 0.5) / p
-    flat = [float(x) for x in table.reshape(-1)]
-    tcol = F.lit(flat)  # array<double> literal, broadcast by closure
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(tcol, (j * k + F.element_at("codes", j + 1) + 1).cast("int")),
-    )
+    dist = _adc_dist_col(table[None, :, :], F.lit(0))
     out = codes_df.select("vec_id", dist.alias("adc_dist"))
     if round_digits is not None:
         p = 10 ** round_digits
@@ -327,32 +368,23 @@ def ivfpq_topk(
         p = 10.0 ** round_digits
         cd = np.floor(cd * p + 0.5) / p
     probed = sorted(range(ncent), key=lambda c: (cd[c], c))[:nprobe]
-    flat: list[float] = []
-    for lid in probed:
+    stacked = np.zeros((nprobe, m, k))
+    for i, lid in enumerate(probed):
         table = adc_table(codebooks, q - centroids[lid])
         if round_digits is not None:
             p = 10.0 ** round_digits
             table = np.floor(table * p + 0.5) / p
-        flat.extend(float(x) for x in table.reshape(-1))
-    tcol = F.lit(flat)
+        stacked[i] = table
     slot = F.when(F.col("list_id") == probed[0], F.lit(0))
     for i, lid in enumerate(probed[1:], start=1):
         slot = slot.when(F.col("list_id") == lid, F.lit(i))
-    dist = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.element_at(
-            tcol,
-            (F.col("_slot") * (m * k) + j * k + F.element_at("codes", j + 1) + 1).cast(
-                "int"
-            ),
-        ),
-    )
     out = (
         codes_df.where(F.col("list_id").isin([int(x) for x in probed]))
         .withColumn("_slot", slot)
-        .select("vec_id", "list_id", dist.alias("adc_dist"))
+        .select(
+            "vec_id", "list_id",
+            _adc_dist_col(stacked, F.col("_slot")).alias("adc_dist"),
+        )
     )
     if round_digits is not None:
         p = 10 ** round_digits

@@ -224,6 +224,36 @@ def test_ivfpq_train_cuts_error_and_routes_probes(spark):
     df.unpersist()
 
 
+def test_adc_udf_path_equals_literal_path(spark, monkeypatch):
+    """Above MAX_LITERAL_TABLE_ENTRIES the ADC table rides an Arrow UDF
+    closure instead of a plan literal; forcing the threshold to 0 must
+    reproduce the literal path's results exactly (same sequential j-order
+    accumulation), for both flat pq_topk and sloted ivfpq_topk."""
+    rng = np.random.RandomState(31)
+    mat = _corpus(rng, 120, 32)
+    q = rng.normal(size=32)
+    cbs = pq.seed_codebooks(4, 8, 8, seed=11)
+    cents = pq.seed_codebooks(1, 8, 32, seed=9)[0]
+    codes_df = pq.pq_encode(_make_df(spark, mat), cbs).persist()
+    idx = pq.ivfpq_index(_make_df(spark, mat), cents, cbs).persist()
+
+    lit_pq = [(r.vec_id, r.adc_dist) for r in pq.pq_topk(codes_df, cbs, list(q), topk=12).collect()]
+    lit_ivf = [
+        (r.vec_id, r.list_id, r.adc_dist)
+        for r in pq.ivfpq_topk(idx, cents, cbs, list(q), topk=12, nprobe=3).collect()
+    ]
+    monkeypatch.setattr(pq, "MAX_LITERAL_TABLE_ENTRIES", 0)
+    udf_pq = [(r.vec_id, r.adc_dist) for r in pq.pq_topk(codes_df, cbs, list(q), topk=12).collect()]
+    udf_ivf = [
+        (r.vec_id, r.list_id, r.adc_dist)
+        for r in pq.ivfpq_topk(idx, cents, cbs, list(q), topk=12, nprobe=3).collect()
+    ]
+    assert lit_pq == udf_pq
+    assert lit_ivf == udf_ivf
+    codes_df.unpersist()
+    idx.unpersist()
+
+
 def test_pq_encode_drops_ragged(spark):
     cbs = pq.seed_codebooks(m=2, k=4, subdim=4, seed=5)
     rows = [
