@@ -632,6 +632,40 @@ def _conv_stats_q(spark, sf_dir):
     )
 
 
+def _prefix_groups_q(spark, sf_dir):
+    """Shared-opening-prefix boilerplate groups (same first 24 words of
+    the first two turns) — pushed-down turn filter + two groupBys.
+    Oracle: DuckDB rebuilds the transcript derivation, the ordered
+    concat, and the token slice."""
+    from intertext_spark.operators.convstats import prefix_groups
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    return prefix_groups(tdf, n_tokens=24, first_turns=2, min_convs=2)
+
+
+def _turn_transitions_q(spark, sf_dir):
+    """Role-transition Markov counts over the corpus (one conv-keyed lag
+    window + a tiny-key groupBy).  Oracle: DuckDB lag window over the
+    same derivation."""
+    from intertext_spark.operators.convstats import turn_transitions
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    return turn_transitions(tdf, state_col="role")
+
+
+def _group_split_q(spark, sf_dir):
+    """Leakage-safe 90/5/5 split assigned per exact-duplicate group
+    (group_key = min doc_id over md5(text)); the gate passes the md5
+    hash-bridge so DuckDB recomputes the exact assignment.  Production
+    default is xxhash64."""
+    from intertext_spark.operators.sampling import group_split
+
+    bridge = F.expr(
+        "cast(conv(substring(md5(cast(group_key as string)),1,15),16,10) as bigint)"
+    )
+    return group_split(_docs(spark, sf_dir), hash_expr=bridge)
+
+
 def _exact_dedup_corpus(spark, sf_dir):
     """Survivor corpus after exact dedup (keeper = min doc_id per content
     hash) — SQL-oracle-checkable end product."""
@@ -851,6 +885,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dsir_weights"] = _dsir_weights_q
     q["turn_dedup"] = _turn_dedup_q
     q["conv_stats"] = _conv_stats_q
+    q["prefix_groups"] = _prefix_groups_q
+    q["turn_transitions"] = _turn_transitions_q
+    q["group_split"] = _group_split_q
     q["gumbel_topk"] = _gumbel_topk_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
@@ -1349,6 +1386,58 @@ select conv_id,
        cast(max(ts_sec) - min(ts_sec) as bigint) as span_seconds
 from tr
 group by conv_id
+"""
+    # prefix_groups: ordered per-conversation concat of the first two
+    # turns, first-24-token slice, group count + min exemplar.
+    out["prefix_groups"] = _TRANSCRIPTS_CTE + """,
+heads as (
+  select conv_id,
+         array_to_string(list_slice(
+           list_filter(regexp_split_to_array(
+             array_to_string(list(text order by turn_idx), ' '), '\\s+'),
+             x -> x != ''),
+           1, 24), ' ') as prefix
+  from tr
+  where turn_idx < 2
+  group by conv_id
+)
+select prefix,
+       cast(count(*) as bigint) as n_convs,
+       min(conv_id) as exemplar_conv_id
+from heads
+group by prefix
+having count(*) >= 2
+"""
+    # turn_transitions: the same conv-keyed lag window over role, with
+    # the first turn arriving from _start_.
+    out["turn_transitions"] = _TRANSCRIPTS_CTE + """,
+lagged as (
+  select coalesce(lag(coalesce(role, '_none_'))
+                    over (partition by conv_id order by turn_idx),
+                  '_start_') as from_state,
+         coalesce(role, '_none_') as to_state
+  from tr
+)
+select from_state, to_state, cast(count(*) as bigint) as n_transitions
+from lagged
+group by from_state, to_state
+"""
+    # group_split: per-exact-dup-group md5 hash-bridge bucket, 90/5/5
+    # cumulative thresholds (non-negative 60-bit value, % == pmod).
+    out["group_split"] = """
+select doc_id, group_key,
+       case when h < 90 then 'train'
+            when h < 95 then 'val'
+            else 'test' end as split
+from (
+  select doc_id, group_key,
+         ('0x' || substring(md5(cast(group_key as varchar)), 1, 15))::BIGINT
+           % 100 as h
+  from (
+    select doc_id, min(doc_id) over (partition by md5(text)) as group_key
+    from documents
+  ) g
+) t
 """
     # source_cap: single-window top-K per source (DuckDB single-node
     # needs no salting; the engine's two-phase result is provably equal).

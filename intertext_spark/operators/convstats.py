@@ -127,3 +127,81 @@ def loop_detect(
             (jacc >= min_jaccard).alias("is_loop"),
         )
     )
+
+
+def prefix_groups(
+    tdf: DataFrame,
+    n_tokens: int = 24,
+    first_turns: int = 2,
+    min_convs: int = 2,
+) -> DataFrame:
+    """Shared-opening-prefix boilerplate groups: conversations whose
+    first ``first_turns`` turns start with the same ``n_tokens`` words.
+    Agent corpora share openings long before they share whole turns —
+    the same system prompt / canned greeting with per-conversation
+    suffixes — which exact turn_dedup misses the moment one word
+    differs later in the turn.  -> one row per prefix seen by >=
+    ``min_convs`` conversations: (prefix, n_convs, exemplar_conv_id =
+    lexicographically first member).
+
+    Scale shape: the turn_idx < first_turns predicate is pushed to the
+    scan (no window — turn_idx is the per-conversation dense index by
+    schema), then TWO exchanges: groupBy(conv_id) whose collect_list is
+    bounded by first_turns rows, and groupBy(prefix) with map-side
+    combined count/min — a prefix shared by millions of conversations
+    partially aggregates per task, so hot boilerplate does not funnel
+    through one reducer.  No joins, no Python."""
+    ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
+    joined = F.array_join(F.transform("ts", lambda s: s["text"]), " ")
+    words = F.filter(
+        F.split(joined, r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
+    )
+    return (
+        tdf.where(F.col("turn_idx") < first_turns)
+        .groupBy("conv_id")
+        .agg(ordered.alias("ts"))
+        .select(
+            "conv_id",
+            F.array_join(F.slice(words, 1, n_tokens), " ").alias("prefix"),
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count("*").alias("n_convs"),
+            F.min("conv_id").alias("exemplar_conv_id"),
+        )
+        .where(F.col("n_convs") >= min_convs)
+    )
+
+
+def turn_transitions(
+    tdf: DataFrame,
+    state_col: str = "role",
+    null_state: str = "_none_",
+    start_state: str = "_start_",
+) -> DataFrame:
+    """Corpus-wide Markov transition counts over a per-turn state column
+    (``role`` or ``tool``): for every turn, (state of previous turn in
+    the same conversation -> this turn's state), with the first turn
+    arriving from ``start_state`` and NULL states (e.g. tool on
+    non-tool turns) mapped to ``null_state``.  -> (from_state, to_state,
+    n_transitions).  The transition matrix is the cheap structural
+    fingerprint of an agent corpus: harness changes, stuck tool loops,
+    and role-protocol violations all move it.
+
+    Scale shape: one window exchange keyed by conv_id (lag(1) within
+    the conversation's turn order), then a groupBy over the tiny
+    (from, to) key space — map-side combine collapses each task to at
+    most |states|^2 rows before the final exchange.  No joins, no
+    Python."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    st = F.coalesce(F.col(state_col).cast("string"), F.lit(null_state))
+    return (
+        tdf.select("conv_id", "turn_idx", st.alias("state"))
+        .withColumn("prev", F.lag("state").over(w))
+        .select(
+            F.coalesce("prev", F.lit(start_state)).alias("from_state"),
+            F.col("state").alias("to_state"),
+        )
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n_transitions"))
+    )

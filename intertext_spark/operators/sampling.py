@@ -297,3 +297,49 @@ def mix_corpora(
         .where(F.col("pick_rank") <= F.col("quota"))
         .select(id_col, key_col, "pick_rank")
     )
+
+
+def group_split(
+    df: DataFrame,
+    splits: "tuple[tuple[str, int], ...]" = (("train", 90), ("val", 5), ("test", 5)),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    seed: int = 0,
+    hash_expr=None,
+) -> DataFrame:
+    """Leakage-safe deterministic train/val/test split: the split is
+    assigned per DUPLICATE GROUP, not per document, so a document and
+    its copies can never straddle train and eval (the contamination
+    path a row-wise random split leaves open).  ``splits`` are
+    (name, integer weight) pairs; assignment = first name whose
+    cumulative weight exceeds pmod(hash(group_key), sum(weights)) —
+    exact integer arithmetic, the same partition on every run, layout,
+    and cluster size.  -> (doc_id, group_key, split).
+
+    ``group_col`` None (default) derives exact-duplicate groups in the
+    same pass: group_key = min(id) over md5(text) — ONE 128-bit-keyed
+    window exchange, the exact_dedup shape.  Pass a precomputed column
+    (e.g. the connected-component keeper from dedup_corpus_near) to
+    make NEAR-duplicates split-atomic too; then this is a narrow
+    hash+filter, ZERO shuffles.  ``hash_expr`` defaults to
+    xxhash64(group_key, seed) (scale path); the gate passes the md5
+    hash-bridge so an external SQL engine recomputes the assignment."""
+    if group_col is None:
+        w = Window.partitionBy(F.md5(F.col(text_col)))
+        df = df.withColumn("group_key", F.min(F.col(id_col)).over(w))
+        group_col = "group_key"
+    total = sum(wt for _, wt in splits)
+    if any(wt <= 0 for _, wt in splits):
+        raise ValueError("split weights must be positive integers")
+    if hash_expr is None:
+        hash_expr = F.xxhash64(F.col(group_col).cast("string"), F.lit(seed))
+    bucket = F.pmod(hash_expr, F.lit(total))
+    acc, expr = 0, None
+    for name, wt in splits:
+        acc += wt
+        cond = bucket < acc
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.select(
+        id_col, F.col(group_col).alias("group_key"), expr.alias("split")
+    )

@@ -82,3 +82,94 @@ def test_loop_detect_flags_repeating_assistant_turns(spark):
     assert out[("a", 5)].is_loop and abs(out[("a", 5)].jaccard - 4 / 5) < 1e-12
     assert not out[("b", 0)].is_loop        # first assistant turn of conv b
     assert not out[("b", 2)].is_loop        # empty-vs-empty is not a loop
+
+
+def test_prefix_groups_shared_openers(spark):
+    """Conversations sharing the first-24-token opening group together
+    even when later turns diverge; prefix shorter than n_tokens still
+    groups on exact equality; singletons are dropped; turn order in the
+    INPUT does not matter (the concat sorts by turn_idx)."""
+    sys24 = " ".join(f"w{i}" for i in range(24))
+    rows = [
+        # a and b: same 2-turn opening (24 words), different turn 2
+        ("a", 0, "system", sys24.rsplit(" ", 12)[0], None, EP),
+        ("a", 1, "user", " ".join(sys24.split()[12:]), None, EP),
+        ("a", 2, "assistant", "completely different tail", None, EP),
+        # b arrives with turns REVERSED in row order
+        ("b", 1, "user", " ".join(sys24.split()[12:]), None, EP),
+        ("b", 0, "system", sys24.rsplit(" ", 12)[0], None, EP),
+        ("b", 2, "assistant", "another tail entirely", None, EP),
+        # c: differs at token 24 -> NOT in the group
+        ("c", 0, "system", sys24.rsplit(" ", 12)[0], None, EP),
+        ("c", 1, "user", " ".join(sys24.split()[12:23]) + " DIFFERENT", None, EP),
+        # d, e: short shared opener (4 tokens total)
+        ("d", 0, "user", "hello world foo bar", None, EP),
+        ("e", 0, "user", "hello  world\tfoo bar", None, EP),  # ws-normalized equal
+        # f: singleton
+        ("f", 0, "user", "nobody else starts like this", None, EP),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {r.prefix: r for r in convstats.prefix_groups(
+        tdf, n_tokens=24, first_turns=2, min_convs=2).collect()}
+    assert set(out) == {sys24, "hello world foo bar"}
+    assert out[sys24].n_convs == 2 and out[sys24].exemplar_conv_id == "a"
+    assert out["hello world foo bar"].n_convs == 2
+    assert out["hello world foo bar"].exemplar_conv_id == "d"
+
+
+def test_prefix_groups_ignores_later_turns(spark):
+    """Only the first first_turns turns feed the prefix: conversations
+    identical there but different at turn >= first_turns still group."""
+    rows = [
+        ("x", 0, "user", "same opener text", None, EP),
+        ("x", 5, "assistant", "tail one", None, EP),
+        ("y", 0, "user", "same opener text", None, EP),
+        ("y", 7, "assistant", "tail two", None, EP),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = convstats.prefix_groups(tdf, n_tokens=8, first_turns=1).collect()
+    assert len(out) == 1 and out[0].n_convs == 2
+
+
+def test_turn_transitions_counts_and_states(spark):
+    """Per-conversation lag transitions: first turn arrives from _start_,
+    NULL states map to _none_, counts aggregate across conversations."""
+    rows = [
+        ("a", 0, "user", "t", None, EP),
+        ("a", 1, "assistant", "t", None, EP),
+        ("a", 2, "user", "t", None, EP),
+        ("b", 0, "user", "t", None, EP),
+        ("b", 1, "assistant", "t", None, EP),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {(r.from_state, r.to_state): r.n_transitions
+           for r in convstats.turn_transitions(tdf, state_col="role").collect()}
+    assert got == {
+        ("_start_", "user"): 2,
+        ("user", "assistant"): 2,
+        ("assistant", "user"): 1,
+    }
+    # tool column: NULLs become _none_
+    rows2 = [
+        ("a", 0, "user", "t", None, EP),
+        ("a", 1, "assistant", "t", "search", EP),
+        ("a", 2, "tool", "t", "search", EP),
+        ("a", 3, "user", "t", None, EP),
+    ]
+    tdf2 = spark.createDataFrame(
+        rows2, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got2 = {(r.from_state, r.to_state): r.n_transitions
+            for r in convstats.turn_transitions(tdf2, state_col="tool").collect()}
+    assert got2 == {
+        ("_start_", "_none_"): 1,
+        ("_none_", "search"): 1,
+        ("search", "search"): 1,
+        ("search", "_none_"): 1,
+    }

@@ -182,3 +182,61 @@ def test_dsir_weights_cache_lifecycle_and_empty(spark):
     assert sc._jsc.getPersistentRDDs().size() == base
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert sampling.dsir_weights(empty, empty, n_buckets=16).count() == 0
+
+
+def test_group_split_exact_dup_groups_are_split_atomic(spark):
+    """Copies of the same text always land in the same split; splits are
+    partitioning-invariant; every row is assigned exactly one of the
+    declared names."""
+    rows = [(i, f"text {i % 40}") for i in range(200)]  # 40 groups of 5 copies
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sampling.group_split(df).collect()
+    assert len(out) == 200
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_key, set()).add(r.split)
+        assert r.split in {"train", "val", "test"}
+    assert all(len(s) == 1 for s in by_group.values())
+    assert len(by_group) == 40
+    # group_key is the min doc_id of the copy set
+    assert set(by_group) == set(range(40))
+    # layout invariance: same assignment on a different partitioning
+    out2 = sampling.group_split(df.repartition(17)).collect()
+    assert {(r.doc_id, r.split) for r in out2} == {(r.doc_id, r.split) for r in out}
+
+
+def test_group_split_precomputed_group_col_is_narrow(spark):
+    """With a precomputed cluster column (e.g. the near-dup CC keeper)
+    the op is a pure projection: members co-assigned, NO exchange in the
+    plan."""
+    rows = [(1, 100), (2, 100), (3, 100), (4, 200), (5, 300), (6, 300)]
+    df = spark.createDataFrame(rows, "doc_id long, cluster long")
+    out = sampling.group_split(df, group_col="cluster")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got = {r.doc_id: (r.group_key, r.split) for r in out.collect()}
+    assert got[1][1] == got[2][1] == got[3][1]   # cluster 100 co-assigned
+    assert got[5][1] == got[6][1]                # cluster 300 co-assigned
+    assert {g for g, _ in got.values()} == {100, 200, 300}
+
+
+def test_group_split_weights_and_validation(spark):
+    """Integer cumulative thresholds: weights (1,1) halve the groups
+    deterministically; non-positive weights raise; fractions track the
+    weights on many singleton groups."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, f"unique {i}") for i in range(3000)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):
+        sampling.group_split(df, splits=(("a", 0), ("b", 1)))
+    out = sampling.group_split(df, splits=(("a", 1), ("b", 1))).collect()
+    n_a = sum(1 for r in out if r.split == "a")
+    assert abs(n_a - 1500) < 150  # xxhash64 buckets ~uniform
+    # 90/5/5 default on singletons: fractions within 3 sigma
+    out2 = sampling.group_split(df).collect()
+    n_tr = sum(1 for r in out2 if r.split == "train")
+    n_va = sum(1 for r in out2 if r.split == "val")
+    assert abs(n_tr - 2700) < 3 * (3000 * 0.9 * 0.1) ** 0.5 + 20
+    assert abs(n_va - 150) < 3 * (3000 * 0.05 * 0.95) ** 0.5 + 20

@@ -339,6 +339,55 @@ def main():
         ],
     )
 
+    # round-4: prefix_groups — the first_turns predicate must reach the
+    # source (a filter BEFORE the first aggregate, not after), and the
+    # whole op is two hash aggregates with map-side partial aggregation
+    # (hot boilerplate prefixes combine per task before the exchange)
+    from intertext_spark.operators import convstats
+
+    record(
+        "prefix_groups", convstats.prefix_groups(tdf),
+        [
+            ("exactly two exchanges (conv groupBy + prefix groupBy)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 2),
+            ("prefix count/min partially aggregates before the shuffle "
+             "(partial HashAggregate count)",
+             lambda p: p.count("HashAggregate") >= 4),
+            ("no joins", lambda p: "Join" not in p),
+        ],
+    )
+
+    # round-4: turn_transitions — ONE conv-keyed window exchange plus the
+    # tiny-key count groupBy; map-side combine collapses each task to
+    # <= |states|^2 rows before the final exchange
+    record(
+        "turn_transitions", convstats.turn_transitions(tdf),
+        [
+            ("two exchanges (conv window + transition groupBy)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 2),
+            ("count partially aggregates before the shuffle",
+             lambda p: p.count("HashAggregate") >= 2),
+            ("no joins", lambda p: "Join" not in p),
+        ],
+    )
+
+    # round-4: group_split over a precomputed cluster column is a pure
+    # projection — ZERO exchanges (the derive-groups mode adds exactly
+    # the one md5-keyed window the exact_dedup audit already covers)
+    from intertext_spark.operators.sampling import group_split
+
+    pre = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 50).alias("cluster")
+    )
+    record(
+        "group_split_pregrouped", group_split(pre, group_col="cluster"),
+        [
+            ("zero exchanges (narrow hash+threshold projection)",
+             lambda p: "Exchange" not in p),
+            ("no joins", lambda p: "Join" not in p),
+        ],
+    )
+
     # round-4: PQ ADC scan — the distance table is a broadcast literal and
     # the per-row distance a JVM fold, so the whole search must be ONE
     # shuffle-free pass ending in a TakeOrdered (local top-k per partition
