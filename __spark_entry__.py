@@ -804,6 +804,25 @@ def _contamination_q(spark, sf_dir):
     )
 
 
+def _contamination_bloom_q(spark, sf_dir):
+    """Same contract as `contamination`, but the train gram stream is
+    prefiltered by a 1%-fpp Bloom filter aggregated over the bench
+    grams (operators/bloom.py, all-JVM build + probe).  A Bloom filter
+    has no false negatives, so the output must be IDENTICAL to the
+    exact path — the oracle is the same exact-overlap SQL, making the
+    identity driver-checked."""
+    from intertext_spark.operators.decontaminate import contamination
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    out = contamination(train, bench, ngram=5, bloom_fpp=0.01)
+    return out.select(
+        "doc_id", "n_grams", "n_contaminated",
+        _round4(F.col("contaminated_frac")).alias("contaminated_frac"),
+    )
+
+
 def _redact_pii_q(spark, sf_dir):
     """PII scrub on corpus text with injected email/SSN/IP/phone shapes;
     oracle is the identical RE2 regexp_replace chain in DuckDB."""
@@ -895,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_corpus_near"] = _dedup_corpus_near
     q["strip_diacritics"] = _strip_diacritics_q
     q["contamination"] = _contamination_q
+    q["contamination_bloom"] = _contamination_bloom_q
     q["xml_extract"] = _xml_extract_q
     q["xml_page_map"] = _xml_page_map_q
     q["redact_pii"] = _redact_pii_q
@@ -1006,6 +1026,10 @@ select t.doc_id,
        cast(floor((cast(coalesce(h.n_contaminated, 0) as double) / len(t.gs)) * 10000 + 0.5) / 10000 as double) as contaminated_frac
 from train t left join hits h using (doc_id)
 """
+    # contamination_bloom: the Bloom prefilter provably cannot change
+    # the result (no false negatives), so its oracle IS the exact SQL.
+    out["contamination_bloom"] = out["contamination"]
+
     from intertext_spark.operators.textstats import (
         BPE_SPLIT_PATTERN,
         PII_PATTERNS,

@@ -44,6 +44,7 @@ def contamination(
     text_col: str = "text",
     ngram: int = 8,
     hashed: bool = False,
+    bloom_fpp: "float | None" = None,
 ) -> DataFrame:
     """-> (doc_id, n_grams, n_contaminated, contaminated_frac) per train
     doc with at least one n-gram (docs shorter than ``ngram`` words have
@@ -51,6 +52,17 @@ def contamination(
 
     n_contaminated counts DISTINCT contaminated grams per doc, so the
     fraction is set-overlap, not occurrence-weighted.
+
+    ``bloom_fpp``: when set, a Bloom filter at that false-positive rate
+    is aggregated over the bench grams and PREFILTERS the train gram
+    stream before the exact semi-join (operators/bloom.py).  No false
+    negatives -> the output is IDENTICAL to the exact path; the bloom
+    only prunes rows that could never match.  This is the scale knob
+    for when the bench side outgrows the exact broadcast (~9.6
+    bits/gram at 1% vs 8-byte hashes or full strings); the bench gram
+    stream is evaluated twice (once to size+build the filter, once for
+    the verify join) — it is the small side by contract, and staying
+    persist-free keeps the operator lazy.
     """
     bench_grams = (
         _word_ngrams(bench, id_col, text_col, ngram)
@@ -65,6 +77,15 @@ def contamination(
         bench_grams = bench_grams.select(F.xxhash64("gram").alias("gram"))
         exploded = exploded.select(
             "doc_id", F.xxhash64("gram").alias("gram")
+        )
+    if bloom_fpp is not None:
+        from . import bloom as _bloom
+
+        n_items = bench_grams.count()
+        n_bits, n_hashes = _bloom.optimal_params(n_items, bloom_fpp)
+        words = _bloom.bloom_build(bench_grams, "gram", n_bits, n_hashes)
+        exploded = exploded.where(
+            _bloom.might_contain_col(words, F.col("gram"), n_hashes)
         )
     hits = (
         exploded.join(F.broadcast(bench_grams), "gram", "left_semi")

@@ -1,0 +1,104 @@
+"""JVM-side Bloom filter (operators/bloom.py): no false negatives,
+measured false-positive rate near design, literal-vs-UDF probe parity,
+and the decontamination prefilter identity."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from intertext_spark.operators import bloom
+
+
+def test_no_false_negatives_and_fpp_near_design(spark):
+    """Every inserted member probes true (the identity the prefilter
+    contract rests on); non-members probe true at roughly the design
+    rate."""
+    members = spark.range(0, 3000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("v")
+    )
+    n_bits, k = bloom.optimal_params(3000, 0.01)
+    words = bloom.bloom_build(members, "v", n_bits, k)
+    probe = spark.range(0, 13000).select(
+        F.when(F.col("id") < 3000, F.concat(F.lit("m"), F.col("id")))
+        .otherwise(F.concat(F.lit("x"), F.col("id")))
+        .alias("v")
+    )
+    got = probe.select(
+        "v", bloom.might_contain_col(words, F.col("v"), k).alias("hit")
+    ).collect()
+    members_hit = [r.hit for r in got if r.v.startswith("m")]
+    fp = sum(1 for r in got if r.v.startswith("x") and r.hit)
+    assert all(members_hit) and len(members_hit) == 3000
+    assert fp / 10000 < 0.03  # 1% design, 3x slack
+
+
+def test_udf_probe_path_equals_literal_path(spark, monkeypatch):
+    """Above MAX_LITERAL_WORDS the probe rides an Arrow UDF closure; the
+    positions stay JVM-computed, so the two paths must agree on every
+    row (members AND the false-positive pattern)."""
+    members = spark.range(0, 500).select(F.col("id").alias("v"))
+    n_bits, k = bloom.optimal_params(500, 0.05)
+    words = bloom.bloom_build(members, "v", n_bits, k)
+    probe = spark.range(0, 5000).select(F.col("id").alias("v"))
+    lit = [r.hit for r in probe.select(
+        bloom.might_contain_col(words, F.col("v"), k).alias("hit")
+    ).collect()]
+    monkeypatch.setattr(bloom, "MAX_LITERAL_WORDS", 0)
+    udf = [r.hit for r in probe.select(
+        bloom.might_contain_col(words, F.col("v"), k).alias("hit")
+    ).collect()]
+    assert lit == udf
+    assert all(lit[:500])
+
+
+def test_build_edge_cases(spark):
+    """Empty build -> all-zero words, everything probes false; NULLs are
+    skipped; invalid sizes raise."""
+    empty = spark.createDataFrame([], "v string")
+    words = bloom.bloom_build(empty, "v", 256, 3)
+    assert not words.any()
+    probe = spark.range(0, 100).select(F.col("id").cast("string").alias("v"))
+    hits = probe.where(bloom.might_contain_col(words, F.col("v"), 3)).count()
+    assert hits == 0
+    withnull = spark.createDataFrame([("a",), (None,)], "v string")
+    w2 = bloom.bloom_build(withnull, "v", 256, 3)
+    got = spark.createDataFrame([("a",), ("b",)], "v string").select(
+        "v", bloom.might_contain_col(w2, F.col("v"), 3).alias("hit")
+    ).collect()
+    assert {r.v: r.hit for r in got}["a"] is True
+    with pytest.raises(ValueError):
+        bloom.bloom_build(empty, "v", 100, 3)  # not a multiple of 64
+    with pytest.raises(ValueError):
+        bloom.optimal_params(10, 1.5)
+
+
+def test_bloom_prefiltered_contamination_is_identical(spark):
+    """The decontamination prefilter contract: contamination(...,
+    bloom_fpp=0.01) row-for-row equals the exact path (a Bloom filter
+    has no false negatives, and survivors still pass the exact join)."""
+    from intertext_spark.operators.decontaminate import contamination
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12)))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    train = docs.where("doc_id % 5 != 0")
+    bench = docs.where("doc_id % 5 = 0")
+    exact = {(r.doc_id, r.n_grams, r.n_contaminated)
+             for r in contamination(train, bench, ngram=4).collect()}
+    pre = {(r.doc_id, r.n_grams, r.n_contaminated)
+           for r in contamination(train, bench, ngram=4, bloom_fpp=0.01).collect()}
+    assert exact == pre and len(exact) > 0
+
+
+def test_probe_plan_is_narrow(spark):
+    """The literal-path probe is a pure filter: no exchange, no join in
+    the physical plan — the filter rides the scan."""
+    members = spark.range(0, 100).select(F.col("id").alias("v"))
+    n_bits, k = bloom.optimal_params(100, 0.01)
+    words = bloom.bloom_build(members, "v", n_bits, k)
+    out = spark.range(0, 1000).where(
+        bloom.might_contain_col(words, F.col("id"), k)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan

@@ -388,6 +388,20 @@ def main():
         ],
     )
 
+    # round-4: Bloom-prefiltered decontamination — the getbit probe must
+    # run as a plain codegen filter on the train gram stream (below the
+    # exact semi-join), and the bench side stays broadcast
+    record(
+        "contamination_bloom", e._contamination_bloom_q(spark, sf_dir),
+        [
+            ("bloom probe is a codegen getbit filter (no UDF at this size)",
+             lambda p: "getbit" in p and "pythonUDF" not in p),
+            ("exact verify join still broadcasts the bench grams",
+             lambda p: "BroadcastHashJoin" in p and "LeftSemi" in p),
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+        ],
+    )
+
     # round-4: PQ ADC scan — the distance table is a broadcast literal and
     # the per-row distance a JVM fold, so the whole search must be ONE
     # shuffle-free pass ending in a TakeOrdered (local top-k per partition
