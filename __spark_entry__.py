@@ -477,6 +477,25 @@ def _dedup_against_q(spark, sf_dir):
     )
 
 
+def _unigram_logprob_q(spark, sf_dir):
+    """Unigram-LM cross-entropy quality score: model fit on the lang='en'
+    slice (add-1 smoothing, OOV bucket), every doc scored by its mean
+    token logprob.  Per-token lp quantized at 6 digits (cross-libm ln()
+    guard) and summed in position order, so DuckDB recomputes the double
+    bit-for-bit."""
+    from intertext_spark.operators.textstats import unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    out = unigram_logprob(
+        docs, docs.where(F.col("lang") == "en"), alpha=1.0, quantize_digits=6
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        _round4(F.col("sum_logprob")).alias("sum_logprob"),
+        _round4(F.col("mean_logprob")).alias("mean_logprob"),
+    )
+
+
 def _dsir_weights_q(spark, sf_dir):
     """DSIR importance weights gate: raw = all documents, target = the
     lang='en' slice, 512 hashed buckets via the md5 bridge so DuckDB
@@ -902,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semdedup"] = _semdedup_q
     q["dedup_against"] = _dedup_against_q
     q["dsir_weights"] = _dsir_weights_q
+    q["unigram_logprob"] = _unigram_logprob_q
     q["turn_dedup"] = _turn_dedup_q
     q["conv_stats"] = _conv_stats_q
     q["prefix_groups"] = _prefix_groups_q
@@ -1225,6 +1245,59 @@ select d.doc_id,
        (b.ref_id is null) as kept
 from (select doc_id from documents where doc_id % 2 = 1) d
 left join best b using (doc_id)
+"""
+    # unigram_logprob: DuckDB refits the add-1 unigram model on the
+    # lang='en' slice (same N + 1*(V+1) denominator, same OOV bucket),
+    # quantizes each per-token ln at 6 digits, and folds in position
+    # order — the same cross-libm discipline as dsir_weights.
+    out["unigram_logprob"] = """
+with w as (
+  select doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+d as (select doc_id, words from w where len(words) >= 1),
+rtok as (
+  select unnest(words) as token from w where lang = 'en' and len(words) >= 1
+),
+counts as (select token, count(*) as c from rtok group by token),
+tot as (
+  select (select count(*) from rtok) as n,
+         (select count(*) from counts) as v
+),
+model as (
+  select token,
+         floor(ln((c + 1.0) / (tot.n + 1.0 * (tot.v + 1))) * 1000000 + 0.5)
+           / 1000000 as lp
+  from counts, tot
+),
+oov as (
+  select floor(ln(1.0 / (tot.n + 1.0 * (tot.v + 1))) * 1000000 + 0.5)
+           / 1000000 as lp
+  from tot
+),
+g as (
+  select doc_id, s.pos as pos, s.token as token
+  from (
+    select doc_id,
+           unnest(list_transform(generate_series(1, len(words)),
+             i -> struct_pack(pos := i - 1, token := words[i]))) as s
+    from d
+  )
+),
+j as (
+  select g.doc_id, g.pos, coalesce(m.lp, (select lp from oov)) as lp
+  from g left join model m using (token)
+)
+select doc_id, cast(count(*) as bigint) as n_tokens,
+       cast(floor(list_reduce(list_prepend(0.0, list(lp order by pos)),
+                  (acc, v) -> acc + v) * 10000 + 0.5) / 10000 as double)
+         as sum_logprob,
+       cast(floor(list_reduce(list_prepend(0.0, list(lp order by pos)),
+                  (acc, v) -> acc + v) / count(*) * 10000 + 0.5) / 10000
+            as double) as mean_logprob
+from j
+group by doc_id
 """
     # dsir_weights: DuckDB rebuilds the hashed unigram+bigram stream with
     # identical md5-bridge buckets, the same add-1 smoothed bucket models,

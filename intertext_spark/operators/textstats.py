@@ -363,3 +363,99 @@ def repetition_stats(
              / stream_len.cast("double")).alias("top_gram_char_frac"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    ref: DataFrame,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantize_digits: "int | None" = None,
+) -> DataFrame:
+    """Unigram-LM cross-entropy quality filter (the CCNet-style
+    perplexity proxy): score every document by the mean log-probability
+    of its tokens under an add-``alpha``-smoothed unigram model fit on
+    the ``ref`` corpus.  Documents whose vocabulary the reference finds
+    improbable (boilerplate soup, wrong language, OCR noise) score low;
+    filter on a mean_logprob threshold or rank with gumbel_topk.
+
+    lp(tok) = ln((c_tok + a) / (N + a*(V+1))), OOV tokens take the
+    c=0 bucket (the +1 in V reserves it).  -> (doc_id, n_tokens,
+    sum_logprob, mean_logprob) per doc with >= 1 token.
+
+    Determinism: the per-doc sum folds tokens in POSITION order (the
+    dsir_weights discipline), so the double is partitioning-invariant
+    and externally recomputable; ``quantize_digits`` rounds each
+    per-token lp before the fold (cross-libm ln() guard for the gate —
+    leave None in production).
+
+    Scale shape: one map-side-combined vocab count (V rows), two
+    scalar collects, then the V-row model re-created driver-side and
+    BROADCAST onto the exploded token stream (dsir precedent: the
+    model table is the collect, never the data) and one groupBy(doc)
+    reassembly.  Hot tokens cost nothing extra — the join is
+    broadcast, so there is no skewed shuffle key.  For a vocabulary
+    too big to collect+broadcast, cap it upstream (min-count prune —
+    rare tokens fold into OOV, which only strengthens the filter)."""
+    import math
+
+    words = F.filter(
+        F.split(F.col(text_col), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
+    )
+
+    def tok_stream(df):
+        return (
+            df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+            .where(F.size("ws") >= 1)
+            .select("doc_id", F.posexplode("ws").alias("pos", "token"))
+        )
+
+    counts = (
+        tok_stream(ref).groupBy("token").agg(F.count("*").alias("c")).persist()
+    )
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    ).collect()[0]
+    n_total, vocab = (tot.n or 0), (tot.v or 0)
+    denom = n_total + alpha * (vocab + 1)
+    lp_col = F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
+    if quantize_digits is not None:
+        p = 10 ** quantize_digits
+        lp_col = F.floor(lp_col * p + F.lit(0.5)) / p
+    model_rows = [
+        (r.token, float(r.lp))
+        for r in counts.select("token", lp_col.alias("lp")).collect()
+    ]
+    counts.unpersist(blocking=True)
+    lp_oov = math.log(alpha / denom)
+    if quantize_digits is not None:
+        p = 10 ** quantize_digits
+        lp_oov = math.floor(lp_oov * p + 0.5) / p
+    spark = docs.sparkSession
+    model = spark.createDataFrame(model_rows, "token string, lp double")
+    return (
+        tok_stream(docs)
+        .join(F.broadcast(model), "token", "left")
+        .select(
+            "doc_id", "pos", F.coalesce("lp", F.lit(lp_oov)).alias("lp")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    lambda s: s["lp"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("sum_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logprob",
+            (F.col("sum_logprob") / F.col("n_tokens")).alias("mean_logprob"),
+        )
+    )

@@ -240,3 +240,54 @@ def test_group_split_weights_and_validation(spark):
     n_va = sum(1 for r in out2 if r.split == "val")
     assert abs(n_tr - 2700) < 3 * (3000 * 0.9 * 0.1) ** 0.5 + 20
     assert abs(n_va - 150) < 3 * (3000 * 0.05 * 0.95) ** 0.5 + 20
+
+
+def test_unigram_logprob_brute_force_and_oov(spark):
+    """Numpy/math brute force on a tiny corpus: per-doc mean logprob
+    under the add-1 unigram model, OOV tokens on the reserved bucket;
+    result invariant to input partitioning."""
+    import math
+
+    from intertext_spark.operators.textstats import unigram_logprob
+
+    ref_rows = [(100, "a a b"), (101, "a c")]
+    doc_rows = [(1, "a b"), (2, "zz a"), (3, "zz zz zz")]
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    # model: N=5 tokens, V=3 distinct, denom = 5 + 1*(3+1) = 9
+    lp = {"a": math.log(4 / 9), "b": math.log(2 / 9), "c": math.log(2 / 9)}
+    oov = math.log(1 / 9)
+    want = {
+        1: (2, lp["a"] + lp["b"]),
+        2: (2, oov + lp["a"]),
+        3: (3, 3 * oov),
+    }
+    for frame in (docs, docs.repartition(7)):
+        got = {r.doc_id: (r.n_tokens, r.sum_logprob, r.mean_logprob)
+               for r in unigram_logprob(frame, ref).collect()}
+        assert set(got) == set(want)
+        for d, (n, s) in want.items():
+            assert got[d][0] == n
+            assert abs(got[d][1] - s) < 1e-12
+            assert abs(got[d][2] - s / n) < 1e-12
+    # ordering sanity: the all-OOV doc scores worst
+    means = {d: got[d][2] for d in got}
+    assert means[3] < means[2] < means[1]
+
+
+def test_unigram_logprob_empty_ref_and_cache_lifecycle(spark):
+    """Empty reference -> every token is OOV (uniform scores, still
+    defined); the vocab-count cache is released before return."""
+    from intertext_spark.operators.textstats import unigram_logprob
+
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame([(1, "x y"), (2, "z")], "doc_id long, text string")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = {r.doc_id: r.mean_logprob
+           for r in unigram_logprob(docs, empty).collect()}
+    import math
+    assert abs(got[1] - math.log(1.0)) < 1e-12 or True  # N=0,V=0 -> denom=1
+    assert abs(got[1] - math.log(1 / 1)) < 1e-12
+    assert got[1] == got[2]  # uniform under the empty model
+    assert sc._jsc.getPersistentRDDs().size() == base

@@ -388,6 +388,20 @@ def main():
         ],
     )
 
+    # round-4: unigram_logprob — the V-row model must broadcast onto the
+    # exploded token stream (no skewed shuffle key for hot tokens), with
+    # the doc reassembly as the ONLY shuffle
+    record(
+        "unigram_logprob", e._unigram_logprob_q(spark, sf_dir),
+        [
+            ("model broadcast onto the token stream",
+             lambda p: "BroadcastHashJoin" in p),
+            ("one shuffle only (the doc groupBy)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+        ],
+    )
+
     # round-4: Bloom-prefiltered decontamination — the getbit probe must
     # run as a plain codegen filter on the train gram stream (below the
     # exact semi-join), and the bench side stays broadcast
