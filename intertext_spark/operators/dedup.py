@@ -631,7 +631,7 @@ def ivf_train(
                 if nv > 0:
                     new[j] = v / nv
         cents = new
-    vecs.unpersist()
+    vecs.unpersist(blocking=True)
     return cents
 
 
@@ -752,7 +752,7 @@ def ivf_topk_batch(
                     out = part if out is None else out.unionByName(part)
                 return out
         finally:
-            queries.unpersist()
+            queries.unpersist(blocking=True)
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(emb: pd.Series) -> pd.Series:

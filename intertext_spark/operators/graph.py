@@ -122,11 +122,11 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         # is strictly dead once `changed` is counted; without this, every
         # iteration leaks one cached frame (r3 review finding).  The
         # RETURNED labels stays checkpointed: callers still consume it.
-        labels.unpersist()
+        labels.unpersist(blocking=True)
         labels = jumped
         if changed == 0:
             break
-    bidir.unpersist()
+    bidir.unpersist(blocking=True)
     return labels
 
 

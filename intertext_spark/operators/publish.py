@@ -270,4 +270,4 @@ def publish(
             f,
             indent=2,
         )
-    display.unpersist()
+    display.unpersist(blocking=True)

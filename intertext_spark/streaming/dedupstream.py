@@ -205,11 +205,11 @@ class IncrementalDedup:
             kept.write.mode("append").parquet(self._p("accepted_docs"))
         finally:
             for df in cached:
-                df.unpersist()
+                df.unpersist(blocking=True)
             jmap = sc._jsc.getPersistentRDDs()
             for rid in list(jmap.keySet().toArray()):
                 if rid not in before_ids:
-                    jmap.get(rid).unpersist()
+                    jmap.get(rid).unpersist(True)  # py4j JavaRDD: positional only
 
     def accepted(self) -> DataFrame:
         if not self._exists("accepted_docs"):

@@ -93,8 +93,8 @@ class IncrementalReuse:
         all_windows = self.spark.read.parquet(self._p("windows_acc"))
         matches = score_matches(attach_window_texts(cands_new, all_windows), cfg)
         matches.write.mode("append").parquet(self._p("matches_out"))
-        new_windows.unpersist()
-        new_hb.unpersist()
+        new_windows.unpersist(blocking=True)
+        new_hb.unpersist(blocking=True)
 
     def matches(self) -> DataFrame:
         if not self._exists("matches_out"):
