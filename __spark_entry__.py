@@ -672,6 +672,31 @@ def _turn_transitions_q(spark, sf_dir):
     return turn_transitions(tdf, state_col="role")
 
 
+def _sft_examples_q(spark, sf_dir):
+    """SFT example export: (context, target) per assistant turn, context
+    = longest preceding-turn suffix under a 48-token budget — one
+    conv-keyed window exchange, in-row suffix/join/total folds.  Oracle:
+    DuckDB re-derives the transcripts, the exclusive running token sum,
+    and selects context turns with the same c0_t - c0_p <= budget
+    predicate via a conv-keyed self-join."""
+    from intertext_spark.operators.convstats import sft_examples
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    return sft_examples(tdf, max_context_tokens=48, target_role="assistant")
+
+
+def _conv_overlap_pairs_q(spark, sf_dir):
+    """Conversation-level near-dup pairs by exact turn-hash-set jaccard
+    (the granularity replayed agent transcripts duplicate at) — capped
+    per-hash member lists, in-row pair expansion, one pair groupBy, two
+    size joins.  Oracle: DuckDB recomputes the distinct (conv, md5)
+    sets, the same <=64-conv bucket cap, and the jaccard."""
+    from intertext_spark.operators.convstats import conv_overlap_pairs
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    return conv_overlap_pairs(tdf, min_jaccard=0.2, turn_max_convs=64)
+
+
 def _group_split_q(spark, sf_dir):
     """Leakage-safe 90/5/5 split assigned per exact-duplicate group
     (group_key = min doc_id over md5(text)); the gate passes the md5
@@ -927,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["prefix_groups"] = _prefix_groups_q
     q["turn_transitions"] = _turn_transitions_q
     q["group_split"] = _group_split_q
+    q["sft_examples"] = _sft_examples_q
+    q["conv_overlap_pairs"] = _conv_overlap_pairs_q
     q["gumbel_topk"] = _gumbel_topk_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
@@ -1518,6 +1545,64 @@ lagged as (
 select from_state, to_state, cast(count(*) as bigint) as n_transitions
 from lagged
 group by from_state, to_state
+"""
+    # sft_examples: exclusive running token sum c0, then context turns
+    # for target t are turns p with p < t and c0_t - c0_p <= budget (the
+    # suffix-under-budget predicate the engine evaluates in-row).  The
+    # role cycle puts an assistant turn's predecessor (<= 12 tokens)
+    # inside the 48-token budget, so the inner join never drops a target.
+    out["sft_examples"] = _TRANSCRIPTS_CTE + """,
+tok as (
+  select conv_id, turn_idx, role, text,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) as ntok
+  from tr
+),
+cum as (
+  select conv_id, turn_idx, role, text, ntok,
+         coalesce(sum(ntok) over (partition by conv_id order by turn_idx
+           rows between unbounded preceding and 1 preceding), 0) as c0
+  from tok
+)
+select t.conv_id, t.turn_idx,
+       string_agg(p.role || ': ' || p.text, chr(10) order by p.turn_idx) as context,
+       t.text as target,
+       cast(count(*) as bigint) as n_context_turns,
+       cast(sum(p.ntok) as bigint) as n_context_tokens
+from cum t join cum p
+  on p.conv_id = t.conv_id and p.turn_idx < t.turn_idx
+  and t.c0 - p.c0 <= 48
+where t.role = 'assistant'
+group by t.conv_id, t.turn_idx, t.text
+"""
+    # conv_overlap_pairs: distinct (conv, md5(turn)) sets, per-hash
+    # member-list cap 64, pair intersection counts, set-size jaccard.
+    out["conv_overlap_pairs"] = _TRANSCRIPTS_CTE + """,
+th as (
+  select distinct conv_id, md5(text) as h from tr where length(text) > 0
+),
+sizes as (select conv_id, cast(count(*) as bigint) as sz from th group by conv_id),
+buckets as (
+  select h, list_sort(list(conv_id)) as ms from th group by h
+  having count(*) >= 2 and count(*) <= 64
+),
+pairs as (
+  select p.a as conv_a, p.b as conv_b
+  from (select unnest(list_filter(
+          flatten(list_transform(ms, x -> list_transform(ms,
+            y -> struct_pack(a := x, b := y)))),
+          p -> p.a < p.b)) as p
+        from buckets) t
+),
+inter as (
+  select conv_a, conv_b, cast(count(*) as bigint) as n_shared
+  from pairs group by conv_a, conv_b
+)
+select i.conv_a, i.conv_b, i.n_shared,
+       cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) as jaccard
+from inter i
+join sizes sa on sa.conv_id = i.conv_a
+join sizes sb on sb.conv_id = i.conv_b
+where cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) >= 0.2
 """
     # group_split: per-exact-dup-group md5 hash-bridge bucket, 90/5/5
     # cumulative thresholds (non-negative 60-bit value, % == pmod).

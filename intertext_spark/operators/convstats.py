@@ -205,3 +205,136 @@ def turn_transitions(
         .groupBy("from_state", "to_state")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def sft_examples(
+    tdf: DataFrame,
+    max_context_tokens: int = 256,
+    target_role: str = "assistant",
+) -> DataFrame:
+    """Supervised-fine-tuning example construction from transcripts: for
+    every ``target_role`` turn, emit (context, target) where context is
+    the LONGEST suffix of the preceding turns whose total whitespace-token
+    count fits ``max_context_tokens`` — the standard context-window
+    truncation a training-data exporter applies, done inside the engine
+    so the payload never round-trips through Python.  -> one row per
+    target turn: (conv_id, turn_idx, context = "role: text" lines joined
+    by \\n, target, n_context_turns, n_context_tokens).
+
+    Scale shape: ONE exchange keyed by conv_id.  An exclusive running
+    token sum c0 (window) makes the budget check a per-item comparison:
+    turn p belongs to target t's context iff c0_t - c0_p <=
+    max_context_tokens, so the suffix selection, the join to "role:
+    text" lines, and the token total are all in-row lambda folds over
+    the collected preceding turns (bounded by conversation length — the
+    same bound the window itself already carries).  No joins, no
+    Python, no second shuffle."""
+    from .windows import WS
+
+    ntok = F.size(F.filter(F.split(F.coalesce("text", F.lit("")), WS), lambda w: w != ""))
+    ord_w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    base = tdf.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        # null turn text -> '' so the context line survives concat (a
+        # transcript hole still occupies a turn slot in the context)
+        F.coalesce("text", F.lit("")).alias("text"),
+        ntok.cast("long").alias("ntok"),
+    ).withColumn("c0", F.coalesce(F.sum("ntok").over(prev), F.lit(0).cast("long")))
+    arr = F.collect_list(F.struct("turn_idx", "role", "text", "ntok", "c0")).over(prev)
+    budget = F.lit(int(max_context_tokens)).cast("long")
+    kept = F.filter(
+        F.col("arr"), lambda x: (F.col("c0") - x["c0"]) <= budget
+    )
+    return (
+        base.withColumn("arr", arr)
+        .where(F.col("role") == target_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.array_join(
+                F.transform(kept, lambda x: F.concat(x["role"], F.lit(": "), x["text"])),
+                "\n",
+            ).alias("context"),
+            F.col("text").alias("target"),
+            F.size(kept).cast("long").alias("n_context_turns"),
+            F.aggregate(
+                kept, F.lit(0).cast("long"), lambda a, x: a + x["ntok"]
+            ).alias("n_context_tokens"),
+        )
+    )
+
+
+def conv_overlap_pairs(
+    tdf: DataFrame,
+    min_jaccard: float = 0.5,
+    turn_max_convs: int = 64,
+) -> DataFrame:
+    """Conversation-level near-dup pairs by EXACT turn-set overlap:
+    conversations are compared as sets of md5(turn text) (128-bit —
+    collision-safe at 10^12 turns), jaccard = |shared distinct turn
+    texts| / |union|.  This is the granularity agent-transcript corpora
+    actually duplicate at: a replayed conversation with one regenerated
+    turn, or two sessions sharing everything but their tails, score high
+    here while whole-text near-dup (doc granularity) and exact turn
+    dedup both miss the conversation-level relationship.  Exact set
+    semantics — no minhash approximation — so the result is fully
+    oracle-checkable.  -> (conv_a, conv_b, n_shared, jaccard), a < b.
+
+    Scale shape: distinct (conv, hash) -> per-hash member lists
+    (groupBy, bounded by ``turn_max_convs``: a turn text shared by more
+    conversations than the cap is boilerplate, not dup evidence — it is
+    dropped from the INTERSECTION only, so capped jaccard is a lower
+    bound and the cap is a documented recall knob, exactly like the
+    band caps in lsh_dup_pairs), in-row pair expansion (|bucket|^2
+    bounded by the cap), one groupBy(pair) count with map-side combine,
+    then two hash joins against the per-conversation set sizes.  No
+    cartesian, no Python."""
+    th = (
+        tdf.where(F.length(F.coalesce("text", F.lit(""))) > 0)
+        .select("conv_id", F.md5("text").alias("h"))
+        .distinct()
+    )
+    sizes = th.groupBy("conv_id").agg(F.count("*").alias("sz"))
+    buckets = (
+        th.groupBy("h")
+        .agg(F.sort_array(F.collect_list("conv_id")).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= turn_max_convs))
+    )
+    pair = F.explode(
+        F.filter(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x: F.transform(
+                        "ms", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                    ),
+                )
+            ),
+            lambda p: p["a"] < p["b"],
+        )
+    ).alias("p")
+    inter = (
+        buckets.select(pair)
+        .select(F.col("p.a").alias("conv_a"), F.col("p.b").alias("conv_b"))
+        .groupBy("conv_a", "conv_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("conv_id").alias("conv_a"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("conv_id").alias("conv_b"), F.col("sz").alias("sb"))
+    return (
+        inter.join(sa, "conv_a")
+        .join(sb, "conv_b")
+        .select(
+            "conv_a",
+            "conv_b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("sa") + F.col("sb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+    )

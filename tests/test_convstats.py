@@ -173,3 +173,108 @@ def test_turn_transitions_counts_and_states(spark):
         ("search", "search"): 1,
         ("search", "_none_"): 1,
     }
+
+
+def _sft_tdf(spark):
+    rows = []
+    for t, (role, text) in enumerate(
+        [
+            ("user", "one two three"),        # 3 tokens, c0=0
+            ("assistant", "four five"),       # 2 tokens, c0=3
+            ("user", "six seven eight nine"), # 4 tokens, c0=5
+            ("assistant", "ten"),             # c0=9
+        ]
+    ):
+        rows.append(("x", t, role, text, None, EP + dt.timedelta(seconds=t)))
+    rows.append(("y", 0, "user", None, None, EP))
+    rows.append(("y", 1, "assistant", "solo reply", None, EP + dt.timedelta(seconds=1)))
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_sft_examples_suffix_under_budget(spark):
+    """Context is the longest preceding-turn suffix whose token total fits
+    the budget; token counts and turn counts report the kept suffix."""
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in convstats.sft_examples(_sft_tdf(spark), max_context_tokens=6).collect()
+    }
+    assert set(out) == {("x", 1), ("x", 3), ("y", 1)}
+    # target x/1: only turn 0 precedes (3 tokens <= 6)
+    assert out[("x", 1)].context == "user: one two three"
+    assert out[("x", 1)].target == "four five"
+    assert out[("x", 1)].n_context_turns == 1
+    assert out[("x", 1)].n_context_tokens == 3
+    # target x/3: c0=9; turn2 (c0=5, 9-5=4<=6) and turn1 (c0=3, 9-3=6<=6)
+    # fit; turn0 (c0=0, diff 9) does not — suffix is turns 1..2
+    assert out[("x", 3)].context == "assistant: four five\nuser: six seven eight nine"
+    assert out[("x", 3)].n_context_turns == 2
+    assert out[("x", 3)].n_context_tokens == 6
+    # null-text context turn survives as an empty line with 0 tokens
+    assert out[("y", 1)].context == "user: "
+    assert out[("y", 1)].n_context_tokens == 0
+
+
+def test_sft_examples_zero_budget_and_layout_invariance(spark):
+    """Budget 0 keeps only 0-token (empty) context turns; results are
+    identical under a different input partitioning."""
+    tdf = _sft_tdf(spark)
+    tight = {
+        (r.conv_id, r.turn_idx): r
+        for r in convstats.sft_examples(tdf, max_context_tokens=0).collect()
+    }
+    assert tight[("x", 1)].n_context_turns == 0
+    assert tight[("x", 1)].context == ""
+    assert tight[("y", 1)].n_context_turns == 1  # the null turn costs 0 tokens
+    a = sorted(map(tuple, convstats.sft_examples(tdf, 6).collect()))
+    b = sorted(map(tuple, convstats.sft_examples(tdf.repartition(7), 6).collect()))
+    assert a == b
+
+
+def test_conv_overlap_pairs_jaccard_and_cap(spark):
+    """Shared distinct turn texts drive set jaccard; a turn text shared by
+    more conversations than the cap stops contributing to intersections
+    (jaccard becomes a lower bound); pairs are canonical a < b."""
+    rows = []
+    # p and q share 2 of 3 distinct texts -> j = 2/4 = 0.5
+    for cid, texts in [
+        ("p", ["alpha", "beta", "gamma"]),
+        ("q", ["alpha", "beta", "delta"]),
+    ]:
+        rows += [(cid, i, "user", t, None, EP) for i, t in enumerate(texts)]
+    # 'hot' is a boilerplate text shared by r0..r4 (5 convs > cap 4)
+    for j in range(5):
+        rows += [
+            (f"r{j}", 0, "user", "hot", None, EP),
+            (f"r{j}", 1, "user", f"tail {j}", None, EP),
+        ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {
+        (r.conv_a, r.conv_b): (r.n_shared, r.jaccard)
+        for r in convstats.conv_overlap_pairs(tdf, min_jaccard=0.1, turn_max_convs=4).collect()
+    }
+    assert got == {("p", "q"): (2, 0.5)}  # r-pairs suppressed by the cap
+    # with a looser cap the r conversations pair up through 'hot'
+    loose = convstats.conv_overlap_pairs(tdf, min_jaccard=0.1, turn_max_convs=64)
+    rp = [r for r in loose.collect() if r.conv_a.startswith("r")]
+    assert len(rp) == 10 and all(r.n_shared == 1 and abs(r.jaccard - 1 / 3) < 1e-12 for r in rp)
+
+
+def test_conv_overlap_pairs_duplicate_turns_are_set_semantics(spark):
+    """Repeating the same text within one conversation does not inflate
+    overlap: (conv, hash) is distinct before sizes and intersections."""
+    rows = [
+        ("u", 0, "user", "same", None, EP),
+        ("u", 1, "user", "same", None, EP),
+        ("u", 2, "user", "other", None, EP),
+        ("v", 0, "user", "same", None, EP),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    [r] = convstats.conv_overlap_pairs(tdf, min_jaccard=0.1).collect()
+    # |u| = {same, other} = 2, |v| = 1, shared = 1 -> j = 1/2
+    assert (r.conv_a, r.conv_b, r.n_shared, r.jaccard) == ("u", "v", 1, 0.5)

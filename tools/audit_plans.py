@@ -462,6 +462,39 @@ def main():
             ],
         )
 
+    # round-4: SFT example export — the whole context construction
+    # (suffix-under-budget, line join, token total) must ride the ONE
+    # conv-keyed window exchange as in-row folds: no joins, no Python,
+    # exactly one exchange in the plan
+    from intertext_spark.operators.convstats import conv_overlap_pairs, sft_examples
+
+    record(
+        "sft_examples", sft_examples(tdf, max_context_tokens=48),
+        [
+            ("exactly one exchange (the conv-keyed window)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no join/cartesian (context built in-row)",
+             lambda p: "Join" not in p and "Cartesian" not in p),
+            ("no per-row Python (lambda folds stay JVM-side)",
+             lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ],
+    )
+
+    # round-4: conversation-overlap near-dup — capped member lists +
+    # in-row pair expansion + hash joins against set sizes; never a
+    # cartesian / nested-loop join, never Python
+    record(
+        "conv_overlap_pairs", conv_overlap_pairs(tdf, min_jaccard=0.2),
+        [
+            ("no cartesian / nested-loop join",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+            ("pair groupBy partial-aggregates map-side",
+             lambda p: "partial_count" in p or "partial_" in p),
+            ("no per-row Python",
+             lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
