@@ -672,6 +672,37 @@ def _turn_transitions_q(spark, sf_dir):
     return turn_transitions(tdf, state_col="role")
 
 
+def _bpe_merges_q(spark, sf_dir):
+    """BPE vocabulary induction: ONE distributed word-count scan, then the
+    merge loop over the model-sized frequency table driver-side
+    (incremental pair-count maintenance).  Oracle: a pinned fixture from
+    an independent recount-from-scratch trainer
+    (tools/make_fixtures.py:_bpe_ref_train; same (count desc, pair asc)
+    tie-break, different construction)."""
+    from intertext_spark.operators.bpetrain import bpe_train, bpe_word_counts
+
+    merges = bpe_train(bpe_word_counts(_docs(spark, sf_dir)), n_merges=120)
+    return spark.createDataFrame(
+        [(int(r), l, rt, int(c)) for r, l, rt, c in merges],
+        "rank int, left string, right string, pair_count long",
+    )
+
+
+def _bpe_token_counts_q(spark, sf_dir):
+    """Tokens-per-doc under the trained merge table: one Arrow pass with a
+    broadcast rank table and per-batch word memo.  Oracle: pinned fixture
+    from the independent sweep encoder (merge ALL occurrences of the
+    lowest-rank pair per iteration vs the engine's one-at-a-time rule —
+    provably equivalent, independently coded)."""
+    from intertext_spark.operators.bpetrain import (
+        bpe_token_counts, bpe_train, bpe_word_counts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(bpe_word_counts(docs), n_merges=120)
+    return bpe_token_counts(docs, merges)
+
+
 def _sft_examples_q(spark, sf_dir):
     """SFT example export: (context, target) per assistant turn, context
     = longest preceding-turn suffix under a 48-token budget — one
@@ -954,6 +985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["group_split"] = _group_split_q
     q["sft_examples"] = _sft_examples_q
     q["conv_overlap_pairs"] = _conv_overlap_pairs_q
+    q["bpe_merges"] = _bpe_merges_q
+    q["bpe_token_counts"] = _bpe_token_counts_q
     q["gumbel_topk"] = _gumbel_topk_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
@@ -1669,6 +1702,8 @@ where doc_id = keeper
         ("pipeline_match_strings", "pipeline_match_strings"),
         ("pipeline_scatter_aggs", "pipeline_scatter_aggs"),
         ("simhash_pairs_native", "simhash_pairs"),
+        ("bpe_merges", "bpe_merges"),
+        ("bpe_token_counts", "bpe_token_counts"),
         ("suffix_spans", "suffix_spans"),
         ("xml_page_map", "xml_page_map"),
         ("media_image_features", "media_image_features"),

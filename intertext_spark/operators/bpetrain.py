@@ -1,0 +1,183 @@
+"""Byte-pair-encoding vocabulary induction over a corpus, Spark-first.
+
+BPE training never needs to iterate over the corpus: all merge decisions
+are functions of the WORD-FREQUENCY table, which is model-sized (vocab,
+not corpus).  So the scalable layout is the one real tokenizer trainers
+use: ONE distributed scan builds word counts (map-side-combined groupBy),
+the count table is collected to the driver like any other model
+(ivf_train's centroids, dsir's ratio table), and the merge loop runs
+driver-side over that table — O(n_merges * |active pairs|) with
+incremental pair-count maintenance, zero further cluster traffic.
+Encoding rides ONE Arrow pass with a broadcast merge-rank table and a
+per-batch word memo (each distinct word is encoded once per batch, so
+Zipfian text encodes at near-dictionary-lookup cost).
+
+``max_words`` caps the driver-side model for 10^12-token corpora: the
+top-K words by (count desc, word asc) — a deterministic total order —
+carry virtually all merge-count mass under a Zipf distribution; the knob
+is the same driver-memory guard ivf_train's sample_fraction provides.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .windows import WS
+
+EOW = "</w>"  # marks a word-final symbol (Sennrich-style BPE)
+
+
+def bpe_word_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Distributed word-frequency table: (word, n) — the ONLY corpus-scale
+    step of BPE training.  One exchange, map-side combined."""
+    words = F.filter(
+        F.split(F.coalesce(text_col, F.lit("")), WS), lambda w: w != ""
+    )
+    out = (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    return out.where(F.col("n") >= min_count) if min_count > 1 else out
+
+
+def _word_symbols(word: str) -> tuple:
+    """'low' -> ('l', 'o', 'w</w>')."""
+    if not word:
+        return ()
+    syms = list(word)
+    syms[-1] += EOW
+    return tuple(syms)
+
+
+def bpe_train(
+    word_counts: DataFrame,
+    n_merges: int = 200,
+    max_words: int = 200_000,
+) -> "list[tuple[int, str, str, int]]":
+    """Train BPE merges from a (word, n) frame -> [(rank, left, right,
+    pair_count_at_merge_time)], rank 0-based in merge order.  Ties break
+    by (count desc, pair lexicographically smallest) — a total order, so
+    the merge sequence is partitioning- and platform-invariant.
+
+    Driver-side cost is model-sized: the top ``max_words`` rows of the
+    frequency table (deterministic cutoff), then incremental pair-count
+    maintenance — each merge touches only the words that contain the
+    merged pair.  Stops early when no adjacent pair remains."""
+    rows = (
+        word_counts.orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(int(max_words))
+        .collect()
+    )
+    return train_from_counts([(r["word"], int(r["n"])) for r in rows], n_merges)
+
+
+def train_from_counts(
+    counts: "list[tuple[str, int]]", n_merges: int
+) -> "list[tuple[int, str, str, int]]":
+    """Driver-side merge loop over a collected (word, n) table — split out
+    so the algorithm is testable without a SparkSession."""
+    vocab: dict[tuple, int] = {}
+    for word, n in counts:
+        syms = _word_symbols(word)
+        if len(syms) >= 1:
+            vocab[syms] = vocab.get(syms, 0) + int(n)
+
+    pair_counts: Counter = Counter()
+    # words indexed so merges touch only the words containing the pair
+    by_pair: dict[tuple, set] = {}
+    words = list(vocab.items())  # [(symbols, count)]
+
+    def _add(idx: int, syms: tuple, cnt: int, sign: int) -> None:
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += sign * cnt
+            if sign > 0:
+                by_pair.setdefault((a, b), set()).add(idx)
+
+    for i, (syms, cnt) in enumerate(words):
+        _add(i, syms, cnt, +1)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        pair_counts = +pair_counts  # drop zero/negative entries
+        if not pair_counts:
+            break
+        best_n = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == best_n)
+        merges.append((rank, best[0], best[1], int(best_n)))
+        merged = best[0] + best[1]
+        for i in list(by_pair.get(best, ())):
+            syms, cnt = words[i]
+            if best not in zip(syms, syms[1:]):
+                continue  # stale index entry from an earlier rewrite
+            _add(i, syms, cnt, -1)
+            out = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = (tuple(out), cnt)
+            _add(i, tuple(out), cnt, +1)
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: "dict[tuple, int]") -> "list[str]":
+    """Greedy lowest-rank-first BPE encoding of one word (the standard
+    inference rule: repeatedly merge the present pair with the smallest
+    merge rank)."""
+    syms = list(_word_symbols(word))
+    while len(syms) >= 2:
+        pairs = list(zip(syms, syms[1:]))
+        ranked = [(ranks[p], i) for i, p in enumerate(pairs) if p in ranks]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        syms[i : i + 2] = [syms[i] + syms[i + 1]]
+    return syms
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: "list[tuple[int, str, str, int]]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokens-per-document under a trained merge table -> (id, n_bpe_tokens).
+    ONE Arrow pass: the merge-rank table is an executor broadcast, and a
+    per-batch memo encodes each distinct word once — no shuffle, no
+    per-row Python."""
+    spark = SparkSession.getActiveSession()
+    ranks_bc = spark.sparkContext.broadcast(
+        {(l, r): k for k, l, r, _ in merges}
+    )
+
+    @F.pandas_udf("long")
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        ranks = ranks_bc.value
+        memo: dict[str, int] = {}
+
+        def doc_tokens(t) -> int:
+            total = 0
+            for w in (t or "").split():
+                n = memo.get(w)
+                if n is None:
+                    n = len(bpe_encode_word(w, ranks))
+                    memo[w] = n
+                total += n
+            return total
+
+        return texts.map(doc_tokens)
+
+    return df.select(
+        F.col(id_col), count_tokens(F.col(text_col)).alias("n_bpe_tokens")
+    )

@@ -1,0 +1,84 @@
+"""BPE vocabulary induction: distributed word counts + driver-side merge
+loop + Arrow-pass encoding."""
+
+from collections import Counter
+
+from intertext_spark.operators import bpetrain
+
+
+def _docs(spark):
+    rows = [
+        (1, "low low low low low lower lower"),
+        (2, "newest newest newest newest newest newest"),
+        (3, "widest widest widest"),
+        (4, None),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ref_counter(rows):
+    wc = Counter()
+    for _, t in rows:
+        wc.update((t or "").split())
+    return wc
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """The engine's incremental trainer (Spark word counts + in-place
+    pair-count maintenance) equals the recount-from-scratch reference in
+    tools/make_fixtures.py on the classic Sennrich example."""
+    from tools.make_fixtures import _bpe_ref_train
+
+    df = _docs(spark)
+    merges = bpetrain.bpe_train(bpetrain.bpe_word_counts(df), n_merges=10)
+    want = _bpe_ref_train(dict(_ref_counter(df.collect())), 10)
+    assert merges == want
+    # highest-frequency pair merges first: 'newest' dominates
+    assert merges[0][3] == max(m[3] for m in merges)
+    # ranks are dense from 0
+    assert [m[0] for m in merges] == list(range(len(merges)))
+
+
+def test_bpe_train_early_stop_and_layout_invariance(spark):
+    """Single-symbol words leave no pairs (early stop below n_merges);
+    the merge sequence is identical under a different partitioning."""
+    tiny = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    assert bpetrain.bpe_train(bpetrain.bpe_word_counts(tiny), n_merges=50) == []
+    df = _docs(spark)
+    a = bpetrain.bpe_train(bpetrain.bpe_word_counts(df), n_merges=10)
+    b = bpetrain.bpe_train(
+        bpetrain.bpe_word_counts(df.repartition(7)), n_merges=10
+    )
+    assert a == b
+
+
+def test_bpe_token_counts_matches_sweep_encoder(spark):
+    """The Arrow-pass per-doc totals equal the independent sweep encoder
+    applied word-by-word; fully-merged words cost 1 token."""
+    from tools.make_fixtures import _bpe_ref_encode_len
+
+    df = _docs(spark)
+    merges = bpetrain.bpe_train(bpetrain.bpe_word_counts(df), n_merges=50)
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpetrain.bpe_token_counts(df, merges).collect()
+    }
+    want = {
+        doc_id: sum(_bpe_ref_encode_len(w, ranks) for w in (t or "").split())
+        for doc_id, t in df.collect()
+    }
+    assert got == want
+    assert got[4] == 0 and got[5] == 0
+    # 50 merges fully merge every frequent word -> 1 token per occurrence
+    assert got[2] == 6
+
+
+def test_bpe_encode_word_out_of_vocab(spark):
+    """Unseen characters fall back to character symbols."""
+    df = _docs(spark)
+    merges = bpetrain.bpe_train(bpetrain.bpe_word_counts(df), n_merges=50)
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    assert bpetrain.bpe_encode_word("zq", ranks) == ["z", "q</w>"]
+    assert bpetrain.bpe_encode_word("", ranks) == []

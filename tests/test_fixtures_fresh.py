@@ -102,3 +102,43 @@ def test_media_fixture_fresh():
         for idx in range(max(int(1000 + 250 * (i % 7)) // 500, 1)):
             got = phash64_from_gray(_fake_gray(payload + bytes([idx % 256])))
             assert fr[(i, idx)] == got, (i, idx)
+
+
+@needs_data
+def test_bpe_fixtures_fresh():
+    """Recompute the BPE fixtures with the reference implementations in
+    tools/make_fixtures.py (recount trainer + sweep encoder) and compare
+    to the committed parquet."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(FIX.rsplit("/fixtures", 1)[0]) or ".")
+    from collections import Counter
+
+    from tools.make_fixtures import (
+        BPE_N_MERGES, _bpe_ref_encode_len, _bpe_ref_train,
+    )
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{SF_DIR}/documents.parquet' order by doc_id"
+    ).fetchall()
+    wc = Counter()
+    for _, t in rows:
+        wc.update((t or "").split())
+    merges = _bpe_ref_train(dict(wc), BPE_N_MERGES)
+    got_m = duckdb.sql(
+        f'select rank, "left", "right", pair_count from '
+        f"read_parquet('{FIX}/bpe_merges.parquet') order by rank"
+    ).fetchall()
+    assert [tuple(m) for m in merges] == [tuple(r) for r in got_m]
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    memo = {}
+    want = {}
+    for doc_id, t in rows:
+        want[doc_id] = sum(
+            memo.setdefault(w, _bpe_ref_encode_len(w, ranks))
+            for w in (t or "").split()
+        )
+    got_c = dict(duckdb.sql(
+        f"select doc_id, n_bpe_tokens from read_parquet('{FIX}/bpe_token_counts.parquet')"
+    ).fetchall())
+    assert got_c == want

@@ -495,6 +495,37 @@ def main():
         ],
     )
 
+    # round-4: BPE — the only corpus-scale training step is ONE
+    # map-side-combined word-count exchange; encoding is one Arrow pass
+    # with a broadcast rank table (no shuffle, no join)
+    from intertext_spark.operators import bpetrain
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wc_df = bpetrain.bpe_word_counts(docs_tbl)
+    record(
+        "bpe_word_counts", wc_df,
+        [
+            ("exactly one exchange (the word groupBy)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1),
+            ("count partial-aggregates map-side",
+             lambda p: "partial_count" in p or "partial_" in p),
+            ("scan prunes to the text column",
+             lambda p: "ReadSchema" in p and "n_chars" not in p.split("ReadSchema")[1].splitlines()[0]),
+        ],
+    )
+    bpe_model = bpetrain.bpe_train(wc_df, n_merges=20)
+    record(
+        "bpe_token_counts", bpetrain.bpe_token_counts(docs_tbl, bpe_model),
+        [
+            ("zero exchanges (one narrow Arrow pass)",
+             lambda p: "Exchange" not in p),
+            ("encoding is Arrow-batched, not per-row Python",
+             lambda p: "ArrowEvalPython" in p and "BatchEvalPython" not in p),
+            ("no join/cartesian (rank table is a broadcast variable)",
+             lambda p: "Join" not in p and "Cartesian" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "

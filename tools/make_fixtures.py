@@ -403,6 +403,120 @@ def xml_page_map_fixture(sf_dir: str, out_dir: str, page_words: int = 25):
     print(f"xml page map fixture: {len(out)} rows")
 
 
+BPE_N_MERGES = 120  # keep in sync with __spark_entry__._bpe_merges_q
+
+
+def _bpe_ref_train(word_counts, n_merges):
+    """Reference BPE trainer: recount ALL pair frequencies from scratch
+    every iteration (the engine maintains them incrementally — a
+    different construction with the same semantics).  Tie-break:
+    (count desc, pair lexicographically smallest)."""
+    from collections import Counter
+
+    def symbols(w):
+        s = list(w)
+        s[-1] += "</w>"
+        return tuple(s)
+
+    vocab = {}
+    for w, n in word_counts.items():
+        if w:
+            s = symbols(w)
+            vocab[s] = vocab.get(s, 0) + n
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, cnt in vocab.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] += cnt
+        if not pc:
+            break
+        bn = max(pc.values())
+        best = min(p for p, c in pc.items() if c == bn)
+        merges.append((rank, best[0], best[1], bn))
+        nv = {}
+        for syms, cnt in vocab.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                    out.append(syms[j] + syms[j + 1])
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            t = tuple(out)
+            nv[t] = nv.get(t, 0) + cnt
+        vocab = nv
+    return merges
+
+
+def _bpe_ref_encode_len(word, ranks):
+    """Reference encoder: per iteration merge ALL occurrences of the
+    lowest-rank present pair in one left-to-right sweep (the engine
+    merges one occurrence at a time — equivalent because pairs involving
+    a merged symbol always rank later than the merge that created it)."""
+    syms = list(word)
+    syms[-1] += "</w>"
+    while True:
+        present = [ranks[p] for p in zip(syms, syms[1:]) if p in ranks]
+        if not present:
+            break
+        r = min(present)
+        best = next(p for p in zip(syms, syms[1:]) if ranks.get(p) == r)
+        out, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and (syms[j], syms[j + 1]) == best:
+                out.append(syms[j] + syms[j + 1])
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return len(syms)
+
+
+def bpe_fixtures(sf_dir: str, out_dir: str):
+    """Ground truth for bpe_merges + bpe_token_counts: word counts via
+    python str.split (the semantics windows.WS mirrors), the recount
+    trainer, the sweep encoder."""
+    from collections import Counter
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    wc = Counter()
+    for _, t in rows:
+        wc.update((t or "").split())
+    merges = _bpe_ref_train(dict(wc), BPE_N_MERGES)
+    pq.write_table(
+        pa.table({
+            "rank": pa.array([m[0] for m in merges], pa.int32()),
+            "left": pa.array([m[1] for m in merges], pa.string()),
+            "right": pa.array([m[2] for m in merges], pa.string()),
+            "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+        }),
+        os.path.join(out_dir, "bpe_merges.parquet"),
+    )
+    ranks = {(l, r): k for k, l, r, _ in merges}
+    memo = {}
+    counts = []
+    for doc_id, t in rows:
+        total = 0
+        for w in (t or "").split():
+            if w not in memo:
+                memo[w] = _bpe_ref_encode_len(w, ranks)
+            total += memo[w]
+        counts.append((doc_id, total))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([c[0] for c in counts], pa.int64()),
+            "n_bpe_tokens": pa.array([c[1] for c in counts], pa.int64()),
+        }),
+        os.path.join(out_dir, "bpe_token_counts.parquet"),
+    )
+    print(f"bpe fixtures: {len(merges)} merges, {len(counts)} docs")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -419,6 +533,7 @@ def main():
     suffix_spans_fixture(sf_dir, out_dir)
     media_fixtures(out_dir)
     xml_page_map_fixture(sf_dir, out_dir)
+    bpe_fixtures(sf_dir, out_dir)
     pipeline_fixtures(sf_dir, out_dir, cache)
 
 
