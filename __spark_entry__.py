@@ -725,7 +725,9 @@ def _conv_overlap_pairs_q(spark, sf_dir):
     from intertext_spark.operators.convstats import conv_overlap_pairs
 
     tdf = transcripts_from_documents(spark, sf_dir)
-    return conv_overlap_pairs(tdf, min_jaccard=0.2, turn_max_convs=64)
+    return conv_overlap_pairs(
+        tdf, min_jaccard=0.2, min_containment=0.8, turn_max_convs=64
+    )
 
 
 def _group_split_q(spark, sf_dir):
@@ -1631,11 +1633,13 @@ inter as (
   from pairs group by conv_a, conv_b
 )
 select i.conv_a, i.conv_b, i.n_shared,
-       cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) as jaccard
+       cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) as jaccard,
+       cast(i.n_shared as double) / least(sa.sz, sb.sz) as containment
 from inter i
 join sizes sa on sa.conv_id = i.conv_a
 join sizes sb on sb.conv_id = i.conv_b
 where cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) >= 0.2
+   or cast(i.n_shared as double) / least(sa.sz, sb.sz) >= 0.8
 """
     # group_split: per-exact-dup-group md5 hash-bridge bucket, 90/5/5
     # cumulative thresholds (non-negative 60-bit value, % == pmod).

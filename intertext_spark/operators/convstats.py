@@ -270,6 +270,7 @@ def sft_examples(
 def conv_overlap_pairs(
     tdf: DataFrame,
     min_jaccard: float = 0.5,
+    min_containment: "float | None" = None,
     turn_max_convs: int = 64,
 ) -> DataFrame:
     """Conversation-level near-dup pairs by EXACT turn-set overlap:
@@ -281,7 +282,12 @@ def conv_overlap_pairs(
     here while whole-text near-dup (doc granularity) and exact turn
     dedup both miss the conversation-level relationship.  Exact set
     semantics — no minhash approximation — so the result is fully
-    oracle-checkable.  -> (conv_a, conv_b, n_shared, jaccard), a < b.
+    oracle-checkable.  -> (conv_a, conv_b, n_shared, jaccard,
+    containment), a < b.  containment = shared / min(|a|, |b|) flags
+    prefix-replay (one conversation extends another): the prefix's
+    turns are all shared, so containment ~= 1 while jaccard is diluted
+    by the longer tail.  A row passes when EITHER jaccard >=
+    ``min_jaccard`` or (when set) containment >= ``min_containment``.
 
     Scale shape: distinct (conv, hash) -> per-hash member lists
     (groupBy, bounded by ``turn_max_convs``: a turn text shared by more
@@ -324,6 +330,9 @@ def conv_overlap_pairs(
     )
     sa = sizes.select(F.col("conv_id").alias("conv_a"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("conv_id").alias("conv_b"), F.col("sz").alias("sb"))
+    keep = F.col("jaccard") >= min_jaccard
+    if min_containment is not None:
+        keep = keep | (F.col("containment") >= min_containment)
     return (
         inter.join(sa, "conv_a")
         .join(sb, "conv_b")
@@ -335,6 +344,9 @@ def conv_overlap_pairs(
                 F.col("n_shared")
                 / (F.col("sa") + F.col("sb") - F.col("n_shared")).cast("double")
             ).alias("jaccard"),
+            (
+                F.col("n_shared") / F.least("sa", "sb").cast("double")
+            ).alias("containment"),
         )
-        .where(F.col("jaccard") >= min_jaccard)
+        .where(keep)
     )

@@ -278,3 +278,22 @@ def test_conv_overlap_pairs_duplicate_turns_are_set_semantics(spark):
     [r] = convstats.conv_overlap_pairs(tdf, min_jaccard=0.1).collect()
     # |u| = {same, other} = 2, |v| = 1, shared = 1 -> j = 1/2
     assert (r.conv_a, r.conv_b, r.n_shared, r.jaccard) == ("u", "v", 1, 0.5)
+
+
+def test_conv_overlap_containment_flags_prefix_replay(spark):
+    """A conversation that is a strict prefix of another has containment
+    1.0 even when jaccard is diluted below the jaccard threshold; the
+    containment gate admits it, and min_containment=None suppresses it."""
+    rows = []
+    # long: 10 distinct turns; short: the first 2 -> j = 2/10, cont = 1.0
+    rows += [("long", i, "user", f"step {i}", None, EP) for i in range(10)]
+    rows += [("short", i, "user", f"step {i}", None, EP) for i in range(2)]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    [r] = convstats.conv_overlap_pairs(
+        tdf, min_jaccard=0.5, min_containment=0.9
+    ).collect()
+    assert (r.conv_a, r.conv_b) == ("long", "short")
+    assert r.n_shared == 2 and abs(r.jaccard - 0.2) < 1e-12 and r.containment == 1.0
+    assert convstats.conv_overlap_pairs(tdf, min_jaccard=0.5).count() == 0
