@@ -167,11 +167,16 @@ def run_suite(spark, sf_dir: str) -> dict:
     qs = entrymod.queries()
     # (ivfpq_topk_native: the r4 memory-resident ANN path — coarse assign
     # + residual PQ encode in one Arrow pass, then a zero-shuffle ADC scan)
+    # (sft_examples: one conv-keyed window + in-row context folds —
+    # transcript export throughput; bpe_token_counts: train on the word
+    # table then one Arrow encode pass — tokenizer throughput)
     for name in [
         "minhash_dup_pairs_skewed",
         "dedup_against",
         "dsir_weights",
         "ivfpq_topk_native",
+        "sft_examples",
+        "bpe_token_counts",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
