@@ -730,6 +730,23 @@ def _conv_overlap_pairs_q(spark, sf_dir):
     )
 
 
+def _merged_turns_q(spark, sf_dir):
+    """Adjacent same-role run collapse (transcript normalization).  The
+    derived gate corpus alternates roles, so the gate re-maps role to a
+    u/a/a cycle (pmod(turn_idx,3)) to plant deterministic adjacent runs;
+    the oracle replicates the re-map and the gaps-and-islands merge.
+    ts is cast to epoch seconds for the cross-engine compare."""
+    from intertext_spark.operators.convstats import merge_adjacent_turns
+
+    tdf = transcripts_from_documents(spark, sf_dir).withColumn(
+        "role",
+        F.when(F.pmod("turn_idx", 3) == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    )
+    return merge_adjacent_turns(tdf).withColumn("ts", F.col("ts").cast("long"))
+
+
 def _group_split_q(spark, sf_dir):
     """Leakage-safe 90/5/5 split assigned per exact-duplicate group
     (group_key = min doc_id over md5(text)); the gate passes the md5
@@ -989,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conv_overlap_pairs"] = _conv_overlap_pairs_q
     q["bpe_merges"] = _bpe_merges_q
     q["bpe_token_counts"] = _bpe_token_counts_q
+    q["merged_turns"] = _merged_turns_q
     q["gumbel_topk"] = _gumbel_topk_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
@@ -1640,6 +1658,40 @@ join sizes sa on sa.conv_id = i.conv_a
 join sizes sb on sb.conv_id = i.conv_b
 where cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) >= 0.2
    or cast(i.n_shared as double) / least(sa.sz, sb.sz) >= 0.8
+"""
+    # merged_turns: the same u/a/a role re-map, then gaps-and-islands —
+    # run starts where the previous role differs (or at the first turn),
+    # run_id = running sum of starts, one group per (conv, run).
+    out["merged_turns"] = _TRANSCRIPTS_CTE + """,
+remapped as (
+  select conv_id, turn_idx,
+         case when turn_idx % 3 = 0 then 'user' else 'assistant' end as role,
+         text, tool, ts_sec
+  from tr
+),
+flagged as (
+  select *,
+         case when lag(role) over (partition by conv_id order by turn_idx)
+                   is null
+                or lag(role) over (partition by conv_id order by turn_idx)
+                   != role
+              then 1 else 0 end as new_run
+  from remapped
+),
+runs as (
+  select *, sum(new_run) over (partition by conv_id order by turn_idx
+                               rows between unbounded preceding and current row) as run_id
+  from flagged
+)
+select conv_id,
+       cast(run_id - 1 as int) as turn_idx,
+       min(role) as role,
+       string_agg(coalesce(text, ''), chr(10) order by turn_idx) as text,
+       (list_filter(list(tool order by turn_idx), t -> t is not null)
+        || [null])[1] as tool,
+       (list(ts_sec order by turn_idx))[1] as ts
+from runs
+group by conv_id, run_id
 """
     # group_split: per-exact-dup-group md5 hash-bridge bucket, 90/5/5
     # cumulative thresholds (non-negative 60-bit value, % == pmod).

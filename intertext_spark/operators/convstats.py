@@ -350,3 +350,60 @@ def conv_overlap_pairs(
         )
         .where(keep)
     )
+
+
+def merge_adjacent_turns(tdf: DataFrame, sep: str = "\n") -> DataFrame:
+    """Transcript normalization: collapse runs of consecutive same-role
+    turns into one turn (text joined by ``sep`` in turn order, tool =
+    first non-null in the run, ts = run start, new dense turn_idx).
+    Harness retries and chunked streaming writes leave split turns that
+    inflate turn counts and break role-alternation assumptions; every
+    exporter normalizes them first.  -> the transcripts schema with
+    (conv_id, turn_idx, role, text, tool, ts) where turn_idx re-indexes
+    the merged runs from 0.
+
+    Scale shape: gaps-and-islands with ONE conv-keyed window exchange —
+    run id = turn_idx - row_number-within-role is constant per run
+    (computed with lag + a running flag-sum to stay a single window
+    family), then one groupBy((conv, run)) whose collect_list is bounded
+    by run length.  Both steps hash-partition by conv_id, so AQE plans
+    them as one shuffle family; no joins, no Python."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = tdf.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    ).withColumn(
+        "new_run",
+        (
+            F.coalesce(
+                F.lag("role").over(w) != F.col("role"), F.lit(True)
+            )
+        ).cast("int"),
+    ).withColumn("run_id", F.sum("new_run").over(w))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "text", "tool", "ts"))
+    )
+    return (
+        flagged.groupBy("conv_id", "run_id")
+        .agg(F.first("role").alias("role"), ordered.alias("run"))
+        .select(
+            "conv_id",
+            (F.col("run_id") - 1).cast("int").alias("turn_idx"),
+            "role",
+            F.array_join(
+                F.transform("run", lambda s: F.coalesce(s["text"], F.lit(""))),
+                sep,
+            ).alias("text"),
+            # first non-null tool in run order: filter then head
+            F.element_at(
+                F.concat(
+                    F.filter(
+                        F.transform("run", lambda s: s["tool"]),
+                        lambda t: t.isNotNull(),
+                    ),
+                    F.array(F.lit(None).cast("string")),
+                ),
+                1,
+            ).alias("tool"),
+            F.element_at("run", 1)["ts"].alias("ts"),
+        )
+    )

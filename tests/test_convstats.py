@@ -297,3 +297,46 @@ def test_conv_overlap_containment_flags_prefix_replay(spark):
     assert (r.conv_a, r.conv_b) == ("long", "short")
     assert r.n_shared == 2 and abs(r.jaccard - 0.2) < 1e-12 and r.containment == 1.0
     assert convstats.conv_overlap_pairs(tdf, min_jaccard=0.5).count() == 0
+
+
+def test_merge_adjacent_turns_runs_and_metadata(spark):
+    """Consecutive same-role turns collapse in turn order; tool is the
+    first non-null of the run; ts is the run start; turn_idx re-indexes
+    densely; different-role and cross-conversation turns never merge."""
+    rows = [
+        ("m", 0, "user", "a", None, EP),
+        ("m", 1, "assistant", "b", None, EP + dt.timedelta(seconds=1)),
+        ("m", 2, "assistant", "c", "search", EP + dt.timedelta(seconds=2)),
+        ("m", 3, "assistant", None, "browse", EP + dt.timedelta(seconds=3)),
+        ("m", 4, "user", "d", None, EP + dt.timedelta(seconds=4)),
+        ("n", 0, "assistant", "e", None, EP),  # other conv: no merge with m
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {
+        (r.conv_id, r.turn_idx): r
+        for r in convstats.merge_adjacent_turns(tdf).collect()
+    }
+    assert set(out) == {("m", 0), ("m", 1), ("m", 2), ("n", 0)}
+    run = out[("m", 1)]
+    assert run.role == "assistant"
+    assert run.text == "b\nc\n"  # null text -> empty line, order kept
+    assert run.tool == "search"  # first non-null tool in the run
+    assert run.ts == EP + dt.timedelta(seconds=1)
+    assert out[("m", 0)].text == "a" and out[("m", 2)].text == "d"
+    assert out[("m", 0)].tool is None
+    # layout invariance
+    a = sorted(map(tuple, convstats.merge_adjacent_turns(tdf).collect()))
+    b = sorted(map(tuple, convstats.merge_adjacent_turns(tdf.repartition(5)).collect()))
+    assert a == b
+
+
+def test_merge_adjacent_turns_all_same_role(spark):
+    """A conversation that is one long run collapses to a single turn."""
+    rows = [("z", i, "assistant", f"t{i}", None, EP + dt.timedelta(seconds=i)) for i in range(5)]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    [r] = convstats.merge_adjacent_turns(tdf).collect()
+    assert (r.turn_idx, r.text, r.ts) == (0, "t0\nt1\nt2\nt3\nt4", EP)

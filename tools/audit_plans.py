@@ -495,6 +495,21 @@ def main():
         ],
     )
 
+    # round-4: adjacent-run merge — window + groupBy both keyed by
+    # conv_id (one shuffle family), no joins, no Python
+    from intertext_spark.operators.convstats import merge_adjacent_turns
+
+    record(
+        "merged_turns", merge_adjacent_turns(tdf),
+        [
+            ("conv-keyed window + conv-keyed groupBy only (<= 2 exchanges)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) <= 2),
+            ("no join/cartesian", lambda p: "Join" not in p and "Cartesian" not in p),
+            ("no per-row Python",
+             lambda p: "BatchEvalPython" not in p and "ArrowEvalPython" not in p),
+        ],
+    )
+
     # round-4: BPE — the only corpus-scale training step is ONE
     # map-side-combined word-count exchange; encoding is one Arrow pass
     # with a broadcast rank table (no shuffle, no join)
