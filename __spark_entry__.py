@@ -730,6 +730,24 @@ def _conv_overlap_pairs_q(spark, sf_dir):
     )
 
 
+_INTERLEAVE_W = {"src0": 4, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
+
+
+def _interleave_sources_q(spark, sf_dir):
+    """Deterministic epoch-order construction: rank-within-source via the
+    distributed prefix-sum pattern, interleave_key = (rank-0.5)/weight.
+    The gate passes the md5 hash-bridge so DuckDB recomputes the exact
+    shuffle order; sources outside the weight map are excluded."""
+    from intertext_spark.operators.sampling import interleave_sources
+
+    bridge = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"
+    )
+    return interleave_sources(
+        _docs(spark, sf_dir), _INTERLEAVE_W, hash_expr=bridge
+    )
+
+
 def _merged_turns_q(spark, sf_dir):
     """Adjacent same-role run collapse (transcript normalization).  The
     derived gate corpus alternates roles, so the gate re-maps role to a
@@ -1007,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bpe_merges"] = _bpe_merges_q
     q["bpe_token_counts"] = _bpe_token_counts_q
     q["merged_turns"] = _merged_turns_q
+    q["interleave_sources"] = _interleave_sources_q
     q["gumbel_topk"] = _gumbel_topk_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
@@ -1692,6 +1711,28 @@ select conv_id,
        (list(ts_sec order by turn_idx))[1] as ts
 from runs
 group by conv_id, run_id
+"""
+    # interleave_sources: rank within source by the md5-bridge hash (ties
+    # by doc_id), key = (rank - 0.5) / weight — one IEEE division of
+    # exact integers, bit-identical across engines.
+    out["interleave_sources"] = """
+with w(source, wt) as (values
+  ('src0', 4), ('src1', 3), ('src2', 2), ('src3', 1), ('src4', 1)
+),
+sel as (
+  select doc_id, source,
+         ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::BIGINT as hk
+  from documents
+  where source in (select source from w)
+),
+ranked as (
+  select doc_id, source,
+         row_number() over (partition by source order by hk, doc_id) as rank
+  from sel
+)
+select r.doc_id, r.source, cast(r.rank as bigint) as rank,
+       (cast(r.rank as double) - 0.5) / w.wt as interleave_key
+from ranked r join w using (source)
 """
     # group_split: per-exact-dup-group md5 hash-bridge bucket, 90/5/5
     # cumulative thresholds (non-negative 60-bit value, % == pmod).

@@ -343,3 +343,82 @@ def group_split(
     return df.select(
         id_col, F.col(group_col).alias("group_key"), expr.alias("split")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    weights: "dict[str, int]",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    hash_expr=None,
+) -> DataFrame:
+    """Training-order construction: a deterministic epoch ordering that
+    interleaves sources proportionally to integer ``weights`` — reading
+    rows by ascending ``interleave_key`` yields every weights-ratio
+    prefix property a mixture schedule needs (any key prefix holds
+    floor(t*w + 0.5) rows of a weight-w source), without a global sort
+    or a shared counter.  -> (doc_id, source, rank, interleave_key)
+    where rank is the doc's 1-based position within its source (by
+    hash(id), a layout-invariant shuffle order) and interleave_key =
+    (rank - 0.5) / weight.  Sources absent from ``weights`` are
+    excluded.  The ordering itself is virtual: consumers sort/partition
+    by the key; nothing here funnels through one reducer.
+
+    Scale shape: rank-within-source is the distributed prefix-sum
+    pattern (pack_offsets): range-partition by (source, hash, id), a
+    per-(partition, source) row_number, ONE tiny (n_part x n_sources)
+    count collect, cumulative offsets broadcast back.  The intermediate
+    is localCheckpoint-frozen because RangePartitioner samples bounds
+    per execution — the counts collect and the downstream join must
+    read the SAME partitioning.  interleave_key is one IEEE division of
+    exact integers: bit-identical on every engine and layout."""
+    from pyspark.sql import Window
+
+    hx = hash_expr if hash_expr is not None else F.xxhash64(F.col(id_col))
+    srcs = sorted(weights)
+    base = (
+        df.select(F.col(id_col), F.col(source_col).alias("source"))
+        .where(F.col("source").isin(srcs))
+        .withColumn("hk", hx)
+    )
+    spark = df.sparkSession
+    n_part = max(1, min(200, spark.sparkContext.defaultParallelism))
+    parted = (
+        base.repartitionByRange(n_part, "source", "hk", id_col)
+        .sortWithinPartitions("source", "hk", id_col)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pid", "source").orderBy("hk", id_col)
+            ),
+        )
+        .localCheckpoint()
+    )
+    counts = parted.groupBy("pid", "source").agg(F.count("*").alias("c")).collect()
+    acc: dict = {s: 0 for s in srcs}
+    offsets = []
+    for r in sorted(counts, key=lambda r: (r["source"], r["pid"])):
+        offsets.append((r["pid"], r["source"], acc[r["source"]]))
+        acc[r["source"]] += r["c"]
+    if not offsets:
+        return spark.createDataFrame(
+            [], f"{id_col} long, source string, rank long, interleave_key double"
+        )
+    off_df = spark.createDataFrame(offsets, ["pid", "source", "off"])
+    wmap = F.create_map(
+        *[x for s in srcs for x in (F.lit(s), F.lit(int(weights[s])))]
+    )
+    rank = (F.col("off") + F.col("rn")).cast("long")
+    return (
+        parted.join(F.broadcast(off_df), ["pid", "source"])
+        .select(
+            F.col(id_col),
+            "source",
+            rank.alias("rank"),
+            (
+                (rank.cast("double") - F.lit(0.5))
+                / wmap[F.col("source")].cast("double")
+            ).alias("interleave_key"),
+        )
+    )

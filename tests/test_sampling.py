@@ -291,3 +291,45 @@ def test_unigram_logprob_empty_ref_and_cache_lifecycle(spark):
     assert abs(got[1] - math.log(1 / 1)) < 1e-12
     assert got[1] == got[2]  # uniform under the empty model
     assert sc._jsc.getPersistentRDDs().size() == base
+
+
+def test_interleave_sources_ratio_and_determinism(spark):
+    """Reading by ascending interleave_key interleaves sources in weight
+    ratio (every unit-key prefix holds exactly w rows of a weight-w
+    source); ranks are dense per source; repeated calls and different
+    input layouts agree (frozen prefix-sum execution)."""
+    rows = [(i, "a" if i < 40 else ("b" if i < 60 else "skip")) for i in range(70)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.interleave_sources(df, {"a": 2, "b": 1}).collect()
+    assert {r.source for r in out} == {"a", "b"}  # 'skip' excluded
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.rank)
+    assert sorted(by_src["a"]) == list(range(1, 41))
+    assert sorted(by_src["b"]) == list(range(1, 21))
+    # unit-key prefix property: keys <= t contain floor(t*w + 0.5) rows
+    for t in (1.0, 3.0, 7.0):
+        for s, w in (("a", 2), ("b", 1)):
+            got = sum(1 for r in out if r.source == s and r.interleave_key <= t)
+            assert got == min(int(t * w + 0.5), len(by_src[s])), (t, s)
+    # keys are the exact rational grid
+    for r in out:
+        w = 2 if r.source == "a" else 1
+        assert r.interleave_key == (r.rank - 0.5) / w
+    again = sampling.interleave_sources(df.repartition(13), {"a": 2, "b": 1}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_interleave_sources_empty_and_hash_expr(spark):
+    """No in-weight rows -> typed empty frame; a custom hash_expr changes
+    the shuffle order but never the rank set."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, source string")
+    assert sampling.interleave_sources(df, {"a": 1}).count() == 0
+    rows = [(i, "a") for i in range(10)]
+    d2 = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.interleave_sources(
+        d2, {"a": 3}, hash_expr=F.col("doc_id") * 7 % 10
+    ).collect()
+    assert sorted(r.rank for r in out) == list(range(1, 11))

@@ -510,6 +510,24 @@ def main():
         ],
     )
 
+    # round-4: source interleaving — distributed per-source ranking
+    # (range partition + broadcast offsets); the offsets join must
+    # broadcast and nothing may funnel through a single global window
+    from intertext_spark.operators.sampling import interleave_sources
+
+    docs_for_il = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    il_w = {f"src{i}": (i % 3) + 1 for i in range(5)}
+    record(
+        "interleave_sources", interleave_sources(docs_for_il, il_w),
+        [
+            ("offsets join is a broadcast", lambda p: "BroadcastHashJoin" in p),
+            ("no cartesian / nested-loop join",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+            ("no single-partition global window",
+             lambda p: "SinglePartition" not in p),
+        ],
+    )
+
     # round-4: BPE — the only corpus-scale training step is ONE
     # map-side-combined word-count exchange; encoding is one Arrow pass
     # with a broadcast rank table (no shuffle, no join)
