@@ -415,6 +415,29 @@ def _repetition_stats_q(spark, sf_dir):
     )
 
 
+def _top_ngrams_q(spark, sf_dir):
+    """Corpus-wide 3-gram heavy hitters (boilerplate discovery): top 100
+    grams by occurrence count, boundary ties broken by gram asc.  ONE
+    exchange — per-doc counts are in-row run-length encodes of the sorted
+    gram array, the corpus agg is map-side combined, the top-k is a
+    TakeOrdered.  Oracle: DuckDB unnest + group-by rederivation (all
+    integer — exact)."""
+    from intertext_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), gram_words=3, k=100)
+
+
+def _tfidf_topk_q(spark, sf_dir):
+    """Per-document top-5 terms by smoothed tf-idf (sklearn smooth_idf),
+    scores quantized to 6 digits before ranking (the unigram_logprob /
+    dsir cross-engine ln guard).  In-row tf, one term-keyed df agg, one
+    term join, one doc-keyed window.  Oracle: DuckDB recomputes tf/df/N
+    and the same quantized ranking."""
+    from intertext_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def _source_cap_q(spark, sf_dir):
     """Domain-frequency-cap sampling (web-corpus domain balancing): keep
     the top-10 docs per source by (n_chars desc, doc_id).  Skew-safe
@@ -1009,6 +1032,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
+    q["top_ngrams"] = _top_ngrams_q
+    q["tfidf_topk"] = _tfidf_topk_q
     q["source_cap"] = _source_cap_q
     q["deterministic_sample"] = _deterministic_sample_q
     q["semdedup"] = _semdedup_q
@@ -1270,6 +1295,52 @@ select a.doc_id, a.n_grams,
 from agg a
 join top t using (doc_id)
 join stream s using (doc_id)
+"""
+    # top_ngrams: DuckDB rederives corpus gram counts by unnest +
+    # group-by (all integer — exact); same (count desc, gram asc) boundary
+    # rule. The engine path never materializes the (doc, gram) exchange.
+    out["top_ngrams"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+),
+g as (
+  select doc_id,
+         array_to_string(list_slice(ws, i, i + 2), ' ') as gram
+  from w, unnest(generate_series(1, len(ws) - 2)) as t(i)
+  where len(ws) >= 3
+)
+select gram,
+       cast(count(*) as bigint) as n_occurrences,
+       cast(count(distinct doc_id) as bigint) as n_docs
+from g group by gram
+order by n_occurrences desc, gram asc limit 100
+"""
+    # tfidf_topk: DuckDB recomputes tf/df/N and idf = ln((N+1)/(df+1))+1
+    # with the same floor(x*1e6+0.5)/1e6 quantization BEFORE ranking (the
+    # unigram_logprob/dsir ln guard), same (score desc, term asc) order.
+    out["tfidf_topk"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+),
+t as (select doc_id, unnest(ws) as term from w where len(ws) >= 1),
+tfreq as (select doc_id, term, count(*) as tf from t group by doc_id, term),
+dfreq as (select term, count(distinct doc_id) as df from t group by term),
+n as (select count(distinct doc_id) as n_corpus from t),
+scored as (
+  select doc_id, term, cast(tf as bigint) as tf, cast(df as bigint) as df,
+         floor(tf * (ln((n_corpus + 1.0) / (df + 1.0)) + 1.0) * 1e6 + 0.5) / 1e6 as score
+  from tfreq join dfreq using (term), n
+),
+ranked as (
+  select *, row_number() over (partition by doc_id order by score desc, term asc) as rank
+  from scored
+)
+select doc_id, term, tf, df, score, cast(rank as int) as rank
+from ranked where rank <= 5
 """
     # semdedup: DuckDB recomputes the gate-mode run exactly — centroids =
     # 8 smallest-id vectors, argmax-cosine assignment (round4, cid tie),

@@ -459,3 +459,133 @@ def unigram_logprob(
             (F.col("sum_logprob") / F.col("n_tokens")).alias("mean_logprob"),
         )
     )
+
+
+def _rle_sorted(arr):
+    """Run-length encode a SORTED array column -> array<struct<v,cnt>>.
+
+    Equal values are adjacent after the sort, so run starts are the
+    positions whose value differs from the previous one; run length =
+    next start - this start.  Pure higher-order functions inside
+    whole-stage codegen — this is how per-row (value -> count) maps are
+    built WITHOUT an explode -> groupBy(doc, value) exchange."""
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size(arr)),
+        lambda i: (i == 1) | (F.element_at(arr, i) != F.element_at(arr, i - 1)),
+    )
+    nxt = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size(arr) + 1),
+    )
+    return F.zip_with(
+        starts,
+        nxt,
+        lambda s, e: F.struct(
+            F.element_at(arr, s).alias("v"), (e - s).cast("long").alias("cnt")
+        ),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    gram_words: int = 3,
+    k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide n-gram heavy hitters — the boilerplate-discovery pass a
+    training pipeline runs before writing removal rules (the grams C4/Gopher
+    style filters then target).  -> top ``k`` word n-grams by total
+    occurrence count: (gram, n_occurrences, n_docs), ties at the boundary
+    broken by gram ascending (deterministic under any partitioning).
+
+    Scale shape: ONE exchange.  Per-doc gram counts are built in-row by
+    run-length-encoding the sorted gram array (``_rle_sorted`` — no
+    explode -> groupBy(doc, gram) pre-shuffle), so each doc emits each
+    distinct gram once and the corpus groupBy(gram) gets
+    sum(cnt)/count(*) with map-side partial aggregation — a hot
+    boilerplate gram is combined per-partition before it ships.  The
+    final top-k is a TakeOrdered (per-partition heaps), never a global
+    sort.  At 10^12 turns, key the shuffle by md5(gram) and carry the
+    gram as a payload if gram text gets long (>~100 chars)."""
+    kk = gram_words
+    words = _WORDS(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (kk - 1)),
+        lambda i: F.array_join(F.slice("ws", i, kk), " "),
+    )
+    per_doc = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .where(F.size("ws") >= kk)
+        .select("doc_id", F.explode(_rle_sorted(F.array_sort(grams))).alias("r"))
+        .select("doc_id", F.col("r.v").alias("gram"), F.col("r.cnt").alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.sum("cnt").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    quantize_digits: int | None = 6,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed tf-idf
+    (idf = ln((N+1)/(df+1)) + 1, sklearn's smooth_idf) — the cheap
+    keyword/topic signal for corpus exploration and domain tagging.
+    -> (doc_id, term, tf, df, score, rank), rank 1..k by score
+    descending, ties by term ascending.
+
+    ``quantize_digits`` rounds the double score to that many digits
+    (floor(x*10^d + 0.5)/10^d) BEFORE ranking, making the ranking and the
+    emitted value reproducible across engines whose ln() differs in the
+    last ulp — the same guard unigram_logprob/dsir use.
+
+    Scale shape: per-doc term counts are in-row (``_rle_sorted``, no
+    (doc, term) exchange), so the plan is: one groupBy(term) for df
+    (map-side combined, term-keyed), one shuffle join of the per-doc term
+    rows against the df table on term, one doc-keyed window for top-k.
+    The df table is NOT broadcast — the term dimension is corpus-sized at
+    scale; the term-keyed sort-merge join is the safe shape, and hot
+    terms on the probe side are bounded because each doc contributes a
+    term once.  N (corpus size) rides a broadcast one-row literal join,
+    not a driver collect, so the plan stays lazy end-to-end."""
+    from pyspark.sql import Window
+
+    words = _WORDS(text_col)
+    per_doc = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .where(F.size("ws") >= 1)
+        .select("doc_id", F.explode(_rle_sorted(F.array_sort("ws"))).alias("r"))
+        .select("doc_id", F.col("r.v").alias("term"), F.col("r.cnt").alias("tf"))
+    )
+    n_docs = per_doc.select("doc_id").groupBy().agg(
+        F.count_distinct("doc_id").alias("n_corpus")
+    )
+    dfreq = per_doc.groupBy("term").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("df") >= min_df)
+    score = F.col("tf") * (
+        F.log((F.col("n_corpus") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    if quantize_digits is not None:
+        p = 10 ** quantize_digits
+        score = F.floor(score * p + F.lit(0.5)) / p
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        per_doc.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select("doc_id", "term", "tf", "df", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

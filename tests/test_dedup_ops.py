@@ -704,3 +704,91 @@ def test_dedup_against_band_cap_drops_hot_bands_both_sides(spark):
     uncapped = {r.doc_id: r.kept for r in dedup.dedup_against(
         new_df, ref_df, threshold=0.5).collect()}
     assert not any(uncapped[100 + i] for i in range(20))
+
+
+def test_top_ngrams_heavy_hitters(spark):
+    """Corpus 2-gram heavy hitters: counts match a Counter brute force,
+    n_docs counts distinct docs, boundary ties break by gram asc, short
+    docs contribute nothing."""
+    rows = [
+        (0, "p q p q p q"),   # 'p q' x3, 'q p' x2
+        (1, "p q end"),       # 'p q' x1, 'q end' x1
+        (2, "solo"),          # no 2-grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.top_ngrams(df, gram_words=2, k=10).collect()
+    got = {r.gram: (r.n_occurrences, r.n_docs) for r in out}
+    assert got == {"p q": (4, 2), "q p": (2, 1), "q end": (1, 1)}
+    # deterministic k-boundary: top-2 of three count-1 grams -> gram asc
+    df2 = spark.createDataFrame(
+        [(0, "a b"), (1, "c d"), (2, "b c")], ["doc_id", "text"]
+    )
+    top2 = textstats.top_ngrams(df2, gram_words=2, k=2).collect()
+    assert sorted(r.gram for r in top2) == ["a b", "b c"]
+
+    # randomized brute force
+    import collections
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(8)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    occ, docs = collections.Counter(), collections.defaultdict(set)
+    for i, text in rows:
+        ws = text.split()
+        for j in range(len(ws) - 2):
+            g = " ".join(ws[j:j + 3])
+            occ[g] += 1
+            docs[g].add(i)
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r.gram, r.n_occurrences, r.n_docs)
+           for r in textstats.top_ngrams(df, gram_words=3, k=25).collect()]
+    got.sort(key=lambda t: (-t[1], t[0]))
+    assert [(g, c, len(docs[g])) for g, c in want] == got
+
+
+def test_tfidf_topk_scores_and_ranking(spark):
+    """tf-idf top-k: scores equal the sklearn smooth_idf formula computed
+    in python (after the 6-digit quantization), rank orders by score desc
+    then term asc, min_df drops rare terms, k bounds rows per doc."""
+    import math
+
+    rows = [
+        (0, "apple apple banana shared"),
+        (1, "banana cherry shared shared"),
+        (2, "cherry cherry cherry shared"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textstats.tfidf_topk(df, k=2).collect()
+    n = 3
+
+    def score(tf, dfreq):
+        s = tf * (math.log((n + 1) / (dfreq + 1)) + 1.0)
+        return math.floor(s * 1e6 + 0.5) / 1e6
+
+    dfreq = {"apple": 1, "banana": 2, "cherry": 2, "shared": 3}
+    per_doc = {}
+    tfs = {0: {"apple": 2, "banana": 1, "shared": 1},
+           1: {"banana": 1, "cherry": 1, "shared": 2},
+           2: {"cherry": 3, "shared": 1}}
+    for d, tfd in tfs.items():
+        ranked = sorted(
+            ((score(tf, dfreq[t]), t, tf) for t, tf in tfd.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:2]
+        per_doc[d] = [(t, tf, dfreq[t], s, i + 1)
+                      for i, (s, t, tf) in enumerate(ranked)]
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, []).append(
+            (r.term, r.tf, r.df, r.score, r.rank)
+        )
+    for d in got:
+        got[d].sort(key=lambda t: t[4])
+    assert got == per_doc
+    # min_df=2 drops 'apple' entirely
+    out2 = textstats.tfidf_topk(df, k=4, min_df=2).collect()
+    assert all(r.term != "apple" for r in out2)
+    assert {r.term for r in out2 if r.doc_id == 0} == {"banana", "shared"}

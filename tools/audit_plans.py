@@ -559,6 +559,35 @@ def main():
         ],
     )
 
+    # round-4 (cont.): corpus heavy hitters + tf-idf — in-row RLE tf, so
+    # neither plan contains a (doc, gram/term) pre-shuffle.
+    from intertext_spark.operators import textstats as ts_ops
+
+    record(
+        "top_ngrams", ts_ops.top_ngrams(docs_tbl, gram_words=3, k=100),
+        [
+            ("one exchange + TakeOrdered (no global sort exchange)",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1
+             and "TakeOrderedAndProject" in p),
+            ("gram agg partial-aggregates map-side",
+             lambda p: "partial_" in p),
+            ("no join/cartesian/Python",
+             lambda p: "Join" not in p and "Cartesian" not in p
+             and "EvalPython" not in p),
+        ],
+    )
+    record(
+        "tfidf_topk", ts_ops.tfidf_topk(docs_tbl, k=5),
+        [
+            ("no cartesian product",
+             lambda p: "Cartesian" not in p),
+            ("corpus-size side is a broadcast, term join is not",
+             lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+            ("no per-row Python",
+             lambda p: "EvalPython" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
