@@ -415,6 +415,33 @@ def _repetition_stats_q(spark, sf_dir):
     )
 
 
+def _cdc_chunks_q(spark, sf_dir):
+    """Content-defined chunking (gear hash, FastCDC-style cut rule) over
+    each document's UTF-8 bytes — the blob-level dedup primitive.  Engine:
+    64-term windowed-convolution gear in ONE Arrow pass, zero shuffles.
+    Oracle: pinned fixture from the NAIVE sequential recurrence
+    (tools/make_fixtures.py:_cdc_ref_chunks) — two independent
+    implementations of the same definition."""
+    from intertext_spark.operators.cdc import cdc_chunks
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return cdc_chunks(docs, min_size=24, avg_bits=5, max_size=96)
+
+
+def _cdc_stats_q(spark, sf_dir):
+    """Corpus dedup accounting over the CDC chunk table (total/distinct
+    chunks + bytes, dedup ratio).  Oracle: DuckDB recomputes the same two
+    aggs over the pinned chunk fixture."""
+    from intertext_spark.operators.cdc import cdc_chunks, cdc_stats
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return cdc_stats(cdc_chunks(docs, min_size=24, avg_bits=5, max_size=96))
+
+
 def _top_ngrams_q(spark, sf_dir):
     """Corpus-wide 3-gram heavy hitters (boilerplate discovery): top 100
     grams by occurrence count, boundary ties broken by gram asc.  ONE
@@ -1032,6 +1059,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
+    q["cdc_chunks"] = _cdc_chunks_q
+    q["cdc_stats"] = _cdc_stats_q
     q["top_ngrams"] = _top_ngrams_q
     q["tfidf_topk"] = _tfidf_topk_q
     q["source_cap"] = _source_cap_q
@@ -1876,6 +1905,21 @@ where doc_id = keeper
         ("xml_page_map", "xml_page_map"),
         ("media_image_features", "media_image_features"),
         ("media_frame_samples", "media_frame_samples"),
+        ("cdc_chunks", "cdc_chunks"),
     ):
         out[qname] = f"select * from read_parquet('{fx}/{fname}.parquet')"
+    # cdc_stats: DuckDB recomputes the dedup accounting over the pinned
+    # chunk fixture (the chunking itself is gated by the cdc_chunks row).
+    out["cdc_stats"] = f"""
+with per_hash as (
+  select chunk_hash, count(*) as n_copies, min(length) as length
+  from read_parquet('{fx}/cdc_chunks.parquet') group by chunk_hash
+)
+select cast(sum(n_copies) as bigint) as total_chunks,
+       cast(count(*) as bigint) as distinct_chunks,
+       cast(sum(length * n_copies) as bigint) as total_bytes,
+       cast(sum(length) as bigint) as distinct_bytes,
+       cast(sum(length * n_copies) as double) / sum(length) as dedup_ratio
+from per_hash
+"""
     return out

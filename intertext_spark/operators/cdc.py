@@ -1,0 +1,171 @@
+"""Content-defined chunking (CDC) for blob-level dedup.
+
+Fixed-offset chunking breaks on insertion: one added byte shifts every
+later chunk boundary, so near-identical blobs (re-encoded media, appended
+logs, repacked archives, re-serialized transcripts) share no chunks.  CDC
+places boundaries where a rolling hash of the last-64-bytes window hits a
+mask, so boundaries "re-synchronize" after an edit and identical regions
+hash to identical chunks wherever they sit.  This is the storage/dataset
+dedup move (LBFS; FastCDC, Xia et al., USENIX ATC'16) applied to training
+blobs: chunk -> hash -> count copies -> dedup ratio, all before any
+expensive near-dup pass.
+
+Engine shape: the per-blob kernel is a vectorized Arrow stage
+(mapInPandas), NOT a per-row Python UDF.  The gear hash looks sequential
+(h_i = (h_{i-1} << 1) + G[b_i] mod 2^64) but shifts >= 64 vanish mod
+2^64, so h_i depends on only the last 64 bytes:
+
+    h_i = sum_{j=0..63} G[b_{i-j}] << j   (mod 2^64)
+
+which numpy computes as 64 whole-array shifted adds — no per-byte Python.
+The committed fixture oracle (tools/make_fixtures.py:cdc_fixture) instead
+runs the NAIVE sequential recurrence byte by byte, so the two sides are
+independent implementations of the same definition.
+
+Boundary rule (shared by engine and oracle): cut after position i when
+(h_i & (2^avg_bits - 1)) == 0, subject to min_size/max_size — from chunk
+start, the first qualifying position at offset >= min_size wins; if none
+appears by max_size the cut is forced at max_size; a remainder shorter
+than min_size is emitted as the final chunk.  The rolling hash itself
+never resets at cuts (it is a pure function of the byte window), which is
+what makes boundaries shift-resistant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# Deterministic 256-entry gear table (a parameter of the scheme, shared
+# with the fixture oracle the way minhash permutations are).
+GEAR = np.random.default_rng(0x1605).integers(
+    0, 2**64, size=256, dtype=np.uint64
+)
+
+CDC_CHUNKS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("chunk_hash", T.StringType()),
+    ]
+)
+
+
+def _gear_hashes(data: np.ndarray) -> np.ndarray:
+    """Windowed-convolution gear hash for every position of a uint8 array:
+    h[i] = sum_{j=0..min(i,63)} GEAR[data[i-j]] << j (mod 2^64).  64
+    vectorized shifted adds; uint64 arithmetic wraps mod 2^64 natively."""
+    n = len(data)
+    g = GEAR[data]
+    acc = g.copy()
+    for j in range(1, min(64, n)):
+        acc[j:] += g[: n - j] << np.uint64(j)
+    return acc
+
+
+def _cut_ends(cand: np.ndarray, n: int, min_size: int, max_size: int) -> list[int]:
+    """Chunk END positions (inclusive) from candidate boundary positions.
+    From each chunk start: first candidate at length >= min_size wins,
+    forced cut at max_size, short remainder emitted whole."""
+    ends: list[int] = []
+    start = 0
+    k = 0
+    while start < n:
+        if n - start <= min_size:
+            ends.append(n - 1)
+            break
+        lo, hi = start + min_size - 1, min(start + max_size, n) - 1
+        while k < len(cand) and cand[k] < lo:
+            k += 1
+        cut = int(cand[k]) if k < len(cand) and cand[k] <= hi else hi
+        ends.append(cut)
+        start = cut + 1
+    return ends
+
+
+def cdc_chunks(
+    df: DataFrame,
+    min_size: int = 2048,
+    avg_bits: int = 13,
+    max_size: int = 65536,
+    id_col: str = "doc_id",
+    data_col: str = "payload",
+) -> DataFrame:
+    """Split every blob into content-defined chunks.  ``data_col`` must be
+    BINARY.  -> (doc_id, chunk_idx, offset, length, chunk_hash) where
+    chunk_hash = blake2b-64 hex of the chunk bytes (128-bit-safe variant:
+    raise digest_size; 8 bytes is collision-safe to ~10^9 chunks and keeps
+    the shuffle key narrow).  Average chunk size ~ 2^avg_bits bytes.
+
+    Scale shape: ZERO shuffles — one narrow Arrow pass; each payload
+    crosses to Python once and only (offset, length, hash) rows come
+    back, never chunk bytes.  Downstream dedup (``cdc_stats``/groupBy
+    chunk_hash) shuffles 40-byte rows, not blob content.  The kernel is
+    O(64n) vectorized; defaults target binary blobs (2 KiB min / 8 KiB
+    avg / 64 KiB max) — shrink all three for short text payloads."""
+    if not (0 < min_size <= max_size):
+        raise ValueError("need 0 < min_size <= max_size")
+    mask = np.uint64((1 << avg_bits) - 1)
+    zero = np.uint64(0)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_ix, out_off, out_len, out_h = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload or b"")
+                if not b:
+                    continue
+                data = np.frombuffer(b, dtype=np.uint8)
+                cand = np.nonzero((_gear_hashes(data) & mask) == zero)[0]
+                start = 0
+                for ix, end in enumerate(_cut_ends(cand, len(b), min_size, max_size)):
+                    out_id.append(doc_id)
+                    out_ix.append(ix)
+                    out_off.append(start)
+                    out_len.append(end - start + 1)
+                    out_h.append(
+                        hashlib.blake2b(b[start : end + 1], digest_size=8).hexdigest()
+                    )
+                    start = end + 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_id, dtype="int64"),
+                    "chunk_idx": pd.Series(out_ix, dtype="int32"),
+                    "offset": pd.Series(out_off, dtype="int64"),
+                    "length": pd.Series(out_len, dtype="int64"),
+                    "chunk_hash": pd.Series(out_h, dtype="object"),
+                }
+            )
+
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(data_col).alias("payload"))
+        .mapInPandas(compute, CDC_CHUNKS)
+    )
+
+
+def cdc_stats(chunks: DataFrame) -> DataFrame:
+    """Corpus dedup accounting over a cdc_chunks table -> ONE row:
+    (total_chunks, distinct_chunks, total_bytes, distinct_bytes,
+    dedup_ratio = total_bytes / distinct_bytes).  Two tiny aggs: the
+    chunk_hash groupBy is map-side combined (hot boilerplate chunks
+    collapse per-partition), the final rollup is single-row."""
+    per_hash = chunks.groupBy("chunk_hash").agg(
+        F.count("*").alias("n_copies"),
+        F.min("length").alias("length"),
+    )
+    return per_hash.agg(
+        F.sum("n_copies").alias("total_chunks"),
+        F.count("*").alias("distinct_chunks"),
+        F.sum(F.col("length") * F.col("n_copies")).alias("total_bytes"),
+        F.sum("length").alias("distinct_bytes"),
+        (
+            F.sum(F.col("length") * F.col("n_copies"))
+            / F.sum("length").cast("double")
+        ).alias("dedup_ratio"),
+    )

@@ -1,0 +1,193 @@
+"""Content-defined chunking: the vectorized windowed-convolution gear
+kernel vs the naive sequential recurrence, the FastCDC-ish cut rule,
+shift-resistance (the reason CDC exists), and the dedup accounting."""
+
+import hashlib
+import random
+
+import numpy as np
+import pytest
+
+from intertext_spark.operators import cdc
+
+
+def ref_chunks(b: bytes, min_size: int, avg_bits: int, max_size: int):
+    """Naive sequential reference (mirrors tools/make_fixtures.py)."""
+    g = [int(x) for x in cdc.GEAR]
+    m64 = (1 << 64) - 1
+    mask = (1 << avg_bits) - 1
+    h = 0
+    cand = []
+    for i, byte in enumerate(b):
+        h = ((h << 1) + g[byte]) & m64
+        if (h & mask) == 0:
+            cand.append(i)
+    chunks = []
+    start, n = 0, len(b)
+    while start < n:
+        if n - start <= min_size:
+            chunks.append((start, n - start))
+            break
+        lo, hi = start + min_size - 1, min(start + max_size, n) - 1
+        cut = next((c for c in cand if lo <= c <= hi), hi)
+        chunks.append((start, cut - start + 1))
+        start = cut + 1
+    return chunks
+
+
+def kernel_chunks(b: bytes, min_size: int, avg_bits: int, max_size: int):
+    data = np.frombuffer(b, dtype=np.uint8)
+    mask = np.uint64((1 << avg_bits) - 1)
+    cand = np.nonzero((cdc._gear_hashes(data) & mask) == np.uint64(0))[0]
+    ends = cdc._cut_ends(cand, len(b), min_size, max_size)
+    out, start = [], 0
+    for e in ends:
+        out.append((start, e - start + 1))
+        start = e + 1
+    return out
+
+
+def test_gear_convolution_equals_naive_recurrence():
+    """h_i = sum_{j<=63} GEAR[b_{i-j}] << j must equal the sequential
+    ((h<<1) + GEAR[b]) mod 2^64 at EVERY position, incl. beyond the
+    64-byte warmup where old bytes must drop out."""
+    rng = random.Random(3)
+    for n in (1, 2, 63, 64, 65, 200, 1000):
+        b = bytes(rng.randrange(256) for _ in range(n))
+        got = cdc._gear_hashes(np.frombuffer(b, dtype=np.uint8))
+        g = [int(x) for x in cdc.GEAR]
+        h, want = 0, []
+        for byte in b:
+            h = ((h << 1) + g[byte]) & ((1 << 64) - 1)
+            want.append(h)
+        assert [int(x) for x in got] == want, n
+
+
+@pytest.mark.parametrize("min_size,avg_bits,max_size", [(1, 4, 16), (24, 5, 96), (8, 3, 8)])
+def test_kernel_chunks_equal_reference(min_size, avg_bits, max_size):
+    rng = random.Random(17)
+    for trial in range(30):
+        n = rng.randrange(0, 600)
+        # biased bytes so candidate density varies
+        b = bytes(rng.choice([0, 1, 2, rng.randrange(256)]) for _ in range(n))
+        if not b:
+            continue
+        assert kernel_chunks(b, min_size, avg_bits, max_size) == ref_chunks(
+            b, min_size, avg_bits, max_size
+        ), (trial, n)
+
+
+def test_chunk_invariants():
+    rng = random.Random(5)
+    b = bytes(rng.randrange(256) for _ in range(5000))
+    chunks = kernel_chunks(b, 64, 6, 256)
+    # exact cover, in order
+    assert chunks[0][0] == 0
+    assert sum(ln for _, ln in chunks) == len(b)
+    for (o1, l1), (o2, _) in zip(chunks, chunks[1:]):
+        assert o1 + l1 == o2
+    # bounds: every chunk but the last respects min/max
+    assert all(64 <= ln <= 256 for _, ln in chunks[:-1])
+    assert chunks[-1][1] <= 256
+
+
+def test_shift_resistance_boundaries_resync():
+    """Prepending bytes must leave all but a bounded prefix of chunk
+    hashes identical — the property fixed-size chunking lacks."""
+    rng = random.Random(9)
+    b = bytes(rng.randrange(256) for _ in range(8000))
+    shifted = bytes(rng.randrange(256) for _ in range(37)) + b
+
+    def hashes(data):
+        return [
+            hashlib.blake2b(data[o : o + ln], digest_size=8).hexdigest()
+            for o, ln in kernel_chunks(data, 64, 6, 256)
+        ]
+
+    h1, h2 = hashes(b), hashes(shifted)
+    common = set(h1) & set(h2)
+    # boundaries resync: the vast majority of original chunks survive
+    assert len(common) >= 0.8 * len(h1)
+    # and the shared suffix is long (resync happens near the front)
+    tail = 0
+    for a, c in zip(reversed(h1), reversed(h2)):
+        if a != c:
+            break
+        tail += 1
+    assert tail >= len(h1) - 5
+
+
+def test_cdc_chunks_and_stats_spark(spark):
+    """Spark path == python reference on binary payloads incl. empty and
+    null; cdc_stats matches hand-computed accounting."""
+    rng = random.Random(23)
+    blob = bytes(rng.randrange(256) for _ in range(700))
+    rows = [
+        (0, bytearray(blob)),
+        (1, bytearray(blob)),            # exact dup of 0
+        (2, bytearray(b"tiny")),         # < min_size -> one chunk
+        (3, bytearray(b"")),             # empty -> no rows
+        (4, None),                       # null -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = cdc.cdc_chunks(df, min_size=24, avg_bits=5, max_size=96)
+    got = sorted(
+        ((r.doc_id, r.chunk_idx, r.offset, r.length, r.chunk_hash)
+         for r in out.collect())
+    )
+    want = []
+    for doc_id, payload in rows:
+        b = bytes(payload or b"")
+        if not b:
+            continue
+        for ix, (o, ln) in enumerate(ref_chunks(b, 24, 5, 96)):
+            want.append((
+                doc_id, ix, o, ln,
+                hashlib.blake2b(b[o : o + ln], digest_size=8).hexdigest(),
+            ))
+    assert got == sorted(want)
+    # stats: docs 0 and 1 collapse entirely
+    s = cdc.cdc_stats(out).collect()[0]
+    n0 = len(ref_chunks(blob, 24, 5, 96))
+    assert s.total_chunks == 2 * n0 + 1
+    per = {}
+    for _, _, _, ln, h in want:
+        per.setdefault(h, []).append(ln)
+    assert s.distinct_chunks == len(per)
+    assert s.total_bytes == 2 * len(blob) + 4
+    assert s.distinct_bytes == sum(v[0] for v in per.values())
+    assert abs(s.dedup_ratio - s.total_bytes / s.distinct_bytes) < 1e-12
+
+
+def test_cdc_fixture_fresh():
+    """Staleness guard: regenerate the first 30 docs' chunks with the
+    naive reference and compare to the committed fixture."""
+    import os
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.01/documents.parquet"
+    fx = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures", "sf0.01", "cdc_chunks.parquet",
+    )
+    if not os.path.exists(sf):
+        pytest.skip("no testdata")
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf}' order by doc_id limit 30"
+    ).fetchall()
+    want = []
+    for doc_id, t in rows:
+        b = (t or "").encode("utf-8")
+        if not b:
+            continue
+        for ix, (o, ln) in enumerate(ref_chunks(b, 24, 5, 96)):
+            want.append((
+                doc_id, ix, o, ln,
+                hashlib.blake2b(b[o : o + ln], digest_size=8).hexdigest(),
+            ))
+    got = duckdb.sql(
+        f'select doc_id, chunk_idx, "offset", length, chunk_hash '
+        f"from '{fx}' where doc_id <= {rows[-1][0]} order by doc_id, chunk_idx"
+    ).fetchall()
+    assert [tuple(r) for r in got] == want

@@ -576,6 +576,24 @@ def main():
              and "EvalPython" not in p),
         ],
     )
+    from intertext_spark.operators import cdc as cdc_ops
+    from pyspark.sql import functions as Fx
+
+    record(
+        "cdc_chunks",
+        cdc_ops.cdc_chunks(
+            docs_tbl.select("doc_id", Fx.encode("text", "utf-8").alias("payload")),
+            min_size=24, avg_bits=5, max_size=96,
+        ),
+        [
+            ("zero exchanges (one narrow Arrow pass)",
+             lambda p: "Exchange" not in p),
+            ("Arrow-batched, not per-row Python",
+             lambda p: "ArrowEvalPython" in p or "MapInPandas" in p),
+            ("no join/cartesian",
+             lambda p: "Join" not in p and "Cartesian" not in p),
+        ],
+    )
     record(
         "tfidf_topk", ts_ops.tfidf_topk(docs_tbl, k=5),
         [

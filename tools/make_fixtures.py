@@ -517,6 +517,75 @@ def bpe_fixtures(sf_dir: str, out_dir: str):
     print(f"bpe fixtures: {len(merges)} merges, {len(counts)} docs")
 
 
+# CDC gate params (short text payloads; engine defaults target binary blobs)
+CDC_MIN, CDC_BITS, CDC_MAX = 24, 5, 96
+
+
+def _cdc_ref_chunks(b: bytes, min_size: int, avg_bits: int, max_size: int):
+    """Independent CDC reference: the NAIVE sequential gear recurrence
+    h = ((h << 1) + GEAR[byte]) mod 2^64, byte by byte — the engine
+    computes the same hash as a 64-term windowed convolution
+    (operators/cdc.py:_gear_hashes), so agreement checks the algebraic
+    identity, not one implementation against itself.  The cut rule is
+    also re-implemented here (linear candidate scan)."""
+    from intertext_spark.operators.cdc import GEAR  # shared scheme parameter
+
+    g = [int(x) for x in GEAR]
+    m64 = (1 << 64) - 1
+    mask = (1 << avg_bits) - 1
+    h = 0
+    cand = []
+    for i, byte in enumerate(b):
+        h = ((h << 1) + g[byte]) & m64
+        if (h & mask) == 0:
+            cand.append(i)
+    chunks = []
+    start, n = 0, len(b)
+    while start < n:
+        if n - start <= min_size:
+            chunks.append((start, n - start))
+            break
+        lo, hi = start + min_size - 1, min(start + max_size, n) - 1
+        cut = next((c for c in cand if lo <= c <= hi), hi)
+        chunks.append((start, cut - start + 1))
+        start = cut + 1
+    return chunks
+
+
+def cdc_fixture(sf_dir: str, out_dir: str):
+    """Ground truth for the cdc_chunks gate row: every document's UTF-8
+    bytes chunked by the naive sequential reference."""
+    import hashlib
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    out = {"doc_id": [], "chunk_idx": [], "offset": [], "length": [], "chunk_hash": []}
+    for doc_id, t in rows:
+        b = (t or "").encode("utf-8")
+        if not b:
+            continue
+        for ix, (off, ln) in enumerate(_cdc_ref_chunks(b, CDC_MIN, CDC_BITS, CDC_MAX)):
+            out["doc_id"].append(doc_id)
+            out["chunk_idx"].append(ix)
+            out["offset"].append(off)
+            out["length"].append(ln)
+            out["chunk_hash"].append(
+                hashlib.blake2b(b[off : off + ln], digest_size=8).hexdigest()
+            )
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "chunk_idx": pa.array(out["chunk_idx"], pa.int32()),
+            "offset": pa.array(out["offset"], pa.int64()),
+            "length": pa.array(out["length"], pa.int64()),
+            "chunk_hash": pa.array(out["chunk_hash"], pa.string()),
+        }),
+        os.path.join(out_dir, "cdc_chunks.parquet"),
+    )
+    print(f"cdc fixture: {len(out['doc_id'])} chunks over {len(rows)} docs")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -534,6 +603,7 @@ def main():
     media_fixtures(out_dir)
     xml_page_map_fixture(sf_dir, out_dir)
     bpe_fixtures(sf_dir, out_dir)
+    cdc_fixture(sf_dir, out_dir)
     pipeline_fixtures(sf_dir, out_dir, cache)
 
 
