@@ -415,6 +415,49 @@ def _repetition_stats_q(spark, sf_dir):
     )
 
 
+def _lined_docs(spark, sf_dir):
+    """The gate corpus is single-line word soup, so line-granularity
+    operators plant structure first: each doc's word stream chunked into
+    6-word lines joined by \\n (the merged_turns role-re-map trick, at
+    line granularity).  The oracle replicates the construction."""
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    n_lines = F.expr("(size(ws) + 5) div 6")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(F.slice("ws", i * 6 + 1, 6), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+
+
+def _strip_boilerplate_q(spark, sf_dir):
+    """CCNet/Dolma-style boilerplate-line removal: lines in >= 3 distinct
+    docs are removed from EVERY doc (vs span_dedup's keep-first rule).
+    Line-keyed df agg + line-keyed left join + doc reassembly.  Oracle:
+    DuckDB replants the same 6-word lines and recomputes df + rebuild."""
+    from intertext_spark.operators.dedup import strip_boilerplate
+
+    return strip_boilerplate(_lined_docs(spark, sf_dir), min_docs=3)
+
+
+def _boilerplate_lines_q(spark, sf_dir):
+    """The discovery half: (line, n_docs, n_occurrences) for lines in
+    >= 3 distinct docs — one map-side-combined groupBy over in-row
+    per-doc distinct line counts."""
+    from intertext_spark.operators.dedup import boilerplate_lines
+
+    return boilerplate_lines(_lined_docs(spark, sf_dir), min_docs=3)
+
+
 def _cdc_chunks_q(spark, sf_dir):
     """Content-defined chunking (gear hash, FastCDC-style cut rule) over
     each document's UTF-8 bytes — the blob-level dedup primitive.  Engine:
@@ -1059,6 +1102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
+    q["boilerplate_lines"] = _boilerplate_lines_q
+    q["strip_boilerplate"] = _strip_boilerplate_q
     q["cdc_chunks"] = _cdc_chunks_q
     q["cdc_stats"] = _cdc_stats_q
     q["top_ngrams"] = _top_ngrams_q
@@ -1324,6 +1369,44 @@ select a.doc_id, a.n_grams,
 from agg a
 join top t using (doc_id)
 join stream s using (doc_id)
+"""
+    # boilerplate_lines / strip_boilerplate: DuckDB replants the same
+    # 6-word lines (the merged_turns structure-planting trick) and
+    # recomputes corpus line frequency + removal + ordered rebuild.
+    _lined_cte = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+),
+lined as (
+  select doc_id,
+         list_transform(generate_series(0, cast((len(ws) + 5) // 6 as int) - 1),
+                        i -> array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ')) as ls
+  from w where len(ws) > 0
+),
+lx as (
+  select doc_id, i as line_idx, ls[i + 1] as line
+  from lined, unnest(generate_series(0, len(ls) - 1)) t(i)
+),
+freq as (
+  select line, count(distinct doc_id) as n_docs, count(*) as n_occ
+  from lx group by line
+)"""
+    out["boilerplate_lines"] = _lined_cte + """
+select line, cast(n_docs as bigint) as n_docs,
+       cast(n_occ as bigint) as n_occurrences
+from freq where n_docs >= 3
+"""
+    out["strip_boilerplate"] = _lined_cte + """,
+bp as (select line from freq where n_docs >= 3)
+select lx.doc_id as doc_id,
+       cast(count(*) as bigint) as n_lines,
+       cast(sum(case when bp.line is not null then 1 else 0 end) as bigint) as n_removed,
+       coalesce(string_agg(case when bp.line is null then lx.line end,
+                           chr(10) order by lx.line_idx), '') as cleaned_text
+from lx left join bp on lx.line = bp.line
+group by lx.doc_id
 """
     # top_ngrams: DuckDB rederives corpus gram counts by unnest +
     # group-by (all integer — exact); same (count desc, gram asc) boundary

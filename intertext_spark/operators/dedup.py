@@ -116,6 +116,105 @@ def span_dedup(
     )
 
 
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide boilerplate discovery at LINE granularity (CCNet,
+    Wenzek et al. 2020 §3.1 dedups paragraphs by corpus frequency; Dolma
+    does the same for lines): -> (line, n_docs, n_occurrences) for every
+    line appearing in >= ``min_docs`` distinct documents.  Unlike
+    span_dedup (which keeps the first occurrence of EVERY duplicate
+    chunk), this targets only high-frequency boilerplate — navigation
+    chrome, license headers, canned system prompts — and removes ALL
+    occurrences (see strip_boilerplate).
+
+    Scale shape: per-doc distinct lines in-row (array_distinct), ONE
+    map-side-combined groupBy(line); empty/whitespace-only lines never
+    count.  At 10^12 turns key by md5(line) and keep the line text as a
+    payload."""
+    per_doc = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .select("doc_id", F.explode(_line_counts(text_col, line_sep)).alias("r"))
+        .select("doc_id", F.col("r.v").alias("line"), F.col("r.cnt").alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("line")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cnt").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def _line_counts(text_col: str, line_sep: str):
+    """array<struct<v,cnt>> of (line, count-in-doc), whitespace-only lines
+    dropped — in-row, via the sorted-array run-length encode."""
+    from .textstats import _rle_sorted
+
+    return _rle_sorted(
+        F.array_sort(
+            F.filter(F.split(F.col(text_col), line_sep), lambda l: F.trim(l) != "")
+        )
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Remove every occurrence of every boilerplate line (corpus document
+    frequency >= ``min_docs``) from every document -> (doc_id, n_lines,
+    n_removed, cleaned_text); documents with no non-empty lines are
+    dropped, fully-boilerplate documents survive with cleaned_text ''.
+
+    Scale shape: the boilerplate dim from boilerplate_lines (line-keyed
+    agg), then ONE line-keyed join of the per-doc line stream against it
+    (left join + flag — the dim is corpus-frequency-filtered but NOT
+    assumed broadcast-small), then the doc-keyed reassembly groupBy.
+    Line order inside each doc is preserved via posexplode indices."""
+    exploded = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.filter(F.split(F.col(text_col), line_sep), lambda l: F.trim(l) != "")
+            ).alias("line_idx", "line"),
+        )
+    )
+    bp = boilerplate_lines(
+        df, min_docs=min_docs, id_col=id_col, text_col=text_col, line_sep=line_sep
+    ).select("line", F.lit(True).alias("is_bp"))
+    return (
+        exploded.join(bp, "line", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("line_idx", "is_bp", "line"))
+                        ),
+                        lambda s: s["is_bp"].isNull(),
+                    ),
+                    lambda s: s["line"],
+                ),
+                line_sep,
+            ).alias("cleaned_text"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "cleaned_text")
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     dup_pairs: DataFrame,

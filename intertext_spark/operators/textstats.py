@@ -468,15 +468,21 @@ def _rle_sorted(arr):
     positions whose value differs from the previous one; run length =
     next start - this start.  Pure higher-order functions inside
     whole-stage codegen — this is how per-row (value -> count) maps are
-    built WITHOUT an explode -> groupBy(doc, value) exchange."""
+    built WITHOUT an explode -> groupBy(doc, value) exchange.
+
+    Empty-safe: positions come from an index transform of the array
+    itself (F.sequence(1, 0) would produce a DESCENDING [1, 0] and hit
+    element_at(arr, 0)); an empty input yields an empty encode."""
+    positions = F.transform(arr, lambda x, i: i + 1)
     starts = F.filter(
-        F.sequence(F.lit(1), F.size(arr)),
+        positions,
         lambda i: (i == 1) | (F.element_at(arr, i) != F.element_at(arr, i - 1)),
     )
-    nxt = F.concat(
+    tail = F.concat(
         F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
         F.array(F.size(arr) + 1),
     )
+    nxt = F.when(F.size(starts) > 0, tail).otherwise(starts)
     return F.zip_with(
         starts,
         nxt,

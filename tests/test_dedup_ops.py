@@ -792,3 +792,44 @@ def test_tfidf_topk_scores_and_ranking(spark):
     out2 = textstats.tfidf_topk(df, k=4, min_df=2).collect()
     assert all(r.term != "apple" for r in out2)
     assert {r.term for r in out2 if r.doc_id == 0} == {"banana", "shared"}
+
+
+def test_boilerplate_lines_and_strip(spark):
+    """CCNet-style line-frequency boilerplate: lines in >= min_docs
+    distinct docs are removed from EVERY doc (incl. the first
+    occurrence — the opposite of span_dedup's keep-first rule); in-doc
+    repeats count once toward n_docs but all toward n_occurrences;
+    whitespace-only lines are ignored; fully-boilerplate docs survive
+    with cleaned_text ''."""
+    header = "SUBSCRIBE TO OUR NEWSLETTER"
+    rows = [
+        (0, f"{header}\nalpha beta\n{header}"),       # header twice in one doc
+        (1, f"{header}\ngamma delta"),
+        (2, f"{header}\n\n  \nepsilon"),              # blank lines ignored
+        (3, f"{header}"),                             # fully boilerplate
+        (4, "unique content only"),
+        (5, ""),                                      # no lines -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bp = dedup.boilerplate_lines(df, min_docs=3).collect()
+    assert [(r.line, r.n_docs, r.n_occurrences) for r in bp] == [(header, 4, 5)]
+
+    out = {r.doc_id: r for r in dedup.strip_boilerplate(df, min_docs=3).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert (out[0].n_lines, out[0].n_removed, out[0].cleaned_text) == (3, 2, "alpha beta")
+    assert (out[1].n_lines, out[1].n_removed, out[1].cleaned_text) == (2, 1, "gamma delta")
+    assert (out[2].n_lines, out[2].n_removed, out[2].cleaned_text) == (2, 1, "epsilon")
+    assert (out[3].n_lines, out[3].n_removed, out[3].cleaned_text) == (1, 1, "")
+    assert (out[4].n_lines, out[4].n_removed, out[4].cleaned_text) == (1, 0, "unique content only")
+    # threshold boundary: min_docs=5 -> header survives everywhere
+    clean5 = {r.doc_id: r for r in dedup.strip_boilerplate(df, min_docs=5).collect()}
+    assert all(r.n_removed == 0 for r in clean5.values())
+    assert clean5[0].cleaned_text == f"{header}\nalpha beta\n{header}"
+    # multi-line order preserved around removals
+    df2 = spark.createDataFrame(
+        [(i, f"keep{i} one\n{header}\nkeep{i} two") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.cleaned_text
+           for r in dedup.strip_boilerplate(df2, min_docs=3).collect()}
+    assert got == {i: f"keep{i} one\nkeep{i} two" for i in range(4)}

@@ -576,6 +576,18 @@ def main():
              and "EvalPython" not in p),
         ],
     )
+    record(
+        "strip_boilerplate", dedup.strip_boilerplate(docs_tbl, min_docs=3),
+        [
+            ("no cartesian product",
+             lambda p: "Cartesian" not in p),
+            ("line-frequency agg partial-aggregates map-side",
+             lambda p: "partial_" in p),
+            ("no per-row Python",
+             lambda p: "EvalPython" not in p),
+        ],
+    )
+
     from intertext_spark.operators import cdc as cdc_ops
     from pyspark.sql import functions as Fx
 
