@@ -439,6 +439,25 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def _normalize_text_q(spark, sf_dir):
+    """Cleaning-stage normalization (NFC + control strip + whitespace
+    collapse).  The gate corpus is pure ASCII, so the query plants a
+    suffix with DECOMPOSED unicode (e+U+0301, i+U+0308), a C0 control,
+    tabs, and space runs; DuckDB rebuilds the identical input via chr()
+    and recomputes with its own nfc_normalize (utf8proc vs python
+    unicodedata — independent NFC implementations)."""
+    from intertext_spark.operators.textstats import normalize_text
+
+    planted = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  Cafe\u0301 \t nai\u0308ve \u0001x  "),
+        ).alias("text"),
+    )
+    return normalize_text(planted).select("doc_id", "norm_text")
+
+
 def _strip_boilerplate_q(spark, sf_dir):
     """CCNet/Dolma-style boilerplate-line removal: lines in >= 3 distinct
     docs are removed from EVERY doc (vs span_dedup's keep-first rule).
@@ -1102,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
+    q["normalize_text"] = _normalize_text_q
     q["boilerplate_lines"] = _boilerplate_lines_q
     q["strip_boilerplate"] = _strip_boilerplate_q
     q["cdc_chunks"] = _cdc_chunks_q
@@ -1369,6 +1389,24 @@ select a.doc_id, a.n_grams,
 from agg a
 join top t using (doc_id)
 join stream s using (doc_id)
+"""
+    # normalize_text: DuckDB rebuilds the identical planted input via
+    # chr() and normalizes with utf8proc's nfc_normalize — an independent
+    # NFC implementation vs the engine's python unicodedata; the control
+    # strip and ASCII-\s collapse are recomputed with RE2.
+    out["normalize_text"] = """
+with planted as (
+  select doc_id,
+         text || '  Cafe' || chr(769) || ' ' || chr(9) || ' nai' || chr(776)
+              || 've ' || chr(1) || 'x  ' as t
+  from documents
+)
+select doc_id,
+       trim(regexp_replace(
+            regexp_replace(nfc_normalize(t),
+                           '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+            '\\s+', ' ', 'g')) as norm_text
+from planted
 """
     # boilerplate_lines / strip_boilerplate: DuckDB replants the same
     # 6-word lines (the merged_turns structure-planting trick) and

@@ -595,3 +595,42 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Cleaning-stage text normalization: Unicode canonical composition
+    (``form``: NFC/NFKC/NFD/NFKD via unicodedata), strip C0 control
+    characters (except tab/newline/CR, which the whitespace collapse
+    eats), collapse ASCII-whitespace runs to single spaces, trim, and
+    optionally lowercase.  -> input plus ``out_col``.
+
+    The normalize step is an Arrow-batched pandas UDF with a per-value
+    ASCII fast path (ASCII is already in normal form under all four
+    forms, so pure-ASCII corpora never pay the python call); everything
+    after it is JVM regexp/trim/lower.  The whitespace collapse is
+    deliberately ASCII \\s (not (?U)) so the result is bit-identical
+    across regex engines (Java vs RE2); exotic Unicode spaces (NBSP,
+    U+2028) survive — downstream tokenizers (windows.WS) handle them."""
+    import unicodedata
+
+    @F.pandas_udf(T.StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None or x.isascii():
+                return x
+            return unicodedata.normalize(form, x)
+
+        return s.map(one)
+
+    col = _norm(F.col(text_col))
+    col = F.regexp_replace(col, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    col = F.trim(F.regexp_replace(col, "\\s+", " "))
+    if lowercase:
+        col = F.lower(col)
+    return df.withColumn(out_col, col)

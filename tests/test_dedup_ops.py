@@ -833,3 +833,44 @@ def test_boilerplate_lines_and_strip(spark):
     got = {r.doc_id: r.cleaned_text
            for r in dedup.strip_boilerplate(df2, min_docs=3).collect()}
     assert got == {i: f"keep{i} one\nkeep{i} two" for i in range(4)}
+
+
+def test_normalize_text_nfc_controls_whitespace(spark):
+    """NFC composition (decomposed e/i fold to single code points), C0
+    control strip, whitespace-run collapse + trim, ASCII fast path
+    (pure-ASCII strings unchanged beyond collapse), null passthrough,
+    NFKC option (ligature fold), lowercase option."""
+    rows = [
+        (0, "Cafe\u0301  du \t monde"),           # decomposed -> NFC
+        (1, "a\u0001b\u0002 c"),                  # controls stripped
+        (2, "  plain   ascii  "),
+        (3, None),
+        (4, "\ufb01ne"),                          # fi-ligature (NFKC-only)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.norm_text
+           for r in textstats.normalize_text(df).collect()}
+    assert out[0] == "Caf\u00e9 du monde"
+    assert out[1] == "ab c"
+    assert out[2] == "plain ascii"
+    assert out[3] is None
+    assert out[4] == "\ufb01ne"  # NFC keeps the ligature
+    nfkc = {r.doc_id: r.norm_text
+            for r in textstats.normalize_text(df, form="NFKC").collect()}
+    assert nfkc[4] == "fine"
+    low = {r.doc_id: r.norm_text
+           for r in textstats.normalize_text(df, lowercase=True).collect()}
+    assert low[0] == "caf\u00e9 du monde"
+    # python-oracle parity
+    import re
+    import unicodedata
+
+    def ref(x):
+        if x is None:
+            return None
+        y = unicodedata.normalize("NFC", x)
+        y = re.sub("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", y)
+        return re.sub("[ \t\n\x0b\f\r]+", " ", y).strip()
+
+    for d, t in rows:
+        assert out[d] == ref(t), d
