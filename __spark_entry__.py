@@ -439,6 +439,37 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def _curate_transcripts_q(spark, sf_dir):
+    """End-to-end transcript curation recipe (merge runs -> corpus-wide
+    turn dedup -> conv health gate -> exact conv dedup).  The gate
+    re-maps roles to a u/a/a cycle (plants adjacent runs) and re-texts
+    turn 0 of EVERY conv to a canned opener (plants corpus-wide turn
+    boilerplate; exactly one conv keeps it).  Oracle: DuckDB chains the
+    same four stages as CTEs — gaps-and-islands merge, first-occurrence
+    turn dedup + re-index, stats gate, assembled-signature conv dedup."""
+    from intertext_spark.curate import curate_transcripts
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    planted = tdf.withColumn(
+        "role",
+        F.when(F.pmod("turn_idx", 3) == 0, F.lit("user")).otherwise(
+            F.lit("assistant")
+        ),
+    ).withColumn(
+        "text",
+        F.when(F.col("turn_idx") == 0, F.lit("SYSTEM CANNED OPENER")).otherwise(
+            F.col("text")
+        ),
+    )
+    out, _ = curate_transcripts(
+        planted, dedup_roles="all", min_turns=2, max_dup_turn_frac=0.5
+    )
+    return out.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.col("ts").cast("long").alias("ts"),
+    )
+
+
 def _normalize_text_q(spark, sf_dir):
     """Cleaning-stage normalization (NFC + control strip + whitespace
     collapse).  The gate corpus is pure ASCII, so the query plants a
@@ -1121,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
+    q["curate_transcripts"] = _curate_transcripts_q
     q["normalize_text"] = _normalize_text_q
     q["boilerplate_lines"] = _boilerplate_lines_q
     q["strip_boilerplate"] = _strip_boilerplate_q
@@ -1902,6 +1934,84 @@ where cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) >= 0.2
     # merged_turns: the same u/a/a role re-map, then gaps-and-islands —
     # run starts where the previous role differs (or at the first turn),
     # run_id = running sum of starts, one group per (conv, run).
+    # curate_transcripts: the four recipe stages chained as CTEs —
+    # u/a/a re-map + canned turn-0 plant, gaps-and-islands merge,
+    # first-occurrence turn dedup + dense re-index, conv stats gate,
+    # assembled (role US text) signature conv dedup (string equality ==
+    # the engine's md5 equality).
+    out["curate_transcripts"] = _TRANSCRIPTS_CTE + """,
+remapped as (
+  select conv_id, turn_idx,
+         case when turn_idx % 3 = 0 then 'user' else 'assistant' end as role,
+         case when turn_idx = 0 then 'SYSTEM CANNED OPENER' else text end as text,
+         tool, ts_sec
+  from tr
+),
+flagged as (
+  select *,
+         case when lag(role) over (partition by conv_id order by turn_idx)
+                   is null
+                or lag(role) over (partition by conv_id order by turn_idx)
+                   != role
+              then 1 else 0 end as new_run
+  from remapped
+),
+runs as (
+  select *, sum(new_run) over (partition by conv_id order by turn_idx
+                               rows between unbounded preceding and current row) as run_id
+  from flagged
+),
+merged as (
+  select conv_id,
+         cast(run_id - 1 as int) as turn_idx,
+         min(role) as role,
+         string_agg(coalesce(text, ''), chr(10) order by turn_idx) as text,
+         (list_filter(list(tool order by turn_idx), t -> t is not null)
+          || [null])[1] as tool,
+         (list(ts_sec order by turn_idx))[1] as ts
+  from runs group by conv_id, run_id
+),
+keyed as (
+  select *, case when length(text) > 0 then text
+                 else conv_id || '#' || cast(turn_idx as varchar) end as scope_key
+  from merged
+),
+kept as (
+  select conv_id, turn_idx, role, text, tool, ts,
+         row_number() over (partition by scope_key
+                            order by conv_id, turn_idx) as rn
+  from keyed
+),
+pruned as (
+  select conv_id, role, text, tool, ts,
+         cast(row_number() over (partition by conv_id order by turn_idx) - 1
+              as int) as turn_idx
+  from kept where rn = 1
+),
+stats as (
+  select conv_id, count(*) as n_turns,
+         1 - cast(count(distinct text) as double) / count(*) as dup_frac
+  from pruned group by conv_id
+),
+gated as (
+  select p.* from pruned p join stats s using (conv_id)
+  where s.n_turns >= 2 and s.dup_frac <= 0.5
+),
+assembled as (
+  select conv_id,
+         string_agg(role || chr(31) || text, chr(10) order by turn_idx) as sig
+  from gated group by conv_id
+),
+keepers as (
+  select conv_id from (
+    select conv_id, min(conv_id) over (partition by sig) as keeper
+    from assembled
+  ) t where conv_id = keeper
+)
+select g.conv_id, g.turn_idx, g.role, g.text, g.tool,
+       cast(g.ts as bigint) as ts
+from gated g join keepers using (conv_id)
+"""
     out["merged_turns"] = _TRANSCRIPTS_CTE + """,
 remapped as (
   select conv_id, turn_idx,

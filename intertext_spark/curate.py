@@ -12,7 +12,44 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+class _StageRunner:
+    """Shared stage driver for the curation recipes: runs each stage,
+    records {stage, rows_in, rows_out, skipped} metrics, and (with a
+    CheckpointStore) lands each stage as a checkpointed table whose
+    fingerprint chains (input_token | stage | params | previous
+    fingerprint) — the Pipeline.run resume contract."""
+
+    def __init__(self, store, input_token: str, rows_in: int, prefix: str = "curate"):
+        self.store = store
+        self.fp = input_token
+        self.n_in = rows_in
+        self.prefix = prefix
+        self.metrics: list[dict] = []
+
+    def run(self, name: str, params: str, build):
+        if self.store is None:
+            df = build()
+            n = df.count()
+            self.metrics.append(
+                {"stage": name, "rows_in": self.n_in, "rows_out": n, "skipped": False}
+            )
+            self.n_in = n
+            return df
+        self.fp = hashlib.sha256(f"{self.fp}|{name}|{params}".encode()).hexdigest()
+        res = self.store.read_or_build(f"{self.prefix}_{name}", self.fp, build)
+        self.metrics.append(
+            {
+                "stage": name,
+                "rows_in": self.n_in,
+                "rows_out": res.rows,
+                "skipped": res.skipped,
+            }
+        )
+        self.n_in = res.rows
+        return res.df
 
 
 def curate_corpus(
@@ -50,32 +87,9 @@ def curate_corpus(
     from .operators import sampling
     from .operators.dedup import exact_dup_groups
 
-    metrics: list[dict] = []
-    fp = input_token
-    n_in = docs.count()
-
-    def run_stage(name: str, params: str, build):
-        nonlocal fp, n_in
-        if store is None:
-            df = build()
-            n = df.count()
-            metrics.append(
-                {"stage": name, "rows_in": n_in, "rows_out": n, "skipped": False}
-            )
-            n_in = n
-            return df
-        fp = hashlib.sha256(f"{fp}|{name}|{params}".encode()).hexdigest()
-        res = store.read_or_build(f"curate_{name}", fp, build)
-        metrics.append(
-            {
-                "stage": name,
-                "rows_in": n_in,
-                "rows_out": res.rows,
-                "skipped": res.skipped,
-            }
-        )
-        n_in = res.rows
-        return res.df
+    runner = _StageRunner(store, input_token, docs.count(), prefix="curate")
+    metrics = runner.metrics
+    run_stage = runner.run
 
     def dedup_stage():
         keepers = (
@@ -120,3 +134,111 @@ def curate_corpus(
         )
 
     return cur, metrics
+
+
+def curate_transcripts(
+    tdf: DataFrame,
+    dedup_roles: "list[str] | None | str" = "all",
+    min_turns: int | None = None,
+    max_dup_turn_frac: float | None = None,
+    store=None,
+    input_token: str = "v0",
+) -> "tuple[DataFrame, list[dict]]":
+    """The transcript-native curation recipe (the axes-A+B analog of
+    curate_corpus): normalize -> strip boilerplate turns -> gate sick
+    conversations -> drop exact-duplicate conversations.  -> (surviving
+    turn rows in the transcripts schema, per-stage metrics).
+
+      1. merge_runs     merge_adjacent_turns (collapse same-role runs)
+      2. turn_dedup     corpus-wide exact turn dedup (keeper = globally
+                        first (conv_id, turn_idx)); ``dedup_roles``:
+                        "all" (any role), a role list, or None to skip.
+                        Surviving turns are densely re-indexed per conv.
+      3. conv_gate      conv_stats filters: n_turns >= min_turns,
+                        dup_turn_frac <= max_dup_turn_frac
+      4. conv_dedup     exact conversation dedup over the assembled
+                        (role, text) turn sequence, keeper = min conv_id
+                        (conv_ids are strings: lexicographic order)
+
+    Metrics rows count TURNS ({stage, rows_in, rows_out, skipped}).
+    Deterministic end to end (every keeper rule is a total order), so
+    the output is partitioning-invariant.  With ``store`` each stage
+    lands as curate_t_<stage> with a chained fingerprint (same resume
+    contract as curate_corpus).
+
+    Scale shape: stages 1-2 are conv-keyed window families + one
+    corpus-wide text-keyed window (turn_dedup) + (conv,turn)-keyed
+    semi-join; stage 3 one conv groupBy + conv semi-join; stage 4 one
+    conv groupBy (bounded by conversation length), one text-hash window
+    over ONE ROW PER CONV, one conv semi-join.  No Python anywhere."""
+    from .operators.convstats import conv_stats, merge_adjacent_turns, turn_dedup
+
+    runner = _StageRunner(store, input_token, tdf.count(), prefix="curate_t")
+
+    cur = runner.run("merge_runs", "sep=nl", lambda: merge_adjacent_turns(tdf))
+
+    if dedup_roles is not None:
+        prev = cur
+        roles = None if dedup_roles == "all" else list(dedup_roles)
+
+        def dedup_stage():
+            keep_keys = (
+                turn_dedup(prev, roles=roles)
+                .where("kept")
+                .select("conv_id", "turn_idx")
+            )
+            pruned = prev.join(keep_keys, ["conv_id", "turn_idx"], "left_semi")
+            w = Window.partitionBy("conv_id").orderBy("turn_idx")
+            return pruned.withColumn(
+                "turn_idx", (F.row_number().over(w) - 1).cast("int")
+            )
+
+        cur = runner.run("turn_dedup", f"roles={dedup_roles}", dedup_stage)
+
+    if min_turns is not None or max_dup_turn_frac is not None:
+        prev = cur
+
+        def gate_stage():
+            cond = F.lit(True)
+            if min_turns is not None:
+                cond = cond & (F.col("n_turns") >= min_turns)
+            if max_dup_turn_frac is not None:
+                cond = cond & (F.col("dup_turn_frac") <= max_dup_turn_frac)
+            keep = conv_stats(prev).where(cond).select("conv_id")
+            return prev.join(keep, "conv_id", "left_semi")
+
+        cur = runner.run(
+            "conv_gate",
+            f"min_turns={min_turns},max_dup={max_dup_turn_frac}",
+            gate_stage,
+        )
+
+    prev2 = cur
+
+    def conv_dedup_stage():
+        # one row per conv: hash of the ordered (role, text) sequence,
+        # US-separated so same texts under different roles never collapse
+        assembled = prev2.groupBy("conv_id").agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "role", "text"))
+                        ),
+                        lambda s: F.concat_ws("\u001f", s["role"], s["text"]),
+                    ),
+                    "\n",
+                )
+            ).alias("h")
+        )
+        keep = (
+            assembled.withColumn(
+                "keeper", F.min("conv_id").over(Window.partitionBy("h"))
+            )
+            .where(F.col("conv_id") == F.col("keeper"))
+            .select("conv_id")
+        )
+        return prev2.join(keep, "conv_id", "left_semi")
+
+    cur = runner.run("conv_dedup", "md5(role,text)", conv_dedup_stage)
+    return cur, runner.metrics

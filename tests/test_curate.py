@@ -78,3 +78,101 @@ def test_curate_corpus_checkpoint_resume(spark, tmp_path):
     assert [m["skipped"] for m in m3] == [True, False, False]
     # lineage metrics landed
     assert (tmp_path / "ckpt" / "metrics.jsonl").exists()
+
+
+
+def test_curate_transcripts_stages_and_metrics(spark):
+    """Planted corpus exercises all four stages: same-role runs merge,
+    the canned opener dedups corpus-wide (keeper = globally first),
+    short/self-repetitive convs gate out, exact-duplicate conversations
+    collapse to the min conv_id; metrics chain row counts; second
+    checkpointed run skips every stage."""
+    from intertext_spark.curate import curate_transcripts
+
+    canned = "I am a helpful assistant"
+    rows = []
+
+    def conv(cid, turns):
+        for i, (role, text) in enumerate(turns):
+            rows.append((cid, i, role, text, None, None))
+
+    # c0: split assistant run (merges), canned opener (kept here: first)
+    conv("c0", [("assistant", canned), ("user", "hi"),
+                ("assistant", "part one"), ("assistant", "part two"),
+                ("user", "thanks"), ("assistant", "bye")])
+    # c1: canned opener (deduped away), otherwise healthy
+    conv("c1", [("assistant", canned), ("user", "question"),
+                ("assistant", "answer"), ("user", "ok"), ("assistant", "done")])
+    # c2/c3: exact duplicates of each other after normalization
+    dup = [("user", "same q"), ("assistant", "same a"),
+           ("user", "same follow"), ("assistant", "same end")]
+    conv("c2", dup)
+    conv("c3", dup)
+    # c4: too short after gates (min_turns=4)
+    conv("c4", [("user", "lone"), ("assistant", "short")])
+    # c5: self-repetitive (dup_turn_frac high)
+    conv("c5", [("user", "loop"), ("assistant", "again"), ("user", "loop"),
+                ("assistant", "again"), ("user", "loop"), ("assistant", "again")])
+
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    out, metrics = curate_transcripts(
+        tdf, dedup_roles="all", min_turns=4, max_dup_turn_frac=0.4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.conv_id, []).append((r.turn_idx, r.role, r.text))
+    for v in got.values():
+        v.sort()
+    # c0 keeps canned (global first), merges its assistant run
+    assert got["c0"] == [
+        (0, "assistant", canned), (1, "user", "hi"),
+        (2, "assistant", "part one\npart two"),
+        (3, "user", "thanks"), (4, "assistant", "bye")]
+    # c1 lost the canned opener, then re-indexed
+    assert got["c1"] == [
+        (0, "user", "question"), (1, "assistant", "answer"),
+        (2, "user", "ok"), (3, "assistant", "done")]
+    # duplicate pair: only the dup turns themselves dedup corpus-wide
+    # ("same q" in c3 repeats c2's), so c3 empties before conv_dedup
+    assert "c2" in got and "c3" not in got
+    # c4 too short, c5 self-repetitive -> gated
+    assert "c4" not in got and "c5" not in got
+
+    names = [m["stage"] for m in metrics]
+    assert names == ["merge_runs", "turn_dedup", "conv_gate", "conv_dedup"]
+    for a, b in zip(metrics, metrics[1:]):
+        assert a["rows_out"] == b["rows_in"]
+    assert metrics[0]["rows_in"] == len(rows)
+    assert metrics[-1]["rows_out"] == sum(len(v) for v in got.values())
+
+    # with dedup disabled, c2/c3 survive to conv_dedup and collapse there
+    out2, _ = curate_transcripts(tdf, dedup_roles=None, min_turns=4,
+                                 max_dup_turn_frac=0.4)
+    convs2 = {r.conv_id for r in out2.select("conv_id").distinct().collect()}
+    assert "c2" in convs2 and "c3" not in convs2
+
+
+def test_curate_transcripts_checkpoint_resume(spark, tmp_path):
+    from intertext_spark.curate import curate_transcripts
+    from intertext_spark.store import CheckpointStore
+
+    rows = [("a", 0, "user", "hi", None, None),
+            ("a", 1, "assistant", "yo", None, None),
+            ("b", 0, "user", "hi", None, None),
+            ("b", 1, "assistant", "yo", None, None)]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    out1, m1 = curate_transcripts(tdf, dedup_roles=None, store=store,
+                                  input_token="t1")
+    assert all(not m["skipped"] for m in m1)
+    out2, m2 = curate_transcripts(tdf, dedup_roles=None, store=store,
+                                  input_token="t1")
+    assert all(m["skipped"] for m in m2)
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+    # param change re-runs downstream stages
+    _, m3 = curate_transcripts(tdf, dedup_roles="all", store=store,
+                               input_token="t1")
+    assert m3[0]["skipped"] and not m3[1]["skipped"]
