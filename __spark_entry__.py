@@ -439,6 +439,34 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def _bbit_jaccard_pairs_q(spark, sf_dir):
+    """b-bit minhash similarity estimation (b=2, 6 md5-bridge perms,
+    adjacent-doc pairs): the engine PACKS fields into Horner-fold words
+    and counts agreement by an XOR field scan; DuckDB compares the raw
+    signature fields directly (mod 2^b) — so the gate checks that the
+    pack -> scan round-trip loses nothing.  The 256-perm numpy signing
+    path is gated separately (minhash_dup_pairs_native); this row pins
+    the compression/estimation algebra."""
+    from intertext_spark.operators.dedup import bbit_pack_expr, bbit_pairs_est
+    from intertext_spark.sqlqueries import SPARK, q_minhash_signatures
+
+    _register_views(spark, sf_dir)
+    sigs = spark.sql(q_minhash_signatures(SPARK))
+    sig_arr = F.array(*[F.col(f"sig{j}").cast("long") for j in range(6)])
+    packed = sigs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        bbit_pack_expr(sig_arr, 2, 6).alias("bbit_words"),
+    )
+    pairs = (
+        packed.select(F.col("doc_id").alias("doc_a"))
+        .join(
+            packed.select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_b") == F.col("doc_a") + 1,
+        )
+    )
+    return bbit_pairs_est(packed, pairs, 2, 6)
+
+
 def _curate_transcripts_q(spark, sf_dir):
     """End-to-end transcript curation recipe (merge runs -> corpus-wide
     turn dedup -> conv health gate -> exact conv dedup).  The gate
@@ -1152,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
+    q["bbit_jaccard_pairs"] = _bbit_jaccard_pairs_q
     q["curate_transcripts"] = _curate_transcripts_q
     q["normalize_text"] = _normalize_text_q
     q["boilerplate_lines"] = _boilerplate_lines_q
@@ -1934,6 +1963,26 @@ where cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) >= 0.2
     # merged_turns: the same u/a/a role re-map, then gaps-and-islands —
     # run starts where the previous role differs (or at the first turn),
     # run_id = running sum of starts, one group per (conv, run).
+    # bbit_jaccard_pairs: DuckDB compares the raw md5-bridge signature
+    # fields mod 2^b directly (no packing), proving the engine's Horner
+    # pack + XOR field scan round-trips; same clamp + 6-digit quantize.
+    from intertext_spark.sqlqueries import DUCK as _DUCK_D, _minhash_sig_cte as _sig_cte
+    agree_terms = " + ".join(
+        f"(case when (a.sig{j} % 4) = (b.sig{j} % 4) then 1 else 0 end)"
+        for j in range(6)
+    )
+    out["bbit_jaccard_pairs"] = f"""
+with {_sig_cte(_DUCK_D)},
+p as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         {agree_terms} as agree
+  from sigs a join sigs b on b.doc_id = a.doc_id + 1
+)
+select doc_a, doc_b, cast(agree as int) as agree,
+       floor(greatest((agree / 6.0 - 0.25) / 0.75, 0.0) * 1e6 + 0.5) / 1e6
+         as est_jaccard
+from p
+"""
     # curate_transcripts: the four recipe stages chained as CTEs —
     # u/a/a re-map + canned turn-0 plant, gaps-and-islands merge,
     # first-occurrence turn dedup + dense re-index, conv stats gate,

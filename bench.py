@@ -170,6 +170,9 @@ def run_suite(spark, sf_dir: str) -> dict:
     # (sft_examples: one conv-keyed window + in-row context folds —
     # transcript export throughput; bpe_token_counts: train on the word
     # table then one Arrow encode pass — tokenizer throughput)
+    # (cdc_chunks: gear-CDC Arrow kernel throughput; top_ngrams: the
+    # one-exchange heavy-hitter agg; curate_transcripts: the end-to-end
+    # 4-stage transcript recipe incl. per-stage count jobs)
     for name in [
         "minhash_dup_pairs_skewed",
         "dedup_against",
@@ -177,6 +180,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         "ivfpq_topk_native",
         "sft_examples",
         "bpe_token_counts",
+        "cdc_chunks",
+        "top_ngrams",
+        "curate_transcripts",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -285,6 +285,24 @@ def _doc_sig_schema():
     )
 
 
+def _batched_doc_sigs(pdf, text_col, a, b, shingle_words):
+    """Shared batched signing kernel: tokenize (only per-row Python),
+    hash every token of the batch in one vectorized pass, form
+    word-k-gram shingle hashes segment-wise, minhash via segmented
+    reduceat — no per-document numpy calls, no shingle-string building
+    (the round-1 per-doc loop was the signing bottleneck)."""
+    token_lists = [(t or "").split() for t in pdf[text_col]]
+    counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+    all_toks: list[str] = []
+    for toks in token_lists:
+        all_toks.extend(toks)
+    th = hashing.hash64_strings(all_toks)
+    sh, sh_counts = hashing.shingle_token_hashes(th, counts, shingle_words)
+    tmp = np.empty(sh.size, dtype=np.uint64)
+    hashing._mod_p31_inplace(sh, tmp)  # < 2^31 for the perm products
+    return hashing.minhash_from_hashes(sh, sh_counts, a, b, mirror=False)
+
+
 def doc_minhash_bands(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -304,21 +322,7 @@ def doc_minhash_bands(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # fully batched: tokenize (only per-row Python), hash every
-            # token of the batch in one vectorized pass, form word-k-gram
-            # shingle hashes segment-wise, minhash via segmented reduceat —
-            # no per-document numpy calls, no shingle-string building
-            # (the round-1 per-doc loop was the signing bottleneck)
-            token_lists = [(t or "").split() for t in pdf[text_col]]
-            counts = np.array([len(t) for t in token_lists], dtype=np.int64)
-            all_toks: list[str] = []
-            for toks in token_lists:
-                all_toks.extend(toks)
-            th = hashing.hash64_strings(all_toks)
-            sh, sh_counts = hashing.shingle_token_hashes(th, counts, shingle_words)
-            tmp = np.empty(sh.size, dtype=np.uint64)
-            hashing._mod_p31_inplace(sh, tmp)  # < 2^31 for the perm products
-            sigs = hashing.minhash_from_hashes(sh, sh_counts, a, b, mirror=False)
+            sigs = _batched_doc_sigs(pdf, text_col, a, b, shingle_words)
             bands = hashing.band_hashes(sigs, band_len, band_len)[:, :n_bands]
             yield pd.DataFrame(
                 {
@@ -332,6 +336,155 @@ def doc_minhash_bands(
         sel.mapInPandas(compute, _doc_sig_schema())
         .select("doc_id", F.explode("bands").alias("band"))
         .distinct()
+    )
+
+
+def doc_minhash_sigs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 128,
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (doc_id, sig array<long>[n_perm]): the raw MinHash signatures
+    from the same batched kernel doc_minhash_bands bands up — kept when a
+    downstream stage needs the values themselves (b-bit compression,
+    similarity estimation) rather than band keys.  Docs with fewer than
+    ``shingle_words`` tokens have no shingles and are dropped."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = hashing.make_permutations(n_perm, False, seed)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_tok = np.array(
+                [len((t or "").split()) for t in pdf[text_col]], dtype=np.int64
+            )
+            keep = n_tok >= shingle_words
+            pdf = pdf[keep]
+            if len(pdf) == 0:
+                continue
+            sigs = _batched_doc_sigs(pdf, text_col, a, b, shingle_words)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "sig": list(sigs.astype("int64")),
+                }
+            )
+
+    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    return sel.mapInPandas(compute, schema)
+
+
+# --- b-bit minhash (Li & Koenig, WWW'10): keep only the lowest b bits of
+# each permutation's min-hash.  At 10^12 docs a 256-perm x 8-byte
+# signature store is ~2 TB; b=1 packs it 64x smaller while the agreement
+# statistic stays an unbiased similarity estimator:
+#   E[agree/n_perm] = J + (1 - J) / 2^b   =>   J = (A - 2^-b) / (1 - 2^-b)
+
+
+def bbit_pack_expr(sig_col, b: int, n_perm: int):
+    """JVM expression packing the lowest ``b`` bits of each of ``n_perm``
+    signature values into longs, 32/b fields per word (Horner fold:
+    acc*2^b + field keeps every intermediate < 2^32, so ANSI-mode long
+    arithmetic can never overflow; no shift-by-column needed)."""
+    if b not in (1, 2, 4, 8):
+        raise ValueError("b must divide a 32-bit field budget: 1/2/4/8")
+    per_word = 32 // b
+    mask = (1 << b) - 1
+    words = []
+    for w in range(0, n_perm, per_word):
+        acc = F.lit(0).cast("long")
+        for j in range(w, min(w + per_word, n_perm)):
+            acc = acc * (1 << b) + (
+                F.element_at(sig_col, j + 1).cast("long").bitwiseAND(F.lit(mask))
+            )
+        words.append(acc)
+    return F.array(*words)
+
+
+def bbit_agreement_expr(wa, wb, b: int, n_perm: int):
+    """JVM expression counting agreeing b-bit fields between two packed
+    word arrays: XOR each word pair, then a python-unrolled field scan
+    (shiftright by literal amounts — stays in whole-stage codegen)."""
+    per_word = 32 // b
+    mask = (1 << b) - 1
+    disagree = F.lit(0)
+    for w in range((n_perm + per_word - 1) // per_word):
+        x = F.element_at(wa, w + 1).bitwiseXOR(F.element_at(wb, w + 1))
+        for k in range(min(per_word, n_perm - w * per_word)):
+            disagree = disagree + F.when(
+                F.shiftright(x, b * k).bitwiseAND(F.lit(mask)) != 0, 1
+            ).otherwise(0)
+    return F.lit(n_perm) - disagree
+
+
+def bbit_est_jaccard(agree_col, b: int, n_perm: int):
+    """Unbiased b-bit estimator: J = (A - 2^-b) / (1 - 2^-b), clamped at
+    0 (sampling noise can push A below the random-collision floor)."""
+    floor_p = 1.0 / (1 << b)
+    a_frac = agree_col.cast("double") / n_perm
+    return F.greatest((a_frac - floor_p) / (1.0 - floor_p), F.lit(0.0))
+
+
+def bbit_minhash(
+    df: DataFrame,
+    b: int = 1,
+    n_perm: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (doc_id, bbit_words array<long>): b-bit-compressed MinHash
+    sketches (64x smaller than raw 64-bit signatures at b=1).  Signing is
+    the batched Arrow kernel; packing is pure JVM."""
+    sigs = doc_minhash_sigs(
+        df, id_col=id_col, text_col=text_col, n_perm=n_perm,
+        shingle_words=shingle_words, seed=seed,
+    )
+    return sigs.select(
+        "doc_id", bbit_pack_expr(F.col("sig"), b, n_perm).alias("bbit_words")
+    )
+
+
+def bbit_pairs_est(
+    packed: DataFrame,
+    pairs: DataFrame,
+    b: int,
+    n_perm: int,
+    quantize_digits: int | None = 6,
+) -> DataFrame:
+    """Estimate Jaccard for candidate ``pairs`` (doc_a, doc_b) from the
+    packed sketches -> (doc_a, doc_b, agree, est_jaccard).  Two keyed
+    joins against the (narrow) sketch table; the agreement count is a
+    python-unrolled JVM bit scan — no Python on the data plane.  This is
+    the cheap verify stage that replaces exact-shingle Jaccard when the
+    corpus no longer fits: candidates still come from full-width LSH
+    bands, but the verifier reads 32 bytes per doc instead of the text."""
+    pa_ = packed.select(
+        F.col("doc_id").alias("doc_a"), F.col("bbit_words").alias("wa")
+    )
+    pb_ = packed.select(
+        F.col("doc_id").alias("doc_b"), F.col("bbit_words").alias("wb")
+    )
+    agree = bbit_agreement_expr(F.col("wa"), F.col("wb"), b, n_perm)
+    est = bbit_est_jaccard(F.col("agree"), b, n_perm)
+    if quantize_digits is not None:
+        p = 10 ** quantize_digits
+        est = F.floor(est * p + F.lit(0.5)) / p
+    return (
+        pairs.join(pa_, "doc_a")
+        .join(pb_, "doc_b")
+        .withColumn("agree", agree)
+        .select("doc_a", "doc_b", "agree", est.alias("est_jaccard"))
     )
 
 

@@ -874,3 +874,74 @@ def test_normalize_text_nfc_controls_whitespace(spark):
 
     for d, t in rows:
         assert out[d] == ref(t), d
+
+
+
+def test_bbit_pack_and_agreement_roundtrip(spark):
+    """Packing + XOR field-scan agreement must equal a direct numpy
+    field comparison of the raw signatures, for every supported b."""
+    import random
+
+    rng = random.Random(31)
+    n_perm = 12
+    rows = [(i, [rng.randrange(2**31 - 1) for _ in range(n_perm)])
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, sig array<long>")
+    for b in (1, 2, 4, 8):
+        packed = df.select(
+            "doc_id", dedup.bbit_pack_expr(F.col("sig"), b, n_perm).alias("bbit_words"))
+        pairs = spark.createDataFrame(
+            [(i, j) for i in range(10) for j in range(i + 1, 10)],
+            "doc_a long, doc_b long")
+        got = {(r.doc_a, r.doc_b): r.agree
+               for r in dedup.bbit_pairs_est(packed, pairs, b, n_perm).collect()}
+        mask = (1 << b) - 1
+        sig = dict(rows)
+        for (i, j), agree in got.items():
+            want = sum((sig[i][k] & mask) == (sig[j][k] & mask)
+                       for k in range(n_perm))
+            assert agree == want, (b, i, j)
+
+
+def test_bbit_estimator_bounds_and_identity(spark):
+    """Identical docs estimate J=1.0; disjoint docs clamp at >= 0; the
+    packed sketch is 32/b fields per long."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        ["doc_id", "text"])
+    packed = dedup.bbit_minhash(docs, b=1, n_perm=64)
+    rows = {r.doc_id: r.bbit_words for r in packed.collect()}
+    assert all(len(w) == 2 for w in rows.values())  # 64 perms / 32 fields
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "doc_a long, doc_b long")
+    est = {(r.doc_a, r.doc_b): (r.agree, r.est_jaccard)
+           for r in dedup.bbit_pairs_est(packed, pairs, 1, 64).collect()}
+    assert est[(0, 1)] == (64, 1.0)
+    assert 0.0 <= est[(0, 2)][1] <= 0.35  # noise floor, clamped
+    # short docs (< shingle) are dropped by the signer
+    tiny = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    assert dedup.bbit_minhash(tiny, b=1, n_perm=64).count() == 0
+
+
+def test_bbit_sigs_match_hashing_kernel(spark):
+    """doc_minhash_sigs must equal the hashing-module functions applied
+    per doc (same perms, same shingle rule) — exact."""
+    from intertext_spark import hashing as H
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs today"]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {r.doc_id: list(r.sig)
+           for r in dedup.doc_minhash_sigs(docs, n_perm=16).collect()}
+    a, b = H.make_permutations(16, False, 42)
+    import numpy as np
+    for i, t in enumerate(texts):
+        toks = t.split()
+        th = H.hash64_strings(toks)
+        sh, cnt = H.shingle_token_hashes(
+            th, np.array([len(toks)], dtype=np.int64), 3)
+        tmp = np.empty(sh.size, dtype=np.uint64)
+        H._mod_p31_inplace(sh, tmp)
+        want = H.minhash_from_hashes(sh, cnt, a, b, mirror=False)[0]
+        assert got[i] == [int(x) for x in want], i
