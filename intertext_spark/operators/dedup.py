@@ -136,9 +136,17 @@ def boilerplate_lines(
     map-side-combined groupBy(line); empty/whitespace-only lines never
     count.  At 10^12 turns key by md5(line) and keep the line text as a
     payload."""
+    from .textstats import _rle_sorted
+
+    lines = F.array_sort(
+        F.filter(F.split(F.col(text_col), line_sep), lambda l: F.trim(l) != "")
+    )
     per_doc = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-        .select("doc_id", F.explode(_line_counts(text_col, line_sep)).alias("r"))
+        # attribute-bind the sorted line array before the RLE lambdas
+        # (CollapseProject re-inlines expressions referenced per element)
+        .select("doc_id", lines.alias("sl"))
+        .select("doc_id", F.explode(_rle_sorted(F.col("sl"))).alias("r"))
         .select("doc_id", F.col("r.v").alias("line"), F.col("r.cnt").alias("cnt"))
     )
     return (
@@ -148,18 +156,6 @@ def boilerplate_lines(
             F.sum("cnt").alias("n_occurrences"),
         )
         .where(F.col("n_docs") >= min_docs)
-    )
-
-
-def _line_counts(text_col: str, line_sep: str):
-    """array<struct<v,cnt>> of (line, count-in-doc), whitespace-only lines
-    dropped — in-row, via the sorted-array run-length encode."""
-    from .textstats import _rle_sorted
-
-    return _rle_sorted(
-        F.array_sort(
-            F.filter(F.split(F.col(text_col), line_sep), lambda l: F.trim(l) != "")
-        )
     )
 
 

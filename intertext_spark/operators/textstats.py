@@ -523,7 +523,13 @@ def top_ngrams(
     per_doc = (
         df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
         .where(F.size("ws") >= kk)
-        .select("doc_id", F.explode(_rle_sorted(F.array_sort(grams))).alias("r"))
+        # bind the sorted array to an attribute BEFORE the RLE lambdas:
+        # element_at inside them references the array many times, and
+        # CollapseProject would otherwise re-inline (and so re-sort +
+        # re-build) the gram expression per element access — measured
+        # 100x on the sf0.1 bench before this split
+        .select("doc_id", F.array_sort(grams).alias("sg"))
+        .select("doc_id", F.explode(_rle_sorted(F.col("sg"))).alias("r"))
         .select("doc_id", F.col("r.v").alias("gram"), F.col("r.cnt").alias("cnt"))
     )
     return (
@@ -571,7 +577,9 @@ def tfidf_topk(
     per_doc = (
         df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
         .where(F.size("ws") >= 1)
-        .select("doc_id", F.explode(_rle_sorted(F.array_sort("ws"))).alias("r"))
+        # attribute-bind the sorted array (see top_ngrams note)
+        .select("doc_id", F.array_sort("ws").alias("sw"))
+        .select("doc_id", F.explode(_rle_sorted(F.col("sw"))).alias("r"))
         .select("doc_id", F.col("r.v").alias("term"), F.col("r.cnt").alias("tf"))
     )
     n_docs = per_doc.select("doc_id").groupBy().agg(
