@@ -439,6 +439,16 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def _corpus_profile_q(spark, sf_dir):
+    """Per-source corpus accounting with EXACT percentiles (the oracle
+    for the documented approx_percentile swap at scale).  One map-side
+    combined groupBy.  Oracle: DuckDB quantile_cont — same linear
+    interpolation; both sides 6-digit quantized."""
+    from intertext_spark.operators.textstats import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
 def _bbit_jaccard_pairs_q(spark, sf_dir):
     """b-bit minhash similarity estimation (b=2, 6 md5-bridge perms,
     adjacent-doc pairs): the engine PACKS fields into Horner-fold words
@@ -1180,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["span_dedup"] = _span_dedup_q
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
+    q["corpus_profile"] = _corpus_profile_q
     q["bbit_jaccard_pairs"] = _bbit_jaccard_pairs_q
     q["curate_transcripts"] = _curate_transcripts_q
     q["normalize_text"] = _normalize_text_q
@@ -1963,6 +1974,25 @@ where cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) >= 0.2
     # merged_turns: the same u/a/a role re-map, then gaps-and-islands —
     # run starts where the previous role differs (or at the first turn),
     # run_id = running sum of starts, one group per (conv, run).
+    # corpus_profile: DuckDB quantile_cont == Spark percentile (linear
+    # interpolation, verified formula-identical); integer sums exact.
+    out["corpus_profile"] = """
+with d as (
+  select source,
+         length(text) as chars,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) as toks
+  from documents
+)
+select source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(chars) as bigint) as total_chars,
+       cast(sum(toks) as bigint) as total_tokens,
+       floor((sum(chars) / cast(count(*) as double)) * 1e6 + 0.5) / 1e6 as mean_chars,
+       floor(cast(quantile_cont(chars, 0.5) as double) * 1e6 + 0.5) / 1e6 as p50_chars,
+       floor(cast(quantile_cont(chars, 0.9) as double) * 1e6 + 0.5) / 1e6 as p90_chars,
+       floor(cast(quantile_cont(chars, 0.99) as double) * 1e6 + 0.5) / 1e6 as p99_chars
+from d group by source
+"""
     # bbit_jaccard_pairs: DuckDB compares the raw md5-bridge signature
     # fields mod 2^b directly (no packing), proving the engine's Horner
     # pack + XOR field scan round-trips; same clamp + 6-digit quantize.

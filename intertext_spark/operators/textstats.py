@@ -642,3 +642,56 @@ def normalize_text(
     if lowercase:
         col = F.lower(col)
     return df.withColumn(out_col, col)
+
+
+def corpus_profile(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    quantize_digits: int | None = 6,
+) -> DataFrame:
+    """Per-group corpus accounting — the first thing anyone runs on a new
+    dump: (group, n_docs, total_chars, total_tokens, mean_chars,
+    p50_chars, p90_chars, p99_chars).  Percentiles here are EXACT
+    (F.percentile, linear interpolation — same formula as DuckDB
+    quantile_cont, so the gate matches bit-for-bit after quantization);
+    at 10^12 docs swap in approx_percentile(…, accuracy) — same plan
+    shape, sketch-mergeable, no sort — the exact variant is the oracle
+    for that swap.  One map-side-combined groupBy; token counts are
+    in-row."""
+    words = _WORDS(text_col)
+    chars = F.length(text_col)
+
+    def q(col):
+        if quantize_digits is None:
+            return col
+        p = 10 ** quantize_digits
+        return F.floor(col * p + F.lit(0.5)) / p
+
+    agg = (
+        df.select(
+            F.col(by).alias("grp"),
+            chars.alias("chars"),
+            F.size(words).alias("toks"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("chars").alias("total_chars"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            (F.sum("chars") / F.count("*").cast("double")).alias("mean_chars"),
+            F.percentile("chars", 0.5).alias("p50_chars"),
+            F.percentile("chars", 0.9).alias("p90_chars"),
+            F.percentile("chars", 0.99).alias("p99_chars"),
+        )
+    )
+    return agg.select(
+        F.col("grp").alias(by),
+        "n_docs",
+        "total_chars",
+        "total_tokens",
+        q(F.col("mean_chars")).alias("mean_chars"),
+        q(F.col("p50_chars")).alias("p50_chars"),
+        q(F.col("p90_chars")).alias("p90_chars"),
+        q(F.col("p99_chars")).alias("p99_chars"),
+    )

@@ -945,3 +945,33 @@ def test_bbit_sigs_match_hashing_kernel(spark):
         H._mod_p31_inplace(sh, tmp)
         want = H.minhash_from_hashes(sh, cnt, a, b, mirror=False)[0]
         assert got[i] == [int(x) for x in want], i
+
+
+
+def test_corpus_profile_exact_percentiles(spark):
+    """Per-group accounting equals a python oracle incl. the linear
+    interpolation percentile formula (rank = q*(n-1))."""
+    rows = [("a", "x " * 10), ("a", "x " * 20), ("a", "x " * 40),
+            ("a", "x " * 80), ("b", "solo doc")]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, (s, t) in enumerate(rows)],
+        ["doc_id", "source", "text"])
+    out = {r.source: r for r in textstats.corpus_profile(df).collect()}
+
+    def pctl(vals, q):
+        vals = sorted(vals)
+        r = q * (len(vals) - 1)
+        lo, frac = int(r), r - int(r)
+        hi = min(lo + 1, len(vals) - 1)
+        v = vals[lo] + frac * (vals[hi] - vals[lo])
+        import math
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    a_chars = [len(("x " * k).strip()) for k in (10, 20, 40, 80)]
+    assert out["a"].n_docs == 4
+    assert out["a"].total_chars == sum(a_chars)
+    assert out["a"].total_tokens == 10 + 20 + 40 + 80
+    assert out["a"].p50_chars == pctl(a_chars, 0.5)
+    assert out["a"].p90_chars == pctl(a_chars, 0.9)
+    assert out["a"].p99_chars == pctl(a_chars, 0.99)
+    assert out["b"].n_docs == 1 and out["b"].p50_chars == len("solo doc")
