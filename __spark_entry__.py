@@ -2078,7 +2078,9 @@ gated as (
 ),
 assembled as (
   select conv_id,
-         string_agg(role || chr(31) || text, chr(10) order by turn_idx) as sig
+         string_agg(cast(length(role) as varchar) || ':' || role || ':'
+                    || cast(length(text) as varchar) || ':' || text,
+                    chr(10) order by turn_idx) as sig
   from gated group by conv_id
 ),
 keepers as (

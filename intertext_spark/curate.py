@@ -179,7 +179,13 @@ def curate_transcripts(
 
     if dedup_roles is not None:
         prev = cur
-        roles = None if dedup_roles == "all" else list(dedup_roles)
+        if dedup_roles == "all":
+            roles = None
+        elif isinstance(dedup_roles, str):
+            # a bare role name: list("assistant") would char-split it
+            roles = [dedup_roles]
+        else:
+            roles = list(dedup_roles)
 
         def dedup_stage():
             keep_keys = (
@@ -216,8 +222,13 @@ def curate_transcripts(
     prev2 = cur
 
     def conv_dedup_stage():
-        # one row per conv: hash of the ordered (role, text) sequence,
-        # US-separated so same texts under different roles never collapse
+        # one row per conv: hash of the ordered (role, text) sequence.
+        # Each field is LENGTH-PREFIXED (len:role:len:text per turn) so
+        # the encoding is injective: merged turn texts legitimately
+        # contain the \n turn separator (merge_runs joins with \n) and
+        # agent logs can contain \x1f, so separator-only encodings can
+        # make distinct conversations collide.  Declared lengths make
+        # the stream parse deterministically regardless of content.
         assembled = prev2.groupBy("conv_id").agg(
             F.md5(
                 F.array_join(
@@ -225,7 +236,13 @@ def curate_transcripts(
                         F.array_sort(
                             F.collect_list(F.struct("turn_idx", "role", "text"))
                         ),
-                        lambda s: F.concat_ws("\u001f", s["role"], s["text"]),
+                        lambda s: F.concat_ws(
+                            ":",
+                            F.length(s["role"]).cast("string"),
+                            s["role"],
+                            F.length(s["text"]).cast("string"),
+                            s["text"],
+                        ),
                     ),
                     "\n",
                 )

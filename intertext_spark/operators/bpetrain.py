@@ -24,7 +24,7 @@ from collections import Counter
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from .windows import WS
 
@@ -156,7 +156,9 @@ def bpe_token_counts(
     ONE Arrow pass: the merge-rank table is an executor broadcast, and a
     per-batch memo encodes each distinct word once — no shuffle, no
     per-row Python."""
-    spark = SparkSession.getActiveSession()
+    # df.sparkSession, not getActiveSession(): the latter is None in
+    # threads where no session was registered active
+    spark = df.sparkSession
     ranks_bc = spark.sparkContext.broadcast(
         {(l, r): k for k, l, r, _ in merges}
     )

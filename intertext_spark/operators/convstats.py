@@ -151,11 +151,11 @@ def prefix_groups(
     combined count/min — a prefix shared by millions of conversations
     partially aggregates per task, so hot boilerplate does not funnel
     through one reducer.  No joins, no Python."""
+    from .textstats import _WORDS
+
     ordered = F.array_sort(F.collect_list(F.struct("turn_idx", "text")))
     joined = F.array_join(F.transform("ts", lambda s: s["text"]), " ")
-    words = F.filter(
-        F.split(joined, r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
-    )
+    words = _WORDS(joined)
     return (
         tdf.where(F.col("turn_idx") < first_turns)
         .groupBy("conv_id")

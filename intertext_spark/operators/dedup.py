@@ -116,6 +116,14 @@ def span_dedup(
     )
 
 
+def _regex_literal(s: str) -> str:
+    """Quote ``s`` for use as a LITERAL separator in F.split (which takes
+    a Java regex) — Pattern.quote semantics: wrap in \\Q...\\E, splicing
+    any embedded \\E.  Without this, line_sep="|" would split between
+    every character while array_join rebuilds with the literal."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def boilerplate_lines(
     df: DataFrame,
     min_docs: int = 10,
@@ -139,7 +147,10 @@ def boilerplate_lines(
     from .textstats import _rle_sorted
 
     lines = F.array_sort(
-        F.filter(F.split(F.col(text_col), line_sep), lambda l: F.trim(l) != "")
+        F.filter(
+            F.split(F.col(text_col), _regex_literal(line_sep)),
+            lambda l: F.trim(l) != "",
+        )
     )
     per_doc = (
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
@@ -181,7 +192,10 @@ def strip_boilerplate(
         .select(
             "doc_id",
             F.posexplode(
-                F.filter(F.split(F.col(text_col), line_sep), lambda l: F.trim(l) != "")
+                F.filter(
+                    F.split(F.col(text_col), _regex_literal(line_sep)),
+                    lambda l: F.trim(l) != "",
+                )
             ).alias("line_idx", "line"),
         )
     )
@@ -281,13 +295,16 @@ def _doc_sig_schema():
     )
 
 
-def _batched_doc_sigs(pdf, text_col, a, b, shingle_words):
+def _batched_doc_sigs(pdf, text_col, a, b, shingle_words, token_lists=None):
     """Shared batched signing kernel: tokenize (only per-row Python),
     hash every token of the batch in one vectorized pass, form
     word-k-gram shingle hashes segment-wise, minhash via segmented
     reduceat — no per-document numpy calls, no shingle-string building
-    (the round-1 per-doc loop was the signing bottleneck)."""
-    token_lists = [(t or "").split() for t in pdf[text_col]]
+    (the round-1 per-doc loop was the signing bottleneck).  Callers that
+    already tokenized (e.g. for a length filter) pass ``token_lists`` so
+    the stated per-row-Python bottleneck isn't paid twice."""
+    if token_lists is None:
+        token_lists = [(t or "").split() for t in pdf[text_col]]
     counts = np.array([len(t) for t in token_lists], dtype=np.int64)
     all_toks: list[str] = []
     for toks in token_lists:
@@ -354,14 +371,15 @@ def doc_minhash_sigs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            n_tok = np.array(
-                [len((t or "").split()) for t in pdf[text_col]], dtype=np.int64
-            )
-            keep = n_tok >= shingle_words
+            token_lists = [(t or "").split() for t in pdf[text_col]]
+            keep = np.array([len(t) for t in token_lists]) >= shingle_words
             pdf = pdf[keep]
             if len(pdf) == 0:
                 continue
-            sigs = _batched_doc_sigs(pdf, text_col, a, b, shingle_words)
+            kept_tokens = [t for t, k in zip(token_lists, keep) if k]
+            sigs = _batched_doc_sigs(
+                pdf, text_col, a, b, shingle_words, token_lists=kept_tokens
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

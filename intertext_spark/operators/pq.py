@@ -368,7 +368,10 @@ def ivfpq_topk(
         p = 10.0 ** round_digits
         cd = np.floor(cd * p + 0.5) / p
     probed = sorted(range(ncent), key=lambda c: (cd[c], c))[:nprobe]
-    stacked = np.zeros((nprobe, m, k))
+    # size to the lists actually probed (ncent may be < nprobe): padding
+    # to nprobe would inflate the plan literal with zero tables and could
+    # push table.size over the Arrow-UDF threshold for no reason
+    stacked = np.zeros((len(probed), m, k))
     for i, lid in enumerate(probed):
         table = adc_table(codebooks, q - centroids[lid])
         if round_digits is not None:

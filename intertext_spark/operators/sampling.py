@@ -374,6 +374,11 @@ def interleave_sources(
     exact integers: bit-identical on every engine and layout."""
     from pyspark.sql import Window
 
+    if any(w <= 0 for w in weights.values()):
+        # a zero weight would divide to +Infinity (sorting the source to
+        # the epoch's end instead of excluding it) and a negative one
+        # silently reverses its ordering — same contract as group_split
+        raise ValueError("interleave weights must be positive integers")
     hx = hash_expr if hash_expr is not None else F.xxhash64(F.col(id_col))
     srcs = sorted(weights)
     base = (
@@ -384,8 +389,12 @@ def interleave_sources(
     spark = df.sparkSession
     n_part = max(1, min(200, spark.sparkContext.defaultParallelism))
     parted = (
+        # no sortWithinPartitions here: the row_number window below
+        # re-exchanges by (pid, source) and re-sorts by (hk, id) anyway,
+        # and partition MEMBERSHIP (all pid/rn depend on) is fixed by
+        # repartitionByRange alone — an explicit local sort of the full
+        # corpus would be discarded work
         base.repartitionByRange(n_part, "source", "hk", id_col)
-        .sortWithinPartitions("source", "hk", id_col)
         .withColumn("pid", F.spark_partition_id())
         .withColumn(
             "rn",
@@ -402,8 +411,12 @@ def interleave_sources(
         offsets.append((r["pid"], r["source"], acc[r["source"]]))
         acc[r["source"]] += r["c"]
     if not offsets:
+        # mirror the non-empty path's schema exactly (id keeps the
+        # INPUT column's type — hardcoding long would make the empty
+        # slice union-incompatible with the populated one)
+        id_ddl = df.schema[id_col].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{id_col} long, source string, rank long, interleave_key double"
+            [], f"{id_col} {id_ddl}, source string, rank long, interleave_key double"
         )
     off_df = spark.createDataFrame(offsets, ["pid", "source", "off"])
     wmap = F.create_map(

@@ -17,8 +17,11 @@ from pyspark.sql import DataFrame, functions as F, types as T
 
 from .. import hashing
 
-# (?U): Unicode whitespace, matching python str.split() — see windows.WS
-_WORDS = lambda c: F.filter(F.split(F.col(c), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")  # noqa: E731
+from .windows import WS
+
+# Unicode whitespace split matching python str.split(); WS is the
+# cross-operator determinism contract.  Accepts a column name or expr.
+_WORDS = lambda c: F.filter(F.split(F.col(c) if isinstance(c, str) else c, WS), lambda w: w != "")  # noqa: E731
 
 STOPWORDS_EN = (
     "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
@@ -400,9 +403,7 @@ def unigram_logprob(
     rare tokens fold into OOV, which only strengthens the filter)."""
     import math
 
-    words = F.filter(
-        F.split(F.col(text_col), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
-    )
+    words = _WORDS(text_col)
 
     def tok_stream(df):
         return (

@@ -1,0 +1,124 @@
+"""Regression tests for the late-round-4 self-review findings: curate
+role coercion + signature injectivity, interleave schema/validation,
+boilerplate literal separators, IVF-PQ probe-table sizing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+
+
+def test_curate_transcripts_bare_string_role_scopes_dedup(spark):
+    """dedup_roles='assistant' (a bare role name, not a list) must scope
+    turn dedup to that role — the old list() coercion char-split the
+    string into ['a','s',...], silently matching no role at all."""
+    from intertext_spark.curate import curate_transcripts
+
+    rows = [
+        ("a", 0, "user", "same q", None, None),
+        ("a", 1, "assistant", "same a", None, None),
+        ("b", 0, "user", "same q", None, None),
+        ("b", 1, "assistant", "same a", None, None),
+        ("b", 2, "user", "extra", None, None),
+    ]
+    tdf = _tdf(spark, rows)
+    out_str, _ = curate_transcripts(tdf, dedup_roles="assistant")
+    out_list, _ = curate_transcripts(tdf, dedup_roles=["assistant"])
+
+    def as_set(df):
+        return sorted((r.conv_id, r.turn_idx, r.role, r.text) for r in df.collect())
+
+    assert as_set(out_str) == as_set(out_list)
+    # the duplicate assistant turn in b is gone; the duplicate USER turn
+    # (out of dedup scope) survives
+    b_roles = [r.role for r in out_str.where("conv_id = 'b'").collect()]
+    assert "assistant" not in b_roles and b_roles.count("user") == 2
+
+
+def test_conv_dedup_signature_is_injective(spark):
+    """Two DISTINCT conversations whose turn fields concatenate to the
+    same separator-joined string (texts containing the newline turn
+    separator and the unit-separator field byte) must NOT collapse —
+    the length-prefixed signature encoding is injective."""
+    from intertext_spark.curate import curate_transcripts
+
+    # conv x: ONE turn whose text embeds what looked like a second turn
+    # under the old  role + chr(31) + text  joined-by-newline encoding
+    crafted = "a\nassistant" + chr(31) + "b"
+    rows = [
+        ("x", 0, "user", crafted, None, None),
+        ("y", 0, "user", "a", None, None),
+        ("y", 1, "assistant", "b", None, None),
+    ]
+    out, _ = curate_transcripts(_tdf(spark, rows), dedup_roles=None)
+    assert {r.conv_id for r in out.collect()} == {"x", "y"}
+
+
+def test_interleave_empty_slice_keeps_input_id_type(spark):
+    """Weights matching zero rows must return the SAME schema as the
+    populated path — id keeps the input column's type (string here),
+    not a hardcoded long."""
+    from intertext_spark.operators.sampling import interleave_sources
+
+    df = spark.createDataFrame(
+        [("c1", "web"), ("c2", "web")], "conv_id string, source string")
+    empty = interleave_sources(df, {"code": 1}, id_col="conv_id")
+    full = interleave_sources(df, {"web": 1}, id_col="conv_id")
+    assert empty.count() == 0
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in full.schema.fields
+    ]
+    # union-compatibility is the real contract
+    assert full.unionByName(empty).count() == full.count()
+
+
+def test_interleave_rejects_nonpositive_weights(spark):
+    from intertext_spark.operators.sampling import interleave_sources
+
+    df = spark.createDataFrame([(1, "web")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        interleave_sources(df, {"web": 0})
+    with pytest.raises(ValueError):
+        interleave_sources(df, {"web": 2, "code": -1})
+
+
+def test_strip_boilerplate_literal_metachar_separator(spark):
+    """line_sep is a LITERAL separator: '|' must split on pipes (not
+    between every character, as an unescaped Java regex would)."""
+    from intertext_spark.operators.dedup import boilerplate_lines, strip_boilerplate
+
+    rows = [(i, f"unique line {i}|canned footer") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = boilerplate_lines(df, min_docs=5, line_sep="|")
+    assert [r.line for r in bp.collect()] == ["canned footer"]
+    out = {r.doc_id: r for r in strip_boilerplate(
+        df, min_docs=5, line_sep="|").collect()}
+    assert out[0].n_lines == 2 and out[0].n_removed == 1
+    assert out[0].cleaned_text == "unique line 0"
+
+
+def test_ivfpq_topk_fewer_centroids_than_nprobe(spark):
+    """ncent < nprobe must size the stacked ADC table to the lists that
+    exist (no zero-padded slots) and still return the right neighbors."""
+    from intertext_spark.operators.pq import ivfpq_index, ivfpq_topk, ivfpq_train
+
+    rng = np.random.RandomState(3)
+    vecs = np.vstack([
+        rng.normal(0, 0.05, (20, 8)) + np.array([1.0] * 8),
+        rng.normal(0, 0.05, (20, 8)) - np.array([1.0] * 8),
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    cents, cbs = ivfpq_train(
+        df, n_centroids=2, m=4, k=4, dim=8, iters=3, seed=0)
+    codes = ivfpq_index(df, cents, cbs)
+    q = [1.0] * 8
+    got = ivfpq_topk(codes, cents, cbs, q, topk=5, nprobe=8)
+    ids = [r.vec_id for r in got.collect()]
+    assert len(ids) == 5 and all(i < 20 for i in ids)
