@@ -1870,7 +1870,7 @@ select conv_id,
        cast(count(*) as bigint) as n_turns,
        cast(sum(case when role = 'assistant' then 1 else 0 end) as bigint) as n_assistant,
        cast(sum(case when tool is not null then 1 else 0 end) as bigint) as n_tool_calls,
-       cast(floor((1 - cast(count(distinct text) as double) / count(*)) * 10000 + 0.5) / 10000 as double) as dup_turn_frac,
+       cast(floor((1 - cast(count(distinct text) + count(*) - count(text) as double) / count(*)) * 10000 + 0.5) / 10000 as double) as dup_turn_frac,
        cast(floor((cast(sum(length(text)) as double) / count(*)) * 10000 + 0.5) / 10000 as double) as mean_turn_chars,
        cast(max(ts_sec) - min(ts_sec) as bigint) as span_seconds
 from tr
@@ -2069,7 +2069,8 @@ pruned as (
 ),
 stats as (
   select conv_id, count(*) as n_turns,
-         1 - cast(count(distinct text) as double) / count(*) as dup_frac
+         1 - cast(count(distinct text) + count(*) - count(text) as double)
+             / count(*) as dup_frac
   from pruned group by conv_id
 ),
 gated as (

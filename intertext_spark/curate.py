@@ -28,11 +28,21 @@ class _StageRunner:
         self.n_in = rows_in
         self.prefix = prefix
         self.metrics: list[dict] = []
+        self._cached = None  # last stage's persisted frame (store-less path)
 
     def run(self, name: str, params: str, build):
         if self.store is None:
-            df = build()
+            # persist each stage before counting (the Pipeline._stage
+            # discipline): without it, stage N's count re-executes stages
+            # 1..N-1 — O(stages^2) recomputation of the largest input.
+            # The previous stage's cache is released once the current
+            # stage has materialized from it; the FINAL stage stays
+            # cached so consuming the returned frame reuses it.
+            df = build().persist()
             n = df.count()
+            if self._cached is not None:
+                self._cached.unpersist(blocking=True)
+            self._cached = df
             self.metrics.append(
                 {"stage": name, "rows_in": self.n_in, "rows_out": n, "skipped": False}
             )

@@ -74,9 +74,17 @@ def conv_stats(tdf: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias(
                 "n_tool_calls"
             ),
+            # NULL-text turns count as UNIQUE (a transcript hole is not
+            # boilerplate — the turn_dedup rule): count_distinct skips
+            # NULLs, so add them back before dividing by count(*)
             (
                 F.lit(1.0)
-                - F.count_distinct(F.col("text")).cast("double") / F.count("*")
+                - (
+                    F.count_distinct(F.col("text"))
+                    + F.count("*")
+                    - F.count(F.col("text"))
+                ).cast("double")
+                / F.count("*")
             ).alias("dup_turn_frac"),
             (F.sum(F.length("text")).cast("double") / F.count("*")).alias(
                 "mean_turn_chars"
@@ -107,9 +115,16 @@ def loop_detect(
     Scale shape: one window exchange keyed by conv_id (conversations are
     the natural partition; lag(1) within each), word sets built narrow —
     no joins, no Python."""
+    from .windows import WS
+
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # coalesce NULL text to '' so ws is an EMPTY array, not NULL — a NULL
+    # ws would make union NULL and jaccard/is_loop NULL instead of the
+    # documented 0.0/false for empty turns
     ws = F.array_distinct(
-        F.filter(F.split(F.col("text"), r"(?U)[\s\x1c-\x1f]+"), lambda x: x != "")
+        F.filter(
+            F.split(F.coalesce(F.col("text"), F.lit("")), WS), lambda x: x != ""
+        )
     )
     inter = F.size(F.array_intersect("ws", "prev"))
     union = F.size("ws") + F.size("prev") - inter

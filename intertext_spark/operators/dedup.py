@@ -999,26 +999,29 @@ def ivf_topk_batch(
     nprobe = min(nprobe, cents.shape[0])
 
     if max_broadcast_queries is not None:
-        queries = queries.persist()
-        try:
-            n_queries = queries.count()
-            if n_queries > max_broadcast_queries:
-                n_chunks_q = -(-n_queries // max_broadcast_queries)
-                out = None
-                for i in range(n_chunks_q):
-                    part = ivf_topk_batch(
-                        assigned, cents,
-                        queries.where(
-                            F.pmod(F.xxhash64(F.col(id_col)),
-                                   F.lit(n_chunks_q)) == i
-                        ),
-                        k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
-                        max_broadcast_queries=None,
-                    ).localCheckpoint()  # eager: runs THIS chunk's search now
-                    out = part if out is None else out.unionByName(part)
-                return out
-        finally:
-            queries.unpersist(blocking=True)
+        # eager localCheckpoint, not persist+unpersist: the guard's count
+        # must not force the (possibly expensive) upstream query plan to
+        # run twice — a persist released in a finally block would be gone
+        # before the LAZY one-shot search below ever consumed it.  The
+        # checkpoint materializes upstream exactly once and both the
+        # count and whichever search path runs read the frozen blocks.
+        queries = queries.localCheckpoint(eager=True)
+        n_queries = queries.count()
+        if n_queries > max_broadcast_queries:
+            n_chunks_q = -(-n_queries // max_broadcast_queries)
+            out = None
+            for i in range(n_chunks_q):
+                part = ivf_topk_batch(
+                    assigned, cents,
+                    queries.where(
+                        F.pmod(F.xxhash64(F.col(id_col)),
+                               F.lit(n_chunks_q)) == i
+                    ),
+                    k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+                    max_broadcast_queries=None,
+                ).localCheckpoint()  # eager: runs THIS chunk's search now
+                out = part if out is None else out.unionByName(part)
+            return out
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_lists(emb: pd.Series) -> pd.Series:
@@ -1101,20 +1104,76 @@ def semdedup(
         centroids = spark.createDataFrame(
             [(r.vec_id, r.emb) for r in head], "cid long, cvec array<double>"
         )
-    cos = cosine_expr(F.col("emb"), F.col("cvec"))
-    if round_digits is not None:
-        p = 10 ** round_digits
-        cos = F.floor(cos * p + F.lit(0.5)) / p
+    # In-row argmax assignment, NOT crossJoin + window: exploding every
+    # vector into k rows (embedding payload included) and shuffling them
+    # through a vec_id-keyed window is an n*k-row exchange that dwarfs
+    # the operator's stated pair-join cost model.  The centroid table is
+    # model-sized, so collect it once (the ivf_topk pattern) and fold the
+    # argmax per row — zero exchanges.  Tie order matches the old window
+    # (cosine desc, cid asc): the fold scans cids ascending with strict
+    # >, and Spark treats NaN as greater than any double in both forms.
     from pyspark.sql import Window
 
-    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), F.asc("cid"))
-    assigned = (
-        e.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "emb", "cid", cos.alias("c_cos"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "emb", F.col("cid").alias("cluster_id"))
-    )
+    crows = centroids.orderBy("cid").collect()
+    if not crows:
+        assigned = e.select(
+            "vec_id", "emb", F.lit(None).cast("long").alias("cluster_id")
+        ).where(F.lit(False))
+    elif len(crows) * len(crows[0]["cvec"]) <= 16384:
+        # plan-literal fold (the pq MAX_LITERAL_TABLE_ENTRIES budget):
+        # per-centroid cosine is the SAME cosine_expr the crossJoin form
+        # evaluated, so values (and the gate hash) are unchanged
+        centarr = F.array(*[
+            F.struct(
+                F.lit(int(r["cid"])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(v)) for v in r["cvec"]]).alias("cvec"),
+            )
+            for r in crows
+        ])
+
+        def _ccos(c):
+            cc = cosine_expr(F.col("emb"), c["cvec"])
+            if round_digits is not None:
+                p = 10 ** round_digits
+                cc = F.floor(cc * p + F.lit(0.5)) / p
+            return cc
+
+        best = F.aggregate(
+            centarr,
+            F.struct(
+                F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("cos")
+            ),
+            lambda acc, c: F.when(
+                _ccos(c) > acc["cos"],
+                F.struct(c["cid"].alias("cid"), _ccos(c).alias("cos")),
+            ).otherwise(acc),
+        )["cid"]
+        assigned = e.select("vec_id", "emb", best.alias("cluster_id"))
+    else:
+        # big model: Arrow-batched normalized matmul (closure-captured,
+        # like _assign_udf); np.argmax keeps the first max = smallest
+        # cid.  Production path — float op order differs from the JVM
+        # fold in the last ulp, as with the pq Arrow closure path.
+        cids = np.array([int(r["cid"]) for r in crows], dtype=np.int64)
+        cmat = np.array([list(map(float, r["cvec"])) for r in crows])
+        cn = np.linalg.norm(cmat, axis=1, keepdims=True)
+        cn[cn == 0] = 1.0
+        cunit = cmat / cn
+
+        @F.pandas_udf(T.LongType())
+        def assign_cos(emb_s: pd.Series) -> pd.Series:
+            mat = np.array(emb_s.tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cunit.T
+            if round_digits is not None:
+                p = 10.0 ** round_digits
+                sims = np.floor(sims * p + 0.5) / p
+            return pd.Series(cids[np.argmax(sims, axis=1)])
+
+        assigned = e.select(
+            "vec_id", "emb", assign_cos(F.col("emb")).alias("cluster_id")
+        )
     if cluster_max_docs is not None:
         cw = Window.partitionBy("cluster_id")
         assigned = assigned.withColumn("c_n", F.count("*").over(cw))
@@ -1188,6 +1247,12 @@ def dedup_against(
         n_perm=n_perm, shingle_words=shingle_words, band_len=band_len,
     ).select("band", F.col("doc_id").alias("ref_id"))
     if band_max_docs is not None:
+        # the cap consumes each band frame TWICE (hot-band count, then
+        # anti-join): freeze both so the Arrow signing pass — the
+        # dominant cost — runs once per corpus, not twice.  The frozen
+        # payload is (band, id) longs, far smaller than re-signing.
+        nb = nb.localCheckpoint(eager=True)
+        rb = rb.localCheckpoint(eager=True)
         # candidate volume for band b is |new_b| x |ref_b| — a band hot on
         # either side explodes the join, so drop any band whose COMBINED
         # membership exceeds the cap from both sides (the documented

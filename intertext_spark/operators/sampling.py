@@ -110,13 +110,18 @@ def dsir_weights(
     results), one B-row broadcast join onto the exploded gram stream, one
     groupBy(doc) reassembly — no driver-side data beyond the two scalar
     gram totals (model-sized)."""
+    if alpha <= 0:
+        # alpha=0 makes log(0/total) NULL in Spark for any bucket present
+        # in only one corpus, which then crashes float(None) on collect —
+        # fail loudly instead (smoothing must be positive)
+        raise ValueError("dsir alpha smoothing must be > 0")
     if hash_fn is None:
         hash_fn = F.xxhash64
 
     def gram_stream(df):
-        words = F.filter(
-            F.split(F.col(text_col), r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
-        )
+        from .textstats import _WORDS
+
+        words = _WORDS(text_col)
         # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a 1-word
         # doc must get an empty bigram list, not two bogus ones
         bi = F.when(

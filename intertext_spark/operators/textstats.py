@@ -355,14 +355,19 @@ def repetition_stats(
         df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
         .where(F.size("ws") >= k)
         .select("doc_id", "ws", grams.alias("grams"))
+        # bind the sort+fold ONCE as a column before fanning out: the
+        # final projection reads it 4x, and CollapseProject would
+        # re-inline (and re-run) the whole per-row sort/fold per read —
+        # the same pathology measured at 42x on top_ngrams
+        .select("doc_id", "ws", "grams", top.alias("top"))
         .select(
             "doc_id",
             F.size("grams").cast("long").alias("n_grams"),
             (F.lit(1.0) - F.size(F.array_distinct("grams")).cast("double")
              / F.size("grams")).alias("dup_gram_frac"),
-            top["best"].alias("top_gram"),
-            top["best_n"].cast("long").alias("top_gram_n"),
-            (top["best_n"] * F.length(top["best"])
+            F.col("top.best").alias("top_gram"),
+            F.col("top.best_n").cast("long").alias("top_gram_n"),
+            (F.col("top.best_n") * F.length("top.best")
              / stream_len.cast("double")).alias("top_gram_char_frac"),
         )
     )

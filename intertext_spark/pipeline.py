@@ -214,12 +214,18 @@ class Pipeline:
 
         only_id = None
         if only_conv is not None:
-            only_id = (
+            row = (
                 doc_ids.where(F.col("conv_id") == only_conv)
                 .select("file_id")
                 .head()
             )
-            only_id = only_id.file_id if only_id else None
+            if row is None:
+                # a typo'd --only must not silently degrade to a
+                # full-corpus run presented as a restricted one
+                raise ValueError(
+                    f"--only conversation not found in corpus: {only_conv!r}"
+                )
+            only_id = row.file_id
 
         cands = self._stage(
             "candidates", lambda: build_candidate_stage(hb, docs, cfg, only_id)

@@ -122,3 +122,98 @@ def test_ivfpq_topk_fewer_centroids_than_nprobe(spark):
     got = ivfpq_topk(codes, cents, cbs, q, topk=5, nprobe=8)
     ids = [r.vec_id for r in got.collect()]
     assert len(ids) == 5 and all(i < 20 for i in ids)
+
+
+def test_conv_stats_null_text_not_counted_as_dup(spark):
+    """NULL-text turns are transcript holes, not boilerplate: they must
+    count as UNIQUE in dup_turn_frac (count_distinct skips NULLs, so the
+    naive formula called every hole a duplicate)."""
+    from intertext_spark.operators.convstats import conv_stats
+
+    rows = [
+        ("a", 0, "user", "x", None, None),
+        ("a", 1, "user", "y", None, None),
+        ("a", 2, "user", None, None, None),
+        ("b", 0, "user", None, None, None),
+        ("b", 1, "user", None, None, None),
+        ("c", 0, "user", "x", None, None),
+        ("c", 1, "user", "x", None, None),
+    ]
+    tdf = _tdf(spark, rows)
+    got = {r.conv_id: r.dup_turn_frac for r in conv_stats(tdf).collect()}
+    assert got["a"] == 0.0          # 2 distinct + 1 hole = 3 unique of 3
+    assert got["b"] == 0.0          # all holes: nothing repeats
+    assert abs(got["c"] - 0.5) < 1e-12  # one true repeat of 2
+
+
+def test_loop_detect_null_text_scores_zero(spark):
+    """A NULL-text in-role turn must score jaccard 0.0 / is_loop False
+    (the documented empty-turn rule), not NULL."""
+    from intertext_spark.operators.convstats import loop_detect
+
+    rows = [
+        ("a", 0, "assistant", "plan the thing", None, None),
+        ("a", 1, "assistant", None, None, None),
+        ("a", 2, "assistant", "plan the thing", None, None),
+    ]
+    got = {r.turn_idx: r for r in loop_detect(_tdf(spark, rows)).collect()}
+    assert got[1].jaccard == 0.0 and got[1].is_loop is False
+    assert got[2].jaccard == 0.0  # vs the EMPTY previous turn, not turn 0
+
+
+def test_pipeline_only_unknown_conv_raises(spark):
+    from intertext_spark.config import DEFAULT
+    from intertext_spark.pipeline import Pipeline
+
+    rows = [("c1", i, "user", f"word{j} " * 20, None, None)
+            for i in range(2) for j in [i]]
+    tdf = _tdf(spark, rows)
+    with pytest.raises(ValueError, match="only"):
+        Pipeline(spark, DEFAULT).run(tdf, only_conv="conv_typo")
+
+
+def test_dsir_rejects_nonpositive_alpha(spark):
+    from intertext_spark.operators import sampling
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        sampling.dsir_weights(df, df, alpha=0.0)
+
+
+def test_semdedup_assignment_zero_exchange_and_arrow_path(spark):
+    """The centroid assignment must not shuffle n*k exploded rows: the
+    literal-fold plan has no Exchange before the pair join, and the
+    big-model Arrow path assigns to the nearest-by-cosine centroid."""
+    from intertext_spark.operators.dedup import semdedup
+
+    rng = np.random.RandomState(5)
+    base = rng.normal(0, 1, (3, 8))
+    vecs = [base[i % 3] + rng.normal(0, 0.01, 8) for i in range(12)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    out = semdedup(df, n_centroids=3, min_cosine=0.99, round_digits=4)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert len(rows) == 12
+    # each centroid seed (ids 0,1,2) must be kept and later near-copies
+    # of it dominated
+    assert all(rows[i].kept for i in (0, 1, 2))
+    assert not rows[3].kept and not rows[4].kept and not rows[5].kept
+
+    # big model (k*dim > 16384): Arrow path — same clustering semantics
+    dim = 300
+    cents = rng.normal(0, 1, (60, dim))
+    vecs2 = [cents[i % 4] * (1.0 + 0.001 * i) for i in range(8)]
+    df2 = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs2)],
+        "vec_id long, embedding array<double>")
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in cents[c]]) for c in range(60)],
+        "cid long, cvec array<double>")
+    out2 = semdedup(df2, centroids=cdf, min_cosine=0.999999)
+    rows2 = {r.vec_id: r for r in out2.collect()}
+    # vectors are exact scalings of centroids 0..3: cosine 1.0 within a
+    # cluster, so the smaller id survives and the larger is dominated
+    for i in range(4):
+        assert rows2[i].cluster_id == i % 4 and rows2[i].kept
+        assert rows2[i + 4].cluster_id == i % 4 and not rows2[i + 4].kept

@@ -181,9 +181,11 @@ def main():
     record(
         "semdedup", dedup.semdedup(emb, n_centroids=8, min_cosine=0.8),
         [
-            # centroid assignment broadcasts the tiny centroid table
-            ("centroids broadcast (BroadcastNestedLoopJoin)",
-             lambda p: "BroadcastNestedLoop" in p),
+            # centroid assignment is an IN-ROW argmax fold over the
+            # model literal — no join, no exchange on the n*k side (the
+            # old crossJoin+window shape shuffled every embedding k times)
+            ("assignment has no centroid join",
+             lambda p: "BroadcastNestedLoop" not in p),
             # the pair join is keyed by cluster_id, never a cartesian
             ("no cartesian product", lambda p: "Cartesian" not in p),
             ("pair join keyed on cluster_id",
