@@ -719,6 +719,135 @@ def _gumbel_topk_q(spark, sf_dir):
     )
 
 
+def _classifier_scores_q(spark, sf_dir):
+    """Trainable quality classifier gate: hashed-feature logistic
+    regression TRAINED ON THE CLUSTER (4 full-batch iterations, 256
+    md5-bridge buckets, binary unigram+bigram features, lr=1/4, all
+    cross-row reductions in 1e-12 fixed point so training is bit-exact
+    under any partitioning), then every doc scored under the trained
+    weights.  Label = doc contains the word 'spark'.  The oracle RETRAINS
+    from scratch in DuckDB — a generated CTE chain unrolls the identical
+    gradient-descent iterations (see _classifier_twin_sql) — and must
+    land on the same 6-digit-quantized probabilities."""
+    from intertext_spark.operators.classifier import train_quality_classifier
+
+    def hash_fn(c):  # md5 hash bridge
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    label = F.array_contains(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""), "spark"
+    )
+    scored, _w, _trace = train_quality_classifier(
+        _docs(spark, sf_dir),
+        label,
+        n_buckets=256,
+        n_iters=4,
+        lr=0.25,
+        l2=0.0,
+        hash_fn=hash_fn,
+        quantize_digits=6,
+    )
+    return scored.select("doc_id", "label", "prob")
+
+
+def _classifier_twin_sql(n_buckets: int = 256, n_iters: int = 4, lr: str = "0.25",
+                         l2: str = "0.0") -> str:
+    """DuckDB twin of _classifier_scores_q: RE-TRAINS the logistic model
+    by unrolling the full-batch gradient-descent loop as one CTE chain —
+    per iteration: margins (intercept + exact-integer sum of 1e-12
+    fixed-point weight*feature terms), 6-digit-quantized sigmoid, exact
+    integer gradient sums (hugeint — the decimal(38,0) twin), and the
+    same floor(x*1e12+0.5)/1e12 weight re-quantization the Spark driver
+    applies.  Every float op sequence is written in the same order as the
+    engine's, so the trained weights and final scores are bit-identical
+    (sigmoid cross-libm risk bounded by the 6-digit guard, cf. dsir)."""
+    bridge = "('0x' || substring(md5(g), 1, 15))::BIGINT"
+    parts = [f"""
+with
+wrd as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+lab as (
+  select doc_id, words,
+         case when list_contains(words, 'spark') then 1 else 0 end as y
+  from wrd where len(words) >= 1
+),
+streams as (
+  select doc_id, y,
+         list_concat(words,
+           case when len(words) >= 2 then
+             list_transform(generate_series(1, len(words) - 1),
+               i -> array_to_string(list_slice(words, i, i + 1), ' '))
+           else [] end) as st
+  from lab
+),
+f as (
+  select doc_id, y,
+         unnest(list_distinct(list_transform(st,
+           g -> {bridge} % {n_buckets}))) as bucket,
+         1.0 as x
+  from streams
+),
+nd as (select count(distinct doc_id) as n from f)"""]
+    prev = None  # weight table of the previous iteration (None == all-zero)
+    for k in range(1, n_iters + 1):
+        if prev is None:
+            margin = "0.0 + sum(cast(floor(0.0 * f.x * 1e12 + 0.5) as bigint)) / 1e12"
+            join = "from f"
+            w_prev = "0.0"
+        else:
+            margin = (
+                f"coalesce((select w from {prev} where bucket = -1), 0.0)"
+                f" + sum(cast(floor(coalesce(wt.w, 0.0) * f.x * 1e12 + 0.5)"
+                f" as bigint)) / 1e12"
+            )
+            join = f"from f left join {prev} wt using (bucket)"
+            w_prev = "coalesce(wp.w, 0.0)"
+        parts.append(f"""
+m{k} as (
+  select f.doc_id, any_value(f.y) as y, {margin} as margin
+  {join}
+  group by f.doc_id
+),
+p{k} as (
+  select doc_id, y,
+         floor(1.0 / (1.0 + exp(-margin)) * 1000000 + 0.5) / 1000000 as p
+  from m{k}
+),
+g{k} as (
+  select f.bucket as bucket,
+         sum(cast(floor((p.p - p.y) * f.x * 1e12 + 0.5) as bigint)) as gs
+  from p{k} p join f using (doc_id) group by f.bucket
+  union all
+  select -1 as bucket,
+         sum(cast(floor((p - y) * 1e12 + 0.5) as bigint)) as gs
+  from p{k}
+),
+w{k} as (
+  select g.bucket,
+         floor(({w_prev} - {lr} * (g.gs / 1e12 / (select n from nd)
+                + {l2} * {w_prev})) * 1e12 + 0.5) / 1e12 as w
+  from g{k} g {'left join ' + prev + ' wp using (bucket)' if prev else ''}
+)""")
+        prev = f"w{k}"
+    # final scoring pass under the trained weights
+    parts.append(f"""
+mf as (
+  select f.doc_id, any_value(f.y) as y,
+         coalesce((select w from {prev} where bucket = -1), 0.0)
+           + sum(cast(floor(coalesce(wt.w, 0.0) * f.x * 1e12 + 0.5)
+                 as bigint)) / 1e12 as margin
+  from f left join {prev} wt using (bucket)
+  group by f.doc_id
+)
+select doc_id, y as label,
+       floor(1.0 / (1.0 + exp(-margin)) * 1000000 + 0.5) / 1000000 as prob
+from mf""")
+    return ",".join(parts)
+
+
 def _mix_corpora_q(spark, sf_dir):
     """Mixture construction gate: 5:3:2 over src0/src1/src2, md5-bridge
     pick hash.  INTEGER weights keep the share arithmetic bit-identical
@@ -1218,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["merged_turns"] = _merged_turns_q
     q["interleave_sources"] = _interleave_sources_q
     q["gumbel_topk"] = _gumbel_topk_q
+    q["classifier_scores"] = _classifier_scores_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
     q["curate_corpus"] = _curate_corpus_q
@@ -1740,6 +1870,12 @@ select g.doc_id, cast(count(*) as bigint) as n_grams,
 from g join ratio r using (bucket)
 group by g.doc_id
 """
+    # classifier_scores: DuckDB RETRAINS the hashed-feature logistic
+    # model (unrolled gradient-descent CTE chain) and rescoring must land
+    # on bit-identical 6-digit probabilities — see _classifier_twin_sql.
+    out["classifier_scores"] = _classifier_twin_sql(
+        n_buckets=256, n_iters=4, lr="0.25", l2="0.0"
+    )
     # gumbel_topk: Gumbel-top-100 over the (round4'd) dsir weights —
     # u = (md5bridge(id || ':0') % 2^20 + 0.5) / 2^20, key = logw +
     # -ln(-ln(u)) quantized at 6 digits, top 100 by (key desc, id asc).

@@ -1,0 +1,301 @@
+"""Trainable quality classifier: hashed-feature logistic regression.
+
+The fastText-style binary quality filter every large LLM data pipeline
+carries (GPT-3's WebText-vs-CommonCrawl LR, LLaMA's Wikipedia-reference
+classifier, CCNet): word unigram+bigram features hashed into ``n_buckets``,
+L1-normalized per document, and a logistic model trained by full-batch
+gradient descent ON THE CLUSTER — the feature matrix never leaves the
+executors; only the model-sized gradient (B+1 rows) reaches the driver per
+iteration.
+
+Determinism contract (the property that makes training gate-able):
+every cross-row float reduction is carried out in FIXED-POINT INTEGERS —
+each per-(doc,bucket) gradient contribution and per-(doc,bucket) margin
+term is quantized to 1e-12 and summed as exact integers (decimal(38,0) on
+the grad shuffle, so 10^26 docs cannot overflow), and the driver-side
+weight update re-quantizes weights to 1e-12.  Integer addition is
+associative/commutative, so the trained weights are bit-identical under
+ANY partitioning, any cluster size, and any execution order — and an
+independent implementation (numpy, DuckDB) applying the same quantization
+rule reproduces them exactly.  Per-value transcendentals (sigmoid) are
+deterministic IEEE given identical inputs; ``quantize_digits`` rounds the
+sigmoid output before it feeds the gradient (the repo's established
+cross-libm guard, cf. dsir_weights / unigram_logprob) so a foreign engine
+with a different exp() still reproduces training bit-for-bit.
+
+Scale shape:
+  * features are built IN-ROW (``_rle_sorted`` over the sorted hashed gram
+    array — no explode->groupBy(doc, bucket) exchange) and cached once;
+  * each iteration is ONE scan of the cached frame: margins fold in-row
+    against the broadcast weight array, the gradient is a single
+    map-side-combined groupBy(bucket) of the exploded contributions;
+  * weights ride the plan as an array literal up to ~16k buckets — above
+    that, pass ``weights_via='join'`` (hash-join against a B-row weight
+    frame; same results, exchange instead of literal) or adopt the ADC
+    Arrow-closure pattern from operators/pq.py;
+  * driver traffic per iteration: B+1 gradient rows + one loss scalar.
+
+No reference counterpart (YaleDHLab/intertext has no trainable filter);
+this is the task-mandated training-data operator family.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import _WORDS, _rle_sorted
+
+_Q = 1_000_000_000_000  # 1e-12 fixed-point scale shared by every reducer
+
+
+def _qround(x: float, p: int = _Q) -> float:
+    """floor(x*p + 0.5)/p — the exact rule both engines apply to weights."""
+    return math.floor(x * p + 0.5) / p
+
+
+def doc_features(
+    df: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bigrams: bool = True,
+    hash_fn=None,
+    feature: str = "binary",
+) -> DataFrame:
+    """-> (doc_id, n_grams, feats: array<struct<bucket:long, x:double>>)
+    with buckets ascending.  ``feature='binary'`` (default) sets x = 1.0
+    for every present bucket — the classic hashed-LR encoding (exactly
+    representable, so the fixed-point reductions below lose nothing, and
+    gradients are O(1) per doc-feature instead of O(1/doc_len), which is
+    what actually lets the model separate in a handful of full-batch
+    steps); ``feature='tf'`` sets x = count(bucket)/n_grams (L1-normalized
+    term frequency — use with ~doc_len-scaled learning rates).  Docs with
+    zero words are dropped (they have no features; score them 0.5 by
+    convention downstream if needed).
+
+    Entirely in-row: gram stream -> hashed bucket array -> sort -> RLE,
+    one narrow projection, no shuffle.  ``hash_fn`` defaults to xxhash64
+    (production); the gate passes the md5 bridge so DuckDB rebuilds
+    identical buckets."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    words = _WORDS(text_col)
+    bi = (
+        F.when(
+            F.size("ws") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.array_join(F.slice("ws", i, 2), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        if bigrams
+        else F.array().cast("array<string>")
+    )
+    grams = F.concat(F.col("ws"), bi)
+    buckets = F.transform(grams, lambda g: F.pmod(hash_fn(g), F.lit(n_buckets)))
+    return (
+        df.select(F.col(id_col).cast("long").alias("doc_id"), words.alias("ws"))
+        .where(F.size("ws") >= 1)
+        # bind the sorted bucket array to an attribute BEFORE the RLE
+        # lambdas (CollapseProject would re-inline the sort per element
+        # access — the top_ngrams lesson, measured 100x there)
+        .select("doc_id", F.array_sort(buckets).alias("sb"))
+        .select("doc_id", F.size("sb").alias("n_grams"), _rle_sorted(F.col("sb")).alias("rle"))
+        .select(
+            "doc_id",
+            "n_grams",
+            F.transform(
+                F.col("rle"),
+                lambda r: F.struct(
+                    r["v"].alias("bucket"),
+                    (
+                        F.lit(1.0)
+                        if feature == "binary"
+                        else r["cnt"].cast("double") / F.col("n_grams")
+                    ).alias("x"),
+                ),
+            ).alias("feats"),
+        )
+    )
+
+
+def _margin_expr(weights: list[float]):
+    """In-row margin under a plan-literal weight array: intercept +
+    sum over feats of q12(w[bucket] * x), the sum carried in int64.
+    |term| <= |w|*1 <= ~1e6 -> 1e18/term headroom; a doc would need
+    ~1e6 distinct buckets at max weight to overflow — buckets cap it."""
+    wlit = F.array(*[F.lit(float(w)) for w in weights[1:]])
+    terms = F.aggregate(
+        F.col("feats"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.floor(F.element_at(wlit, s["bucket"].cast("int") + 1) * s["x"] * _Q + 0.5).cast("long"),
+    )
+    return F.lit(float(weights[0])) + terms.cast("double") / _Q
+
+
+def _sigmoid(m):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+
+def lr_train(
+    feats: DataFrame,
+    label_col: str = "y",
+    n_buckets: int = 4096,
+    n_iters: int = 4,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    quantize_digits: int | None = None,
+) -> tuple[list[float], list[dict]]:
+    """Full-batch logistic regression on (doc_id, n_grams, feats, <label>)
+    rows (``doc_features`` output joined with a 0/1 label column).
+
+    Returns (weights, trace): weights[0] is the intercept, weights[1:] the
+    ``n_buckets`` bucket weights, every value quantized to 1e-12; trace
+    has one dict per iteration {iter, loss, n_docs} with loss = mean
+    log-loss BEFORE that iteration's update (quantized metrics).
+
+    Update rule (both engines, bit-identical):
+      p      = sigmoid(margin)            [optionally quantized]
+      grad_b = sum_docs (p - y) * x_b     [1e-12 fixed-point, exact sum]
+      w_b   <- q12(w_b - lr * (grad_b/n + l2 * w_b))
+    ``lr``/``l2`` should be exact binary fractions (0.5, 0.25, 1/1024) so
+    foreign-engine replication never hits a decimal-literal mismatch."""
+    f = feats.select("doc_id", "n_grams", "feats", F.col(label_col).cast("double").alias("y"))
+    f = f.persist()
+    try:
+        n = f.count()
+        if n == 0:
+            raise ValueError("lr_train: empty feature frame")
+        w = [0.0] * (n_buckets + 1)
+        trace: list[dict] = []
+        for it in range(n_iters):
+            p = _sigmoid(_margin_expr(w))
+            if quantize_digits is not None:
+                qp = 10 ** quantize_digits
+                p = F.floor(p * qp + 0.5) / qp
+            row = f.select(
+                p.alias("p"),
+                F.col("y"),
+                F.col("feats"),
+                # per-doc log-loss at 1e-9 fixed point (metrics only —
+                # never fed back into training)
+                F.floor(
+                    -(
+                        F.col("y") * F.log(F.greatest(p, F.lit(1e-12)))
+                        + (1.0 - F.col("y")) * F.log(F.greatest(1.0 - p, F.lit(1e-12)))
+                    )
+                    * 1e9
+                    + 0.5
+                ).cast("long").alias("li"),
+            )
+            # one exploded stream carries the per-bucket gradient terms,
+            # the intercept term (bucket=-1), AND the loss term (bucket=-2)
+            # so each iteration is exactly ONE scan + ONE map-side-combined
+            # groupBy returning B+2 rows to the driver
+            agg = row.select(
+                F.explode(
+                    F.concat(
+                        F.array(
+                            F.struct(
+                                F.lit(-1).cast("long").alias("bucket"),
+                                F.floor((F.col("p") - F.col("y")) * _Q + 0.5)
+                                .cast("long")
+                                .alias("gi"),
+                            ),
+                            F.struct(
+                                F.lit(-2).cast("long").alias("bucket"),
+                                F.col("li").alias("gi"),
+                            ),
+                        ),
+                        F.transform(
+                            F.col("feats"),
+                            lambda s: F.struct(
+                                s["bucket"].alias("bucket"),
+                                F.floor((F.col("p") - F.col("y")) * s["x"] * _Q + 0.5)
+                                .cast("long")
+                                .alias("gi"),
+                            ),
+                        ),
+                    )
+                ).alias("g"),
+            )
+            # decimal(38,0) partial sums: exact at any corpus size (int64
+            # would overflow past ~9e6 docs at max |gi|=1e12)
+            grad_rows = (
+                agg.groupBy(F.col("g.bucket").alias("bucket"))
+                .agg(F.sum(F.col("g.gi").cast("decimal(38,0)")).alias("gs"))
+                .collect()
+            )
+            grad = {int(r["bucket"]): int(r["gs"]) for r in grad_rows}
+            trace.append(
+                {"iter": it, "loss": float(grad.pop(-2, 0)) / 1e9 / n, "n_docs": n}
+            )
+            neww = list(w)
+            for b in range(-1, n_buckets):
+                g = float(grad.get(b, 0)) / _Q / n
+                wi = w[b + 1]
+                neww[b + 1] = _qround(wi - lr * (g + l2 * wi))
+            w = neww
+        return w, trace
+    finally:
+        # blocking: an async drain can straddle a later caller's
+        # getPersistentRDDs baseline snapshot (cache-lifecycle tests)
+        f.unpersist(blocking=True)
+
+
+def lr_score(
+    feats: DataFrame,
+    weights: list[float],
+    quantize_digits: int | None = None,
+) -> DataFrame:
+    """-> (doc_id, prob): sigmoid(margin) under trained weights, computed
+    in-row against the plan-literal weight array (narrow, no shuffle, no
+    Python).  ``quantize_digits`` rounds prob for cross-engine gates."""
+    p = _sigmoid(_margin_expr(weights))
+    if quantize_digits is not None:
+        qp = 10 ** quantize_digits
+        p = F.floor(p * qp + 0.5) / qp
+    return feats.select("doc_id", p.alias("prob"))
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_expr,
+    n_buckets: int = 4096,
+    n_iters: int = 4,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+    quantize_digits: int | None = None,
+    feature: str = "binary",
+) -> tuple[DataFrame, list[float], list[dict]]:
+    """Convenience recipe: featurize ``docs``, train against the 0/1
+    Column ``label_expr``, score every doc.  Returns (scored, weights,
+    trace) with scored = (doc_id, label, prob)."""
+    labeled = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        label_expr.cast("int").alias("label"),
+    )
+    feats = doc_features(
+        labeled, n_buckets=n_buckets, id_col="doc_id", text_col="text",
+        hash_fn=hash_fn, feature=feature,
+    ).join(labeled.select("doc_id", "label"), "doc_id")
+    w, trace = lr_train(
+        feats,
+        label_col="label",
+        n_buckets=n_buckets,
+        n_iters=n_iters,
+        lr=lr,
+        l2=l2,
+        quantize_digits=quantize_digits,
+    )
+    scored = lr_score(feats, w, quantize_digits=quantize_digits).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    ).select("doc_id", "label", "prob")
+    return scored, w, trace

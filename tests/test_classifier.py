@@ -1,0 +1,154 @@
+"""Hashed-feature logistic regression (operators/classifier.py).
+
+The determinism contract is the load-bearing property: training reduces
+every cross-row float through 1e-12 fixed-point integers, so the trained
+weights must be (a) bit-identical under any partitioning and (b) exactly
+reproducible by an independent single-process trainer applying the same
+quantization rule.  The DuckDB retrain twin (gate row classifier_scores)
+covers cross-engine; these tests cover the numpy/pure-python oracle,
+layout invariance, feature construction, and that the model actually
+learns a planted signal.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from intertext_spark.operators import classifier
+
+
+def _py_hash_bridge(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_features(text: str, n_buckets: int) -> list[int]:
+    """Independent featurizer: distinct hashed unigram+bigram buckets."""
+    words = [w for w in text.split() if w != ""]
+    grams = words + [" ".join(words[i : i + 2]) for i in range(len(words) - 1)]
+    return sorted({_py_hash_bridge(g) % n_buckets for g in grams})
+
+
+def _py_train(docs, n_buckets, n_iters, lr, l2=0.0, qdig=6):
+    """Independent full-batch trainer on (text, y) pairs — plain python
+    floats, same fixed-point rule.  Returns the dense weight list
+    ([intercept] + bucket weights) for exact comparison."""
+    Q = 10**12
+    feats = [(_py_features(t, n_buckets), float(y)) for t, y in docs if t.split()]
+    n = len(feats)
+    w = [0.0] * (n_buckets + 1)
+    for _ in range(n_iters):
+        grad = {b: 0 for b in range(-1, n_buckets)}
+        for buckets, y in feats:
+            ti = 0
+            for b in buckets:
+                ti += math.floor(w[b + 1] * 1.0 * Q + 0.5)
+            m = w[0] + ti / Q
+            p = 1.0 / (1.0 + math.exp(-m))
+            p = math.floor(p * 10**qdig + 0.5) / 10**qdig
+            grad[-1] += math.floor((p - y) * Q + 0.5)
+            for b in buckets:
+                grad[b] += math.floor((p - y) * 1.0 * Q + 0.5)
+        for b in range(-1, n_buckets):
+            g = float(grad[b]) / Q / n
+            wi = w[b + 1]
+            w[b + 1] = math.floor((wi - lr * (g + l2 * wi)) * Q + 0.5) / Q
+    return w
+
+
+def _bridge(c):
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 docs: label 1 docs carry the token 'good' plus noise words,
+    label 0 docs carry 'bad'; shared filler makes it non-trivial."""
+    rows = []
+    filler = ["the", "a", "row", "table", "scan", "merge"]
+    for i in range(60):
+        y = i % 2
+        kw = "goodword" if y else "badword"
+        noise = filler[i % len(filler)] + " " + filler[(i + 2) % len(filler)]
+        rows.append((i, f"{noise} {kw} {filler[(i + 1) % 6]} doc{i % 7}", y))
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+def test_lr_train_matches_independent_python_trainer(spark, planted):
+    feats = classifier.doc_features(planted, n_buckets=64, hash_fn=_bridge).join(
+        planted.select("doc_id", F.col("y")), "doc_id"
+    )
+    w, trace = classifier.lr_train(
+        feats, label_col="y", n_buckets=64, n_iters=3, lr=0.5, quantize_digits=6
+    )
+    ref = _py_train(
+        [(r["text"], r["y"]) for r in planted.collect()],
+        n_buckets=64, n_iters=3, lr=0.5, qdig=6,
+    )
+    assert w == ref  # exact float equality — the fixed-point contract
+    assert [t["n_docs"] for t in trace] == [60, 60, 60]
+
+
+def test_lr_train_layout_invariant(spark, planted):
+    feats = classifier.doc_features(planted, n_buckets=64, hash_fn=_bridge).join(
+        planted.select("doc_id", "y"), "doc_id"
+    )
+    w1, _ = classifier.lr_train(feats, "y", n_buckets=64, n_iters=3, lr=0.5)
+    w2, _ = classifier.lr_train(
+        feats.repartition(13), "y", n_buckets=64, n_iters=3, lr=0.5
+    )
+    assert w1 == w2
+
+
+def test_classifier_learns_planted_signal(spark, planted):
+    scored, w, trace = classifier.train_quality_classifier(
+        planted,
+        F.array_contains(F.split("text", " "), "goodword"),
+        n_buckets=64, n_iters=8, lr=0.5, hash_fn=_bridge,
+    )
+    losses = [t["loss"] for t in trace]
+    assert losses[0] == pytest.approx(math.log(2), abs=1e-6)  # w=0 start
+    assert all(a > b for a, b in zip(losses, losses[1:]))  # strictly down
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    pos = [r["prob"] for r in rows.values() if r["label"] == 1]
+    neg = [r["prob"] for r in rows.values() if r["label"] == 0]
+    assert min(pos) > max(neg)  # planted keyword is linearly separable
+
+
+def test_doc_features_binary_and_tf(spark):
+    df = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    fb = classifier.doc_features(df, n_buckets=8, hash_fn=_bridge).collect()[0]
+    # grams: x, y, x, 'x y', 'y x' -> n_grams 5
+    assert fb["n_grams"] == 5
+    expect = sorted({_py_hash_bridge(g) % 8 for g in ["x", "y", "x y", "y x"]})
+    assert [s["bucket"] for s in fb["feats"]] == expect
+    assert all(s["x"] == 1.0 for s in fb["feats"])
+    ft = classifier.doc_features(
+        df, n_buckets=8, hash_fn=_bridge, feature="tf"
+    ).collect()[0]
+    # bucket counts: x appears twice, others once -> x = cnt/5 each
+    by_bucket = {s["bucket"]: s["x"] for s in ft["feats"]}
+    xb = _py_hash_bridge("x") % 8
+    assert by_bucket[xb] == pytest.approx(2 / 5)
+    assert sum(s["x"] for s in ft["feats"]) == pytest.approx(1.0)
+    # zero-word docs are dropped
+    empty = spark.createDataFrame([(2, "   ")], "doc_id long, text string")
+    assert classifier.doc_features(empty, n_buckets=8).count() == 0
+
+
+def test_lr_train_cache_lifecycle_and_empty(spark, planted):
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    feats = classifier.doc_features(planted, n_buckets=16, hash_fn=_bridge).join(
+        planted.select("doc_id", "y"), "doc_id"
+    )
+    classifier.lr_train(feats, "y", n_buckets=16, n_iters=1)
+    assert sc._jsc.getPersistentRDDs().size() == base
+    empty = spark.createDataFrame([], "doc_id long, n_grams long, "
+                                  "feats array<struct<bucket:long,x:double>>, y int")
+    with pytest.raises(ValueError):
+        classifier.lr_train(empty, "y", n_buckets=16, n_iters=1)

@@ -620,6 +620,22 @@ def main():
         ],
     )
 
+    from intertext_spark.operators import classifier as clf
+
+    record(
+        "classifier_score",
+        clf.lr_score(clf.doc_features(docs_tbl, n_buckets=256),
+                     [0.01] * 257),
+        [
+            ("zero exchanges (featurize+score is one narrow map)",
+             lambda p: "Exchange" not in p),
+            ("no per-row Python (in-row fixed-point fold)",
+             lambda p: "EvalPython" not in p),
+            ("no join/cartesian",
+             lambda p: "Join" not in p and "Cartesian" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
