@@ -848,6 +848,68 @@ from mf""")
     return ",".join(parts)
 
 
+def _pack_sequences_q(spark, sf_dir):
+    """Greedy no-split sequence packing gate: docs -> capacity-90 bins in
+    8 md5-bridge hash groups, n_tokens = word count.  All-integer state,
+    so the oracle — a recursive CTE that replays the same greedy rule doc
+    by doc within each group — must match exactly."""
+    from intertext_spark.operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    with_len = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias(
+            "n_tokens"
+        ),
+    )
+    bridge = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return pack_sequences(
+        with_len, capacity=90, n_groups=8, hash_expr=bridge
+    )
+
+
+def _pack_stats_q(spark, sf_dir):
+    """Packing-efficiency accounting over the pack_sequences gate frame
+    (exact integer aggregates + one double division)."""
+    from intertext_spark.operators.sampling import pack_stats
+
+    return pack_stats(_pack_sequences_q(spark, sf_dir), capacity=90)
+
+
+_PACK_TWIN = """
+with recursive
+d as (
+  select doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w != ''))
+           as n_tokens,
+         ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 8
+           as grp
+  from documents
+),
+o as (
+  select doc_id, n_tokens, grp,
+         row_number() over (partition by grp order by doc_id) as rn
+  from d
+),
+rec as (
+  select grp, rn, doc_id, n_tokens,
+         1::bigint as bin_idx, n_tokens as fill_after
+  from o where rn = 1
+  union all
+  select n.grp, n.rn, n.doc_id, n.n_tokens,
+         case when r.fill_after + n.n_tokens > 90
+              then r.bin_idx + 1 else r.bin_idx end,
+         case when r.fill_after + n.n_tokens > 90
+              then n.n_tokens else r.fill_after + n.n_tokens end
+  from rec r join o n on n.grp = r.grp and n.rn = r.rn + 1
+)
+select doc_id, grp, bin_idx, n_tokens, fill_after, n_tokens > 90 as oversize
+from rec
+"""
+
+
 def _mix_corpora_q(spark, sf_dir):
     """Mixture construction gate: 5:3:2 over src0/src1/src2, md5-bridge
     pick hash.  INTEGER weights keep the share arithmetic bit-identical
@@ -1348,6 +1410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["interleave_sources"] = _interleave_sources_q
     q["gumbel_topk"] = _gumbel_topk_q
     q["classifier_scores"] = _classifier_scores_q
+    q["pack_sequences"] = _pack_sequences_q
+    q["pack_stats"] = _pack_stats_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
     q["curate_corpus"] = _curate_corpus_q
@@ -1876,6 +1940,24 @@ group by g.doc_id
     out["classifier_scores"] = _classifier_twin_sql(
         n_buckets=256, n_iters=4, lr="0.25", l2="0.0"
     )
+    # pack_sequences: the oracle replays the greedy no-split packing rule
+    # doc-by-doc per group with a recursive CTE — all-integer state, so
+    # the match is exact.  pack_stats re-aggregates the same CTE.
+    out["pack_sequences"] = _PACK_TWIN
+    out["pack_stats"] = f"""
+with packed as ({_PACK_TWIN}),
+per_bin as (
+  select grp, bin_idx, sum(n_tokens) as bin_tokens
+  from packed group by grp, bin_idx
+)
+select (select cast(count(*) as bigint) from packed) as n_docs,
+       cast(count(*) as bigint) as n_bins,
+       cast(sum(bin_tokens) as bigint) as total_tokens,
+       (select cast(sum(case when oversize then 1 else 0 end) as bigint)
+        from packed) as n_oversize,
+       1.0 - cast(sum(bin_tokens) as double) / (count(*) * 90) as padding_frac
+from per_bin
+"""
     # gumbel_topk: Gumbel-top-100 over the (round4'd) dsir weights —
     # u = (md5bridge(id || ':0') % 2^20 + 0.5) / 2^20, key = logw +
     # -ln(-ln(u)) quantized at 6 digits, top 100 by (key desc, id asc).

@@ -440,3 +440,101 @@ def interleave_sources(
             ).alias("interleave_key"),
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int,
+    n_groups: int = 256,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    hash_expr=None,
+) -> DataFrame:
+    """Greedy no-split sequence packing: assign whole documents to
+    fixed-capacity training sequences (bins) — the exporter step that
+    turns a tokenized corpus into batches without truncating documents
+    (the complement of ``textstats.pack_offsets``, which concatenates and
+    SPLITS at exact boundaries).  -> (doc_id, grp, bin_idx, n_tokens,
+    fill_after, oversize).
+
+    Rule (deterministic, both engines): within a group, docs are taken in
+    ``id_col`` order; a doc goes into the current bin unless fill +
+    n_tokens > capacity, in which case it OPENS a new bin with fill =
+    n_tokens.  A doc longer than capacity therefore sits alone in its own
+    bin, flagged ``oversize`` (the caller splits or drops those).
+    bin_idx is 1-based per group.
+
+    Scale shape: packing is inherently sequential (each assignment
+    depends on the running fill), so the distributed form shards the
+    corpus into ``n_groups`` deterministic hash groups and packs each
+    group independently — exactly what production exporters do (pack per
+    output shard).  State per group is O(1); the only shuffle is the
+    groupBy(grp); the per-group loop is an Arrow-batched applyInPandas
+    over integer arrays.  Raise ``n_groups`` with cluster size — packing
+    quality (padding fraction) is independent of the sharding because
+    the greedy rule only ever looks at one bin.  ``hash_expr`` defaults
+    to xxhash64(id) (production); the gate passes the md5 bridge."""
+    import pandas as pd
+
+    if hash_expr is None:
+        hash_expr = F.xxhash64(F.col(id_col))
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(len_col).cast("long").alias("n_tokens"),
+        F.pmod(hash_expr, F.lit(n_groups)).alias("grp"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        bins, fills = [], []
+        b, fill = 0, None
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill is None or fill + n > capacity:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(b)
+            fills.append(fill)
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        pdf["fill_after"] = pd.Series(fills, dtype="int64")
+        pdf["oversize"] = pdf["n_tokens"] > capacity
+        return pdf[["doc_id", "grp", "bin_idx", "n_tokens", "fill_after", "oversize"]]
+
+    schema = (
+        "doc_id long, grp long, bin_idx long, n_tokens long, "
+        "fill_after long, oversize boolean"
+    )
+    return src.groupBy("grp").applyInPandas(pack, schema)
+
+
+def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """Packing efficiency accounting over ``pack_sequences`` output:
+    one row (n_docs, n_bins, total_tokens, n_oversize, padding_frac)
+    with padding_frac = 1 - total_tokens / (n_bins * capacity) — the
+    fraction of the training batch that would be pad tokens.  Exact
+    integer aggregates; one tiny two-phase agg."""
+    per_bin = packed.groupBy("grp", "bin_idx").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    return per_bin.agg(
+        F.sum(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+    ).crossJoin(
+        packed.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+        )
+    ).select(
+        "n_docs",
+        "n_bins",
+        "total_tokens",
+        "n_oversize",
+        (
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double")
+            / (F.col("n_bins") * F.lit(capacity)).cast("double")
+        ).alias("padding_frac"),
+    )

@@ -333,3 +333,71 @@ def test_interleave_sources_empty_and_hash_expr(spark):
         d2, {"a": 3}, hash_expr=F.col("doc_id") * 7 % 10
     ).collect()
     assert sorted(r.rank for r in out) == list(range(1, 11))
+
+
+def _py_pack(docs, capacity):
+    """Independent greedy packer: docs = [(doc_id, n_tokens)] one group."""
+    out, b, fill = {}, 0, None
+    for did, n in sorted(docs):
+        if fill is None or fill + n > capacity:
+            b, fill = b + 1, n
+        else:
+            fill += n
+        out[did] = (b, fill)
+    return out
+
+
+def test_pack_sequences_greedy_rule_and_oversize(spark):
+    rows = [(i, [30, 40, 50, 95, 10, 25, 60, 90][i % 8]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    packed = sampling.pack_sequences(df, capacity=90, n_groups=4).collect()
+    assert len(packed) == 40
+    by_grp = {}
+    for r in packed:
+        by_grp.setdefault(r["grp"], []).append(r)
+    for grp, members in by_grp.items():
+        ref = _py_pack([(r["doc_id"], r["n_tokens"]) for r in members], 90)
+        for r in members:
+            assert (r["bin_idx"], r["fill_after"]) == ref[r["doc_id"]], r
+            assert r["oversize"] == (r["n_tokens"] > 90)
+    # an oversize doc always sits alone in its bin
+    for grp, members in by_grp.items():
+        bins = {}
+        for r in members:
+            bins.setdefault(r["bin_idx"], []).append(r)
+        for b, ms in bins.items():
+            if any(m["oversize"] for m in ms):
+                assert len(ms) == 1
+    # no bin of non-oversize docs exceeds capacity
+    for grp, members in by_grp.items():
+        agg = {}
+        for r in members:
+            agg[r["bin_idx"]] = agg.get(r["bin_idx"], 0) + r["n_tokens"]
+        for b, tot in agg.items():
+            members_b = [m for m in members if m["bin_idx"] == b]
+            if not any(m["oversize"] for m in members_b):
+                assert tot <= 90
+
+
+def test_pack_sequences_layout_invariant_and_empty(spark):
+    rows = [(i, (i * 7) % 80 + 5) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = sorted(map(tuple, sampling.pack_sequences(df, 64, n_groups=8).collect()))
+    b = sorted(map(tuple,
+                   sampling.pack_sequences(df.repartition(13), 64, n_groups=8).collect()))
+    assert a == b
+    empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert sampling.pack_sequences(empty, 64).count() == 0
+
+
+def test_pack_stats_accounting(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 50), (3, 120), (4, 30)], "doc_id long, n_tokens long"
+    )
+    packed = sampling.pack_sequences(df, capacity=100, n_groups=1)
+    st = sampling.pack_stats(packed, capacity=100).collect()[0]
+    assert st["n_docs"] == 4 and st["n_oversize"] == 1
+    assert st["total_tokens"] == 250
+    # greedy in id order, one group: [50+50], [120 oversize], [30] -> 3 bins
+    assert st["n_bins"] == 3
+    assert st["padding_frac"] == 1.0 - 250 / (3 * 100)

@@ -620,6 +620,24 @@ def main():
         ],
     )
 
+    from intertext_spark.operators import sampling as smp
+
+    record(
+        "pack_sequences",
+        smp.pack_sequences(
+            docs_tbl.select("doc_id", Fx.lit(50).cast("long").alias("n_tokens")),
+            capacity=90, n_groups=8,
+        ),
+        [
+            ("one exchange (the grp shuffle) and nothing else",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1),
+            ("Arrow-batched per-group pack, no row-at-a-time Python",
+             lambda p: "FlatMapGroupsInPandas" in p or "ArrowEvalPython" in p),
+            ("no join/cartesian",
+             lambda p: "Join" not in p and "Cartesian" not in p),
+        ],
+    )
+
     from intertext_spark.operators import classifier as clf
 
     record(
