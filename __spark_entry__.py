@@ -1191,6 +1191,28 @@ def _suffix_spans(spark, sf_dir):
     return long_verbatim_spans(docs, span_words=20)
 
 
+def _strip_verbatim_q(spark, sf_dir):
+    """Exact-substring dedup removal stage (Lee et al. 2022): recompute
+    the long-verbatim spans LIVE (the engine path the suffix_spans row
+    already value-gates against its pinned fixture) and strip every
+    duplicated range from the higher-id doc.  The oracle rebuilds the
+    same removal from the FIXTURE spans + documents — position anti-join,
+    order-preserving string_agg — so the row additionally re-proves
+    live-spans == fixture."""
+    from intertext_spark.operators.suffixpass import (
+        long_verbatim_spans, strip_verbatim_spans,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"),
+        F.filter(
+            F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
+        ).alias("words"),
+    )
+    spans = long_verbatim_spans(docs, span_words=20)
+    return strip_verbatim_spans(docs, spans)
+
+
 def _media_features(spark, sf_dir):
     from intertext_spark.operators import multimodal
 
@@ -1412,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["classifier_scores"] = _classifier_scores_q
     q["pack_sequences"] = _pack_sequences_q
     q["pack_stats"] = _pack_stats_q
+    q["strip_verbatim_spans"] = _strip_verbatim_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
     q["curate_corpus"] = _curate_corpus_q
@@ -2439,6 +2462,46 @@ where doc_id = keeper
         ("cdc_chunks", "cdc_chunks"),
     ):
         out[qname] = f"select * from read_parquet('{fx}/{fname}.parquet')"
+    # strip_verbatim_spans: DuckDB re-derives the removal from the pinned
+    # span fixture + documents (position anti-join, ordered string_agg);
+    # the engine side recomputes spans live, so this row also re-proves
+    # live spans == fixture.
+    out["strip_verbatim_spans"] = f"""
+with d as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '[\\s\\x1c-\\x1f]+'),
+                     w -> w != '') as ws
+  from documents
+),
+cuts as (
+  select doc_b as doc_id, start_b as s, start_b + span_len as e
+  from read_parquet('{fx}/suffix_spans.parquet')
+),
+posk as (
+  select doc_id, u['p'] as p, u['w'] as w
+  from (select doc_id,
+               unnest(list_transform(generate_series(1, len(ws)),
+                 i -> struct_pack(p := i - 1, w := ws[i]))) as u
+        from d)
+),
+removed as (
+  select distinct k.doc_id, k.p
+  from posk k join cuts c on k.doc_id = c.doc_id and k.p >= c.s and k.p < c.e
+),
+kept as (
+  select k.* from posk k
+  where not exists (select 1 from removed r
+                    where r.doc_id = k.doc_id and r.p = k.p)
+),
+agg as (
+  select doc_id, string_agg(w, ' ' order by p, w) as text,
+         count(*) as n_kept
+  from kept group by doc_id
+)
+select d.doc_id, coalesce(a.text, '') as text,
+       cast(len(d.ws) - coalesce(a.n_kept, 0) as bigint) as n_words_removed
+from d left join agg a using (doc_id)
+"""
     # cdc_stats: DuckDB recomputes the dedup accounting over the pinned
     # chunk fixture (the chunking itself is gated by the cdc_chunks row).
     out["cdc_stats"] = f"""

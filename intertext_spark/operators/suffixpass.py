@@ -265,3 +265,75 @@ def spans_to_window_candidates(
         (F.expr(f"(start_a + {s - 1}) div {s}") + F.col("i")).cast("long").alias("window_id_a"),
         (F.expr(f"(start_b + {s - 1}) div {s}") + F.col("i")).cast("long").alias("window_id_b"),
     ).distinct()
+
+
+def strip_verbatim_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "file_id",
+    words_col: str = "words",
+) -> DataFrame:
+    """Exact-substring deduplication, removal stage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": drop every
+    later occurrence of a long verbatim span, keep the first): given
+    ``long_verbatim_spans`` output, rebuild each doc with the duplicated
+    word ranges REMOVED from the higher-id side (doc_a < doc_b by
+    construction, so doc_a keeps its copy).  -> (doc_id, text,
+    n_words_removed) for EVERY input doc (text = surviving words joined
+    with single spaces — the token-stream semantics of ExactSubstr dedup;
+    original whitespace is not preserved).
+
+    Scale shape: removal intervals groupBy(doc) into per-doc arrays
+    (rows ~ |spans|, interval count per doc is small), merged in-row by a
+    sorted fold, then ONE left join onto the corpus and an in-row
+    position filter — no Python, no per-position explode.  Overlapping
+    spans are handled by the interval merge (a position is removed once
+    no matter how many spans cover it)."""
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.struct(
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_len")).alias("e"),
+        ).alias("iv"),
+    )
+    # sorted-fold interval merge: array_sort orders struct fields
+    # lexicographically (s, then e) — exactly the merge precondition
+    merged = iv.groupBy("doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list("iv")),
+            F.array().cast("array<struct<s:long,e:long>>"),
+            lambda acc, i: F.when(
+                (F.size(acc) == 0) | (i["s"] > F.element_at(acc, -1)["e"]),
+                F.concat(acc, F.array(i)),
+            ).otherwise(
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            F.element_at(acc, -1)["s"].alias("s"),
+                            F.greatest(
+                                F.element_at(acc, -1)["e"], i["e"]
+                            ).alias("e"),
+                        )
+                    ),
+                )
+            ),
+        ).alias("cut")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(words_col).alias("ws"))
+    joined = base.join(merged, "doc_id", "left").select(
+        "doc_id",
+        "ws",
+        F.coalesce("cut", F.array().cast("array<struct<s:long,e:long>>")).alias("cut"),
+    )
+    kept = F.filter(
+        F.col("ws"),
+        lambda w, i: ~F.exists(
+            F.col("cut"), lambda c: (i >= c["s"]) & (i < c["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_words_removed"),
+    )

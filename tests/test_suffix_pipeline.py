@@ -94,3 +94,60 @@ def test_spans_to_window_candidates_integer_exact_at_large_offsets(spark):
     # the double-division formulation really would be wrong here: offsets
     # past 2^53 alias as doubles, so `/`-based ids would collide
     assert float(1 << 53) == float((1 << 53) + 1)
+
+
+def test_strip_verbatim_spans_removal_and_merge(spark):
+    """Overlapping spans merge (a position is removed once), doc_a keeps
+    its copy, untouched docs pass through, full-removal docs -> ''."""
+    from intertext_spark.operators.suffixpass import strip_verbatim_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["a", "b", "c", "d", "e", "f"]),
+            (2, ["x", "b", "c", "d", "y", "z"]),
+            (3, ["q", "r"]),
+            (4, ["g", "h"]),
+        ],
+        "file_id long, words array<string>",
+    )
+    # two OVERLAPPING spans on doc 2: [1,4) and [2,5) -> merged [1,5)
+    spans = spark.createDataFrame(
+        [(1, 2, 1, 1, 3), (1, 2, 2, 2, 3), (1, 4, 0, 0, 2)],
+        "doc_a long, doc_b long, start_a long, start_b long, span_len long",
+    )
+    out = {r["doc_id"]: r for r in strip_verbatim_spans(docs, spans).collect()}
+    assert out[2]["text"] == "x z" and out[2]["n_words_removed"] == 4
+    assert out[1]["text"] == "a b c d e f" and out[1]["n_words_removed"] == 0
+    assert out[3]["text"] == "q r" and out[3]["n_words_removed"] == 0
+    assert out[4]["text"] == "" and out[4]["n_words_removed"] == 2
+
+
+def test_strip_verbatim_spans_python_oracle(spark):
+    """Randomized parity vs a brute-force position-set oracle."""
+    from intertext_spark.operators.suffixpass import strip_verbatim_spans
+
+    rng = random.Random(7)
+    docs, spans = [], []
+    for d in range(12):
+        docs.append((d, [f"w{rng.randrange(5)}" for _ in range(rng.randrange(0, 15))]))
+    for _ in range(20):
+        a, b = sorted(rng.sample(range(12), 2))
+        nb = len(docs[b][1])
+        if nb == 0:
+            continue
+        s = rng.randrange(nb)
+        ln = rng.randrange(1, nb - s + 1)
+        spans.append((a, b, 0, s, ln))
+    sdf = spark.createDataFrame(
+        spans, "doc_a long, doc_b long, start_a long, start_b long, span_len long"
+    )
+    ddf = spark.createDataFrame(docs, "file_id long, words array<string>")
+    got = {r["doc_id"]: r for r in strip_verbatim_spans(ddf, sdf).collect()}
+    for d, ws in docs:
+        cut = set()
+        for (_, b, _, s, ln) in spans:
+            if b == d:
+                cut.update(range(s, s + ln))
+        kept = [w for i, w in enumerate(ws) if i not in cut]
+        assert got[d]["text"] == " ".join(kept)
+        assert got[d]["n_words_removed"] == len(ws) - len(kept)
