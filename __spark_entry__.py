@@ -783,14 +783,14 @@ streams as (
            else [] end) as st
   from lab
 ),
-f as (
+f as materialized (
   select doc_id, y,
          unnest(list_distinct(list_transform(st,
            g -> {bridge} % {n_buckets}))) as bucket,
          1.0 as x
   from streams
 ),
-nd as (select count(distinct doc_id) as n from f)"""]
+nd as materialized (select count(distinct doc_id) as n from f)"""]
     prev = None  # weight table of the previous iteration (None == all-zero)
     for k in range(1, n_iters + 1):
         if prev is None:
@@ -806,17 +806,17 @@ nd as (select count(distinct doc_id) as n from f)"""]
             join = f"from f left join {prev} wt using (bucket)"
             w_prev = "coalesce(wp.w, 0.0)"
         parts.append(f"""
-m{k} as (
+m{k} as materialized (
   select f.doc_id, any_value(f.y) as y, {margin} as margin
   {join}
   group by f.doc_id
 ),
-p{k} as (
+p{k} as materialized (
   select doc_id, y,
          floor(1.0 / (1.0 + exp(-margin)) * 1000000 + 0.5) / 1000000 as p
   from m{k}
 ),
-g{k} as (
+g{k} as materialized (
   select f.bucket as bucket,
          sum(cast(floor((p.p - p.y) * f.x * 1e12 + 0.5) as bigint)) as gs
   from p{k} p join f using (doc_id) group by f.bucket
@@ -825,7 +825,7 @@ g{k} as (
          sum(cast(floor((p - y) * 1e12 + 0.5) as bigint)) as gs
   from p{k}
 ),
-w{k} as (
+w{k} as materialized (
   select g.bucket,
          floor(({w_prev} - {lr} * (g.gs / 1e12 / (select n from nd)
                 + {l2} * {w_prev})) * 1e12 + 0.5) / 1e12 as w
@@ -906,6 +906,86 @@ rec as (
   from rec r join o n on n.grp = r.grp and n.rn = r.rn + 1
 )
 select doc_id, grp, bin_idx, n_tokens, fill_after, n_tokens > 90 as oversize
+from rec
+"""
+
+
+def _export_recipe_q(spark, sf_dir):
+    """End-to-end training-data export recipe gate: train the hashed-LR
+    quality classifier, then run curate.export_training_data — exact
+    dedup -> classifier gate (prob >= 0.8) -> greedy capacity-90 packing
+    in 8 md5-bridge groups.  The oracle chains the classifier RETRAIN
+    CTE, the dedup-keeper window, the threshold filter, and the
+    recursive-CTE pack replay into one statement — the whole recipe
+    re-derived from scratch by a foreign engine."""
+    from intertext_spark.curate import export_training_data
+    from intertext_spark.operators.classifier import train_quality_classifier
+
+    docs = _docs(spark, sf_dir)
+
+    def bridge(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    label = F.array_contains(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""), "spark"
+    )
+    _, w, _ = train_quality_classifier(
+        docs, label, n_buckets=256, n_iters=4, lr=0.25,
+        hash_fn=bridge, quantize_digits=6,
+    )
+    pack_hash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    packed, _metrics = export_training_data(
+        docs, w, capacity=90, n_buckets=256, min_prob=0.8,
+        n_groups=8, clf_hash_fn=bridge, pack_hash_expr=pack_hash,
+        quantize_digits=6,
+    )
+    return packed
+
+
+def _export_recipe_twin() -> str:
+    """DuckDB twin of the export recipe: classifier retrain (nested CTE
+    chain) -> md5 dedup keeper -> prob>=0.8 filter -> recursive-CTE
+    greedy pack over the survivors."""
+    clf = _classifier_twin_sql(n_buckets=256, n_iters=4, lr="0.25", l2="0.0")
+    return f"""
+with recursive
+scores as materialized (select * from ({clf}) t),
+dd as materialized (
+  select doc_id, text from (
+    select doc_id, text,
+           min(doc_id) over (partition by md5(text)) as k
+    from documents) where doc_id = k
+),
+sv as materialized (
+  select dd.doc_id, dd.text,
+         len(list_filter(regexp_split_to_array(dd.text, '\\s+'),
+             w -> w != '')) as n_tokens,
+         ('0x' || substring(md5(cast(dd.doc_id as varchar)), 1, 15))::BIGINT
+           % 8 as grp
+  from dd join scores s using (doc_id)
+  where s.prob >= 0.8
+),
+o as materialized (
+  select doc_id, text, n_tokens, grp,
+         row_number() over (partition by grp order by doc_id) as rn
+  from sv
+),
+rec as (
+  select grp, rn, doc_id, text, n_tokens,
+         1::bigint as bin_idx, n_tokens as fill_after
+  from o where rn = 1
+  union all
+  select n.grp, n.rn, n.doc_id, n.text, n.n_tokens,
+         case when r.fill_after + n.n_tokens > 90
+              then r.bin_idx + 1 else r.bin_idx end,
+         case when r.fill_after + n.n_tokens > 90
+              then n.n_tokens else r.fill_after + n.n_tokens end
+  from rec r join o n on n.grp = r.grp and n.rn = r.rn + 1
+)
+select doc_id, grp, bin_idx, n_tokens, fill_after,
+       n_tokens > 90 as oversize, text
 from rec
 """
 
@@ -1435,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_sequences"] = _pack_sequences_q
     q["pack_stats"] = _pack_stats_q
     q["strip_verbatim_spans"] = _strip_verbatim_q
+    q["export_recipe"] = _export_recipe_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
     q["curate_corpus"] = _curate_corpus_q
@@ -1967,6 +2048,9 @@ group by g.doc_id
     # doc-by-doc per group with a recursive CTE — all-integer state, so
     # the match is exact.  pack_stats re-aggregates the same CTE.
     out["pack_sequences"] = _PACK_TWIN
+    # export_recipe: the end-to-end export (retrain + dedup + quality
+    # threshold + pack) re-derived from scratch — see _export_recipe_twin.
+    out["export_recipe"] = _export_recipe_twin()
     out["pack_stats"] = f"""
 with packed as ({_PACK_TWIN}),
 per_bin as (

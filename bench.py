@@ -183,6 +183,12 @@ def run_suite(spark, sf_dir: str) -> dict:
         "cdc_chunks",
         "top_ngrams",
         "curate_transcripts",
+        # classifier_scores: 4 full-batch GD iterations (one scan + one
+        # model-sized gradient shuffle each) + the zero-exchange scoring
+        # map — distributed-training throughput of the quality filter
+        "classifier_scores",
+        # pack_sequences: the one-exchange greedy exporter pack
+        "pack_sequences",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

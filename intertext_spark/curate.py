@@ -269,3 +269,115 @@ def curate_transcripts(
 
     cur = runner.run("conv_dedup", "md5(role,text)", conv_dedup_stage)
     return cur, runner.metrics
+
+
+def export_training_data(
+    docs: DataFrame,
+    weights: "list[float]",
+    capacity: int,
+    n_buckets: int = 4096,
+    min_prob: float = 0.5,
+    bench: "DataFrame | None" = None,
+    ngram: int = 8,
+    max_frac: float = 0.0,
+    n_groups: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    clf_hash_fn=None,
+    pack_hash_expr=None,
+    quantize_digits: "int | None" = None,
+    store=None,
+    input_token: str = "v0",
+) -> "tuple[DataFrame, list[dict]]":
+    """The full training-data EXPORT recipe — what a user runs after
+    curation to turn a raw corpus into model-ready fixed-length
+    sequences:
+
+      1. exact_dedup    keeper = min id per md5(text)
+      2. quality_gate   hashed-LR classifier score (PRE-TRAINED
+                        ``weights`` from classifier.lr_train) >= min_prob;
+                        zero-word docs are dropped here (they carry no
+                        features and cannot be packed)
+      3. decontaminate  optional: drop docs overlapping ``bench`` by more
+                        than ``max_frac`` of their ``ngram``-grams
+      4. pack           greedy no-split packing into ``capacity``-token
+                        bins (n_tokens = whitespace word count)
+
+    -> (packed, metrics): packed = (doc_id, grp, bin_idx, n_tokens,
+    fill_after, oversize, text); metrics = per-stage
+    {stage, rows_in, rows_out, skipped}.
+
+    Deterministic end to end (content-hash keepers, fixed-point scoring,
+    integer packing), so the export is partitioning-invariant — and with
+    ``store`` every stage checkpoints under export_<stage> with the
+    chained-fingerprint resume contract.  The weight vector is part of
+    the quality stage's fingerprint: retraining invalidates the
+    checkpoint.
+
+    Scale shape: stage 1 is one text-hash window; stage 2 is a
+    zero-exchange narrow map (featurize in-row + broadcast-literal
+    score); stage 3 a broadcast bench-gram semi-join; stage 4 one grp
+    exchange.  Nothing corpus-sized ever reaches the driver."""
+    from .operators.classifier import doc_features, lr_score
+    from .operators.dedup import exact_dup_groups
+    from .operators.decontaminate import decontaminated_corpus
+    from .operators.sampling import pack_sequences
+
+    runner = _StageRunner(store, input_token, docs.count(), prefix="export")
+
+    def dedup_stage():
+        keepers = (
+            exact_dup_groups(docs, id_col=id_col, text_col=text_col)
+            .where(F.col("doc_id") == F.col("keeper_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return docs.join(keepers, id_col, "left_semi")
+
+    cur = runner.run("exact_dedup", "md5", dedup_stage)
+
+    wtag = hashlib.md5(repr([n_buckets, min_prob, weights]).encode()).hexdigest()[:12]
+    prev = cur
+
+    def quality_stage():
+        feats = doc_features(
+            prev, n_buckets=n_buckets, id_col=id_col, text_col=text_col,
+            hash_fn=clf_hash_fn,
+        )
+        scored = lr_score(feats, weights, quantize_digits=quantize_digits)
+        keep = scored.where(F.col("prob") >= min_prob).select(
+            F.col("doc_id").alias(id_col)
+        )
+        return prev.join(keep, id_col, "left_semi")
+
+    cur = runner.run("quality_gate", f"w={wtag}", quality_stage)
+
+    if bench is not None:
+        prev2 = cur
+        cur = runner.run(
+            "decontaminate",
+            f"ngram={ngram},max_frac={max_frac}",
+            lambda: decontaminated_corpus(
+                prev2, bench, id_col=id_col, text_col=text_col,
+                ngram=ngram, max_frac=max_frac,
+            ),
+        )
+
+    prev3 = cur
+
+    def pack_stage():
+        with_len = prev3.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.size(
+                F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
+            ).cast("long").alias("n_tokens"),
+        )
+        packed = pack_sequences(
+            with_len.select(id_col, "n_tokens"),
+            capacity=capacity, n_groups=n_groups, id_col=id_col,
+            hash_expr=pack_hash_expr,
+        )
+        return packed.join(with_len.select(F.col(id_col).alias("doc_id"), text_col), "doc_id")
+
+    packed = runner.run("pack", f"cap={capacity},groups={n_groups}", pack_stage)
+    return packed, runner.metrics

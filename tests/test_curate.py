@@ -176,3 +176,74 @@ def test_curate_transcripts_checkpoint_resume(spark, tmp_path):
     _, m3 = curate_transcripts(tdf, dedup_roles="all", store=store,
                                input_token="t1")
     assert m3[0]["skipped"] and not m3[1]["skipped"]
+
+
+def test_export_training_data_stages(spark):
+    """Planted corpus exercises every stage: exact copies collapse to the
+    min-id keeper, low-quality docs (scored by planted weights over a
+    known hash bucket) drop at the threshold, bench-contaminated docs
+    drop, survivors pack greedily."""
+    from intertext_spark.curate import export_training_data
+    from intertext_spark.operators.classifier import doc_features
+
+    rows = [
+        (1, "alpha beta gamma delta"),          # keeper
+        (2, "alpha beta gamma delta"),          # exact dup of 1 -> dropped
+        (3, "junk junk junk junk"),             # down-weighted -> dropped
+        (4, "alpha beta epsilon zeta"),         # kept
+        (5, "one two three four five six seven eight nine ten"),  # bench hit
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # weights: find the buckets 'junk' grams hash into and penalize them
+    f3 = doc_features(docs.where("doc_id = 3"), n_buckets=256).collect()[0]
+    w = [0.5] + [0.0] * 256         # intercept 0.5 -> everyone ~0.62
+    for s in f3["feats"]:
+        w[int(s["bucket"]) + 1] = -2.0   # junk buckets -> prob well under
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    packed, metrics = export_training_data(
+        docs, w, capacity=8, n_buckets=256, min_prob=0.5,
+        bench=bench, ngram=8, n_groups=1,
+    )
+    got = {r["doc_id"]: r for r in packed.collect()}
+    assert set(got) == {1, 4}
+    stages = {m["stage"]: m for m in metrics}
+    assert stages["exact_dedup"]["rows_out"] == 4
+    assert stages["quality_gate"]["rows_out"] == 3
+    assert stages["decontaminate"]["rows_out"] == 2
+    assert stages["pack"]["rows_out"] == 2
+    # both 4-token docs fit one capacity-8 bin in the single group
+    assert got[1]["bin_idx"] == got[4]["bin_idx"] == 1
+    assert got[4]["fill_after"] == 8 and not got[4]["oversize"]
+    assert got[1]["text"] == "alpha beta gamma delta"
+
+
+def test_export_training_data_checkpoint_resume(spark, tmp_path):
+    """Identical rerun skips every stage; changing the WEIGHTS (the
+    trained model) invalidates quality_gate and everything after."""
+    from intertext_spark.curate import export_training_data
+    from intertext_spark.store import CheckpointStore
+
+    docs = _docs(spark)
+    w = [0.5] + [0.0] * 32
+    store = CheckpointStore(spark, str(tmp_path / "ck"))
+    out1, m1 = export_training_data(
+        docs, w, capacity=64, n_buckets=32, min_prob=0.5,
+        n_groups=2, store=store, input_token="e1",
+    )
+    assert [m["skipped"] for m in m1] == [False, False, False]
+    out2, m2 = export_training_data(
+        docs, w, capacity=64, n_buckets=32, min_prob=0.5,
+        n_groups=2, store=store, input_token="e1",
+    )
+    assert [m["skipped"] for m in m2] == [True, True, True]
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+    w2 = list(w)
+    w2[0] = 0.25
+    _, m3 = export_training_data(
+        docs, w2, capacity=64, n_buckets=32, min_prob=0.5,
+        n_groups=2, store=store, input_token="e1",
+    )
+    assert [m["skipped"] for m in m3] == [True, False, False]
