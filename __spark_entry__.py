@@ -944,6 +944,67 @@ def _export_recipe_q(spark, sf_dir):
     return packed
 
 
+def _classifier_eval_q(spark, sf_dir):
+    """Distributed binary-scorer evaluation over the trained classifier's
+    scores: confusion counts + precision/recall at 9 thresholds plus the
+    rank-based (tie-averaged Mann-Whitney) ROC AUC as the threshold=-1
+    row.  Rank sums stay integer, so every value is exact; the oracle
+    recomputes ranks, confusion and AUC from the retrain-twin scores."""
+    from intertext_spark.operators.classifier import binary_eval
+
+    return binary_eval(_classifier_scores_q(spark, sf_dir))
+
+
+def _classifier_eval_twin() -> str:
+    clf = _classifier_twin_sql(n_buckets=256, n_iters=4, lr="0.25", l2="0.0")
+    # ::double — DuckDB types bare 0.1 literals as DECIMAL(2,1), which
+    # would change both the output schema and the >= comparison semantics
+    ths = ", ".join(f"{t}::double" for t in [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+    return f"""
+with scores as materialized (select * from ({clf}) t),
+ranked as (
+  select label as y, prob as p,
+         rank() over (order by prob) as rmin,
+         rank() over (order by prob)
+           + count(*) over (partition by prob) - 1 as rmax
+  from scores
+),
+aucv as (
+  select sum(case when y = 1 then rmin + rmax else 0 end) as r2pos,
+         sum(y) as p_cnt, sum(1 - y) as n_cnt
+  from ranked
+),
+conf as (
+  select t.threshold,
+         cast(sum(case when s.prob >= t.threshold and s.label = 1
+                  then 1 else 0 end) as bigint) as tp,
+         cast(sum(case when s.prob >= t.threshold and s.label = 0
+                  then 1 else 0 end) as bigint) as fp,
+         cast(sum(case when s.prob < t.threshold and s.label = 1
+                  then 1 else 0 end) as bigint) as fn,
+         cast(sum(case when s.prob < t.threshold and s.label = 0
+                  then 1 else 0 end) as bigint) as tn
+  from scores s cross join (select unnest([{ths}]) as threshold) t
+  group by t.threshold
+)
+select threshold, tp, fp, fn, tn,
+       case when tp + fp > 0
+            then cast(tp as double) / (tp + fp) end as "precision",
+       case when tp + fn > 0
+            then cast(tp as double) / (tp + fn) end as recall
+from conf
+union all
+select -1.0::double as threshold, NULL::bigint, NULL::bigint, NULL::bigint,
+       NULL::bigint,
+       case when p_cnt > 0 and n_cnt > 0 then
+         (cast(r2pos as double) / 2.0
+          - cast(p_cnt as double) * cast(p_cnt + 1 as double) / 2.0)
+         / cast(p_cnt * n_cnt as double) end as "precision",
+       NULL::double as recall
+from aucv
+"""
+
+
 def _export_recipe_twin() -> str:
     """DuckDB twin of the export recipe: classifier retrain (nested CTE
     chain) -> md5 dedup keeper -> prob>=0.8 filter -> recursive-CTE
@@ -1516,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_stats"] = _pack_stats_q
     q["strip_verbatim_spans"] = _strip_verbatim_q
     q["export_recipe"] = _export_recipe_q
+    q["classifier_eval"] = _classifier_eval_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
     q["curate_corpus"] = _curate_corpus_q
@@ -2051,6 +2113,7 @@ group by g.doc_id
     # export_recipe: the end-to-end export (retrain + dedup + quality
     # threshold + pack) re-derived from scratch — see _export_recipe_twin.
     out["export_recipe"] = _export_recipe_twin()
+    out["classifier_eval"] = _classifier_eval_twin()
     out["pack_stats"] = f"""
 with packed as ({_PACK_TWIN}),
 per_bin as (

@@ -299,3 +299,101 @@ def train_quality_classifier(
         labeled.select("doc_id", "label"), "doc_id"
     ).select("doc_id", "label", "prob")
     return scored, w, trace
+
+
+def binary_eval(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "prob",
+    thresholds: "list[float] | None" = None,
+) -> DataFrame:
+    """Distributed evaluation of a binary scorer -> one row per
+    threshold: (threshold, tp, fp, fn, tn, precision, recall) plus a
+    trailing row (threshold = -1.0) carrying the rank-based ROC AUC in
+    the ``precision`` column (recall NULL) — the Mann-Whitney
+    formulation AUC = (R_pos - P(P+1)/2) / (P*N) with R_pos = rank sum
+    of positives under average ranks for score ties, which handles the
+    heavy ties quantized probabilities produce.
+
+    Scale shape: ONE hash-partitioned ``groupBy(score)`` collapses the
+    corpus to its distinct score values (bounded — the classifier's
+    probabilities are quantized to 6 digits, so ≤ 10^6+1 rows regardless
+    of corpus size); ranks and the per-threshold confusion counts are
+    then computed on that tiny per-score frame, so the only global-order
+    window (cumulative count-below) runs over the aggregate, never the
+    corpus, and no row of the corpus is scanned more than once per
+    branch (the two branches share an identical shuffle, which AQE
+    reuses as one exchange).  Driver traffic: len(thresholds)+1 rows."""
+    if thresholds is None:
+        thresholds = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    from pyspark.sql import Window
+
+    s = scored.select(
+        F.col(label_col).cast("int").alias("y"),
+        F.col(score_col).cast("double").alias("p"),
+    )
+    per = s.groupBy("p").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    # cumulative count of strictly-lower scores; the window input is the
+    # per-score aggregate (tiny), not the corpus
+    wb = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.select(
+        "p", "c", "pos",
+        F.coalesce(F.sum("c").over(wb), F.lit(0)).alias("below"),
+    )
+    # a score group with `below` lower rows and c members spans ranks
+    # below+1 .. below+c, so rmin+rmax = 2*below + c + 1 per member; rank
+    # sums stay INTEGER (halved once at the end), so the AUC is exact at
+    # any corpus size and partitioning — no float accumulation anywhere
+    agg = cum.agg(
+        F.sum("pos").cast("long").alias("P"),
+        F.sum(F.col("c") - F.col("pos")).cast("long").alias("N"),
+        F.sum(
+            (F.col("pos") * (2 * F.col("below") + F.col("c") + 1))
+            .cast("decimal(38,0)")
+        ).alias("r2pos"),
+    ).select(
+        "P",
+        "N",
+        F.when(
+            (F.col("P") > 0) & (F.col("N") > 0),
+            (
+                F.col("r2pos").cast("double") / 2.0
+                - F.col("P").cast("double") * (F.col("P") + 1).cast("double") / 2.0
+            )
+            / (F.col("P") * F.col("N")).cast("double"),
+        ).alias("auc"),
+    )
+    # confusion counts off the same per-score aggregate: explode the
+    # threshold literals against the TINY frame (9 × distinct-scores
+    # rows), never the corpus
+    th = F.explode(F.array(*[F.lit(float(t)) for t in thresholds])).alias("threshold")
+    conf = (
+        cum.select("p", "c", "pos", th)
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("p") >= F.col("threshold"), F.col("pos")).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(F.col("p") >= F.col("threshold"), F.col("c") - F.col("pos")).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(F.col("p") < F.col("threshold"), F.col("pos")).otherwise(0)).cast("long").alias("fn"),
+            F.sum(F.when(F.col("p") < F.col("threshold"), F.col("c") - F.col("pos")).otherwise(0)).cast("long").alias("tn"),
+        )
+        .select(
+            "threshold", "tp", "fp", "fn", "tn",
+            F.when(F.col("tp") + F.col("fp") > 0,
+                   F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))).alias("precision"),
+            F.when(F.col("tp") + F.col("fn") > 0,
+                   F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        )
+    )
+    auc_row = agg.select(
+        F.lit(-1.0).alias("threshold"),
+        F.lit(None).cast("long").alias("tp"),
+        F.lit(None).cast("long").alias("fp"),
+        F.lit(None).cast("long").alias("fn"),
+        F.lit(None).cast("long").alias("tn"),
+        F.col("auc").alias("precision"),
+        F.lit(None).cast("double").alias("recall"),
+    )
+    return conf.unionByName(auc_row)

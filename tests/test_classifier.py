@@ -152,3 +152,50 @@ def test_lr_train_cache_lifecycle_and_empty(spark, planted):
                                   "feats array<struct<bucket:long,x:double>>, y int")
     with pytest.raises(ValueError):
         classifier.lr_train(empty, "y", n_buckets=16, n_iters=1)
+
+
+def test_binary_eval_confusion_and_tied_auc(spark):
+    # heavy score ties on purpose: 0.5 appears with both labels, so the
+    # AUC must use AVERAGE ranks (Mann-Whitney tie correction)
+    rows = [
+        (1, 0.9), (1, 0.7), (1, 0.5), (0, 0.5), (0, 0.5),
+        (1, 0.3), (0, 0.2), (0, 0.2), (0, 0.1), (1, 0.9),
+    ]
+    df = spark.createDataFrame(rows, "label int, prob double")
+    out = {r["threshold"]: r for r in classifier.binary_eval(df).collect()}
+    # independent python oracle
+    ths = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    for t in ths:
+        tp = sum(1 for y, p in rows if p >= t and y == 1)
+        fp = sum(1 for y, p in rows if p >= t and y == 0)
+        fn = sum(1 for y, p in rows if p < t and y == 1)
+        tn = sum(1 for y, p in rows if p < t and y == 0)
+        r = out[t]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, fn, tn)
+        assert r["precision"] == (tp / (tp + fp) if tp + fp else None)
+        assert r["recall"] == (tp / (tp + fn) if tp + fn else None)
+    # average-rank AUC, computed independently
+    import collections
+
+    cnt = collections.Counter(p for _, p in rows)
+    below = {}
+    acc = 0
+    for p in sorted(cnt):
+        below[p] = acc
+        acc += cnt[p]
+    avg_rank = {p: below[p] + (cnt[p] + 1) / 2 for p in cnt}
+    P = sum(y for y, _ in rows)
+    N = len(rows) - P
+    rpos = sum(avg_rank[p] for y, p in rows if y == 1)
+    want_auc = (rpos - P * (P + 1) / 2) / (P * N)
+    assert out[-1.0]["precision"] == pytest.approx(want_auc, abs=1e-12)
+    assert out[-1.0]["tp"] is None and out[-1.0]["recall"] is None
+
+
+def test_binary_eval_degenerate_single_class(spark):
+    # all-positive input: AUC undefined -> NULL; recall still defined
+    df = spark.createDataFrame([(1, 0.8), (1, 0.2)], "label int, prob double")
+    out = {r["threshold"]: r for r in classifier.binary_eval(df).collect()}
+    assert out[-1.0]["precision"] is None
+    assert out[0.5]["recall"] == pytest.approx(0.5)
+    assert out[0.5]["tn"] == 0 and out[0.5]["fp"] == 0

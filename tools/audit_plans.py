@@ -654,6 +654,33 @@ def main():
         ],
     )
 
+    import re as _re
+
+    record(
+        "classifier_eval",
+        clf.binary_eval(
+            docs_tbl.select(
+                (Fx.length("text") % 2).cast("int").alias("label"),
+                ((Fx.length("text") % 100) / 100.0).alias("prob"),
+            )
+        ),
+        [
+            ("corpus aggregate is map-side partial before first exchange",
+             lambda p: "partial_count" in p),
+            ("global-order window runs over the per-score aggregate, not the corpus",
+             lambda p: _re.search(
+                 r"Window \(\d+\)\s*\n[\s:+|-]*Sort \(\d+\)\s*\n"
+                 r"[\s:+|-]*Exchange \(\d+\)\s*\n[\s:+|-]*HashAggregate", p)
+             is not None),
+            ("threshold explode sits above the aggregate (9× distinct scores, not 9× corpus)",
+             lambda p: _re.search(
+                 r"Generate \(\d+\)\s*\n[\s:+|-]*HashAggregate", p) is not None),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+            ("no join/cartesian",
+             lambda p: "Join" not in p and "Cartesian" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "

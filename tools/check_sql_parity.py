@@ -52,8 +52,12 @@ def arrow_family(t) -> str:
 
 
 def norm(v):
+    # every branch returns a tuple whose first element is a str tag, so
+    # rows containing NULLs (None) stay sortable against any other value
     import decimal
 
+    if v is None:
+        return ("_none",)
     if isinstance(v, bool):
         return ("b", v)
     if isinstance(v, float):
@@ -63,8 +67,8 @@ def norm(v):
     if isinstance(v, int):
         return ("i", v)
     if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
-    return v
+        return ("l", tuple(norm(x) for x in v))
+    return ("s", str(v))
 
 
 def rows_key(rows, cols):
