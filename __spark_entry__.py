@@ -677,6 +677,27 @@ def _unigram_logprob_q(spark, sf_dir):
     )
 
 
+def _bigram_logprob_q(spark, sf_dir):
+    """Interpolated bigram-LM cross-entropy (the CCNet-style perplexity
+    gate, one order above unigram_logprob): model fit on the lang='en'
+    slice, lambda=0.7 Jelinek-Mercer mix with the add-1 unigram floor,
+    doc-start token scored by the unigram alone.  Per-token lp quantized
+    at 6 digits (cross-libm ln() guard) and summed in position order, so
+    DuckDB recomputes the double bit-for-bit."""
+    from intertext_spark.operators.textstats import bigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    out = bigram_logprob(
+        docs, docs.where(F.col("lang") == "en"),
+        alpha=1.0, lam=0.7, quantize_digits=6,
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        _round4(F.col("sum_logprob")).alias("sum_logprob"),
+        _round4(F.col("mean_logprob")).alias("mean_logprob"),
+    )
+
+
 def _dsir_weights_q(spark, sf_dir):
     """DSIR importance weights gate: raw = all documents, target = the
     lang='en' slice, 512 hashed buckets via the md5 bridge so DuckDB
@@ -1560,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_against"] = _dedup_against_q
     q["dsir_weights"] = _dsir_weights_q
     q["unigram_logprob"] = _unigram_logprob_q
+    q["bigram_logprob"] = _bigram_logprob_q
     q["turn_dedup"] = _turn_dedup_q
     q["conv_stats"] = _conv_stats_q
     q["prefix_groups"] = _prefix_groups_q
@@ -2040,6 +2062,83 @@ g as (
 j as (
   select g.doc_id, g.pos, coalesce(m.lp, (select lp from oov)) as lp
   from g left join model m using (token)
+)
+select doc_id, cast(count(*) as bigint) as n_tokens,
+       cast(floor(list_reduce(list_prepend(0.0, list(lp order by pos)),
+                  (acc, v) -> acc + v) * 10000 + 0.5) / 10000 as double)
+         as sum_logprob,
+       cast(floor(list_reduce(list_prepend(0.0, list(lp order by pos)),
+                  (acc, v) -> acc + v) / count(*) * 10000 + 0.5) / 10000
+            as double) as mean_logprob
+from j
+group by doc_id
+"""
+    # dsir_weights: DuckDB rebuilds the hashed unigram+bigram stream with
+    # bigram_logprob: DuckDB refits BOTH models on the lang='en' slice —
+    # the add-1 unigram floor with the same N + 1*(V+1) denominator/OOV
+    # bucket, and the ML bigram conditionals c2/c1 — mixes them with the
+    # SAME float op order (0.7*pml + (1.0-0.7)*pu; the (1.0-0.7) is
+    # computed, not a 0.3 literal, so both engines hold the identical
+    # double), quantizes each per-token ln at 6 digits, and folds in
+    # position order — the unigram_logprob discipline one order up.
+    out["bigram_logprob"] = """
+with w as (
+  select doc_id, lang,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents
+),
+d as (select doc_id, words from w where len(words) >= 1),
+rdoc as (select words from w where lang = 'en' and len(words) >= 1),
+rtok as (select unnest(words) as token from rdoc),
+counts as (select token, count(*) as c from rtok group by token),
+tot as (
+  select (select count(*) from rtok) as n,
+         (select count(*) from counts) as v
+),
+um as (
+  select token as cur, c,
+         (c + 1.0) / (tot.n + 1.0 * (tot.v + 1)) as pu
+  from counts, tot
+),
+oov as (select 1.0 / (tot.n + 1.0 * (tot.v + 1)) as pu from tot),
+rbig as (
+  select unnest(list_transform(generate_series(1, len(words) - 1),
+           i -> struct_pack(prev := words[i], cur := words[i + 1]))) as bg
+  from rdoc where len(words) >= 2
+),
+bc as (
+  select bg.prev as prev, bg.cur as cur, count(*) as c2
+  from rbig group by bg.prev, bg.cur
+),
+bm as (
+  select bc.prev, bc.cur,
+         cast(bc.c2 as double) / cast(um.c as double) as pml
+  from bc join um on bc.prev = um.cur
+),
+g as (
+  select doc_id, s.pos as pos, s.prev as prev, s.cur as cur
+  from (
+    select doc_id,
+           unnest(list_transform(generate_series(1, len(words)),
+             i -> struct_pack(pos := i - 1,
+                              prev := case when i > 1 then words[i - 1] end,
+                              cur := words[i]))) as s
+    from d
+  )
+),
+j as (
+  select g.doc_id, g.pos,
+         case when g.pos = 0 then
+           floor(ln(coalesce(um.pu, (select pu from oov))) * 1000000 + 0.5)
+             / 1000000
+         else
+           floor(ln(0.7 * coalesce(bm.pml, 0.0)
+                    + (1.0 - 0.7) * coalesce(um.pu, (select pu from oov)))
+                 * 1000000 + 0.5) / 1000000
+         end as lp
+  from g
+  left join bm on g.prev = bm.prev and g.cur = bm.cur
+  left join um on g.cur = um.cur
 )
 select doc_id, cast(count(*) as bigint) as n_tokens,
        cast(floor(list_reduce(list_prepend(0.0, list(lp order by pos)),

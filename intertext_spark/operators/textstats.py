@@ -467,6 +467,153 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    ref: DataFrame,
+    alpha: float = 1.0,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantize_digits: "int | None" = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Interpolated bigram-LM cross-entropy quality filter — the
+    distributed analog of CCNet's KenLM perplexity gate one order up
+    from :func:`unigram_logprob`.  Every document is scored by the mean
+    log-probability of its tokens under a Jelinek-Mercer-interpolated
+    bigram model fit on ``ref``:
+
+        p(w_i | w_{i-1}) = lam * c2(w_{i-1}, w_i) / c1(w_{i-1})
+                         + (1 - lam) * p_uni(w_i)          for i >= 1
+        p(w_0)           = p_uni(w_0)                       (doc start)
+
+    with p_uni the add-``alpha`` unigram distribution (OOV bucket
+    reserved exactly as in unigram_logprob; an unseen bigram or OOV
+    history makes the ML term 0, so the unigram floor always keeps the
+    probability positive).  -> (doc_id, n_tokens, sum_logprob,
+    mean_logprob); filter on mean_logprob or rank with gumbel_topk.
+
+    Determinism: each per-token lp is optionally quantized
+    (``quantize_digits``, cross-libm ln() guard for the gate) and the
+    per-doc sum folds in POSITION order, so the double is
+    partitioning-invariant and externally recomputable.
+
+    Scale shape — deliberately split join strategies: the UNIGRAM model
+    is V rows, collected and re-created driver-side exactly like
+    unigram_logprob, then BROADCAST onto the token stream (no shuffle,
+    immune to hot-token skew).  The BIGRAM table is unbounded (V² worst
+    case) so it is NEVER collected or broadcast-hinted: conditional
+    probabilities are attached by a plain equi-join on (prev, cur) that
+    Catalyst/AQE sizes at runtime — broadcast while it fits, sort-merge
+    at corpus scale.  ``min_count`` prunes rare bigrams from the model
+    (they fall back to the interpolated unigram floor), bounding model
+    size at 100 TB; the ref-side counts are one map-side-combined
+    groupBy each."""
+    import math
+
+    words = _WORDS(text_col)
+
+    rws = ref.select(words.alias("ws")).where(F.size("ws") >= 1)
+    uni = (
+        rws.select(F.explode("ws").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c1"))
+        .persist()
+    )
+    tot = uni.agg(F.sum("c1").alias("n"), F.count("*").alias("v")).collect()[0]
+    n_total, vocab = (tot.n or 0), (tot.v or 0)
+    denom = n_total + alpha * (vocab + 1)
+    # driver-side V-row unigram model: (token, c1, pu); pu is an IEEE
+    # divide of exact integers, so python/duckdb/JVM all agree bit-for-bit
+    uni_rows = [
+        (r.token, r.c1, (r.c1 + alpha) / denom) for r in uni.collect()
+    ]
+    pu_oov = alpha / denom
+    # bigram conditionals: counts joined to the history's unigram count
+    # MODEL-SIDE (ref-sized work), so the doc stream needs one join only
+    big = (
+        rws.select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", 1, F.size("ws") - 1),
+                    F.slice("ws", 2, F.size("ws") - 1),
+                    lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.prev", "bg.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c2"))
+    )
+    if min_count > 1:
+        big = big.where(F.col("c2") >= min_count)
+
+    spark = docs.sparkSession
+    umodel = spark.createDataFrame(uni_rows, "cur string, c1 long, pu double")
+    # history counts come from the already-collected V-row model (a
+    # broadcast), so `uni` owes nothing to the lazy plan and its cache
+    # can be dropped eagerly right here
+    uni.unpersist(blocking=True)
+    bmodel = big.join(
+        F.broadcast(umodel.select(F.col("cur").alias("prev"), "c1")), "prev"
+    ).select(
+        "prev", "cur",
+        (F.col("c2").cast("double") / F.col("c1").cast("double")).alias("pml"),
+    )
+
+    # doc token stream with (pos, prev, cur) built per-row inside codegen
+    stream = (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .where(F.size("ws") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    "ws",
+                    lambda w, i: F.struct(
+                        i.alias("pos"),
+                        F.when(i >= 1, F.element_at("ws", i)).alias("prev"),
+                        w.alias("cur"),
+                    ),
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.pos", "t.prev", "t.cur")
+    )
+    lam_c, oml = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    pu = F.coalesce(F.col("pu"), F.lit(pu_oov))
+    lp_col = F.when(F.col("pos") == 0, F.log(pu)).otherwise(
+        F.log(lam_c * F.coalesce(F.col("pml"), F.lit(0.0)) + oml * pu)
+    )
+    if quantize_digits is not None:
+        p = 10 ** quantize_digits
+        lp_col = F.floor(lp_col * p + F.lit(0.5)) / p
+    scored = (
+        stream.join(bmodel, ["prev", "cur"], "left")
+        .join(F.broadcast(umodel.select("cur", "pu")), "cur", "left")
+        .select("doc_id", "pos", lp_col.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                    lambda s: s["lp"],
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("sum_logprob"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logprob",
+            (F.col("sum_logprob") / F.col("n_tokens")).alias("mean_logprob"),
+        )
+    )
+    return scored
+
+
 def _rle_sorted(arr):
     """Run-length encode a SORTED array column -> array<struct<v,cnt>>.
 

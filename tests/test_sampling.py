@@ -401,3 +401,88 @@ def test_pack_stats_accounting(spark):
     # greedy in id order, one group: [50+50], [120 oversize], [30] -> 3 bins
     assert st["n_bins"] == 3
     assert st["padding_frac"] == 1.0 - 250 / (3 * 100)
+
+
+def test_bigram_logprob_brute_force_interpolation(spark):
+    """Pure-python brute force of the Jelinek-Mercer mix: doc-start token
+    scored by the unigram alone, later tokens by 0.7*ML-bigram +
+    0.3*unigram; unseen bigrams and OOV histories fall to the unigram
+    floor; result invariant to input partitioning."""
+    import collections
+    import math
+
+    from intertext_spark.operators.textstats import bigram_logprob
+
+    ref_texts = ["the cat sat on the mat", "the cat ran", "a dog sat"]
+    doc_texts = {1: "the cat sat", 2: "zebra", 3: "the zebra sat on a dog",
+                 4: "cat", 5: "cat the cat the"}
+    ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        list(doc_texts.items()), "doc_id long, text string")
+
+    c1, c2 = collections.Counter(), collections.Counter()
+    for t in ref_texts:
+        ws = t.split()
+        c1.update(ws)
+        c2.update(zip(ws, ws[1:]))
+    den = sum(c1.values()) + 1.0 * (len(c1) + 1)
+
+    def pu(w):
+        return (c1.get(w, 0) + 1.0) / den
+
+    q = 10 ** 6
+    want = {}
+    for d, t in doc_texts.items():
+        ws = t.split()
+        lps = [math.log(pu(ws[0]))]
+        for i in range(1, len(ws)):
+            pml = (c2.get((ws[i - 1], ws[i]), 0) / c1[ws[i - 1]]
+                   if ws[i - 1] in c1 else 0.0)
+            lps.append(math.log(0.7 * pml + (1.0 - 0.7) * pu(ws[i])))
+        s = 0.0
+        for lp in lps:  # quantized, position-ordered fold (the gate rule)
+            s += math.floor(lp * q + 0.5) / q
+        want[d] = (len(ws), s)
+
+    for frame in (docs, docs.repartition(7)):
+        got = {r.doc_id: r for r in bigram_logprob(
+            frame, ref, alpha=1.0, lam=0.7, quantize_digits=6).collect()}
+        assert set(got) == set(want)
+        for d, (n, s) in want.items():
+            assert got[d].n_tokens == n
+            assert got[d].sum_logprob == s  # exact: quantized fold
+            assert got[d].mean_logprob == s / n
+    # a doc made of seen bigrams must beat its bag-of-words scramble
+    assert got[1].mean_logprob > got[4].mean_logprob  # context helps
+    assert got[3].mean_logprob < got[1].mean_logprob  # OOV + unseen pairs
+
+
+def test_bigram_logprob_min_count_and_cache_lifecycle(spark):
+    """min_count prunes rare bigrams (their score falls to the unigram
+    floor, so pruned docs can only score LOWER); the ref-count cache is
+    released before return; empty ref -> all-OOV uniform unigram."""
+    import math
+
+    from intertext_spark.operators.textstats import bigram_logprob
+
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    ref = spark.createDataFrame(
+        [(0, "x y x y x y"), (1, "p q")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "p q")], "doc_id long, text string")
+    full = {r.doc_id: r.mean_logprob
+            for r in bigram_logprob(docs, ref).collect()}
+    pruned = {r.doc_id: r.mean_logprob
+              for r in bigram_logprob(docs, ref, min_count=2).collect()}
+    assert pruned[1] == full[1]          # 'x y' seen 3x, survives prune
+    assert pruned[2] < full[2]           # 'p q' seen once, pruned -> floor
+    assert sc._jsc.getPersistentRDDs().size() == base
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = {r.doc_id: r.mean_logprob
+           for r in bigram_logprob(docs, empty).collect()}
+    # N=0, V=0 -> denom=1, every token OOV at both orders: ln(0.3*1.0)
+    # for non-start tokens, ln(1.0) at doc start
+    assert abs(got[1] - (math.log(1.0) + math.log(0.3)) / 2) < 1e-12
+    assert got[1] == got[2]

@@ -654,6 +654,23 @@ def main():
         ],
     )
 
+    from intertext_spark.operators import textstats as ts2
+
+    record(
+        "bigram_logprob",
+        ts2.bigram_logprob(docs_tbl, docs_tbl.limit(300)),
+        [
+            ("unigram model joins as an explicit broadcast",
+             lambda p: "BroadcastHashJoin" in p or "BroadcastExchange" in p),
+            ("bigram counts partial-aggregate map-side",
+             lambda p: "partial_count" in p),
+            ("no cartesian / nested-loop join",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+            ("no per-row Python (stream built in codegen)",
+             lambda p: "EvalPython" not in p),
+        ],
+    )
+
     import re as _re
 
     record(
