@@ -22,6 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from intertext_spark.config import DEFAULT  # noqa: E402
 from intertext_spark.sqlqueries import DUCK, SPARK, TEMPLATES  # noqa: E402
+from intertext_spark.operators.textstats import _WORDS as _words_ws  # noqa: E402
+# WS-contract tokenization for every Spark-side word split in this file:
+# the DuckDB twins use regexp_split_to_array(text, '\\s+') (RE2 has no
+# (?U)); the two agree on the driver fixtures, which contain no character
+# in the symmetric difference (asserted by tests/test_ws_bridge.py)
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -756,7 +761,7 @@ def _classifier_scores_q(spark, sf_dir):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
     label = F.array_contains(
-        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""), "spark"
+        _words_ws("text"), "spark"
     )
     scored, _w, _trace = train_quality_classifier(
         _docs(spark, sf_dir),
@@ -879,9 +884,7 @@ def _pack_sequences_q(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     with_len = docs.select(
         "doc_id",
-        F.size(F.filter(F.split("text", r"\s+"), lambda w: w != "")).alias(
-            "n_tokens"
-        ),
+        F.size(_words_ws("text")).alias("n_tokens"),
     )
     bridge = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
@@ -948,7 +951,7 @@ def _export_recipe_q(spark, sf_dir):
         return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
     label = F.array_contains(
-        F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""), "spark"
+        _words_ws("text"), "spark"
     )
     _, w, _ = train_quality_classifier(
         docs, label, n_buckets=256, n_iters=4, lr=0.25,

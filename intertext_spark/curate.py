@@ -15,6 +15,24 @@ import hashlib
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _exact_dedup_stage(docs: DataFrame, id_col: str, text_col: str):
+    """Stage-1 closure both recipes share: keeper = min id per md5(text),
+    survivors semi-joined back so every input column is kept.  One home
+    for the keeper rule — a fix here (e.g. hash choice) reaches both
+    curate_corpus and export_training_data."""
+    from .operators.dedup import exact_dup_groups
+
+    def stage():
+        keepers = (
+            exact_dup_groups(docs, id_col=id_col, text_col=text_col)
+            .where(F.col("doc_id") == F.col("keeper_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return docs.join(keepers, id_col, "left_semi")
+
+    return stage
+
+
 class _StageRunner:
     """Shared stage driver for the curation recipes: runs each stage,
     records {stage, rows_in, rows_out, skipped} metrics, and (with a
@@ -93,23 +111,19 @@ def curate_corpus(
     with the same token and params skips straight to the stored outputs
     (skipped=True, the Pipeline.run resume contract), and per-partition
     lineage rows land in the store's metrics.jsonl.  Without ``store``
-    the per-stage counts are lightweight jobs only."""
+    the per-stage counts are lightweight jobs only, and the RETURNED
+    FRAME IS PERSISTED (the final stage's cache, so consuming it doesn't
+    re-run the chain) — the caller owns it: ``unpersist(blocking=True)``
+    when done.  A frame left to Python GC is dropped by ContextCleaner
+    at an arbitrary later moment, which surprises cache accounting in
+    long-lived sessions."""
     from .operators import sampling
-    from .operators.dedup import exact_dup_groups
 
     runner = _StageRunner(store, input_token, docs.count(), prefix="curate")
     metrics = runner.metrics
     run_stage = runner.run
 
-    def dedup_stage():
-        keepers = (
-            exact_dup_groups(docs, id_col=id_col, text_col=text_col)
-            .where(F.col("doc_id") == F.col("keeper_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-        return docs.join(keepers, id_col, "left_semi")
-
-    cur = run_stage("exact_dedup", "md5", dedup_stage)
+    cur = run_stage("exact_dedup", "md5", _exact_dedup_stage(docs, id_col, text_col))
 
     if min_chars is not None:
         prev = cur
@@ -174,7 +188,8 @@ def curate_transcripts(
     Deterministic end to end (every keeper rule is a total order), so
     the output is partitioning-invariant.  With ``store`` each stage
     lands as curate_t_<stage> with a chained fingerprint (same resume
-    contract as curate_corpus).
+    contract as curate_corpus); without it the returned frame is the
+    final stage's caller-owned cache (see curate_corpus).
 
     Scale shape: stages 1-2 are conv-keyed window families + one
     corpus-wide text-keyed window (turn_dedup) + (conv,turn)-keyed
@@ -310,7 +325,8 @@ def export_training_data(
     Deterministic end to end (content-hash keepers, fixed-point scoring,
     integer packing), so the export is partitioning-invariant — and with
     ``store`` every stage checkpoints under export_<stage> with the
-    chained-fingerprint resume contract.  The weight vector is part of
+    chained-fingerprint resume contract (without it the returned frame
+    is the final stage's caller-owned cache, see curate_corpus).  The weight vector is part of
     the quality stage's fingerprint: retraining invalidates the
     checkpoint.
 
@@ -318,36 +334,29 @@ def export_training_data(
     zero-exchange narrow map (featurize in-row + broadcast-literal
     score); stage 3 a broadcast bench-gram semi-join; stage 4 one grp
     exchange.  Nothing corpus-sized ever reaches the driver."""
-    from .operators.classifier import doc_features, lr_score
-    from .operators.dedup import exact_dup_groups
+    from .operators.classifier import with_quality_prob
     from .operators.decontaminate import decontaminated_corpus
     from .operators.sampling import pack_sequences
+    from .operators.textstats import _WORDS
 
     runner = _StageRunner(store, input_token, docs.count(), prefix="export")
 
-    def dedup_stage():
-        keepers = (
-            exact_dup_groups(docs, id_col=id_col, text_col=text_col)
-            .where(F.col("doc_id") == F.col("keeper_id"))
-            .select(F.col("doc_id").alias(id_col))
-        )
-        return docs.join(keepers, id_col, "left_semi")
-
-    cur = runner.run("exact_dedup", "md5", dedup_stage)
+    cur = runner.run("exact_dedup", "md5", _exact_dedup_stage(docs, id_col, text_col))
 
     wtag = hashlib.md5(repr([n_buckets, min_prob, weights]).encode()).hexdigest()[:12]
     prev = cur
 
     def quality_stage():
-        feats = doc_features(
-            prev, n_buckets=n_buckets, id_col=id_col, text_col=text_col,
-            hash_fn=clf_hash_fn,
+        # in-row featurize + broadcast-literal score + narrow filter:
+        # zero exchanges, zero joins (a semi-join of the corpus-sized
+        # keep-set back onto the corpus would shuffle the corpus twice).
+        # Zero-word docs score NULL -> the >= comparison is NULL -> dropped.
+        scored = with_quality_prob(
+            prev, weights, n_buckets=n_buckets, text_col=text_col,
+            hash_fn=clf_hash_fn, quantize_digits=quantize_digits,
+            prob_col="__prob",
         )
-        scored = lr_score(feats, weights, quantize_digits=quantize_digits)
-        keep = scored.where(F.col("prob") >= min_prob).select(
-            F.col("doc_id").alias(id_col)
-        )
-        return prev.join(keep, id_col, "left_semi")
+        return scored.where(F.col("__prob") >= min_prob).drop("__prob")
 
     cur = runner.run("quality_gate", f"w={wtag}", quality_stage)
 
@@ -365,12 +374,13 @@ def export_training_data(
     prev3 = cur
 
     def pack_stage():
+        # WS-contract tokenization (textstats._WORDS) — the same word
+        # count every other operator uses; a raw \s+ split disagrees on
+        # \x1c-\x1f / Unicode whitespace, which agent logs contain
         with_len = prev3.select(
             F.col(id_col),
             F.col(text_col),
-            F.size(
-                F.filter(F.split(text_col, r"\s+"), lambda w: w != "")
-            ).cast("long").alias("n_tokens"),
+            F.size(_WORDS(text_col)).cast("long").alias("n_tokens"),
         )
         packed = pack_sequences(
             with_len.select(id_col, "n_tokens"),

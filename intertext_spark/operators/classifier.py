@@ -45,7 +45,7 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import _WORDS, _rle_sorted
+from .textstats import _BIGRAMS, _WORDS, _rle_sorted
 
 _Q = 1_000_000_000_000  # 1e-12 fixed-point scale shared by every reducer
 
@@ -82,17 +82,7 @@ def doc_features(
     if hash_fn is None:
         hash_fn = F.xxhash64
     words = _WORDS(text_col)
-    bi = (
-        F.when(
-            F.size("ws") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - 1),
-                lambda i: F.array_join(F.slice("ws", i, 2), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        if bigrams
-        else F.array().cast("array<string>")
-    )
+    bi = _BIGRAMS("ws") if bigrams else F.array().cast("array<string>")
     grams = F.concat(F.col("ws"), bi)
     buckets = F.transform(grams, lambda g: F.pmod(hash_fn(g), F.lit(n_buckets)))
     return (
@@ -121,17 +111,42 @@ def doc_features(
     )
 
 
-def _margin_expr(weights: list[float]):
+def _margin_expr(weights: list[float], feats_col: str = "feats"):
     """In-row margin under a plan-literal weight array: intercept +
     sum over feats of q12(w[bucket] * x), the sum carried in int64.
     |term| <= |w|*1 <= ~1e6 -> 1e18/term headroom; a doc would need
-    ~1e6 distinct buckets at max weight to overflow — buckets cap it."""
+    ~1e6 distinct buckets at max weight to overflow — buckets cap it.
+
+    Bucket/weight mismatch fails LOUDLY: a feats frame built with a
+    larger ``n_buckets`` than the weight vector covers would otherwise
+    make ``element_at`` return NULL — NULL margins silently drop docs
+    from quality gates and zero gradient contributions in training.
+    The guard branch costs nothing on the happy path (codegen only
+    evaluates raise_error when taken)."""
+    nb = len(weights) - 1
     wlit = F.array(*[F.lit(float(w)) for w in weights[1:]])
     terms = F.aggregate(
-        F.col("feats"),
+        F.col(feats_col),
         F.lit(0).cast("long"),
         lambda acc, s: acc
-        + F.floor(F.element_at(wlit, s["bucket"].cast("int") + 1) * s["x"] * _Q + 0.5).cast("long"),
+        + F.floor(
+            F.when(
+                (s["bucket"] >= 0) & (s["bucket"] < nb),
+                F.element_at(wlit, s["bucket"].cast("int") + 1),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"classifier: feature bucket out of range for "
+                            f"n_buckets={nb} weight vector (featurize and "
+                            f"score/train must share n_buckets): "
+                        ),
+                        s["bucket"].cast("string"),
+                    )
+                ).cast("double")
+            )
+            * s["x"] * _Q + 0.5
+        ).cast("long"),
     )
     return F.lit(float(weights[0])) + terms.cast("double") / _Q
 
@@ -250,15 +265,81 @@ def lr_score(
     feats: DataFrame,
     weights: list[float],
     quantize_digits: int | None = None,
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """-> (doc_id, prob): sigmoid(margin) under trained weights, computed
-    in-row against the plan-literal weight array (narrow, no shuffle, no
-    Python).  ``quantize_digits`` rounds prob for cross-engine gates."""
+    """-> (doc_id, *keep_cols, prob): sigmoid(margin) under trained
+    weights, computed in-row against the plan-literal weight array
+    (narrow, no shuffle, no Python).  ``quantize_digits`` rounds prob for
+    cross-engine gates; ``keep_cols`` passes input columns through so a
+    caller with labels (or text) attached never needs a re-join."""
     p = _sigmoid(_margin_expr(weights))
     if quantize_digits is not None:
         qp = 10 ** quantize_digits
         p = F.floor(p * qp + 0.5) / qp
-    return feats.select("doc_id", p.alias("prob"))
+    return feats.select("doc_id", *keep_cols, p.alias("prob"))
+
+
+def with_quality_prob(
+    df: DataFrame,
+    weights: list[float],
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    hash_fn=None,
+    bigrams: bool = True,
+    feature: str = "binary",
+    quantize_digits: int | None = None,
+    prob_col: str = "prob",
+) -> DataFrame:
+    """Attach the classifier probability as a column IN-ROW, keeping
+    every input column: featurize + score in one narrow projection chain
+    — ZERO exchanges, zero joins (the quality-gate stage shape; a
+    corpus-scale ``lr_score``-output semi-join back onto the corpus would
+    shuffle the corpus twice for nothing).  Docs with zero words carry
+    NULL prob (they have no features), so ``prob >= t`` filters them out.
+    Same scoring semantics as ``doc_features`` + ``lr_score`` — the
+    intermediate arrays are bound to attributes between selects for the
+    same CollapseProject reason."""
+    if len(weights) != n_buckets + 1:
+        raise ValueError(
+            f"with_quality_prob: weight vector has {len(weights) - 1} bucket "
+            f"weights but n_buckets={n_buckets}"
+        )
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    cols = df.columns
+    for tmp in ("__ws", "__sb", "__ng", "__rle", "__feats"):
+        if tmp in cols:
+            raise ValueError(f"with_quality_prob: input already has column {tmp}")
+    f1 = df.select(*cols, _WORDS(text_col).alias("__ws"))
+    grams = F.concat(
+        F.col("__ws"),
+        _BIGRAMS("__ws") if bigrams else F.array().cast("array<string>"),
+    )
+    buckets = F.transform(grams, lambda g: F.pmod(hash_fn(g), F.lit(n_buckets)))
+    f2 = f1.select(*cols, F.array_sort(buckets).alias("__sb"))
+    f3 = f2.select(
+        *cols, F.size("__sb").alias("__ng"), _rle_sorted(F.col("__sb")).alias("__rle")
+    )
+    f4 = f3.select(
+        *cols,
+        F.transform(
+            F.col("__rle"),
+            lambda r: F.struct(
+                r["v"].alias("bucket"),
+                (
+                    F.lit(1.0)
+                    if feature == "binary"
+                    else r["cnt"].cast("double") / F.col("__ng")
+                ).alias("x"),
+            ),
+        ).alias("__feats"),
+        F.col("__ng"),
+    )
+    p = F.when(F.col("__ng") >= 1, _sigmoid(_margin_expr(weights, "__feats")))
+    if quantize_digits is not None:
+        qp = 10 ** quantize_digits
+        p = F.floor(p * qp + 0.5) / qp
+    return f4.select(*cols, p.alias(prob_col))
 
 
 def train_quality_classifier(
@@ -295,9 +376,12 @@ def train_quality_classifier(
         l2=l2,
         quantize_digits=quantize_digits,
     )
-    scored = lr_score(feats, w, quantize_digits=quantize_digits).join(
-        labeled.select("doc_id", "label"), "doc_id"
-    ).select("doc_id", "label", "prob")
+    # feats already carries the label (built by joining `labeled`), so
+    # score with a passthrough instead of re-attaching it with a second
+    # corpus-sized join
+    scored = lr_score(
+        feats, w, quantize_digits=quantize_digits, keep_cols=("label",)
+    )
     return scored, w, trace
 
 
@@ -313,7 +397,9 @@ def binary_eval(
     the ``precision`` column (recall NULL) — the Mann-Whitney
     formulation AUC = (R_pos - P(P+1)/2) / (P*N) with R_pos = rank sum
     of positives under average ranks for score ties, which handles the
-    heavy ties quantized probabilities produce.
+    heavy ties quantized probabilities produce.  NULL scores are
+    excluded from every metric (confusion cells AND the AUC population)
+    so all rows of the output describe the same scored set.
 
     Scale shape: ONE hash-partitioned ``groupBy(score)`` collapses the
     corpus to its distinct score values (bounded — the classifier's
@@ -328,10 +414,15 @@ def binary_eval(
         thresholds = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
     from pyspark.sql import Window
 
+    # NULL scores are unscorable rows: every threshold comparison on them
+    # is NULL, so without this filter they would vanish from the
+    # confusion cells while still forming a NULL group in the per-score
+    # aggregate — the AUC row and the confusion rows would disagree about
+    # the population.  Excluded from EVERY metric, coherently.
     s = scored.select(
         F.col(label_col).cast("int").alias("y"),
         F.col(score_col).cast("double").alias("p"),
-    )
+    ).where(F.col("p").isNotNull())
     per = s.groupBy("p").agg(
         F.count("*").cast("long").alias("c"),
         F.sum("y").cast("long").alias("pos"),

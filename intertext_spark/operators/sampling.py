@@ -119,19 +119,10 @@ def dsir_weights(
         hash_fn = F.xxhash64
 
     def gram_stream(df):
-        from .textstats import _WORDS
+        from .textstats import _BIGRAMS, _WORDS
 
         words = _WORDS(text_col)
-        # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) — a 1-word
-        # doc must get an empty bigram list, not two bogus ones
-        bi = F.when(
-            F.size("ws") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("ws") - 1),
-                lambda i: F.array_join(F.slice("ws", i, 2), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        grams = F.concat(F.col("ws"), bi)
+        grams = F.concat(F.col("ws"), _BIGRAMS("ws"))
         return (
             df.select(F.col(id_col).cast("long").alias("doc_id"), words.alias("ws"))
             .where(F.size("ws") >= 1)
@@ -517,7 +508,6 @@ def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
     integer aggregates; one tiny two-phase agg."""
     per_bin = packed.groupBy("grp", "bin_idx").agg(
         F.sum("n_tokens").alias("bin_tokens"),
-        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
     )
     return per_bin.agg(
         F.sum(F.lit(1)).cast("long").alias("n_bins"),

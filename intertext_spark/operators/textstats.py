@@ -23,6 +23,26 @@ from .windows import WS
 # cross-operator determinism contract.  Accepts a column name or expr.
 _WORDS = lambda c: F.filter(F.split(F.col(c) if isinstance(c, str) else c, WS), lambda w: w != "")  # noqa: E731
 
+
+def _BIGRAMS(ws):
+    """Space-joined word bigrams of a BOUND word-array attribute — the
+    single home of the gram-stream bigram rule the cross-engine gates
+    depend on being identical everywhere (classifier features, DSIR
+    features).  Guard: Spark's sequence(1, 0) counts DOWN ([1, 0]), so a
+    1-word doc must get an empty list, not two bogus bigrams.  Pass an
+    attribute (post-``select``), not a raw expression: CollapseProject
+    would re-inline the word split per element access (the top_ngrams
+    lesson)."""
+    ws = F.col(ws) if isinstance(ws, str) else ws
+    return F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.array_join(F.slice(ws, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 STOPWORDS_EN = (
     "the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
     "on", "as", "with", "was", "be", "at", "by", "this", "are", "or",

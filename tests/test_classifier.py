@@ -199,3 +199,81 @@ def test_binary_eval_degenerate_single_class(spark):
     assert out[-1.0]["precision"] is None
     assert out[0.5]["recall"] == pytest.approx(0.5)
     assert out[0.5]["tn"] == 0 and out[0.5]["fp"] == 0
+
+
+def test_bucket_weight_mismatch_fails_loudly(spark, planted):
+    """Features hashed into MORE buckets than the weight vector covers
+    must raise, not silently NULL-out margins (which drops docs from
+    quality gates and zeroes gradients)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    w64 = [0.0] * 65
+    feats256 = classifier.doc_features(planted, n_buckets=256, hash_fn=_bridge)
+    with pytest.raises(SparkRuntimeException, match="bucket out of range"):
+        classifier.lr_score(feats256, w64).collect()
+
+
+def test_lr_score_keep_cols_passthrough(spark, planted):
+    feats = classifier.doc_features(planted, n_buckets=64, hash_fn=_bridge).join(
+        planted.select("doc_id", "y"), "doc_id"
+    )
+    w, _ = classifier.lr_train(feats, "y", n_buckets=64, n_iters=2, lr=0.5)
+    out = classifier.lr_score(feats, w, keep_cols=("y",))
+    assert out.columns == ["doc_id", "y", "prob"]
+    base = {r["doc_id"]: r["prob"] for r in classifier.lr_score(feats, w).collect()}
+    for r in out.collect():
+        assert r["prob"] == base[r["doc_id"]]
+
+
+def test_with_quality_prob_matches_join_path_and_is_narrow(spark, planted):
+    """In-row scorer == doc_features+lr_score probabilities, keeps every
+    input column, gives zero-word docs NULL prob, and its plan has no
+    exchange and no join (the quality-gate stage shape)."""
+    docs = planted.unionByName(
+        spark.createDataFrame([(1000, "   ", 0), (1001, None, 0)],
+                              "doc_id long, text string, y int")
+    )
+    w, _ = classifier.lr_train(
+        classifier.doc_features(planted, n_buckets=64, hash_fn=_bridge).join(
+            planted.select("doc_id", "y"), "doc_id"
+        ),
+        "y", n_buckets=64, n_iters=2, lr=0.5,
+    )
+    inrow = classifier.with_quality_prob(
+        docs, w, n_buckets=64, hash_fn=_bridge, quantize_digits=6
+    )
+    assert inrow.columns == ["doc_id", "text", "y", "prob"]
+    got = {r["doc_id"]: r["prob"] for r in inrow.collect()}
+    ref = {
+        r["doc_id"]: r["prob"]
+        for r in classifier.lr_score(
+            classifier.doc_features(planted, n_buckets=64, hash_fn=_bridge),
+            w, quantize_digits=6,
+        ).collect()
+    }
+    for did, p in ref.items():
+        assert got[did] == p
+    assert got[1000] is None and got[1001] is None
+    plan = inrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        classifier.with_quality_prob(docs, w, n_buckets=128)
+
+
+def test_binary_eval_null_scores_excluded_coherently(spark):
+    """NULL scores leave every metric: confusion cells sum to the
+    non-null count at every threshold, and the AUC equals the AUC of the
+    non-null subset."""
+    rows = [(1, 0.9), (1, 0.7), (0, 0.4), (0, 0.2), (1, None), (0, None)]
+    scored = spark.createDataFrame(rows, "label int, prob double")
+    out = classifier.binary_eval(scored, thresholds=[0.5]).collect()
+    conf = [r for r in out if r["threshold"] == 0.5][0]
+    assert (conf["tp"], conf["fp"], conf["fn"], conf["tn"]) == (2, 0, 0, 2)
+    assert conf["tp"] + conf["fp"] + conf["fn"] + conf["tn"] == 4
+    auc = [r for r in out if r["threshold"] == -1.0][0]["precision"]
+    clean = classifier.binary_eval(
+        scored.where(F.col("prob").isNotNull()), thresholds=[0.5]
+    ).collect()
+    auc_clean = [r for r in clean if r["threshold"] == -1.0][0]["precision"]
+    assert auc == auc_clean == 1.0

@@ -5,6 +5,16 @@ from pyspark.sql import functions as F
 from intertext_spark.curate import curate_corpus
 
 
+def _release(*dfs):
+    """Store-less recipe outputs are returned PERSISTED (the final stage
+    cache) and caller-owned: release them deterministically.  Leaving
+    them to Python GC hands the drop to ContextCleaner at an arbitrary
+    later moment, which breaks cache-baseline assertions in OTHER tests
+    sharing the session (the flake class SCALE.md's cache notes record)."""
+    for df in dfs:
+        df.unpersist(blocking=True)
+
+
 def _docs(spark):
     rows = []
     # 4 exact copies of one text (keeper = min id), spread across sources
@@ -36,6 +46,7 @@ def test_curate_corpus_stages_and_metrics(spark):
     for prev, nxt in zip(metrics, metrics[1:]):
         assert nxt["rows_in"] == prev["rows_out"]
     assert metrics[-1]["rows_out"] == out.count()
+    _release(out)
 
 
 def test_curate_corpus_sample_stage_and_invariance(spark):
@@ -53,6 +64,7 @@ def test_curate_corpus_sample_stage_and_invariance(spark):
     out3, m3 = curate_corpus(df)
     assert m3 == [{"stage": "exact_dedup", "rows_in": 27, "rows_out": 24, "skipped": False}]
     assert out3.count() == 24
+    _release(out1, out2, out3)
 
 
 def test_curate_corpus_checkpoint_resume(spark, tmp_path):
@@ -151,6 +163,7 @@ def test_curate_transcripts_stages_and_metrics(spark):
                                  max_dup_turn_frac=0.4)
     convs2 = {r.conv_id for r in out2.select("conv_id").distinct().collect()}
     assert "c2" in convs2 and "c3" not in convs2
+    _release(out, out2)
 
 
 def test_curate_transcripts_checkpoint_resume(spark, tmp_path):
@@ -218,6 +231,7 @@ def test_export_training_data_stages(spark):
     assert got[1]["bin_idx"] == got[4]["bin_idx"] == 1
     assert got[4]["fill_after"] == 8 and not got[4]["oversize"]
     assert got[1]["text"] == "alpha beta gamma delta"
+    _release(packed)
 
 
 def test_export_training_data_checkpoint_resume(spark, tmp_path):

@@ -1,0 +1,84 @@
+"""The WS <-> '\\s+' cross-engine tokenizer bridge.
+
+Spark-side operators tokenize with the WS contract
+(``(?U)[\\s\\x1c-\\x1f]+`` — Java Unicode whitespace plus the C0 file/group/
+record/unit separators agent logs contain); the DuckDB oracle twins use
+``regexp_split_to_array(text, '\\s+')`` because RE2 has no ``(?U)`` and its
+``\\s`` is the ASCII class ``[\\t\\n\\f\\r ]``.  The two agree exactly on
+text containing no character in their symmetric difference — this module
+pins (a) what that difference IS, engine-for-engine on the live JVM and
+the live duckdb, and (b) that the driver fixture table the gates tokenize
+(documents.text at sf0.01) contains none of those characters, so the
+bridge the whole parity surface rests on is load-bearing-tested rather
+than assumed.
+"""
+
+import duckdb
+
+from intertext_spark.operators.textstats import _WORDS
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# chars where the two engines must disagree (Java WS splits, RE2 \s does
+# not): \x0b + the WS-contract C0 separators + Unicode White_Space
+# outside ASCII
+DIVERGENT = [
+    0x0B, 0x1C, 0x1D, 0x1E, 0x1F, 0x85, 0xA0, 0x1680,
+    *range(0x2000, 0x200B), 0x2028, 0x2029, 0x202F, 0x205F, 0x3000,
+]
+# chars both engines must agree on: the shared ASCII whitespace, plus
+# non-whitespace lookalikes as negative controls
+AGREE = [0x09, 0x0A, 0x0C, 0x0D, 0x20, 0x200B, 0xFEFF, 0x7F, ord("_"), ord("x")]
+
+
+def _java_ws_splits(spark, chars):
+    rows = [(i, f"a{c}b") for i, c in enumerate(chars)]
+    df = spark.createDataFrame(rows, "i int, text string")
+    out = df.select("i", _WORDS("text").alias("w")).collect()
+    return {r["i"]: tuple(r["w"]) for r in out}
+
+
+def _re2_splits(chars):
+    con = duckdb.connect()
+    return {
+        i: tuple(
+            con.execute(
+                "select list_filter(regexp_split_to_array(?, '\\s+'), x -> x != '')",
+                [f"a{c}b"],
+            ).fetchone()[0]
+        )
+        for i, c in enumerate(chars)
+    }
+
+
+def test_bridge_divergence_set_is_exactly_the_guard(spark):
+    """Derive the divergent character set from the LIVE engines; it must
+    equal DIVERGENT (what the fixture scan below guards), and divergence
+    must be one-sided (Java splits, RE2 keeps the token whole — RE2
+    splitting where Java doesn't would need a char in ASCII \\s outside
+    Unicode White_Space, which doesn't exist)."""
+    chars = [chr(c) for c in DIVERGENT + AGREE]
+    jv = _java_ws_splits(spark, chars)
+    dk = _re2_splits(chars)
+    seen_divergent = set()
+    for i, c in enumerate(chars):
+        if jv[i] != dk[i]:
+            assert jv[i] == ("a", "b"), (hex(ord(c)), jv[i])
+            assert dk[i] == (f"a{c}b",), (hex(ord(c)), dk[i])
+            seen_divergent.add(ord(c))
+    assert seen_divergent == set(DIVERGENT), sorted(
+        hex(c) for c in seen_divergent ^ set(DIVERGENT)
+    )
+
+
+def test_fixture_text_is_bridge_clean():
+    """No driver-fixture document text contains a divergent character,
+    so every Spark-WS vs DuckDB-'\\s+' oracle pairing (classifier labels,
+    pack n_tokens, token_stats, dsir grams, ...) tokenizes identically."""
+    cls = "[" + "".join(f"\\x{{{c:04x}}}" for c in DIVERGENT) + "]"
+    con = duckdb.connect()
+    (n,) = con.execute(
+        f"select count(*) from read_parquet('{SF_DIR}/documents.parquet') "
+        f"where regexp_matches(text, '{cls}')"
+    ).fetchone()
+    assert n == 0

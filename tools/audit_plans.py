@@ -698,6 +698,21 @@ def main():
         ],
     )
 
+    record(
+        "quality_gate_inrow",
+        clf.with_quality_prob(docs_tbl, [0.01] * 257, n_buckets=256,
+                              prob_col="__prob").where(
+            Fx.col("__prob") >= 0.5
+        ).drop("__prob"),
+        [
+            ("zero exchanges (the export quality stage is one narrow map+filter,"
+             " NOT a corpus-scale semi-join)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
