@@ -444,6 +444,65 @@ def _lined_docs(spark, sf_dir):
     )
 
 
+def _c4_clean_q(spark, sf_dir):
+    """C4 rule-based line cleaning (Raffel et al. 2020 §2.2).  The gate
+    corpus is punctuation-free single-line word soup, so the query
+    plants every rule deterministically on the 6-word _lined_docs
+    structure: per line index i, i%4==0 gets terminal '.', i%4==1 gets
+    ' javascript.' (banned word), i%4==2 stays terminal-less, i%4==3 is
+    truncated to 3 words + '!' (under min_words=5); per doc, doc_id%13==0
+    appends a 'lorem ipsum' line and doc_id%13==1 a '{' line (both
+    doc-level bans).  min_lines=2 exercises the survivor threshold.  The
+    oracle replants the identical decorated lines and recomputes every
+    filter in RE2/DuckDB."""
+    from intertext_spark.operators.textstats import c4_clean
+
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    n_lines = F.expr("(size(ws) + 5) div 6")
+    lined = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.when(
+                    i % 4 == 0,
+                    F.concat(F.array_join(F.slice("ws", i * 6 + 1, 6), " "), F.lit(".")),
+                )
+                .when(
+                    i % 4 == 1,
+                    F.concat(
+                        F.array_join(F.slice("ws", i * 6 + 1, 6), " "),
+                        F.lit(" javascript."),
+                    ),
+                )
+                .when(i % 4 == 2, F.array_join(F.slice("ws", i * 6 + 1, 6), " "))
+                .otherwise(
+                    F.concat(F.array_join(F.slice("ws", i * 6 + 1, 3), " "), F.lit("!"))
+                ),
+            ).alias("ls"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.when(
+                    F.col("doc_id") % 13 == 0,
+                    F.concat(F.col("ls"), F.array(F.lit("lorem ipsum dolor sit amet."))),
+                )
+                .when(
+                    F.col("doc_id") % 13 == 1,
+                    F.concat(F.col("ls"), F.array(F.lit("brace { line."))),
+                )
+                .otherwise(F.col("ls")),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return c4_clean(lined, min_words_per_line=5, min_lines=2)
+
+
 def _corpus_profile_q(spark, sf_dir):
     """Per-source corpus accounting with EXACT percentiles (the oracle
     for the documented approx_percentile swap at scale).  One map-side
@@ -1574,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["normalize_text"] = _normalize_text_q
     q["boilerplate_lines"] = _boilerplate_lines_q
     q["strip_boilerplate"] = _strip_boilerplate_q
+    q["c4_clean"] = _c4_clean_q
     q["cdc_chunks"] = _cdc_chunks_q
     q["cdc_stats"] = _cdc_stats_q
     q["top_ngrams"] = _top_ngrams_q
@@ -1892,6 +1952,54 @@ freq as (
 select line, cast(n_docs as bigint) as n_docs,
        cast(n_occ as bigint) as n_occurrences
 from freq where n_docs >= 3
+"""
+    # c4_clean: DuckDB replants the identical decorated lines (same
+    # i%4 / doc_id%13 rules as _c4_clean_q) and recomputes the terminal/
+    # min-words/banned-word line filter plus both doc-level bans in RE2.
+    out["c4_clean"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+),
+lined as (
+  select doc_id,
+         list_transform(generate_series(0, cast((len(ws) + 5) // 6 as int) - 1),
+           i -> case
+             when i % 4 = 0 then array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ') || '.'
+             when i % 4 = 1 then array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ') || ' javascript.'
+             when i % 4 = 2 then array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ')
+             else array_to_string(list_slice(ws, i*6 + 1, i*6 + 3), ' ') || '!'
+           end) as ls
+  from w where len(ws) > 0
+),
+dec as (
+  select doc_id,
+         case when doc_id % 13 = 0 then list_append(ls, 'lorem ipsum dolor sit amet.')
+              when doc_id % 13 = 1 then list_append(ls, 'brace { line.')
+              else ls end as ls
+  from lined
+),
+docf as (
+  select doc_id, ls from dec
+  where not contains(lower(array_to_string(ls, chr(10))), 'lorem ipsum')
+    and not contains(array_to_string(ls, chr(10)), '{')
+),
+kept as (
+  select doc_id, len(ls) as n_lines,
+         list_filter(ls, l ->
+           regexp_matches(l, '[.!?\"]\\s*$')
+           and len(list_filter(regexp_split_to_array(l, '\\s+'), x -> x != '')) >= 5
+           and not list_contains(
+                 list_filter(regexp_split_to_array(lower(l), '\\s+'), x -> x != ''),
+                 'javascript')
+         ) as kl
+  from docf
+)
+select doc_id, cast(n_lines as bigint) as n_lines,
+       cast(len(kl) as bigint) as n_kept,
+       array_to_string(kl, chr(10)) as cleaned_text
+from kept where len(kl) >= 2
 """
     out["strip_boilerplate"] = _lined_cte + """,
 bp as (select line from freq where n_docs >= 3)

@@ -868,3 +868,67 @@ def corpus_profile(
         q(F.col("p90_chars")).alias("p90_chars"),
         q(F.col("p99_chars")).alias("p99_chars"),
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    drop_line_words: "tuple[str, ...]" = ("javascript",),
+    drop_doc_substrings: "tuple[str, ...]" = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4's rule-based line cleaning (Raffel et al. 2020 §2.2) — the
+    canonical web-corpus scrub that precedes every statistical filter:
+
+      line level: keep a line only if it (a) ends in terminal
+        punctuation (``. ! ? "``), (b) has >= ``min_words_per_line``
+        whitespace words, and (c) contains none of ``drop_line_words``
+        as a (lowercased) word — C4 drops 'javascript' lines;
+      doc level: drop the whole document if its original text contains
+        any of ``drop_doc_substrings`` (lowercased substring match —
+        C4 drops 'lorem ipsum' and curly-brace/code pages), or if fewer
+        than ``min_lines`` lines survive the line filter.
+
+    -> (doc_id, n_lines, n_kept, cleaned_text) for surviving docs, lines
+    re-joined with ``\\n`` in original order.
+
+    Scale shape: ENTIRELY in-row (split -> bound line array -> filter
+    lambda -> array_join) — zero exchanges, zero joins, no Python; the
+    per-line word count uses the WS tokenizer contract so it agrees with
+    every other operator.  The line array is bound to an attribute
+    before the filter lambda (the CollapseProject re-inline lesson)."""
+    terminal = r'[.!?"]\s*$'
+    lowdoc = F.lower(F.col(text_col))
+    doc_ok = F.lit(True)
+    for s in drop_doc_substrings:
+        doc_ok = doc_ok & ~lowdoc.contains(s.lower())
+    d1 = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    ).where(F.col(text_col).isNotNull() & doc_ok)
+
+    bad_words = F.array(*[F.lit(w.lower()) for w in drop_line_words])
+
+    def keep(line):
+        words = F.filter(F.split(F.lower(line), WS), lambda w: w != "")
+        has_bad = F.exists(words, lambda w: F.array_contains(bad_words, w))
+        return (
+            line.rlike(terminal)
+            & (F.size(F.filter(F.split(line, WS), lambda w: w != ""))
+               >= min_words_per_line)
+            & ~has_bad
+        )
+
+    d2 = d1.select(
+        "doc_id",
+        F.size("__lines").alias("n_lines"),
+        F.filter("__lines", keep).alias("__kept"),
+    )
+    return d2.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.size("__kept").cast("long").alias("n_kept"),
+        F.array_join("__kept", "\n").alias("cleaned_text"),
+    ).where(F.col("n_kept") >= min_lines)

@@ -975,3 +975,44 @@ def test_corpus_profile_exact_percentiles(spark):
     assert out["a"].p90_chars == pctl(a_chars, 0.9)
     assert out["a"].p99_chars == pctl(a_chars, 0.99)
     assert out["b"].n_docs == 1 and out["b"].p50_chars == len("solo doc")
+
+
+def test_c4_clean_rules(spark):
+    """Every C4 rule (Raffel et al. 2020 §2.2): terminal punctuation,
+    min words per line, banned line word, banned doc substrings, min
+    surviving lines, NULL text; WS-contract word counting; plan is
+    narrow (no exchange/join/Python)."""
+    rows = [
+        (1, "this is a good long line.\nshort one.\n"
+            "no terminal punctuation in this line\n"
+            "another fine long line with words!\n"
+            'quoted keeper line ends with a quote"'),
+        (2, "uses the word JavaScript in this line.\n"
+            "fine line number two right here.\n"
+            "fine line number three right here."),
+        (3, "Lorem Ipsum dolor sit amet friend.\nrest is fine but doc dies ok.\n"
+            "third fine line also dies here."),
+        (4, "code page { x equals one } ok.\nsecond fine line dies with doc.\n"
+            "third fine line dies as well ok."),
+        (5, "only one good line here today.\nsecond line lacks terminal"),
+        (6, None),
+        (7, "ws\x1ccontract means six words here.\n"
+            "second keeper line is also good.\n"
+            "third keeper line is good too."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textstats.c4_clean(df, min_lines=2).collect()}
+    assert set(out) == {1, 2, 7}
+    assert (out[1].n_lines, out[1].n_kept) == (5, 3)
+    assert out[1].cleaned_text.split("\n") == [
+        "this is a good long line.",
+        "another fine long line with words!",
+        'quoted keeper line ends with a quote"',
+    ]
+    # banned word is case-insensitive and word-granular
+    assert out[2].n_kept == 2
+    # \x1c is a WS-contract separator: the line has 6 words, so it keeps
+    assert out[7].n_kept == 3
+    plan = textstats.c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan

@@ -698,6 +698,19 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import c4_clean as _c4
+
+    record(
+        "c4_clean",
+        _c4(docs_tbl),
+        [
+            ("zero exchanges (line split/filter/rejoin is one narrow map)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     record(
         "quality_gate_inrow",
         clf.with_quality_prob(docs_tbl, [0.01] * 257, n_buckets=256,
