@@ -503,6 +503,45 @@ def _c4_clean_q(spark, sf_dir):
     return c4_clean(lined, min_words_per_line=5, min_lines=2)
 
 
+def _gopher_rules_q(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 table A1).  The
+    gate corpus is single-line word soup with no stopwords/bullets, so
+    the query plants every rule deterministically on 5-word lines: line
+    i (i%5) gets 0: '- ' bullet prefix, 1: '...' ellipsis suffix,
+    2: ' the of' stopword suffix, 3: ' # 12345' symbol + non-alpha
+    suffix, 4: plain.  The oracle replants the identical lines and
+    recomputes every metric (and the keep verdict over the QUANTIZED
+    metrics) in RE2/DuckDB."""
+    from intertext_spark.operators.textstats import gopher_rules
+
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    n_lines = F.expr("(size(ws) + 4) div 5")
+
+    def line(i, k):
+        return F.array_join(F.slice("ws", i * 5 + 1, k), " ")
+
+    lined = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.when(i % 5 == 0, F.concat(F.lit("- "), line(i, 5)))
+                    .when(i % 5 == 1, F.concat(line(i, 5), F.lit("...")))
+                    .when(i % 5 == 2, F.concat(line(i, 5), F.lit(" the of")))
+                    .when(i % 5 == 3, F.concat(line(i, 5), F.lit(" # 12345")))
+                    .otherwise(line(i, 5)),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return gopher_rules(lined, min_words=20)
+
+
 def _corpus_profile_q(spark, sf_dir):
     """Per-source corpus accounting with EXACT percentiles (the oracle
     for the documented approx_percentile swap at scale).  One map-side
@@ -1634,6 +1673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["boilerplate_lines"] = _boilerplate_lines_q
     q["strip_boilerplate"] = _strip_boilerplate_q
     q["c4_clean"] = _c4_clean_q
+    q["gopher_rules"] = _gopher_rules_q
     q["cdc_chunks"] = _cdc_chunks_q
     q["cdc_stats"] = _cdc_stats_q
     q["top_ngrams"] = _top_ngrams_q
@@ -2000,6 +2040,70 @@ select doc_id, cast(n_lines as bigint) as n_lines,
        cast(len(kl) as bigint) as n_kept,
        array_to_string(kl, chr(10)) as cleaned_text
 from kept where len(kl) >= 2
+"""
+    # gopher_rules: DuckDB replants the identical decorated 5-word lines
+    # (same i%5 rules as _gopher_rules_q) and recomputes every table-A1
+    # metric plus the keep verdict over the quantized metrics.
+    out["gopher_rules"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+),
+lined as (
+  select doc_id,
+         array_to_string(
+           list_transform(generate_series(0, cast((len(ws) + 4) // 5 as int) - 1),
+             i -> case
+               when i % 5 = 0 then '- ' || array_to_string(list_slice(ws, i*5 + 1, i*5 + 5), ' ')
+               when i % 5 = 1 then array_to_string(list_slice(ws, i*5 + 1, i*5 + 5), ' ') || '...'
+               when i % 5 = 2 then array_to_string(list_slice(ws, i*5 + 1, i*5 + 5), ' ') || ' the of'
+               when i % 5 = 3 then array_to_string(list_slice(ws, i*5 + 1, i*5 + 5), ' ') || ' # 12345'
+               else array_to_string(list_slice(ws, i*5 + 1, i*5 + 5), ' ')
+             end),
+           chr(10)) as text
+  from w where len(ws) > 0
+),
+m as (
+  select doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws2,
+         str_split(text, chr(10)) as ls
+  from lined
+),
+met as (
+  select doc_id,
+         cast(len(ws2) as bigint) as n_words,
+         floor(list_sum(list_transform(ws2, w -> cast(length(w) as double)))
+               / len(ws2) * 1000000 + 0.5) / 1000000 as mean_word_len,
+         floor(cast(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\\.\\.\\.')) as double)
+               / len(ws2) * 1000000 + 0.5) / 1000000 as symbol_ratio,
+         floor(cast(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]'))) as double)
+               / len(ls) * 1000000 + 0.5) / 1000000 as bullet_line_frac,
+         floor(cast(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$'))) as double)
+               / len(ls) * 1000000 + 0.5) / 1000000 as ellipsis_line_frac,
+         floor(cast(len(list_filter(ws2, w -> regexp_matches(w, '[a-zA-Z]'))) as double)
+               / len(ws2) * 1000000 + 0.5) / 1000000 as alpha_word_frac,
+         cast(cast(list_contains(list_transform(ws2, w -> lower(w)), 'the') as int)
+            + cast(list_contains(list_transform(ws2, w -> lower(w)), 'be') as int)
+            + cast(list_contains(list_transform(ws2, w -> lower(w)), 'to') as int)
+            + cast(list_contains(list_transform(ws2, w -> lower(w)), 'of') as int)
+            + cast(list_contains(list_transform(ws2, w -> lower(w)), 'and') as int)
+            + cast(list_contains(list_transform(ws2, w -> lower(w)), 'that') as int)
+            + cast(list_contains(list_transform(ws2, w -> lower(w)), 'have') as int)
+            + cast(list_contains(list_transform(ws2, w -> lower(w)), 'with') as int)
+           as bigint) as stopword_hits
+  from m where len(ws2) > 0
+)
+select *,
+       (n_words >= 20 and n_words <= 100000
+        and mean_word_len >= 3.0 and mean_word_len <= 10.0
+        and symbol_ratio <= 0.1
+        and bullet_line_frac <= 0.9
+        and ellipsis_line_frac <= 0.3
+        and alpha_word_frac >= 0.8
+        and stopword_hits >= 2) as keep
+from met
 """
     out["strip_boilerplate"] = _lined_cte + """,
 bp as (select line from freq where n_docs >= 3)

@@ -113,6 +113,25 @@ def _bench_pipeline_scaling(spark, corpus_path: str):
 
     tdf = spark.read.parquet(corpus_path).persist()
     n_turns = tdf.count()
+    # Untimed full-corpus warmup in the SAME JVM (same steady-state
+    # discipline as run_suite's _warmup and tools/submit_scaling_job.py):
+    # the timed region then measures compute, not one-time provisioning.
+    # A cold JVM pays a roughly CONSTANT startup cost (heap growth, Arrow
+    # worker spawn, shuffle-dir page provisioning) which is a far larger
+    # FRACTION of the 4N arm's shorter wall, so cold single-shot ratios
+    # systematically understate scaling; on this sandbox the effect is
+    # extreme (hypervisor first-touch page stall, see BENCH/BASELINE.md
+    # host-state note: fresh 1 GB ~14 s, re-used-after-free 0.3 s).
+    wres = Pipeline(spark, DEFAULT).run(tdf)
+    wres["matches"].write.format("noop").mode("overwrite").save()
+    # Release EVERY cached frame from the warmup run (store-less Pipeline
+    # persists each stage, and Spark's cache manager matches by logical
+    # plan — without this the timed run would silently reuse the warmup's
+    # cached stage data and measure nothing).  Freed pages stay cheap to
+    # re-allocate, which is the warmup's entire point.
+    spark.catalog.clearCache()
+    tdf = spark.read.parquet(corpus_path).persist()
+    tdf.count()
     t0 = time.time()
     res = Pipeline(spark, DEFAULT).run(tdf)
     n_matches = res["matches"].count()

@@ -932,3 +932,115 @@ def c4_clean(
         F.size("__kept").cast("long").alias("n_kept"),
         F.array_join("__kept", "\n").alias("cleaned_text"),
     ).where(F.col("n_kept") >= min_lines)
+
+
+# the 8 words Gopher requires at least 2 of (Rae et al. 2021, table A1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    quantize_digits: int | None = 6,
+) -> DataFrame:
+    """Gopher's document-level quality rules (Rae et al. 2021, table A1)
+    — the other canonical rule filter next to :func:`c4_clean`: C4 edits
+    lines, Gopher scores whole documents.  Emits every metric PLUS the
+    verdict (rather than filtering) so the decision is auditable and the
+    thresholds re-tunable without a recompute:
+
+      (doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, stopword_hits, keep)
+
+      keep = min_words <= n_words <= max_words
+           & min_mean_word_len <= mean_word_len <= max_mean_word_len
+           & symbol_ratio <= max_symbol_ratio          ('#' + '...' per word)
+           & bullet_line_frac <= max_bullet_line_frac  (lines starting -/*/•)
+           & ellipsis_line_frac <= max_ellipsis_line_frac (lines ending .../…)
+           & alpha_word_frac >= min_alpha_word_frac    (words with [a-zA-Z])
+           & stopword_hits >= min_stopword_hits        (of GOPHER_STOPWORDS)
+
+    Scale shape: ENTIRELY in-row (WS-contract word split + '\\n' line
+    split, higher-order filters, no explode) — zero exchanges, zero
+    joins, no Python; composes with :func:`classifier.with_quality_prob`
+    as a second in-row gate column on the same scan.  Doubles are
+    quantized to ``quantize_digits`` (cross-engine exactness contract,
+    same as :func:`corpus_profile`); alphabetic means ASCII [a-zA-Z]
+    so Java regex and RE2 agree.  Docs with zero words are dropped
+    (every ratio is undefined), matching :func:`token_stats`."""
+    words = _WORDS(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    nw = F.size(words).cast("double")
+    nl = F.size(lines).cast("double")
+
+    def q(col):
+        if quantize_digits is None:
+            return col
+        p = 10 ** quantize_digits
+        return F.floor(col * p + F.lit(0.5)) / p
+
+    mean_wl = q(
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / nw
+    )
+    n_symbols = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\."))
+    ).cast("double")
+    bullet_frac = q(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).cast("double")
+        / nl
+    )
+    ellipsis_frac = q(
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))
+        ).cast("double")
+        / nl
+    )
+    alpha_frac = q(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))).cast("double") / nw
+    )
+    lw = F.transform(words, F.lower)
+    stop_hits = sum(
+        (F.array_contains(lw, F.lit(s)).cast("int") for s in GOPHER_STOPWORDS),
+        F.lit(0),
+    ).cast("long")
+
+    m = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        q(n_symbols / nw).alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    ).where(F.col("n_words") > 0)
+    return m.select(
+        "*",
+        (
+            (F.col("n_words") >= min_words)
+            & (F.col("n_words") <= max_words)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+            & (F.col("symbol_ratio") <= max_symbol_ratio)
+            & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+            & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+            & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+            & (F.col("stopword_hits") >= min_stopword_hits)
+        ).alias("keep"),
+    )

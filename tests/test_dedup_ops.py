@@ -1016,3 +1016,44 @@ def test_c4_clean_rules(spark):
     plan = textstats.c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_gopher_rules(spark):
+    """Every Gopher rule (Rae et al. 2021 table A1) flips keep on a
+    planted doc while a control doc passes; metrics are exact; plan is
+    narrow (no exchange/join/Python)."""
+    good = "the words of that era have to be long and fine with everyone\n" * 2
+    rows = [
+        (1, good),                                    # control: passes all
+        (2, "the of and"),                            # under min_words
+        (3, "the to of and " + "a " * 46),            # mean word len < 3
+        (4, good + "# # # #"),                        # symbol ratio > 0.1
+        (5, "- the bullet one is here now\n- to bullet two of and that"),
+        (6, "the first line have that with be...\nto second also ends of..."),
+        (7, "the to of and " + "123 456 " * 23),      # alpha frac < 0.8
+        (8, "zz yy xx ww vv uu tt ss rr qq " * 5),    # 0 stopword hits
+        (9, None),                                    # dropped (NULL)
+        (10, ""),                                     # dropped (0 words)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textstats.gopher_rules(df, min_words=10).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert out[1].keep
+    assert out[1].n_words == 26 and out[1].stopword_hits == 8
+    assert not out[2].keep and out[2].n_words == 3
+    assert not out[3].keep and out[3].mean_word_len < 3.0
+    assert not out[4].keep and out[4].symbol_ratio > 0.1
+    assert not out[5].keep and out[5].bullet_line_frac == 1.0
+    assert not out[6].keep and out[6].ellipsis_line_frac == 1.0
+    assert not out[7].keep and out[7].alpha_word_frac < 0.8
+    assert not out[8].keep and out[8].stopword_hits == 0
+    # ellipsis counts as a symbol too ('...' occurrences)
+    assert out[6].symbol_ratio > 0.0
+    plan = (
+        textstats.gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan

@@ -711,6 +711,19 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import gopher_rules as _gq
+
+    record(
+        "gopher_rules",
+        _gq(docs_tbl),
+        [
+            ("zero exchanges (all table-A1 metrics are one narrow map)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     record(
         "quality_gate_inrow",
         clf.with_quality_prob(docs_tbl, [0.01] * 257, n_buckets=256,
