@@ -9,3 +9,17 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+def cached_rdd_ids(spark):
+    """Set of currently-persisted RDD ids.
+
+    Cache-lifecycle tests must assert "this call left no NEW cache
+    behind" as an id-set difference, not a size equality: the session is
+    shared across test modules, and the ContextCleaner may asynchronously
+    unpersist an EARLIER test's GC'd frame between the baseline snapshot
+    and the post-call check, shrinking the count and failing a
+    size-equality assert spuriously (observed in full-suite runs).  An id
+    disappearing is always fine; only a new id surviving is a leak.
+    """
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())

@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from intertext_spark.operators import classifier
 
+from conftest import cached_rdd_ids
+
 
 def _py_hash_bridge(s: str) -> int:
     import hashlib
@@ -141,13 +143,12 @@ def test_doc_features_binary_and_tf(spark):
 
 
 def test_lr_train_cache_lifecycle_and_empty(spark, planted):
-    sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    base = cached_rdd_ids(spark)
     feats = classifier.doc_features(planted, n_buckets=16, hash_fn=_bridge).join(
         planted.select("doc_id", "y"), "doc_id"
     )
     classifier.lr_train(feats, "y", n_buckets=16, n_iters=1)
-    assert sc._jsc.getPersistentRDDs().size() == base
+    assert cached_rdd_ids(spark) - base == set()
     empty = spark.createDataFrame([], "doc_id long, n_grams long, "
                                   "feats array<struct<bucket:long,x:double>>, y int")
     with pytest.raises(ValueError):

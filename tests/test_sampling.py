@@ -5,6 +5,8 @@ from pyspark.sql import Window, functions as F
 
 from intertext_spark.operators import sampling
 
+from conftest import cached_rdd_ids
+
 
 def _skewed(spark, n_hot=400, n_cold=10):
     """One hot domain holding most rows + a tail, n_chars with ties."""
@@ -175,11 +177,10 @@ def test_dsir_weights_cache_lifecycle_and_empty(spark):
     """The B-row count caches are released before return (model-sized
     ratio table collected like IVF centroids); empty corpus -> empty
     typed frame."""
-    sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    base = cached_rdd_ids(spark)
     df = spark.createDataFrame([(1, "a b c"), (2, "a c")], "doc_id long, text string")
     assert sampling.dsir_weights(df, df.where("doc_id = 1"), n_buckets=16).count() == 2
-    assert sc._jsc.getPersistentRDDs().size() == base
+    assert cached_rdd_ids(spark) - base == set()
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert sampling.dsir_weights(empty, empty, n_buckets=16).count() == 0
 
@@ -280,8 +281,7 @@ def test_unigram_logprob_empty_ref_and_cache_lifecycle(spark):
     defined); the vocab-count cache is released before return."""
     from intertext_spark.operators.textstats import unigram_logprob
 
-    sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    base = cached_rdd_ids(spark)
     docs = spark.createDataFrame([(1, "x y"), (2, "z")], "doc_id long, text string")
     empty = spark.createDataFrame([], "doc_id long, text string")
     got = {r.doc_id: r.mean_logprob
@@ -290,7 +290,7 @@ def test_unigram_logprob_empty_ref_and_cache_lifecycle(spark):
     assert abs(got[1] - math.log(1.0)) < 1e-12 or True  # N=0,V=0 -> denom=1
     assert abs(got[1] - math.log(1 / 1)) < 1e-12
     assert got[1] == got[2]  # uniform under the empty model
-    assert sc._jsc.getPersistentRDDs().size() == base
+    assert cached_rdd_ids(spark) - base == set()
 
 
 def test_interleave_sources_ratio_and_determinism(spark):
@@ -466,8 +466,7 @@ def test_bigram_logprob_min_count_and_cache_lifecycle(spark):
 
     from intertext_spark.operators.textstats import bigram_logprob
 
-    sc = spark.sparkContext
-    base = sc._jsc.getPersistentRDDs().size()
+    base = cached_rdd_ids(spark)
     ref = spark.createDataFrame(
         [(0, "x y x y x y"), (1, "p q")], "doc_id long, text string")
     docs = spark.createDataFrame(
@@ -478,7 +477,7 @@ def test_bigram_logprob_min_count_and_cache_lifecycle(spark):
               for r in bigram_logprob(docs, ref, min_count=2).collect()}
     assert pruned[1] == full[1]          # 'x y' seen 3x, survives prune
     assert pruned[2] < full[2]           # 'p q' seen once, pruned -> floor
-    assert sc._jsc.getPersistentRDDs().size() == base
+    assert cached_rdd_ids(spark) - base == set()
     empty = spark.createDataFrame([], "doc_id long, text string")
     got = {r.doc_id: r.mean_logprob
            for r in bigram_logprob(docs, empty).collect()}

@@ -8,6 +8,8 @@ from intertext_spark.operators import dedup
 from intertext_spark.streaming.dedupstream import DOCUMENTS_STREAM, IncrementalDedup
 import pytest
 
+from conftest import cached_rdd_ids
+
 pytestmark = pytest.mark.slow
 
 B = " ".join(f"w{i}" for i in range(30))
@@ -128,13 +130,12 @@ def test_process_batch_leaves_no_cached_frames(spark, tmp_path):
     """Long-running streams must not pin per-batch caches: after each
     process_batch every persisted frame is unpersisted (r3 review
     finding — the pre-fix code leaked two frames per stateful batch)."""
-    sc = spark.sparkContext
-    baseline = sc._jsc.getPersistentRDDs().size()
+    baseline = cached_rdd_ids(spark)
     inc = IncrementalDedup(spark, str(tmp_path / "state"))
     inc.process_batch(_df(spark, [(0, B + " ta"), (1, U("x"))]), 0)
     inc.process_batch(_df(spark, [(2, B + " tb"), (3, U("y"))]), 1)
     inc.process_batch(_df(spark, [(4, U("z"))]), 2)
-    assert sc._jsc.getPersistentRDDs().size() == baseline
+    assert cached_rdd_ids(spark) - baseline == set()
 
 
 def test_cross_batch_verify_scans_only_collisions(spark, tmp_path):
