@@ -542,6 +542,35 @@ def _gopher_rules_q(spark, sf_dir):
     return gopher_rules(lined, min_words=20)
 
 
+def _ccnet_buckets_q(spark, sf_dir):
+    """CCNet per-language perplexity bucketing (Wenzek et al. 2020
+    §4.4).  The gate derives a deterministic per-doc fluency proxy
+    (mean chars per WS token — continuous, engine-identical IEEE
+    division) and a deterministic language split (pmod(doc_id,3) →
+    en/fr/de) so the per-language cutoffs are real multi-language
+    percentiles; quantize_digits=6 applies the shared floor-round
+    contract to scores AND cutoffs before the tier comparison.  The
+    oracle recomputes the language map, the score, both quantile_cont
+    cutoffs, and the head/middle/tail CASE in DuckDB."""
+    from intertext_spark.operators.textstats import ccnet_buckets
+
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    scored = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.length("text").alias("chars"), F.size(ws).alias("toks"))
+        .where(F.col("toks") > 0)
+        .select(
+            "doc_id",
+            F.element_at(
+                F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+                F.pmod("doc_id", F.lit(3)).cast("int") + 1,
+            ).alias("lang"),
+            (F.col("chars") / F.col("toks")).alias("mean_logprob"),
+        )
+    )
+    return ccnet_buckets(scored, quantize_digits=6)
+
+
 def _corpus_profile_q(spark, sf_dir):
     """Per-source corpus accounting with EXACT percentiles (the oracle
     for the documented approx_percentile swap at scale).  One map-side
@@ -1667,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pack_offsets"] = _pack_offsets_q
     q["repetition_stats"] = _repetition_stats_q
     q["corpus_profile"] = _corpus_profile_q
+    q["ccnet_buckets"] = _ccnet_buckets_q
     q["bbit_jaccard_pairs"] = _bbit_jaccard_pairs_q
     q["curate_transcripts"] = _curate_transcripts_q
     q["normalize_text"] = _normalize_text_q
@@ -2694,6 +2724,35 @@ select source,
        floor(cast(quantile_cont(chars, 0.9) as double) * 1e6 + 0.5) / 1e6 as p90_chars,
        floor(cast(quantile_cont(chars, 0.99) as double) * 1e6 + 0.5) / 1e6 as p99_chars
 from d group by source
+"""
+    # ccnet_buckets: DuckDB re-derives the lang map and the mean-chars-
+    # per-token score, computes both per-language quantile_cont cutoffs
+    # (formula-identical to Spark percentile, see corpus_profile note),
+    # applies the same 6-digit floor-round to scores and cutoffs, and
+    # replays the head/middle/tail CASE.
+    out["ccnet_buckets"] = """
+with d as (
+  select doc_id,
+         ['en','fr','de'][cast(doc_id % 3 as int) + 1] as lang,
+         floor((length(text) / cast(len(list_filter(
+             regexp_split_to_array(text, '\\s+'), x -> x != '')) as double))
+           * 1e6 + 0.5) / 1e6 as score
+  from documents
+  where len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')) > 0
+),
+cuts as (
+  select lang,
+         floor(cast(quantile_cont(score, 1.0/3.0) as double) * 1e6 + 0.5) / 1e6
+           as c_lo,
+         floor(cast(quantile_cont(score, 2.0/3.0) as double) * 1e6 + 0.5) / 1e6
+           as c_hi
+  from d group by lang
+)
+select d.doc_id, d.lang, d.score,
+       case when d.score >= c.c_hi then 'head'
+            when d.score >= c.c_lo then 'middle'
+            else 'tail' end as bucket
+from d join cuts c using (lang)
 """
     # bbit_jaccard_pairs: DuckDB compares the raw md5-bridge signature
     # fields mod 2^b directly (no packing), proving the engine's Horner

@@ -1044,3 +1044,90 @@ def gopher_rules(
             & (F.col("stopword_hits") >= min_stopword_hits)
         ).alias("keep"),
     )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    lang_col: str = "lang",
+    score_col: str = "mean_logprob",
+    id_col: str = "doc_id",
+    fractions: "tuple[float, float]" = (1.0 / 3.0, 2.0 / 3.0),
+    labels: "tuple[str, str, str]" = ("tail", "middle", "head"),
+    approx: bool = False,
+    accuracy: int = 10_000,
+    quantize_digits: "int | None" = None,
+) -> DataFrame:
+    """CCNet's per-language perplexity bucketing (Wenzek et al. 2020
+    §4.4): split each language's documents into head / middle / tail
+    quality tiers by LM score quantiles, so downstream sampling can
+    weight the clean head without discarding the tail.  Pairs with
+    :func:`unigram_logprob` / :func:`bigram_logprob` (higher
+    ``score_col`` = more fluent = closer to head).
+
+      cuts[lang] = percentile(score, fractions)   (c_lo <= c_hi)
+      bucket     = head   if score >= c_hi
+                   middle if score >= c_lo
+                   else tail
+
+    -> (doc_id, lang, score, bucket).  NULL scores/langs are dropped
+    (no quality evidence -> no tier).
+
+    Determinism: the bucket is a VALUE comparison against per-language
+    cutoffs computed from the score multiset — no row_number/ntile, so
+    the assignment is partitioning-invariant and ties at a cutoff land
+    identically on every layout and engine.  A single-doc language has
+    c_lo == c_hi == its score, so it lands in head (a 1-element
+    distribution's best tier), never in tail by accident.
+
+    Scale shape: one map-side-collapsible groupBy(lang) for the cutoff
+    table (|langs| rows — tiny) broadcast back onto the corpus, then an
+    in-row CASE: no window, no per-language global sort, so one hot
+    language cannot pin a reducer the way NTILE's single ordered
+    partition would.  EXACT percentile buffers each language's scores
+    on its reducer — fine to ~10^8 docs/lang; at 10^12 set
+    ``approx=True`` (approx_percentile, a mergeable KLL-style sketch
+    with bounded memory; same plan shape, cutoffs within 1/accuracy
+    rank error).  ``quantize_digits`` rounds scores AND cutoffs before
+    comparison (cross-engine gate contract; leave None in production).
+
+    Reference parity: CCNet computes language-specific perplexity
+    thresholds once and streams assignment — this is the same
+    two-phase shape (model-sized cutoff table, in-row verdict), the
+    discipline intertext uses for its own metadata broadcast
+    (reference intertext/intertext.py:238-259 joins match metadata
+    broadcast-side rather than shuffling the big side)."""
+    if not (0.0 < fractions[0] <= fractions[1] < 1.0):
+        raise ValueError(f"fractions must satisfy 0 < lo <= hi < 1: {fractions}")
+
+    def q(col):
+        if quantize_digits is None:
+            return col
+        p = 10 ** quantize_digits
+        return F.floor(col * p + F.lit(0.5)) / p
+
+    base = scored.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        q(F.col(score_col).cast("double")).alias("score"),
+    ).where(F.col(score_col).isNotNull() & F.col(lang_col).isNotNull())
+
+    if approx:
+        pc = F.approx_percentile("score", F.array(*map(F.lit, fractions)), accuracy)
+    else:
+        pc = F.percentile("score", F.array(*map(F.lit, fractions)))
+    cuts = base.groupBy("lang").agg(
+        q(pc[0]).alias("__c_lo"), q(pc[1]).alias("__c_hi")
+    )
+
+    return (
+        base.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "score",
+            F.when(F.col("score") >= F.col("__c_hi"), F.lit(labels[2]))
+            .when(F.col("score") >= F.col("__c_lo"), F.lit(labels[1]))
+            .otherwise(F.lit(labels[0]))
+            .alias("bucket"),
+        )
+    )

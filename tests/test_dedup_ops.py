@@ -1057,3 +1057,62 @@ def test_gopher_rules(spark):
     )
     assert "Exchange" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ccnet_buckets_semantics_and_layout(spark):
+    """CCNet tiering: per-language tercile cutoffs by VALUE comparison.
+    9 docs per lang with scores 1..9 -> cuts at percentile(1/3)=3.667
+    and (2/3)=6.333, so head={7,8,9}, middle={4,5,6}, tail={1,2,3};
+    a second language shifts the same ranks to different values (the
+    cutoffs really are per-language); NULL score/lang dropped;
+    layout-invariant; single-doc language lands in head."""
+    rows = [(i, "en", float(i)) for i in range(1, 10)]
+    rows += [(100 + i, "fr", float(i) * 10) for i in range(1, 10)]
+    rows += [(900, "solo", 0.5), (901, "en", None), (902, None, 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, mean_logprob double")
+    out = {r.doc_id: r.bucket for r in textstats.ccnet_buckets(df).collect()}
+    assert len(out) == 19  # NULLs dropped
+    for i in range(1, 10):
+        want = "tail" if i <= 3 else ("middle" if i <= 6 else "head")
+        assert out[i] == want, (i, out[i])
+        assert out[100 + i] == want  # same ranks, per-lang cuts
+    assert out[900] == "head"  # 1-doc lang: c_lo == c_hi == score
+    again = {
+        r.doc_id: r.bucket
+        for r in textstats.ccnet_buckets(df.repartition(13)).collect()
+    }
+    assert again == out
+    # approx mode: approx_percentile returns a DATA value (nearest
+    # rank), not the interpolated cutoff, so a boundary doc may shift
+    # one tier — the contract is monotone tiers per language, not
+    # bit-equality with exact mode
+    order = {"tail": 0, "middle": 1, "head": 2}
+    by_lang = {}
+    for r in textstats.ccnet_buckets(df, approx=True).collect():
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "fr", "solo"}
+    for rs in by_lang.values():
+        for a in rs:
+            for b in rs:
+                if order[a.bucket] > order[b.bucket]:
+                    assert a.score >= b.score
+    # empty input -> empty typed frame
+    empty = spark.createDataFrame([], "doc_id long, lang string, mean_logprob double")
+    assert textstats.ccnet_buckets(empty).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        textstats.ccnet_buckets(df, fractions=(0.0, 0.5))
+
+
+def test_ccnet_buckets_plan_is_broadcast_no_window(spark):
+    """Scale contract: the cutoff table is broadcast back (one tiny
+    agg), the verdict is an in-row CASE — no Window/Sort over the
+    corpus, no per-row Python."""
+    rows = [(i, "en", float(i % 17)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, mean_logprob double")
+    plan = (
+        textstats.ccnet_buckets(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan

@@ -724,6 +724,28 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import ccnet_buckets as _ccb
+
+    record(
+        "ccnet_buckets",
+        _ccb(
+            docs_tbl.select(
+                "doc_id",
+                (Fx.pmod("doc_id", Fx.lit(3))).cast("string").alias("lang"),
+                Fx.length("text").cast("double").alias("mean_logprob"),
+            )
+        ),
+        [
+            ("per-language cutoff table joins back BROADCAST (|langs| rows)",
+             lambda p: "BroadcastHashJoin" in p),
+            ("no Window / global sort over the corpus (tiers are value CASE,"
+             " not NTILE)",
+             lambda p: "Window" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+            ("no cartesian", lambda p: "Cartesian" not in p),
+        ],
+    )
+
     record(
         "quality_gate_inrow",
         clf.with_quality_prob(docs_tbl, [0.01] * 257, n_buckets=256,
