@@ -571,6 +571,39 @@ def _ccnet_buckets_q(spark, sf_dir):
     return ccnet_buckets(scored, quantize_digits=6)
 
 
+def _unimax_allocation_q(spark, sf_dir):
+    """UniMax budget allocation (Chung et al. 2023) in character units:
+    budget = 93% of total corpus chars at max_epochs=1.0, so the
+    smallest sources sit BELOW the uniform share (fully allocated at
+    cap, epochs exactly 1.0) and the larger ones waterfill the freed
+    remainder — both branches of the greedy engage at every sf.  The
+    oracle replays the ascending-capacity integer waterfilling as a
+    DuckDB recursive CTE (all floor divisions exact)."""
+    from intertext_spark.operators.sampling import unimax_allocation
+
+    docs = _docs(spark, sf_dir)
+    total = docs.agg(F.sum("n_chars")).collect()[0][0] or 0
+    return unimax_allocation(
+        docs, budget=int(total) * 93 // 100, max_epochs=1.0, weight_col="n_chars"
+    )
+
+
+def _edit_sim_pairs_q(spark, sf_dir):
+    """Exact edit-distance pair verification (verify_edit) over the
+    deterministic adjacent-id candidate set: engages the length-bound
+    prune and the banded early-exit DP (threshold arg), then the final
+    FP keep test 1 - d/max_len >= 0.3.  The oracle recomputes
+    levenshtein + the identical IEEE division/filter in DuckDB (both
+    engines count code points; corpus is WS-bridge ASCII)."""
+    from intertext_spark.operators.dedup import verify_edit
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    return verify_edit(pairs, docs, threshold=0.3)
+
+
 def _corpus_profile_q(spark, sf_dir):
     """Per-source corpus accounting with EXACT percentiles (the oracle
     for the documented approx_percentile swap at scale).  One map-side
@@ -1697,6 +1730,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["repetition_stats"] = _repetition_stats_q
     q["corpus_profile"] = _corpus_profile_q
     q["ccnet_buckets"] = _ccnet_buckets_q
+    q["unimax_allocation"] = _unimax_allocation_q
+    q["edit_sim_pairs"] = _edit_sim_pairs_q
     q["bbit_jaccard_pairs"] = _bbit_jaccard_pairs_q
     q["curate_transcripts"] = _curate_transcripts_q
     q["normalize_text"] = _normalize_text_q
@@ -2753,6 +2788,60 @@ select d.doc_id, d.lang, d.score,
             when d.score >= c.c_lo then 'middle'
             else 'tail' end as bucket
 from d join cuts c using (lang)
+"""
+    # unimax_allocation: DuckDB replays the ascending-capacity greedy
+    # waterfilling as a recursive CTE — one source per recursion step,
+    # remaining budget carried, every step exact integer floor division;
+    # epochs is the same single IEEE bigint/bigint division.
+    out["unimax_allocation"] = """
+with recursive counts as (
+  select source as key, cast(sum(n_chars) as bigint) as n_units
+  from documents group by source
+),
+caps as (
+  select key, n_units, n_units as capacity from counts
+),
+ord as (
+  select key, n_units, capacity,
+         cast(row_number() over (order by capacity, key) as bigint) as rn,
+         cast(count(*) over () as bigint) as n
+  from caps
+),
+rec as (
+  select cast(0 as bigint) as rn,
+         (select cast(sum(n_chars) as bigint) * 93 // 100 from documents)
+           as remaining,
+         cast(null as varchar) as key, cast(null as bigint) as n_units,
+         cast(null as bigint) as capacity, cast(null as bigint) as alloc
+  union all
+  select o.rn,
+         r.remaining - least(o.capacity, r.remaining // (o.n - o.rn + 1)),
+         o.key, o.n_units, o.capacity,
+         least(o.capacity, r.remaining // (o.n - o.rn + 1))
+  from rec r join ord o on o.rn = r.rn + 1
+)
+select key as source, n_units, capacity, alloc,
+       case when n_units = 0 then 0.0
+            else alloc / cast(n_units as double) end as epochs
+from rec where rn >= 1
+"""
+    # edit_sim_pairs: DuckDB recomputes levenshtein over the identical
+    # adjacent-id pairs plus the same IEEE similarity division/filter —
+    # proving the engine's length-bound prune + banded early-exit DP
+    # drop exactly the pairs the plain filter drops.
+    out["edit_sim_pairs"] = """
+with p as (
+  select a.doc_id as doc_a, b.doc_id as doc_b,
+         cast(levenshtein(a.text, b.text) as int) as edit_dist,
+         greatest(length(a.text), length(b.text)) as mx
+  from documents a join documents b on b.doc_id = a.doc_id + 1
+)
+select doc_a, doc_b, edit_dist,
+       case when mx = 0 then 1.0
+            else 1.0 - edit_dist / cast(mx as double) end as edit_sim
+from p
+where (case when mx = 0 then 1.0
+            else 1.0 - edit_dist / cast(mx as double) end) >= 0.3
 """
     # bbit_jaccard_pairs: DuckDB compares the raw md5-bridge signature
     # fields mod 2^b directly (no packing), proving the engine's Horner

@@ -608,6 +608,103 @@ def verify_jaccard(
     )
 
 
+def verify_edit(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact character-level edit-distance verification of candidate
+    pairs -> (doc_a, doc_b, edit_dist, edit_sim) filtered to
+    edit_sim >= threshold, where
+
+      edit_sim = 1 - levenshtein(a, b) / max(len(a), len(b))
+
+    (two empty texts score 1.0; pairs with a NULL text are dropped — no
+    evidence either way).  The character metric catches near-dups that
+    word-shingle Jaccard dilutes (dense small edits, whitespace/markup
+    churn) and vice versa; production stacks run both.
+
+    Scale shape: all JVM — two broadcast-or-shuffle hash joins to fetch
+    texts (same as verify_jaccard), then two in-row prunes BEFORE the
+    O(len^2) DP: (1) the length bound — lev >= |len_a - len_b|, so a
+    pair whose lengths differ by more than (1-threshold)*max_len can
+    never pass and skips the DP entirely; (2) the DP itself runs under
+    Spark's banded early-exit (levenshtein's threshold argument, here
+    the per-pair max admissible distance), costing O(d_max * min_len)
+    instead of O(len_a * len_b) — for threshold 0.9 that is a 10x+ cut
+    on long documents.  Both engines count code points, so the gate
+    oracle (DuckDB levenshtein) is exact on any text the WS bridge
+    admits."""
+    t = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__t")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("__t").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("__t").alias("tb"))
+    la, lb = F.length("ta"), F.length("tb")
+    mx = F.greatest(la, lb)
+    # +1 slack: the final keep test is the FP comparison
+    # 1 - dist/mx >= threshold (identical arithmetic in the oracle), so
+    # the integer early-exit bound must never be TIGHTER than that test;
+    # floor((1-thr)*mx) alone could sit one ULP under a passing dist.
+    dmax = (F.floor(F.lit(1.0 - threshold) * mx) + 1).cast("int")
+    joined = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where((la - lb <= dmax) & (lb - la <= dmax))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(mx == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "levenshtein(ta, tb, cast(floor("
+                    f"{1.0 - threshold!r} * greatest(length(ta), length(tb))"
+                    ") + 1 as int))"
+                )
+            )
+            .alias("edit_dist"),
+            mx.alias("__mx"),
+        )
+        .where(F.col("edit_dist") >= 0)
+    )
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        F.col("edit_dist").cast("int").alias("edit_dist"),
+        F.when(F.col("__mx") == 0, F.lit(1.0))
+        .otherwise(F.lit(1.0) - F.col("edit_dist") / F.col("__mx"))
+        .alias("edit_sim"),
+    ).where(F.col("edit_sim") >= threshold)
+
+
+def edit_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    shingle_words: int = 3,
+    band_len: int = 4,
+    seed: int = 42,
+    small_cap: int = 64,
+    band_max_docs: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by LSH candidate generation + exact edit-distance
+    verification: doc_minhash_bands -> lsh_dup_pairs (salted, capped) ->
+    verify_edit.  Same recall posture as lsh_dup_pairs (banding misses
+    are possible below the band curve); the verifier is exact, so every
+    emitted pair truly clears ``threshold``.  -> (doc_a, doc_b,
+    edit_dist, edit_sim)."""
+    bands = doc_minhash_bands(
+        df, id_col, text_col, n_perm=n_perm,
+        shingle_words=shingle_words, band_len=band_len, seed=seed,
+    )
+    pairs = lsh_dup_pairs(bands, small_cap=small_cap, band_max_docs=band_max_docs)
+    return verify_edit(pairs, df, id_col, text_col, threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -433,6 +433,75 @@ def interleave_sources(
     )
 
 
+def unimax_allocation(
+    df: DataFrame,
+    budget: int,
+    max_epochs: float = 4.0,
+    key_col: str = "source",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023): split a total
+    training budget across sources/languages so low-resource sources are
+    repeated up to ``max_epochs`` times and the remainder is shared
+    UNIFORMLY among high-resource sources — the fairness/leakage
+    compromise that replaced temperature sampling for multilingual
+    pretraining.  Greedy waterfilling over sources in ascending capacity
+    order (capacity = floor(n_units * max_epochs)):
+
+      u_i      = remaining_budget // remaining_sources   (uniform share)
+      budget_i = min(capacity_i, u_i)
+
+    A source too small to absorb the uniform share is fully allocated at
+    its epoch cap and its unused share flows to larger sources; integer
+    floor division keeps every step exact, so the allocation is
+    bit-identical on any engine, layout, or cluster size (ties broken by
+    source name).  -> (<key_col>, n_units, capacity, alloc, epochs) with
+    epochs = alloc / n_units (one IEEE division of exact integers) plus
+    the unallocated remainder spread nowhere (sum(alloc) <= budget; the
+    shortfall is < n_sources units or the corpus is capacity-bound).
+
+    ``n_units`` is row count by default; pass ``weight_col`` (e.g.
+    n_chars, a token count) to budget in that unit instead.
+
+    Scale shape: ONE map-side-combined groupBy(key) — the only shuffle —
+    collapses the corpus to |sources| rows; the waterfilling loop is
+    driver-side model state (same posture as ivf_train centroids and
+    mix_corpora quotas: only the dimension-sized table ever reaches the
+    driver).  Compose with deterministic_sample / mix_corpora to
+    materialize the picks: alloc_s/n_units_s < 1 is a sampling rate,
+    > 1 is an epoch repeat count for the data loader."""
+    from fractions import Fraction
+
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0: {max_epochs}")
+    unit = F.count("*") if weight_col is None else F.sum(weight_col)
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(unit.cast("long").alias("n_units"))
+        .collect()
+    )
+    eps = Fraction(max_epochs).limit_denominator(10**9)
+    rows = sorted(
+        (
+            (r["key"], n, int(n * eps.numerator // eps.denominator))
+            for r in counts
+            for n in [r["n_units"] or 0]
+        ),
+        key=lambda t: (t[2], t[0]),
+    )
+    out, remaining = [], int(budget)
+    for i, (key, n_units, cap) in enumerate(rows):
+        alloc = min(cap, remaining // (len(rows) - i))
+        remaining -= alloc
+        out.append((key, n_units, cap, alloc, alloc / n_units if n_units else 0.0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, f"{key_col} string, n_units long, capacity long, alloc long, epochs double"
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     capacity: int,

@@ -1116,3 +1116,78 @@ def test_ccnet_buckets_plan_is_broadcast_no_window(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def _py_lev(a, b):
+    """Plain DP Levenshtein — the independent oracle."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_verify_edit_oracle_and_edges(spark):
+    """verify_edit distances equal a python DP oracle over randomized
+    short strings at threshold 0 (keep-all); empty/NULL semantics;
+    threshold filtering matches 1 - d/max(len) exactly."""
+    import random
+
+    rng = random.Random(3)
+    texts = ["".join(rng.choice("abcd ") for _ in range(rng.randrange(0, 25)))
+             for _ in range(30)]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)) + [(99, None)], "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(30) for j in range(i + 1, 30)] + [(0, 99)],
+        "doc_a long, doc_b long")
+    got = {(r.doc_a, r.doc_b): (r.edit_dist, r.edit_sim)
+           for r in dedup.verify_edit(pairs, docs, threshold=0.0).collect()}
+    assert (0, 99) not in got  # NULL text -> dropped
+    for i in range(30):
+        for j in range(i + 1, 30):
+            d = _py_lev(texts[i], texts[j])
+            mx = max(len(texts[i]), len(texts[j]))
+            want = (d, 1.0 if mx == 0 else 1.0 - d / mx)
+            assert got[(i, j)] == want, (i, j, got[(i, j)], want)
+    # threshold keeps exactly the pairs with sim >= thr
+    thr = 0.6
+    kept = {(r.doc_a, r.doc_b)
+            for r in dedup.verify_edit(pairs, docs, threshold=thr).collect()}
+    want_kept = {(i, j) for i in range(30) for j in range(i + 1, 30)
+                 if max(len(texts[i]), len(texts[j])) == 0
+                 or 1.0 - _py_lev(texts[i], texts[j])
+                 / max(len(texts[i]), len(texts[j])) >= thr}
+    assert kept == want_kept
+    # two empty texts: identical, sim 1.0, dist 0
+    e = spark.createDataFrame([(1, ""), (2, "")], "doc_id long, text string")
+    p = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = dedup.verify_edit(p, e, threshold=0.9).collect()[0]
+    assert (row.edit_dist, row.edit_sim) == (0, 1.0)
+
+
+def test_edit_dup_pairs_end_to_end(spark):
+    """LSH + edit verification: planted char-level near-dups (one word
+    swapped) are found above threshold; unrelated docs are not; every
+    emitted pair truly clears the threshold (verifier exactness)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base.replace("lazy", "hazy"))]
+    import random as _rnd
+
+    rng = _rnd.Random(11)
+    rows += [(10 + i,
+              " ".join("".join(rng.choice("abcdefghij") for _ in range(6))
+                       for _ in range(14)))
+             for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_a, r.doc_b): r.edit_sim
+           for r in dedup.edit_dup_pairs(docs, threshold=0.8, shingle_words=2).collect()}
+    assert (0, 1) in out
+    assert all(a in (0, 1) and b in (0, 1) for a, b in out)
+    mx = max(len(rows[0][1]), len(rows[1][1]))
+    assert out[(0, 1)] == 1.0 - _py_lev(rows[0][1], rows[1][1]) / mx
+    assert all(s >= 0.8 for s in out.values())

@@ -485,3 +485,80 @@ def test_bigram_logprob_min_count_and_cache_lifecycle(spark):
     # for non-start tokens, ln(1.0) at doc start
     assert abs(got[1] - (math.log(1.0) + math.log(0.3)) / 2) < 1e-12
     assert got[1] == got[2]
+
+
+def test_unimax_allocation_waterfilling(spark):
+    """UniMax greedy semantics: small sources fully repeated at the
+    epoch cap, the remainder shared uniformly among large ones.
+    counts {a:10, b:100, c:1000}, max_epochs=2, budget 600:
+    ascending caps (20, 200, 2000) -> a=20 (capped, 2.0 epochs),
+    b=200 (capped), c gets the remaining 380 (0.38 epochs)."""
+    rows = [(i, "a") for i in range(10)]
+    rows += [(100 + i, "b") for i in range(100)]
+    rows += [(1000 + i, "c") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in sampling.unimax_allocation(df, 600, 2.0).collect()}
+    assert (out["a"].n_units, out["a"].capacity, out["a"].alloc) == (10, 20, 20)
+    assert (out["b"].n_units, out["b"].capacity, out["b"].alloc) == (100, 200, 200)
+    assert (out["c"].n_units, out["c"].capacity, out["c"].alloc) == (1000, 2000, 380)
+    assert out["a"].epochs == 2.0 and out["c"].epochs == 0.38
+    # capacity-bound corpus: a huge budget caps every source
+    full = {r.source: r.alloc for r in sampling.unimax_allocation(df, 10**9, 2.0).collect()}
+    assert full == {"a": 20, "b": 200, "c": 2000}
+    # fractional epoch cap stays exact-integer: 0.5 epochs of 10 = 5
+    half = {r.source: r.capacity for r in sampling.unimax_allocation(df, 10, 0.5).collect()}
+    assert half == {"a": 5, "b": 50, "c": 500}
+
+
+def test_unimax_allocation_weight_col_and_oracle(spark):
+    """weight_col budgets in that unit; randomized python waterfilling
+    oracle over many (counts, budget) draws; validation errors."""
+    import random
+
+    import pytest
+
+    rows = [(i, f"s{i % 5}", (i * 37) % 91 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {r.source: r for r in
+           sampling.unimax_allocation(df, 3000, 1.5, weight_col="n_chars").collect()}
+
+    def oracle(counts, budget, eps_num, eps_den):
+        rows_ = sorted(
+            ((k, n, n * eps_num // eps_den) for k, n in counts.items()),
+            key=lambda t: (t[2], t[0]),
+        )
+        out, rem = {}, budget
+        for i, (k, n, cap) in enumerate(rows_):
+            a = min(cap, rem // (len(rows_) - i))
+            rem -= a
+            out[k] = a
+        return out
+
+    counts = {f"s{j}": sum((i * 37) % 91 + 1 for i in range(200) if i % 5 == j)
+              for j in range(5)}
+    want = oracle(counts, 3000, 3, 2)
+    assert {k: v.alloc for k, v in got.items()} == want
+    assert all(v.n_units == counts[k] for k, v in got.items())
+    rng = random.Random(7)
+    for _ in range(25):
+        cs = {f"x{i}": rng.randrange(1, 500) for i in range(rng.randrange(1, 8))}
+        budget = rng.randrange(0, 3000)
+        eps = rng.choice([0.5, 1.0, 2.0, 4.0])
+        rdf = spark.createDataFrame(
+            [(i, k) for k, n in cs.items() for i in range(n)][:10**6],
+            "doc_id long, source string",
+        )
+        from fractions import Fraction
+
+        f = Fraction(eps)
+        want = oracle(cs, budget, f.numerator, f.denominator)
+        got2 = {r.source: r.alloc
+                for r in sampling.unimax_allocation(rdf, budget, eps).collect()}
+        assert got2 == want, (cs, budget, eps)
+        assert sum(got2.values()) <= budget
+    with pytest.raises(ValueError):
+        sampling.unimax_allocation(df, -1)
+    with pytest.raises(ValueError):
+        sampling.unimax_allocation(df, 10, 0.0)
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    assert sampling.unimax_allocation(empty, 10).count() == 0

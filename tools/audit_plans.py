@@ -746,6 +746,29 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.dedup import verify_edit as _ve
+
+    record(
+        "edit_verify",
+        _ve(
+            docs_tbl.select(
+                Fx.col("doc_id").alias("doc_a"),
+                (Fx.col("doc_id") + 1).alias("doc_b"),
+            ),
+            docs_tbl,
+            threshold=0.8,
+        ),
+        [
+            ("length-bound prune runs BEFORE the DP (Filter below the "
+             "levenshtein projection)",
+             lambda p: _re.search(r"levenshtein", p) is not None
+             and _re.search(r"Filter.*greatest", p, _re.DOTALL) is not None),
+            ("DP is JVM levenshtein with the banded threshold arg, no Python",
+             lambda p: "EvalPython" not in p and "levenshtein(ta" in p),
+            ("no cartesian", lambda p: "Cartesian" not in p),
+        ],
+    )
+
     record(
         "quality_gate_inrow",
         clf.with_quality_prob(docs_tbl, [0.01] * 257, n_buckets=256,
