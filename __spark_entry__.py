@@ -1558,6 +1558,30 @@ def _frame_samples(spark, sf_dir):
     return multimodal.sample_frames(media)
 
 
+def _media_audio_features(spark, sf_dir):
+    """Audio features over BOTH decode tiers: the synthetic corpus's
+    random-byte audio rows (fake-sample stub) unioned with real RIFF/PCM
+    WAV payloads (synthetic_wav_media: sawtooth / 8-bit square / stereo
+    / half-silence) — the oracle fixture re-parses the real payloads
+    with the STDLIB wave module and recomputes every statistic with
+    plain-python integer loops, so the whole decode->stats path is
+    pinned against an independent implementation.  frame_rms rides as a
+    format_number(4) csv (the feature_csv contract)."""
+    from intertext_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, n=64).unionByName(
+        multimodal.synthetic_wav_media(spark, n=24)
+    )
+    feats = multimodal.audio_features(media)
+    return feats.select(
+        "media_id", "sample_rate", "n_samples", "duration_ms",
+        "rms", "peak", "zcr",
+        F.array_join(
+            F.transform("frame_rms", lambda v: F.format_number(v, 4)), ","
+        ).alias("frame_csv"),
+    )
+
+
 def _strip_diacritics_q(spark, sf_dir):
     """Diacritic fold on a constructed accented prefix + corpus text;
     oracle is DuckDB strip_accents (equal to the NFD fold for
@@ -1782,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["suffix_spans"] = _suffix_spans
     q["media_image_features"] = _media_features
     q["media_frame_samples"] = _frame_samples
+    q["media_audio_features"] = _media_audio_features
     # text-reuse pipeline stages
     q["pipeline_windows"] = _pipeline_windows
     q["pipeline_matches"] = _pipeline_matches
@@ -3068,6 +3093,7 @@ where doc_id = keeper
         ("xml_page_map", "xml_page_map"),
         ("media_image_features", "media_image_features"),
         ("media_frame_samples", "media_frame_samples"),
+        ("media_audio_features", "media_audio_features"),
         ("cdc_chunks", "cdc_chunks"),
     ):
         out[qname] = f"select * from read_parquet('{fx}/{fname}.parquet')"

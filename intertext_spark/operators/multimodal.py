@@ -63,6 +63,19 @@ FRAME_SAMPLES = T.StructType(
     ]
 )
 
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+        T.StructField("zcr", T.DoubleType(), False),
+        T.StructField("frame_rms", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = seeded bytes)."""
@@ -422,6 +435,208 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             )
 
     return vids.mapInPandas(compute, FRAME_SAMPLES)
+
+
+# --------------------------------------------------------------------------
+# audio: dependency-free WAV (RIFF PCM) tier + exact-integer feature kernel
+# --------------------------------------------------------------------------
+
+def _parse_wav(b: bytes) -> "tuple[np.ndarray, int, int] | None":
+    """Uncompressed PCM WAV (RIFF/WAVE, format 1, 8- or 16-bit, 1-8
+    channels): walk the chunk list, validate 'fmt ' strictly, decode the
+    'data' chunk's CHANNEL 0 as centered integer samples.  Returns
+    (samples int32, fullscale, sample_rate) or None when the payload is
+    not such a WAV (strict magic + header validation, so arbitrary
+    binary payloads — the synthetic corpus — never parse).  The audio
+    analog of the PGM/BMP image tier and the AVI video tier: REAL
+    decode without any audio library for the one container a pure
+    parser can handle; compressed codecs fall back to the deterministic
+    fake sample stream.  8-bit PCM is unsigned (centered by -128,
+    fullscale 128); 16-bit is signed LE (fullscale 32768); channel 0 is
+    taken exactly (no float downmix) so every downstream statistic is a
+    function of exact integers."""
+    import struct
+
+    try:
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        pos, end = 12, len(b)
+        fmt = None
+        data = None
+        while pos + 8 <= end:
+            cid = b[pos:pos + 4]
+            (sz,) = struct.unpack_from("<I", b, pos + 4)
+            body = pos + 8
+            if body + sz > end:
+                return None  # chunk overruns payload: truncated/corrupt
+            if cid == b"fmt " and sz >= 16 and fmt is None:
+                audio_fmt, ch, rate, _br, block, bits = struct.unpack_from(
+                    "<HHIIHH", b, body
+                )
+                if (
+                    audio_fmt != 1
+                    or not (1 <= ch <= 8)
+                    or not (0 < rate <= 1_000_000)
+                    or bits not in (8, 16)
+                    or block != ch * (bits // 8)
+                ):
+                    return None
+                fmt = (ch, rate, block, bits)
+            elif cid == b"data" and data is None:
+                data = b[body:body + sz]
+            pos = body + sz + (sz & 1)  # chunks are 2-byte aligned
+        if fmt is None or data is None:
+            return None
+        ch, rate, block, bits = fmt
+        n = len(data) // block
+        raw = data[: n * block]
+        if bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.int32)[::ch].copy()
+            return x, 32768, rate
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.int32)[::ch] - 128
+        return x, 128, rate
+    except Exception:
+        return None
+
+
+def _fake_samples(payload: bytes) -> "tuple[np.ndarray, int, int]":
+    """Deterministic stand-in for a decoded audio stream: sha256(payload)
+    seeds an int16 sample stream (the decode STUB — the statistics
+    kernel downstream is the real math either way)."""
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    n = 1600 + (len(payload or b"") % 5) * 160
+    return rng.randint(-32768, 32768, size=n).astype(np.int32), 32768, 16000
+
+
+def _audio_stats(
+    x: np.ndarray, fullscale: int, rate: int, n_frames: int
+) -> "tuple[int, int, float, float, float, list]":
+    """(n_samples, duration_ms, rms, peak, zcr, frame_rms) over centered
+    integer samples.  Every cross-sample reduction is an EXACT int64
+    (sum of squares, abs max, crossing count); the only floating ops are
+    one division + one correctly-rounded sqrt + one fullscale division
+    per statistic — bit-identical in any independent reimplementation,
+    which is what lets the gate pin these doubles without quantizing."""
+    import math
+
+    n = int(x.size)
+    xs = x.astype(np.int64)
+    dur = n * 1000 // rate
+    if n == 0:
+        return 0, 0, 0.0, 0.0, 0.0, [np.float32(0.0)] * n_frames
+    ssq = int((xs * xs).sum())
+    rms = math.sqrt(ssq / n) / fullscale
+    peak = int(np.abs(xs).max()) / fullscale
+    crossings = int(((xs[:-1] * xs[1:]) < 0).sum()) if n > 1 else 0
+    zcr = crossings / (n - 1) if n > 1 else 0.0
+    frames = []
+    for i in range(n_frames):
+        lo, hi = i * n // n_frames, (i + 1) * n // n_frames
+        if hi > lo:
+            fssq = int((xs[lo:hi] * xs[lo:hi]).sum())
+            frames.append(np.float32(math.sqrt(fssq / (hi - lo)) / fullscale))
+        else:
+            frames.append(np.float32(0.0))
+    return n, dur, rms, peak, zcr, frames
+
+
+def audio_features(media: DataFrame, n_frames: int = 8) -> DataFrame:
+    """audio rows -> (media_id, sample_rate, n_samples, duration_ms, rms,
+    peak, zcr, frame_rms[n_frames]).  Arrow-batched mapInPandas; decode
+    is two-tier (_parse_wav real PCM, deterministic fake samples
+    otherwise), the statistics kernel is real exact-integer math either
+    way.  duration_ms comes from the DECODED stream (n*1000//rate), not
+    the metadata column — the two disagree exactly when the payload is
+    corrupt, which is signal.
+
+    Scale shape: a narrow filter + ONE Arrow stage, zero shuffles; only
+    fixed-width statistics return to the JVM, never sample data —
+    payload bytes cross to Python exactly once."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k.name: [] for k in AUDIO_FEATURES.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p or b"")
+                parsed = _parse_wav(payload)
+                x, fullscale, rate = parsed if parsed is not None else _fake_samples(payload)
+                n, dur, rms, peak, zcr, frames = _audio_stats(x, fullscale, rate, n_frames)
+                out["media_id"].append(mid)
+                out["sample_rate"].append(np.int32(rate))
+                out["n_samples"].append(np.int64(n))
+                out["duration_ms"].append(np.int64(dur))
+                out["rms"].append(rms)
+                out["peak"].append(peak)
+                out["zcr"].append(zcr)
+                out["frame_rms"].append(frames)
+            yield pd.DataFrame(out)
+
+    return (
+        media.where(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(compute, AUDIO_FEATURES)
+    )
+
+
+def synthetic_wav_media(spark, n: int = 24, seed: int = 7) -> DataFrame:
+    """Deterministic REAL WAV payloads exercising the _parse_wav tier:
+    integer waveforms (sawtooth / 8-bit square / stereo / silence-padded
+    — never library-generated sine, so every byte is an exact integer
+    function of (i, t)), packed as honest RIFF/WAVE PCM.  media_ids
+    start at 1000 to compose with synthetic_media without collision."""
+    import struct
+
+    def wav(rate: int, bits: int, channels: int, frames: "list[tuple[int, ...]]") -> bytes:
+        block = channels * (bits // 8)
+        if bits == 16:
+            data = b"".join(struct.pack("<" + "h" * channels, *f) for f in frames)
+        else:
+            data = b"".join(bytes(v & 0xFF for v in f) for f in frames)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+        body = (
+            b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rows = []
+    rates = [8000, 16000, 22050]
+    for i in range(n):
+        rate = rates[i % 3]
+        n_fr = 400 + 97 * i
+        variant = i % 4
+        if variant == 0:  # 16-bit mono sawtooth
+            frames = [(((t * (37 + i)) % 4001) - 2000,) for t in range(n_fr)]
+            payload = wav(rate, 16, 1, frames)
+        elif variant == 1:  # 8-bit mono square wave (unsigned)
+            frames = [((224 if (t // (10 + i)) % 2 else 32),) for t in range(n_fr)]
+            payload = wav(rate, 8, 1, frames)
+        elif variant == 2:  # 16-bit stereo; channel 0 is the signal
+            frames = [
+                (((t * 13) % 2001) - 1000, ((t * 7919) % 65536) - 32768)
+                for t in range(n_fr)
+            ]
+            payload = wav(rate, 16, 2, frames)
+        else:  # 16-bit mono, half silence (zcr zero-handling)
+            frames = [((((t * 29) % 801) - 400) if t < n_fr // 2 else 0,)
+                      for t in range(n_fr)]
+            payload = wav(rate, 16, 1, frames)
+        rows.append(
+            (
+                1000 + i,
+                "audio",
+                "audio/wav",
+                bytearray(payload),
+                None,
+                None,
+                int(n_fr * 1000 // rate),
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def phash_dup_pairs(

@@ -1,0 +1,204 @@
+"""Audio tier of the multimodal plumbing: dependency-free WAV (RIFF PCM)
+decode + exact-integer statistics kernel (multimodal._parse_wav /
+_audio_stats / audio_features), pinned against the stdlib ``wave``
+module as the independent codec and plain-python loops as the
+independent math."""
+
+import io
+import math
+import os
+import random
+import struct
+import wave
+
+import duckdb
+import numpy as np
+
+from intertext_spark.operators import multimodal
+
+FIX = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "fixtures", "sf0.01")
+
+
+def _stdlib_wav(ch, width, rate, frames):
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(ch)
+    w.setsampwidth(width)
+    w.setframerate(rate)
+    if width == 2:
+        w.writeframes(b"".join(struct.pack("<" + "h" * ch, *f) for f in frames))
+    else:
+        w.writeframes(bytes(v & 0xFF for f in frames for v in f))
+    w.close()
+    return buf.getvalue()
+
+
+def test_parse_wav_matches_stdlib_writer():
+    """Payloads written by the stdlib wave module decode to exactly the
+    written channel-0 samples: 16-bit mono, 16-bit stereo (channel 0
+    picked, never a downmix), 8-bit mono (unsigned, centered by -128),
+    odd-length data chunk (2-byte alignment pad)."""
+    mono = [((t * 31) % 1201 - 600,) for t in range(333)]
+    x, fs, rate = multimodal._parse_wav(_stdlib_wav(1, 2, 22050, mono))
+    assert (fs, rate, len(x)) == (32768, 22050, 333)
+    assert list(x) == [f[0] for f in mono]
+
+    stereo = [((t % 100) - 50, 32000 - t) for t in range(250)]
+    x, fs, rate = multimodal._parse_wav(_stdlib_wav(2, 2, 8000, stereo))
+    assert (fs, rate) == (32768, 8000)
+    assert list(x) == [f[0] for f in stereo]
+
+    eight = [((t * 7) % 256,) for t in range(101)]  # odd byte count
+    x, fs, rate = multimodal._parse_wav(_stdlib_wav(1, 1, 16000, eight))
+    assert (fs, rate) == (128, 16000)
+    assert list(x) == [f[0] - 128 for f in eight]
+
+
+def test_parse_wav_tolerates_extra_chunks():
+    """Unknown chunks before/after fmt+data are skipped (real encoders
+    emit LIST/INFO chunks)."""
+    body_frames = [(100,), (-100,), (3000,)]
+    base = _stdlib_wav(1, 2, 16000, body_frames)
+    # splice an unknown chunk right after the WAVE magic
+    extra = b"LIST" + struct.pack("<I", 6) + b"INFOab"
+    spliced = base[:12] + extra + base[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    x, fs, rate = multimodal._parse_wav(spliced)
+    assert list(x) == [100, -100, 3000]
+
+
+def test_parse_wav_rejects_garbage_and_truncation():
+    rng = random.Random(5)
+    for _ in range(20):
+        junk = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 300)))
+        assert multimodal._parse_wav(junk) is None
+    good = _stdlib_wav(1, 2, 16000, [(i,) for i in range(100)])
+    assert multimodal._parse_wav(good) is not None
+    assert multimodal._parse_wav(good[:-7]) is None      # data chunk overrun
+    assert multimodal._parse_wav(good[:20]) is None      # header only
+    # unsupported fmt variants: float (3), 24-bit, 0 channels
+    for patch_off, patch in ((20, struct.pack("<H", 3)),
+                             (34, struct.pack("<H", 24)),
+                             (22, struct.pack("<H", 0))):
+        bad = bytearray(good)
+        bad[patch_off:patch_off + len(patch)] = patch
+        assert multimodal._parse_wav(bytes(bad)) is None
+
+
+def test_audio_stats_python_oracle():
+    """Every statistic equals a plain-python loop recomputation BIT-FOR-
+    BIT (the exact-integer + one-sqrt contract the gate fixture relies
+    on), over randomized sample streams including zeros."""
+    rng = random.Random(9)
+    for trial in range(30):
+        n = rng.randrange(0, 400)
+        xs = [rng.randrange(-32768, 32768) if rng.random() > 0.2 else 0
+              for _ in range(n)]
+        got = multimodal._audio_stats(np.array(xs, dtype=np.int32), 32768, 16000, 8)
+        n_, dur, rms, peak, zcr, frames = got
+        assert (n_, dur) == (n, n * 1000 // 16000)
+        if n == 0:
+            assert (rms, peak, zcr) == (0.0, 0.0, 0.0)
+            continue
+        ssq = sum(v * v for v in xs)
+        assert rms == math.sqrt(ssq / n) / 32768
+        assert peak == max(abs(v) for v in xs) / 32768
+        cross = sum(1 for a, b in zip(xs, xs[1:]) if a * b < 0)
+        assert zcr == (cross / (n - 1) if n > 1 else 0.0)
+        assert len(frames) == 8
+        for i in range(8):
+            lo, hi = i * n // 8, (i + 1) * n // 8
+            if hi > lo:
+                f = sum(v * v for v in xs[lo:hi])
+                assert frames[i] == np.float32(math.sqrt(f / (hi - lo)) / 32768)
+            else:
+                assert frames[i] == np.float32(0.0)
+
+
+def test_audio_features_end_to_end(spark):
+    """Spark stage: kind filter, two-tier decode (real WAVs get their
+    header rate/length; random-byte rows get the deterministic fake
+    stream), schema, rerun determinism, half-silence zcr semantics
+    (zeros never count as crossings)."""
+    media = multimodal.synthetic_media(spark, n=12).unionByName(
+        multimodal.synthetic_wav_media(spark, n=8)
+    )
+    out = {r.media_id: r for r in multimodal.audio_features(media).collect()}
+    fake_ids = {i for i in range(12) if i % 3 == 1}
+    assert set(out) == fake_ids | {1000 + i for i in range(8)}
+    for i in range(8):
+        r = out[1000 + i]
+        assert r.sample_rate == [8000, 16000, 22050][i % 3]
+        assert r.n_samples == 400 + 97 * i
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+        assert 0.0 <= r.rms <= r.peak <= 1.0
+        assert len(r.frame_rms) == 8
+    # half-silence variant (i%4==3): second half all zero -> its frames
+    # are exactly 0 and zero samples break crossing runs
+    r3 = out[1003]
+    assert all(v == 0.0 for v in r3.frame_rms[4:])
+    assert r3.frame_rms[0] > 0.0
+    again = {r.media_id: r for r in multimodal.audio_features(media).collect()}
+    for k in out:
+        assert again[k] == out[k]
+
+
+def test_audio_fixture_fresh():
+    """Kernel drift guard: recompute every fixture row with the ENGINE
+    kernel functions (pure python, no Spark) and compare to the pinned
+    parquet — fails before the driver gate if _parse_wav/_audio_stats/
+    synthetic_wav_media change without regenerating fixtures."""
+    rows = {}
+    rng = np.random.RandomState(42)
+    for i in range(64):
+        payload = rng.bytes(256 + (i % 5) * 128)
+        if i % 3 == 1:
+            rows[i] = payload
+    from intertext_spark.operators.multimodal import _audio_stats, _fake_samples, _parse_wav
+
+    fix = duckdb.sql(
+        f"select * from read_parquet('{FIX}/media_audio_features.parquet') order by media_id"
+    ).fetchall()
+    assert len(fix) == 45
+    # real-tier payloads: reconstruct through a local SparkSession-free
+    # rebuild of the wav() construction by calling the generator row spec
+    # indirectly — decode the fixture's own expectations instead: every
+    # real row must equal the engine kernel run on the reconstructed wav
+    import struct as _st
+
+    def wav(rate, bits, channels, frames):
+        block = channels * (bits // 8)
+        if bits == 16:
+            data = b"".join(_st.pack("<" + "h" * channels, *f) for f in frames)
+        else:
+            data = b"".join(bytes(v & 0xFF for v in f) for f in frames)
+        fmt = _st.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+        body = (b"WAVEfmt " + _st.pack("<I", len(fmt)) + fmt
+                + b"data" + _st.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+        return b"RIFF" + _st.pack("<I", len(body)) + body
+
+    rates = [8000, 16000, 22050]
+    for i in range(24):
+        rate = rates[i % 3]
+        n_fr = 400 + 97 * i
+        v = i % 4
+        if v == 0:
+            payload = wav(rate, 16, 1, [(((t * (37 + i)) % 4001) - 2000,) for t in range(n_fr)])
+        elif v == 1:
+            payload = wav(rate, 8, 1, [((224 if (t // (10 + i)) % 2 else 32),) for t in range(n_fr)])
+        elif v == 2:
+            payload = wav(rate, 16, 2, [(((t * 13) % 2001) - 1000, ((t * 7919) % 65536) - 32768) for t in range(n_fr)])
+        else:
+            payload = wav(rate, 16, 1, [((((t * 29) % 801) - 400) if t < n_fr // 2 else 0,) for t in range(n_fr)])
+        rows[1000 + i] = payload
+
+    for mid, sr, n, dur, rms, peak, zcr, frame_csv in fix:
+        payload = rows[mid]
+        parsed = _parse_wav(payload)
+        x, fs, rate = parsed if parsed is not None else _fake_samples(payload)
+        gn, gdur, grms, gpeak, gzcr, gframes = _audio_stats(x, fs, rate, 8)
+        assert (sr, n, dur) == (rate, gn, gdur), mid
+        assert (rms, peak, zcr) == (grms, gpeak, gzcr), mid
+        assert frame_csv == ",".join(f"{float(v):.4f}" for v in gframes), mid

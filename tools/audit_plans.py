@@ -769,6 +769,20 @@ def main():
         ],
     )
 
+    from intertext_spark.operators import multimodal as _mm
+
+    record(
+        "audio_features",
+        _mm.audio_features(_mm.synthetic_media(spark, n=32)),
+        [
+            ("zero exchanges (narrow kind filter + one Arrow stage)",
+             lambda p: "Exchange" not in p),
+            ("exactly one Arrow python stage, payload crosses once",
+             lambda p: len(_re.findall(r"\(\d+\) MapInPandas", p)) == 1),
+            ("no join", lambda p: "Join" not in p),
+        ],
+    )
+
     record(
         "quality_gate_inrow",
         clf.with_quality_prob(docs_tbl, [0.01] * 257, n_buckets=256,

@@ -366,6 +366,129 @@ def media_fixtures(out_dir: str, n: int = 64, seed: int = 42):
     print(f"media fixtures: {len(imgs)} images, {len(frames)} frames")
 
 
+def audio_fixtures(out_dir: str, n_fake: int = 64, n_real: int = 24):
+    """Oracle for media_audio_features: rebuild BOTH payload tiers (the
+    synthetic_media byte stream and the synthetic_wav_media RIFF
+    construction — construction is input, not computation), then decode
+    the real WAVs with the STDLIB wave module (an independent parser)
+    and recompute every statistic with plain-python integer loops +
+    math.sqrt — no numpy reductions, no engine code."""
+    import hashlib
+    import io
+    import math
+    import struct
+    import wave
+
+    def stats(samples, fullscale, rate, n_frames=8):
+        n = len(samples)
+        dur = n * 1000 // rate
+        if n == 0:
+            return n, dur, 0.0, 0.0, 0.0, ["0.0000"] * n_frames
+        ssq = 0
+        peak = 0
+        crossings = 0
+        prev = None
+        for v in samples:
+            ssq += v * v
+            if abs(v) > peak:
+                peak = abs(v)
+            if prev is not None and prev * v < 0:
+                crossings += 1
+            prev = v
+        rms = math.sqrt(ssq / n) / fullscale
+        zcr = crossings / (n - 1) if n > 1 else 0.0
+        frames = []
+        for i in range(n_frames):
+            lo, hi = i * n // n_frames, (i + 1) * n // n_frames
+            if hi > lo:
+                fssq = sum(v * v for v in samples[lo:hi])
+                f32 = np.float32(math.sqrt(fssq / (hi - lo)) / fullscale)
+                frames.append(f"{float(f32):.4f}")
+            else:
+                frames.append("0.0000")
+        return n, dur, rms, peak / fullscale, zcr, frames
+
+    rows = []
+
+    # fake tier: synthetic_media's audio rows (kind index 1 of 3), decoded
+    # by the stub SPEC (sha256-seeded int16 stream)
+    rng = np.random.RandomState(42)
+    for i in range(n_fake):
+        payload = rng.bytes(256 + (i % 5) * 128)
+        if i % 3 != 1:  # not an audio row
+            continue
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+        srng = np.random.RandomState(seed)
+        n = 1600 + (len(payload) % 5) * 160
+        samples = [int(v) for v in srng.randint(-32768, 32768, size=n)]
+        rows.append((i, 16000) + stats(samples, 32768, 16000))
+
+    # real tier: the synthetic_wav_media construction, decoded by stdlib
+    # wave (channel 0, centered)
+    rates = [8000, 16000, 22050]
+    for i in range(n_real):
+        rate = rates[i % 3]
+        n_fr = 400 + 97 * i
+        variant = i % 4
+        if variant == 0:
+            frames = [(((t * (37 + i)) % 4001) - 2000,) for t in range(n_fr)]
+            bits, ch = 16, 1
+        elif variant == 1:
+            frames = [((224 if (t // (10 + i)) % 2 else 32),) for t in range(n_fr)]
+            bits, ch = 8, 1
+        elif variant == 2:
+            frames = [
+                (((t * 13) % 2001) - 1000, ((t * 7919) % 65536) - 32768)
+                for t in range(n_fr)
+            ]
+            bits, ch = 16, 2
+        else:
+            frames = [((((t * 29) % 801) - 400) if t < n_fr // 2 else 0,)
+                      for t in range(n_fr)]
+            bits, ch = 16, 1
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(ch)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        if bits == 16:
+            w.writeframes(b"".join(struct.pack("<" + "h" * ch, *f) for f in frames))
+        else:
+            w.writeframes(bytes(v & 0xFF for f in frames for v in f))
+        w.close()
+        # decode back with the SAME stdlib module (round-trip through an
+        # independent codec, not our writer)
+        r = wave.open(io.BytesIO(buf.getvalue()), "rb")
+        raw = r.readframes(r.getnframes())
+        got_ch, width, got_rate = r.getnchannels(), r.getsampwidth(), r.getframerate()
+        r.close()
+        if width == 2:
+            vals = struct.unpack("<" + "h" * (len(raw) // 2), raw)
+            samples = list(vals[::got_ch])
+            fullscale = 32768
+        else:
+            samples = [v - 128 for v in raw[::got_ch]]
+            fullscale = 128
+        rows.append((1000 + i, got_rate) + stats(samples, fullscale, got_rate))
+
+    pq.write_table(
+        pa.table({
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "sample_rate": pa.array([r[1] for r in rows], pa.int32()),
+            "n_samples": pa.array([r[2] for r in rows], pa.int64()),
+            "duration_ms": pa.array([r[3] for r in rows], pa.int64()),
+            "rms": pa.array([r[4] for r in rows], pa.float64()),
+            "peak": pa.array([r[5] for r in rows], pa.float64()),
+            "zcr": pa.array([r[6] for r in rows], pa.float64()),
+            "frame_csv": pa.array([",".join(r[7]) for r in rows]),
+        }),
+        os.path.join(out_dir, "media_audio_features.parquet"),
+    )
+    print(f"audio fixtures: {len(rows)} rows "
+          f"({sum(1 for r in rows if r[0] < 1000)} fake tier, "
+          f"{sum(1 for r in rows if r[0] >= 1000)} real tier)")
+
+
 def xml_page_map_fixture(sf_dir: str, out_dir: str, page_words: int = 25):
     """Closed-form oracle for xml_page_map over the entry's constructed
     25-word pages: page p covers windows [start_p, start_p + (W_p-1)//slide]
@@ -601,6 +724,7 @@ def main():
     simhash_fixture(sf_dir, out_dir)
     suffix_spans_fixture(sf_dir, out_dir)
     media_fixtures(out_dir)
+    audio_fixtures(out_dir)
     xml_page_map_fixture(sf_dir, out_dir)
     bpe_fixtures(sf_dir, out_dir)
     cdc_fixture(sf_dir, out_dir)
