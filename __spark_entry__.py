@@ -604,6 +604,34 @@ def _edit_sim_pairs_q(spark, sf_dir):
     return verify_edit(pairs, docs, threshold=0.3)
 
 
+def _paragraph_dedup_q(spark, sf_dir):
+    """Dolma-style keep-first paragraph dedup over the corpus re-lined
+    into 5-word paragraphs (the 31-word gate vocabulary guarantees
+    heavy cross-doc paragraph collisions, so the removal path is hot).
+    The oracle replants the identical lines and replays the keep-first
+    rule with a row_number window ordered by (doc_id, para_idx)."""
+    from intertext_spark.operators.dedup import paragraph_dedup
+
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    n_lines = F.expr("(size(ws) + 4) div 5")
+    lined = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_lines - 1),
+                    lambda i: F.array_join(F.slice("ws", i * 5 + 1, 5), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
+    )
+    return paragraph_dedup(lined)
+
+
 def _corpus_profile_q(spark, sf_dir):
     """Per-source corpus accounting with EXACT percentiles (the oracle
     for the documented approx_percentile swap at scale).  One map-side
@@ -1756,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ccnet_buckets"] = _ccnet_buckets_q
     q["unimax_allocation"] = _unimax_allocation_q
     q["edit_sim_pairs"] = _edit_sim_pairs_q
+    q["paragraph_dedup"] = _paragraph_dedup_q
     q["bbit_jaccard_pairs"] = _bbit_jaccard_pairs_q
     q["curate_transcripts"] = _curate_transcripts_q
     q["normalize_text"] = _normalize_text_q
@@ -2867,6 +2896,35 @@ select doc_a, doc_b, edit_dist,
 from p
 where (case when mx = 0 then 1.0
             else 1.0 - edit_dist / cast(mx as double) end) >= 0.3
+"""
+    # paragraph_dedup: DuckDB replants the identical 5-word lines and
+    # replays the keep-first rule (row_number over paragraph ordered by
+    # (doc_id, para_idx)), rebuilding survivors with an ordered
+    # string_agg; engine-side md5 window equality == string equality.
+    out["paragraph_dedup"] = """
+with d as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+),
+lines as (
+  select doc_id, i - 1 as para_idx,
+         array_to_string(ws[(i - 1) * 5 + 1 : i * 5], ' ') as para
+  from d, unnest(generate_series(1, (len(ws) + 4) // 5)) as t(i)
+  where len(ws) > 0
+),
+flagged as (
+  select *,
+         row_number() over (partition by para order by doc_id, para_idx) = 1
+           as keep
+  from lines
+)
+select doc_id,
+       cast(count(*) as bigint) as n_paras,
+       cast(sum(case when keep then 0 else 1 end) as bigint) as n_removed,
+       coalesce(string_agg(case when keep then para end, chr(10)
+                           order by para_idx), '') as cleaned_text
+from flagged group by doc_id
 """
     # bbit_jaccard_pairs: DuckDB compares the raw md5-bridge signature
     # fields mod 2^b directly (no packing), proving the engine's Horner

@@ -225,6 +225,70 @@ def strip_boilerplate(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide KEEP-FIRST paragraph dedup (the Dolma toolkit's
+    paragraph-granularity pass, Soldaini et al. 2024): every exact
+    paragraph keeps only its globally-first occurrence — min
+    (doc_id, para_idx) in total order — and later occurrences are
+    removed from their documents.  Completes the line/paragraph family:
+    boilerplate_lines/strip_boilerplate remove ALL occurrences of
+    high-frequency lines; span_dedup keeps the first occurrence of
+    >=k-word duplicate chunks inside the window pipeline; this is the
+    exact-paragraph keep-first rule in between.  -> (doc_id, n_paras,
+    n_removed, cleaned_text); documents with no non-empty paragraphs
+    are dropped, fully-duplicated ones survive with cleaned_text ''.
+
+    Scale shape: posexplode paragraphs, ONE window exchange keyed by
+    md5(paragraph) (128-bit key — the exact_dedup/group_split posture:
+    md5 equality stands in for string equality) computing the
+    first-occurrence struct min, then the doc-keyed reassembly groupBy.
+    Two shuffles total, both map-side combinable; paragraph text rides
+    the shuffle once (at 10^12 turns, key the window by the hash and
+    re-join text — same trade documented in boilerplate_lines)."""
+    from pyspark.sql import Window
+
+    exploded = df.select(F.col(id_col).alias("doc_id"), F.col(text_col)).select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.col(text_col), _regex_literal(line_sep)),
+                lambda l: F.trim(l) != "",
+            )
+        ).alias("para_idx", "para"),
+    )
+    w = Window.partitionBy(F.md5("para"))
+    flagged = exploded.withColumn(
+        "keep",
+        F.struct("doc_id", "para_idx")
+        == F.min(F.struct("doc_id", "para_idx")).over(w),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("para_idx", "keep", "para"))
+                        ),
+                        lambda s: s["keep"],
+                    ),
+                    lambda s: s["para"],
+                ),
+                line_sep,
+            ).alias("cleaned_text"),
+        )
+        .select("doc_id", "n_paras", "n_removed", "cleaned_text")
+    )
+
+
 def dedup_corpus(
     df: DataFrame,
     dup_pairs: DataFrame,

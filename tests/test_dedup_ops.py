@@ -1191,3 +1191,57 @@ def test_edit_dup_pairs_end_to_end(spark):
     mx = max(len(rows[0][1]), len(rows[1][1]))
     assert out[(0, 1)] == 1.0 - _py_lev(rows[0][1], rows[1][1]) / mx
     assert all(s >= 0.8 for s in out.values())
+
+
+def test_paragraph_dedup_keep_first_semantics(spark):
+    """Globally-first occurrence (min (doc_id, para_idx)) keeps; every
+    later occurrence is removed, including same-doc repeats; docs with
+    no non-empty paragraphs drop; fully-duplicated docs survive empty;
+    layout-invariant."""
+    rows = [
+        (0, "A\nB\nC"),
+        (1, "B\nD"),
+        (2, "A\n\nA\nE"),   # both As lose to (0,0); empty line ignored
+        (3, "B\nC"),        # fully duplicated
+        (4, "   \n\n"),     # nothing survives the trim filter -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_paras, r.n_removed, r.cleaned_text)
+           for r in dedup.paragraph_dedup(docs).collect()}
+    assert out == {
+        0: (3, 0, "A\nB\nC"),
+        1: (2, 1, "D"),
+        2: (3, 2, "E"),
+        3: (2, 2, ""),
+    }
+    again = {r.doc_id: (r.n_paras, r.n_removed, r.cleaned_text)
+             for r in dedup.paragraph_dedup(docs.repartition(7)).collect()}
+    assert again == out
+
+
+def test_paragraph_dedup_python_oracle(spark):
+    """Randomized parity with a plain-python keep-first oracle over a
+    small paragraph vocabulary (guaranteed collisions), custom sep."""
+    import random
+
+    rng = random.Random(21)
+    vocab = [f"p{i}" for i in range(12)]
+    rows = [(d, "|".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(1, 9))))
+            for d in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seen, want = set(), {}
+    for d, text in rows:
+        paras = [p for p in text.split("|") if p.strip()]
+        kept = []
+        removed = 0
+        for p in paras:
+            if p in seen:
+                removed += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        want[d] = (len(paras), removed, "|".join(kept))
+    got = {r.doc_id: (r.n_paras, r.n_removed, r.cleaned_text)
+           for r in dedup.paragraph_dedup(docs, line_sep="|").collect()}
+    assert got == want

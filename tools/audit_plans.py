@@ -783,6 +783,22 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.dedup import paragraph_dedup as _pd
+
+    record(
+        "paragraph_dedup",
+        _pd(docs_tbl),
+        [
+            ("exactly two exchanges (md5-keyed window + doc rebuild)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 2),
+            ("window keyed by md5, never raw paragraph text",
+             lambda p: _re.search(r"Arguments:.*md5", p) is not None
+             or "md5" in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     record(
         "quality_gate_inrow",
         clf.with_quality_prob(docs_tbl, [0.01] * 257, n_buckets=256,
