@@ -632,6 +632,26 @@ def _paragraph_dedup_q(spark, sf_dir):
     return paragraph_dedup(lined)
 
 
+def _oph_signatures_q(spark, sf_dir):
+    """One-permutation MinHash signatures (OPH + optimal densification,
+    Shrivastava ICML'17) — the signing fast path (one pass over the
+    shingles instead of n_perm; ~10x measured kernel speedup at
+    n_perm=128).  The oracle is a pinned fixture recomputed SCALAR
+    (python-int Horner shingling, dict bins, loop densification) by
+    tools/make_fixtures.py, pinning the batched segmented kernel
+    against an independent rederivation; freshness-guarded in
+    tests/test_oph.py."""
+    from intertext_spark.operators.dedup import doc_minhash_sigs
+
+    sigs = doc_minhash_sigs(_docs(spark, sf_dir), n_perm=64, method="oph")
+    return sigs.select(
+        "doc_id",
+        F.array_join(F.transform("sig", lambda v: v.cast("string")), ",").alias(
+            "sig_csv"
+        ),
+    )
+
+
 def _corpus_profile_q(spark, sf_dir):
     """Per-source corpus accounting with EXACT percentiles (the oracle
     for the documented approx_percentile swap at scale).  One map-side
@@ -1785,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["unimax_allocation"] = _unimax_allocation_q
     q["edit_sim_pairs"] = _edit_sim_pairs_q
     q["paragraph_dedup"] = _paragraph_dedup_q
+    q["oph_signatures"] = _oph_signatures_q
     q["bbit_jaccard_pairs"] = _bbit_jaccard_pairs_q
     q["curate_transcripts"] = _curate_transcripts_q
     q["normalize_text"] = _normalize_text_q
@@ -3152,6 +3173,7 @@ where doc_id = keeper
         ("media_image_features", "media_image_features"),
         ("media_frame_samples", "media_frame_samples"),
         ("media_audio_features", "media_audio_features"),
+        ("oph_signatures", "oph_signatures"),
         ("cdc_chunks", "cdc_chunks"),
     ):
         out[qname] = f"select * from read_parquet('{fx}/{fname}.parquet')"

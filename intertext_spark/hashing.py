@@ -423,3 +423,95 @@ def minhash_from_hashes(
         sig = mins
     out[nonempty, :] = sig.T
     return out
+
+
+# ---------------------------------------------------------------------------
+# One-permutation hashing (OPH) with optimal densification
+# ---------------------------------------------------------------------------
+
+_OPH_MAX_ATTEMPTS_PER_BIN = 16  # random-borrow budget per bin before the
+                                # deterministic rotation fallback engages
+
+
+def _oph_constants(n_perm: int, seed: int):
+    """Deterministic rehash pair (A, B) + densification constants
+    (C1, C2, C3) for an OPH configuration — a fixed function of
+    (n_perm, seed) so independent implementations agree by spec."""
+    rng = np.random.RandomState((seed ^ 0x0BADC0DE) % (1 << 31))
+    a = int(rng.randint(1, _P31_I))
+    b = int(rng.randint(0, _P31_I))
+    c1 = int(rng.randint(1, _P31_I))
+    c2 = int(rng.randint(1, _P31_I))
+    c3 = int(rng.randint(1, _P31_I))
+    return a, b, c1, c2, c3
+
+
+def oph_minhash_from_hashes(
+    all_h: np.ndarray,
+    counts: np.ndarray,
+    n_perm: int,
+    seed: int = 42,
+) -> np.ndarray:
+    """One-permutation MinHash (Li et al. NIPS'12) with OPTIMAL
+    densification (Shrivastava ICML'17): signatures statistically
+    interchangeable with classic n_perm-pass MinHash for banding and
+    Jaccard estimation, computed in ONE pass over the shingle hashes
+    instead of n_perm passes — the per-byte signing cost drops ~n_perm×,
+    which is the difference between rehashing 100 TB 128 times and once.
+
+      g   = (A*h + B) mod p31          (one universal rehash)
+      bin = g mod n_perm;  sig[bin] = min g over the bin's shingles
+      empty bin i borrows from bin j = H(i, t) (t = 1, 2, ...), the
+      same (i, t) -> j sequence for every document, so two documents'
+      densified bins borrow from the SAME source bin and the matched-bin
+      collision probability stays J (the optimal-densification
+      argument).  After _OPH_MAX_ATTEMPTS_PER_BIN * n_perm shared
+      attempts the deterministic rotation fallback (nearest original
+      non-empty bin to the right) guarantees termination — also a
+      shared (i -> j) map, so unbiasedness degrades only for documents
+      with pathologically few shingles.
+
+    Returns (n_segments, n_perm) uint64; all-sentinel (2^31-1) rows for
+    empty segments (same contract as minhash_from_hashes).  Only the
+    bin VALUES differ from classic signatures — band construction and
+    the LSH join are unchanged downstream."""
+    n = counts.shape[0]
+    out = np.full((n, n_perm), _P31_I, dtype=np.uint64)
+    nonempty_seg = np.nonzero(counts > 0)[0]
+    if nonempty_seg.size == 0:
+        return out
+    a, b, c1, c2, c3 = _oph_constants(n_perm, seed)
+
+    g = _mod_p31(all_h * np.uint64(a) + np.uint64(b))
+    bins = (g % np.uint64(n_perm)).astype(np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+
+    sig = np.full((n, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    np.minimum.at(sig, (seg, bins), g)
+    filled = sig != np.iinfo(np.uint64).max  # original occupancy
+
+    rows = nonempty_seg
+    sub = sig[rows]
+    occ = filled[rows]
+    # resolve empty slots on the FLAT slot list (geometrically shrinking
+    # per attempt) — a dense (rows x bins) masked pass per attempt costs
+    # O(n*m) temporaries per iteration; this is O(#empty slots) total.
+    er, eb = np.nonzero(~occ)
+    for t in range(1, _OPH_MAX_ATTEMPTS_PER_BIN * n_perm + 1):
+        if er.size == 0:
+            break
+        j = ((c1 * (eb + 1) + c2 * t + c3 * (eb + 1) * t) % _P31_I) % n_perm
+        ok = occ[er, j]  # borrow only from ORIGINAL non-empty bins
+        if ok.any():
+            sub[er[ok], eb[ok]] = sub[er[ok], j[ok]]
+            er, eb = er[~ok], eb[~ok]
+    for off in range(1, n_perm):  # rotation fallback (deterministic, shared)
+        if er.size == 0:
+            break
+        j = (eb + off) % n_perm
+        ok = occ[er, j]
+        if ok.any():
+            sub[er[ok], eb[ok]] = sub[er[ok], j[ok]]
+            er, eb = er[~ok], eb[~ok]
+    out[rows] = sub
+    return out

@@ -359,14 +359,24 @@ def _doc_sig_schema():
     )
 
 
-def _batched_doc_sigs(pdf, text_col, a, b, shingle_words, token_lists=None):
+def _batched_doc_sigs(
+    pdf, text_col, a, b, shingle_words, token_lists=None,
+    method: str = "classic", n_perm: int | None = None, seed: int = 42,
+):
     """Shared batched signing kernel: tokenize (only per-row Python),
     hash every token of the batch in one vectorized pass, form
     word-k-gram shingle hashes segment-wise, minhash via segmented
     reduceat — no per-document numpy calls, no shingle-string building
     (the round-1 per-doc loop was the signing bottleneck).  Callers that
     already tokenized (e.g. for a length filter) pass ``token_lists`` so
-    the stated per-row-Python bottleneck isn't paid twice."""
+    the stated per-row-Python bottleneck isn't paid twice.
+
+    ``method='oph'`` swaps the n_perm-pass classic kernel for
+    one-permutation hashing with optimal densification
+    (hashing.oph_minhash_from_hashes): ONE pass over the shingle
+    hashes, statistically interchangeable signatures for banding —
+    the 100-TB signing fast path (measured ~n_perm/4× kernel speedup
+    at n_perm=128; see SCALE.md)."""
     if token_lists is None:
         token_lists = [(t or "").split() for t in pdf[text_col]]
     counts = np.array([len(t) for t in token_lists], dtype=np.int64)
@@ -377,6 +387,10 @@ def _batched_doc_sigs(pdf, text_col, a, b, shingle_words, token_lists=None):
     sh, sh_counts = hashing.shingle_token_hashes(th, counts, shingle_words)
     tmp = np.empty(sh.size, dtype=np.uint64)
     hashing._mod_p31_inplace(sh, tmp)  # < 2^31 for the perm products
+    if method == "oph":
+        return hashing.oph_minhash_from_hashes(
+            sh, sh_counts, n_perm if n_perm is not None else a.shape[0], seed
+        )
     return hashing.minhash_from_hashes(sh, sh_counts, a, b, mirror=False)
 
 
@@ -388,10 +402,16 @@ def doc_minhash_bands(
     shingle_words: int = 3,
     band_len: int = 4,
     seed: int = 42,
+    method: str = "classic",
 ) -> DataFrame:
     """-> (doc_id, band) exploded: word-{k}-gram shingles -> MinHash ->
     non-overlapping bands of ``band_len`` values (classic LSH banding; the
-    window-level pipeline uses the reference's overlapping-band variant)."""
+    window-level pipeline uses the reference's overlapping-band variant).
+    ``method='oph'`` signs with one-permutation hashing + optimal
+    densification (one pass instead of n_perm — see _batched_doc_sigs);
+    the band construction and join are identical downstream, only the
+    signature VALUES differ, so classic and OPH corpora must not be
+    banded against each other."""
     n_bands = n_perm // band_len
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -399,7 +419,10 @@ def doc_minhash_bands(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sigs = _batched_doc_sigs(pdf, text_col, a, b, shingle_words)
+            sigs = _batched_doc_sigs(
+                pdf, text_col, a, b, shingle_words,
+                method=method, n_perm=n_perm, seed=seed,
+            )
             bands = hashing.band_hashes(sigs, band_len, band_len)[:, :n_bands]
             yield pd.DataFrame(
                 {
@@ -423,12 +446,16 @@ def doc_minhash_sigs(
     n_perm: int = 128,
     shingle_words: int = 3,
     seed: int = 42,
+    method: str = "classic",
 ) -> DataFrame:
     """-> (doc_id, sig array<long>[n_perm]): the raw MinHash signatures
     from the same batched kernel doc_minhash_bands bands up — kept when a
     downstream stage needs the values themselves (b-bit compression,
     similarity estimation) rather than band keys.  Docs with fewer than
-    ``shingle_words`` tokens have no shingles and are dropped."""
+    ``shingle_words`` tokens have no shingles and are dropped.
+    ``method='oph'``: one-permutation hashing + optimal densification
+    (one pass over the shingles instead of n_perm — see
+    _batched_doc_sigs)."""
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = hashing.make_permutations(n_perm, False, seed)
@@ -442,7 +469,8 @@ def doc_minhash_sigs(
                 continue
             kept_tokens = [t for t, k in zip(token_lists, keep) if k]
             sigs = _batched_doc_sigs(
-                pdf, text_col, a, b, shingle_words, token_lists=kept_tokens
+                pdf, text_col, a, b, shingle_words, token_lists=kept_tokens,
+                method=method, n_perm=n_perm, seed=seed,
             )
             yield pd.DataFrame(
                 {

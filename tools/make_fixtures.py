@@ -489,6 +489,71 @@ def audio_fixtures(out_dir: str, n_fake: int = 64, n_real: int = 24):
           f"{sum(1 for r in rows if r[0] >= 1000)} real tier)")
 
 
+def oph_signatures_fixture(sf_dir: str, out_dir: str, n_perm: int = 64,
+                           shingle_words: int = 3, seed: int = 42):
+    """Oracle for the oph_signatures gate row: per-doc one-permutation
+    MinHash with optimal densification recomputed SCALAR — python-int
+    Horner shingling (no vectorized overflow tricks), dict-based binning,
+    and a plain loop for the densification attempt sequence — so the row
+    pins the engine's batched segmented kernel (np.minimum.at grouping,
+    flat-slot densification) against an independent rederivation of the
+    same spec."""
+    from intertext_spark import hashing
+
+    P31 = (1 << 31) - 1
+    P61 = (1 << 61) - 1
+    a, b, c1, c2, c3 = hashing._oph_constants(n_perm, seed)
+    max_t = hashing._OPH_MAX_ATTEMPTS_PER_BIN * n_perm
+
+    def sig_of(tokens):
+        th = [int(v) for v in hashing._hash64_strings_scalar(tokens)]
+        bins = {}
+        for pos in range(len(th) - shingle_words + 1):
+            acc = 0
+            for j in range(shingle_words):
+                acc = (acc * (1 << 31) + th[pos + j]) % P61
+            g = (a * (acc % P31) + b) % P31
+            i = g % n_perm
+            bins[i] = min(bins.get(i, 1 << 62), g)
+        sig = []
+        for i in range(n_perm):
+            if i in bins:
+                sig.append(bins[i])
+                continue
+            done = False
+            for t in range(1, max_t + 1):
+                j = ((c1 * (i + 1) + c2 * t + c3 * (i + 1) * t) % P31) % n_perm
+                if j in bins:
+                    sig.append(bins[j])
+                    done = True
+                    break
+            if not done:
+                for off in range(1, n_perm):
+                    j = (i + off) % n_perm
+                    if j in bins:
+                        sig.append(bins[j])
+                        break
+        return sig
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    out = []
+    for doc_id, text in rows:
+        toks = (text or "").split()
+        if len(toks) < shingle_words:
+            continue
+        out.append((doc_id, ",".join(str(v) for v in sig_of(toks))))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in out], pa.int64()),
+            "sig_csv": pa.array([r[1] for r in out]),
+        }),
+        os.path.join(out_dir, "oph_signatures.parquet"),
+    )
+    print(f"oph fixtures: {len(out)} signatures (n_perm={n_perm})")
+
+
 def xml_page_map_fixture(sf_dir: str, out_dir: str, page_words: int = 25):
     """Closed-form oracle for xml_page_map over the entry's constructed
     25-word pages: page p covers windows [start_p, start_p + (W_p-1)//slide]
@@ -725,6 +790,7 @@ def main():
     suffix_spans_fixture(sf_dir, out_dir)
     media_fixtures(out_dir)
     audio_fixtures(out_dir)
+    oph_signatures_fixture(sf_dir, out_dir)
     xml_page_map_fixture(sf_dir, out_dir)
     bpe_fixtures(sf_dir, out_dir)
     cdc_fixture(sf_dir, out_dir)
