@@ -472,7 +472,9 @@ def oph_minhash_from_hashes(
       with pathologically few shingles.
 
     Returns (n_segments, n_perm) uint64; all-sentinel (2^31-1) rows for
-    empty segments (same contract as minhash_from_hashes).  Only the
+    empty segments (same contract as minhash_from_hashes).  ``all_h``
+    MUST be < 2^31 (mod-p31-reduced, same precondition as
+    minhash_from_hashes) so the rehash product fits uint64.  Only the
     bin VALUES differ from classic signatures — band construction and
     the LSH join are unchanged downstream."""
     n = counts.shape[0]

@@ -491,6 +491,11 @@ def unimax_allocation(
         ),
         key=lambda t: (t[2], t[0]),
     )
+    if rows and rows[0][2] < 0:
+        # a negative capacity (negative weight_col sums) would INFLATE the
+        # remaining budget through min(cap, share) and corrupt every
+        # later allocation — fail loudly instead
+        raise ValueError(f"negative source capacity: {rows[0][:2]}")
     out, remaining = [], int(budget)
     for i, (key, n_units, cap) in enumerate(rows):
         alloc = min(cap, remaining // (len(rows) - i))

@@ -562,3 +562,14 @@ def test_unimax_allocation_weight_col_and_oracle(spark):
         sampling.unimax_allocation(df, 10, 0.0)
     empty = spark.createDataFrame([], "doc_id long, source string")
     assert sampling.unimax_allocation(empty, 10).count() == 0
+
+
+def test_unimax_allocation_rejects_negative_capacity(spark):
+    """Negative weight sums would inflate the remaining budget through
+    min(cap, share) — must fail loudly."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(0, "a", -5), (1, "b", 10)], "doc_id long, source string, w long")
+    with pytest.raises(ValueError, match="negative source capacity"):
+        sampling.unimax_allocation(df, 10, 1.0, weight_col="w")
