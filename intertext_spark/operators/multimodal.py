@@ -581,7 +581,7 @@ def audio_features(media: DataFrame, n_frames: int = 8) -> DataFrame:
     )
 
 
-def synthetic_wav_media(spark, n: int = 24, seed: int = 7) -> DataFrame:
+def synthetic_wav_media(spark, n: int = 24) -> DataFrame:
     """Deterministic REAL WAV payloads exercising the _parse_wav tier:
     integer waveforms (sawtooth / 8-bit square / stereo / silence-padded
     — never library-generated sine, so every byte is an exact integer
