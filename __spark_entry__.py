@@ -1777,6 +1777,59 @@ def _scatter_native(spark, sf_dir):
     )
 
 
+def _tool_stats_q(spark, sf_dir):
+    """Per-tool usage profile over the synthetic transcripts, with the
+    single 'search' tool re-mapped to three tools keyed by
+    (conv_id + turn_idx) % 3 so the groupBy has real cardinality.  All
+    aggregates are integer sums divided once (pos quantized to integer
+    percent per call) — byte-stable across engines."""
+    from intertext_spark.operators.convstats import tool_stats
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    tools = F.array(F.lit("search"), F.lit("code"), F.lit("browse"))
+    tdf = tdf.withColumn(
+        "tool",
+        F.when(
+            F.col("tool").isNotNull(),
+            F.element_at(
+                tools,
+                (
+                    F.pmod(F.col("conv_id").cast("long") + F.col("turn_idx"), 3)
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+    )
+    return tool_stats(tdf)
+
+
+def _soft_dedup_q(spark, sf_dir):
+    """Soft (reweighting) dedup over exact md5 content groups at
+    alpha=0.5; weight quantized to 4 decimals on both engines (pow is
+    not IEEE-correctly-rounded, so raw doubles could differ in the last
+    ulp across libm implementations)."""
+    from intertext_spark.operators.dedup import soft_dedup_exact
+
+    out = soft_dedup_exact(_docs(spark, sf_dir), alpha=0.5)
+    return out.select(
+        "doc_id", "group_id", "n_members", _round4(F.col("weight")).alias("weight")
+    )
+
+
+def _fingerprint_pairs_q(spark, sf_dir):
+    """MOSS-style winnowing-fingerprint candidate pairs over
+    doc_fingerprints rows.  small_cap=8 forces every fingerprint with
+    9..50 members through the SALTED two-sided join, so the skew path is
+    the one under the gate; fp_max_docs=50 is the boilerplate cap the
+    DuckDB twin applies identically (a frequency filter, so the drop is
+    oracle-visible, not silent).  containment = exact-int division."""
+    from intertext_spark.operators.dedup import fingerprint_dup_pairs
+    from intertext_spark.operators.textstats import doc_fingerprints
+
+    fps = doc_fingerprints(_docs(spark, sf_dir))
+    return fingerprint_dup_pairs(fps, min_shared=2, fp_max_docs=50, small_cap=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in TEMPLATES
@@ -1867,6 +1920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipeline_groups"] = _pipeline_groups
     q["pipeline_match_strings"] = _match_strings_q
     q["pipeline_scatter_aggs"] = _scatter_native
+    q["tool_stats"] = _tool_stats_q
+    q["soft_dedup_weights"] = _soft_dedup_q
+    q["fingerprint_dup_pairs"] = _fingerprint_pairs_q
     return q
 
 
@@ -2717,6 +2773,70 @@ select conv_id,
        cast(max(ts_sec) - min(ts_sec) as bigint) as span_seconds
 from tr
 group by conv_id
+"""
+    # tool_stats: same transcripts CTE, the gate's 3-tool re-map
+    # ((conv_id + turn_idx) % 3), then the identical integer-percent
+    # position quantization — every aggregate is sum(int)/count, one
+    # exact division, so no float-sum order sensitivity on either side.
+    out["tool_stats"] = _TRANSCRIPTS_CTE + """,
+remap as (
+  select conv_id, turn_idx, text,
+         case when tool is not null
+              then (['search','code','browse'])[
+                     cast((cast(conv_id as bigint) + turn_idx) % 3 as int) + 1]
+         end as tool,
+         count(*) over (partition by conv_id) as n_turns
+  from tr
+),
+calls as (
+  select tool, conv_id,
+         case when n_turns > 1 then (100 * turn_idx) // (n_turns - 1)
+              else 0 end as pos_pct,
+         length(coalesce(text, '')) as n_chars
+  from remap where tool is not null
+)
+select tool,
+       cast(count(*) as bigint) as n_calls,
+       cast(count(distinct conv_id) as bigint) as n_convs,
+       cast(sum(pos_pct) as double) / count(*) as mean_pos_pct,
+       cast(sum(n_chars) as double) / count(*) as mean_turn_chars
+from calls group by tool
+"""
+    # soft_dedup_weights: same md5 grouping, count window, pow(n, -0.5)
+    # with the 4-decimal quantize both engines share.
+    out["soft_dedup_weights"] = """
+select doc_id,
+       md5(text) as group_id,
+       cast(count(*) over (partition by md5(text)) as bigint) as n_members,
+       cast(floor(pow(cast(count(*) over (partition by md5(text)) as double),
+                      -0.5) * 10000 + 0.5) / 10000 as double) as weight
+from documents
+"""
+    # fingerprint_dup_pairs: the doc_fingerprints twin as the base CTE,
+    # the identical 2..50-member frequency window, plain self-join pair
+    # counting (the oracle needs no salting), containment from the
+    # UNCAPPED per-doc fingerprint totals — mirroring the engine.
+    from intertext_spark.sqlqueries import q_fingerprints_native_twin as _fpt
+    out["fingerprint_dup_pairs"] = f"""
+with fp as ({_fpt(DUCK)}),
+freq as (select fp as f, count(*) as nf from fp group by fp),
+eligible as (
+  select fp.doc_id, fp.fp
+  from fp join freq on fp.fp = freq.f
+  where nf between 2 and 50
+),
+cnt as (select doc_id, count(*) as n_fp from fp group by doc_id),
+p as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared
+  from eligible a join eligible b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2
+  having count(*) >= 2
+)
+select p.doc_a, p.doc_b, cast(p.n_shared as bigint) as n_shared,
+       cast(p.n_shared as double) / least(ca.n_fp, cb.n_fp) as containment
+from p
+join cnt ca on p.doc_a = ca.doc_id
+join cnt cb on p.doc_b = cb.doc_id
 """
     # prefix_groups: ordered per-conversation concat of the first two
     # turns, first-24-token slice, group count + min exemplar.

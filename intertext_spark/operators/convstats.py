@@ -422,3 +422,57 @@ def merge_adjacent_turns(tdf: DataFrame, sep: str = "\n") -> DataFrame:
             F.element_at("run", 1)["ts"].alias("ts"),
         )
     )
+
+
+def tool_stats(tdf: DataFrame) -> DataFrame:
+    """Per-tool usage profile over an agent-transcript corpus: for every
+    distinct non-null ``tool`` value, how often it is called, how many
+    conversations use it, where in the conversation it tends to fire,
+    and how large its turn payloads are.  The first table an agent-data
+    curator reads — harness migrations, deprecated tools, and stuck
+    tool loops all show up here before anything else.
+
+    -> (tool, n_calls, n_convs, mean_pos_pct, mean_turn_chars) sorted by
+    n_calls desc, tool.  Position is quantized per call to an integer
+    percent BEFORE averaging — pos_pct = (100 * turn_idx) div
+    (n_turns - 1), 0 for single-turn conversations — so every aggregate
+    is a sum of exact integers divided once: byte-stable across engines
+    and partitionings (float summation order never enters).
+
+    Scale shape: two exchanges.  (1) n_turns per conversation via a
+    conv_id-keyed window (the same hash partitioning every per-conv
+    operator in this module uses, so AQE reuses it when composed);
+    (2) groupBy(tool) with map-side partial aggregation — the reduce
+    side is |distinct tools| rows, tiny by construction.  No joins, no
+    Python."""
+    w = Window.partitionBy("conv_id")
+    calls = (
+        tdf.select("conv_id", "turn_idx", "text", "tool")
+        .withColumn("n_turns", F.count("*").over(w))
+        .where(F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            "tool",
+            F.when(
+                F.col("n_turns") > 1,
+                F.expr("(100 * turn_idx) div (n_turns - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("pos_pct"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+                "n_chars"
+            ),
+        )
+    )
+    n = F.count("*")
+    return (
+        calls.groupBy("tool")
+        .agg(
+            n.cast("long").alias("n_calls"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            (F.sum("pos_pct").cast("double") / n).alias("mean_pos_pct"),
+            (F.sum("n_chars").cast("double") / n).alias("mean_turn_chars"),
+        )
+        .orderBy(F.desc("n_calls"), "tool")
+    )

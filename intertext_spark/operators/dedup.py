@@ -1499,3 +1499,163 @@ def dedup_against(
             F.col("dup_of").isNull().alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# soft deduplication (reweight instead of remove)
+# ---------------------------------------------------------------------------
+
+def soft_dedup_weights(
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Soft deduplication: instead of dropping duplicates, DOWN-WEIGHT
+    them so training sampling sees each duplicated content once-ish
+    (the reweighting alternative to hard removal — SoftDeDup, Xue et
+    al. ACL 2024 motivates it; this is the multiplicity-based form).
+    Input is any (doc_id, group_id) membership table — exact md5 groups
+    (``soft_dedup_exact``), near-dup connected components
+    (``dedup_corpus``'s group output), or semdedup clusters — so one
+    weight rule serves every dedup family.
+
+    -> (doc_id, group_id, n_members, weight) where
+    weight = n_members ** -alpha.  alpha=1 makes every group contribute
+    exactly total weight 1 (sum of weights == number of distinct
+    contents); alpha=0.5 is the gentler square-root discount; alpha=0
+    keeps everything at weight 1.
+
+    Scale shape: ONE window aggregate keyed by group_id (count over
+    partition) — one exchange, no joins, no Python; the same
+    single-shuffle shape as exact_dup_groups."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col)
+    n = F.count("*").over(w).cast("long")
+    return groups.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("group_id"),
+        n.alias("n_members"),
+        F.pow(n.cast("double"), F.lit(-float(alpha))).alias("weight"),
+    )
+
+
+def soft_dedup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Exact-content soft dedup: group by md5(text) (collision-safe at
+    10^12 docs, JVM-side) and weight each copy n_copies**-alpha.  Same
+    single-shuffle shape as exact_dup_groups; see soft_dedup_weights."""
+    groups = df.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("group_id")
+    )
+    return soft_dedup_weights(groups, alpha=alpha)
+
+
+# ---------------------------------------------------------------------------
+# winnowing-fingerprint candidate pairs (MOSS-style)
+# ---------------------------------------------------------------------------
+
+def fingerprint_dup_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    fp_max_docs: int | None = None,
+    small_cap: int = 64,
+) -> DataFrame:
+    """MOSS-style local-fingerprint matching (Schleimer et al., SIGMOD
+    2003): documents sharing >= ``min_shared`` winnowed fingerprints
+    (textstats.doc_fingerprints rows: one (doc_id, fp) per selected
+    rolling char-gram hash) are near-dup/reuse candidates.  Unlike
+    MinHash banding this scores LOCAL overlap, so it catches partial
+    containment (a paragraph lifted into an otherwise-different doc)
+    that whole-doc signatures dilute away.
+
+    -> (doc_a, doc_b, n_shared, containment) with a < b, n_shared = the
+    number of distinct shared fingerprints, containment = n_shared /
+    least(|fp_a|, |fp_b|) (exact-integer division — byte-stable).
+
+    Scale shape mirrors lsh_dup_pairs with one deliberate difference:
+    the per-band member-set collapse does NOT apply — a pair's rows
+    across different fingerprints are the signal being counted — so the
+    hot-key defenses carry all the load:
+
+      * ``fp_max_docs`` drops fingerprints shared by more docs (corpus
+        boilerplate — license headers, canned prompts); like the band
+        cap in lsh_dup_pairs this trades recall on ubiquitous content
+        for a hard bound on the n^2 expansion, and the drop is by
+        frequency, i.e. exactly the content soft/boilerplate dedup
+        already handles.  At web scale ALWAYS set it.
+      * fingerprints above ``small_cap`` members expand through the
+        salted two-sided join (pmod(xxhash64) salt), never a
+        single-task explode.
+
+    The pair count groupBy is map-side combined; per-doc fingerprint
+    totals come from one groupBy on the (already shuffled) input and
+    join back onto the far-smaller thresholded pair set."""
+    by_fp = fps.groupBy("fp").agg(F.collect_set("doc_id").alias("ms"))
+    multi = by_fp.where(F.size("ms") >= 2)
+    if fp_max_docs is not None:
+        multi = multi.where(F.size("ms") <= fp_max_docs)
+    multi = multi.withColumn("n", F.size("ms"))
+
+    pairs_arr = F.filter(
+        F.flatten(
+            F.transform(
+                "ms",
+                lambda x: F.transform(
+                    "ms", lambda y: F.struct(x.alias("a"), y.alias("b"))
+                ),
+            )
+        ),
+        lambda p: p["a"] < p["b"],
+    )
+    small = (
+        multi.where(F.col("n") <= small_cap)
+        .select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    )
+    big = multi.where(F.col("n") > small_cap).select(
+        "fp",
+        F.ceil(F.col("n") / F.lit(small_cap)).cast("int").alias("n_salt"),
+        F.explode("ms").alias("doc_id"),
+    )
+    left = big.select(
+        "fp",
+        F.col("doc_id").alias("doc_a"),
+        F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).alias("salt"),
+    )
+    right = big.select(
+        "fp",
+        F.col("doc_id").alias("doc_b"),
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+    )
+    big_pairs = (
+        left.join(right, ["fp", "salt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    shared = (
+        small.unionByName(big_pairs)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    cnt = fps.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_fp"))
+    a = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    b = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        shared.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+            ).alias("containment"),
+        )
+    )

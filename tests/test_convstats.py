@@ -340,3 +340,33 @@ def test_merge_adjacent_turns_all_same_role(spark):
     )
     [r] = convstats.merge_adjacent_turns(tdf).collect()
     assert (r.turn_idx, r.text, r.ts) == (0, "t0\nt1\nt2\nt3\nt4", EP)
+
+
+def test_tool_stats_profile(spark):
+    """Per-tool profile: counts, conv reach, integer-percent position,
+    mean chars — hand-computed; single-turn conv pins pos 0; result is
+    partitioning-invariant (integer sums, one division)."""
+    rows = [
+        ("a", 0, "user", "hi", None, EP),
+        ("a", 1, "tool", "12345", "search", EP),
+        ("a", 2, "assistant", "ok", None, EP),
+        ("b", 0, "tool", "xyz", "search", EP),   # single-turn conv -> pos 0
+        ("c", 0, "user", "q", None, EP),
+        ("c", 1, "tool", None, "code", EP),      # NULL text counts 0 chars
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {r.tool: r for r in convstats.tool_stats(tdf).collect()}
+    assert set(out) == {"search", "code"}
+    s = out["search"]
+    # conv a: pos = (100*1) div 2 = 50; conv b: single turn -> 0
+    assert (s.n_calls, s.n_convs) == (2, 2)
+    assert s.mean_pos_pct == (50 + 0) / 2
+    assert s.mean_turn_chars == (5 + 3) / 2
+    c = out["code"]
+    assert (c.n_calls, c.n_convs) == (1, 1)
+    assert c.mean_pos_pct == 100.0 and c.mean_turn_chars == 0.0
+    again = {tuple(r) for r in convstats.tool_stats(tdf.repartition(7)).collect()}
+    assert again == {tuple(r) for r in convstats.tool_stats(tdf).collect()}

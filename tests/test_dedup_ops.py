@@ -1245,3 +1245,96 @@ def test_paragraph_dedup_python_oracle(spark):
     got = {r.doc_id: (r.n_paras, r.n_removed, r.cleaned_text)
            for r in dedup.paragraph_dedup(docs, line_sep="|").collect()}
     assert got == want
+
+
+def test_soft_dedup_weights_mass_conservation(spark):
+    """alpha=1 gives every exact-content group total weight exactly 1
+    (sum of weights == number of distinct contents); alpha=0 keeps all
+    docs at weight 1; the generic entry point accepts ANY membership
+    table (near-dup components, semdedup clusters)."""
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "a a"), (3, "b"), (4, "a a"), (5, "c"), (6, "c")],
+        "doc_id long, text string",
+    )
+    out = dedup.soft_dedup_exact(docs, alpha=1.0).collect()
+    assert len(out) == 6
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.group_id, []).append(r)
+    assert len(by_g) == 3
+    for rows in by_g.values():
+        assert abs(sum(r.weight for r in rows) - 1.0) < 1e-12
+        assert all(r.n_members == len(rows) for r in rows)
+    flat = dedup.soft_dedup_exact(docs, alpha=0.0).collect()
+    assert all(r.weight == 1.0 for r in flat)
+    # generic membership input (e.g. near-dup component ids)
+    groups = spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 0), (13, 0), (14, 7)], "doc_id long, group_id int"
+    )
+    w = {r.doc_id: r for r in dedup.soft_dedup_weights(groups, alpha=0.5).collect()}
+    assert w[10].weight == 4 ** -0.5 and w[10].n_members == 4
+    assert w[14].weight == 1.0
+
+
+def _fp_oracle_pairs(texts, min_shared, fp_max_docs):
+    """Plain-python fingerprint_dup_pairs: shingle_hashes + mod-16
+    winnowing selection per doc, frequency cap, pair counts,
+    containment from UNCAPPED totals."""
+    from collections import Counter
+
+    from intertext_spark import hashing as hsh
+
+    sel = {}
+    for did, text in texts:
+        h = hsh.shingle_hashes(text, 8)
+        sel[did] = {int(x) for x in h[h % np.uint64(16) == 0]}
+    freq = Counter(fp for s in sel.values() for fp in s)
+    pairs = {}
+    ids = sorted(sel)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = [
+                fp
+                for fp in sel[a] & sel[b]
+                if freq[fp] >= 2 and (fp_max_docs is None or freq[fp] <= fp_max_docs)
+            ]
+            if len(shared) >= min_shared:
+                pairs[(a, b)] = (
+                    len(shared),
+                    len(shared) / min(len(sel[a]), len(sel[b])),
+                )
+    return pairs
+
+
+def test_fingerprint_dup_pairs_python_oracle(spark):
+    """Engine pair set == the brute-force python oracle, including the
+    boilerplate frequency cap; the salted path (small_cap=1 forces every
+    multi-member fingerprint through the two-sided join) is
+    row-identical to the array-explode path."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    texts = [(i, base * 2 + f"unique tail {i} " * 3) for i in range(8)]
+    texts += [(100, "completely disjoint content with nothing shared at all zz")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    from intertext_spark.operators.textstats import doc_fingerprints
+
+    fps = doc_fingerprints(docs)
+    for cap in (None, 6):
+        got = {
+            (r.doc_a, r.doc_b): (r.n_shared, r.containment)
+            for r in dedup.fingerprint_dup_pairs(
+                fps, min_shared=2, fp_max_docs=cap
+            ).collect()
+        }
+        want = _fp_oracle_pairs(texts, 2, cap)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]
+            assert abs(got[k][1] - want[k][1]) < 1e-12
+    salted = {
+        tuple(r)
+        for r in dedup.fingerprint_dup_pairs(fps, min_shared=2, small_cap=1).collect()
+    }
+    plain = {
+        tuple(r) for r in dedup.fingerprint_dup_pairs(fps, min_shared=2).collect()
+    }
+    assert salted == plain and len(plain) > 0

@@ -814,6 +814,52 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.convstats import tool_stats as _ts
+
+    record(
+        "tool_stats",
+        _ts(tdf),
+        [
+            ("exactly three exchanges (conv window, tool groupBy, final sort)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 3),
+            ("partial aggregation before the tool shuffle",
+             lambda p: "partial_count" in p or "Functions: [partial_" in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
+    from intertext_spark.operators.dedup import (
+        soft_dedup_exact as _sde,
+        fingerprint_dup_pairs as _fdp,
+    )
+    from intertext_spark.operators.textstats import doc_fingerprints as _dfp
+
+    record(
+        "soft_dedup",
+        _sde(docs_tbl, alpha=0.5),
+        [
+            ("exactly one exchange (the md5-group window, same shape as"
+             " exact_dup_groups)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
+    record(
+        "fingerprint_pairs",
+        _fdp(_dfp(docs_tbl), min_shared=2, fp_max_docs=50, small_cap=8),
+        [
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            ("small + salted paths union", lambda p: "Union" in p),
+            ("pair count is map-side combined",
+             lambda p: "partial_count" in p),
+            ("no per-row Python (fingerprinting is one Arrow stage)",
+             lambda p: "BatchEvalPython" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
