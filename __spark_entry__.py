@@ -1830,6 +1830,22 @@ def _fingerprint_pairs_q(spark, sf_dir):
     return fingerprint_dup_pairs(fps, min_shared=2, fp_max_docs=50, small_cap=8)
 
 
+def _source_overlap_q(spark, sf_dir):
+    """Cross-source duplicate accounting over the winnowing-fingerprint
+    pair table (the same pairs the fingerprint_dup_pairs row proves) —
+    the snapshot-overlap matrix; all-integer outputs."""
+    from intertext_spark.operators.dedup import (
+        fingerprint_dup_pairs,
+        source_overlap,
+    )
+    from intertext_spark.operators.textstats import doc_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    fps = doc_fingerprints(docs)
+    pairs = fingerprint_dup_pairs(fps, min_shared=2, fp_max_docs=50, small_cap=8)
+    return source_overlap(pairs, docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in TEMPLATES
@@ -1923,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["tool_stats"] = _tool_stats_q
     q["soft_dedup_weights"] = _soft_dedup_q
     q["fingerprint_dup_pairs"] = _fingerprint_pairs_q
+    q["source_overlap"] = _source_overlap_q
     return q
 
 
@@ -2837,6 +2854,41 @@ select p.doc_a, p.doc_b, cast(p.n_shared as bigint) as n_shared,
 from p
 join cnt ca on p.doc_a = ca.doc_id
 join cnt cb on p.doc_b = cb.doc_id
+"""
+    # source_overlap: the fingerprint pair table (same CTE chain as its
+    # own row) joined to doc sources, least/greatest canonical source
+    # pair, two-row-per-pair union-all explode, count/2 + distinct docs.
+    out["source_overlap"] = f"""
+with fp as ({_fpt(DUCK)}),
+freq as (select fp as f, count(*) as nf from fp group by fp),
+eligible as (
+  select fp.doc_id, fp.fp
+  from fp join freq on fp.fp = freq.f
+  where nf between 2 and 50
+),
+p as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from eligible a join eligible b on a.fp = b.fp and a.doc_id < b.doc_id
+  group by 1, 2
+  having count(*) >= 2
+),
+tagged as (
+  select least(da.source, db.source) as src_a,
+         greatest(da.source, db.source) as src_b,
+         p.doc_a, p.doc_b
+  from p
+  join documents da on p.doc_a = da.doc_id
+  join documents db on p.doc_b = db.doc_id
+),
+un as (
+  select src_a, src_b, doc_a as d from tagged
+  union all
+  select src_a, src_b, doc_b from tagged
+)
+select src_a, src_b,
+       cast(count(*) // 2 as bigint) as n_pairs,
+       cast(count(distinct d) as bigint) as n_docs
+from un group by src_a, src_b
 """
     # prefix_groups: ordered per-conversation concat of the first two
     # turns, first-24-token slice, group count + min exemplar.

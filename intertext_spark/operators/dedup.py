@@ -1659,3 +1659,51 @@ def fingerprint_dup_pairs(
             ).alias("containment"),
         )
     )
+
+
+def source_overlap(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplicate accounting: aggregate ANY dup-pair table
+    (exact, MinHash, SimHash, fingerprint, embedding — they all emit
+    (doc_a, doc_b)) into the source-overlap matrix — how many duplicate
+    pairs and distinct involved docs each unordered source pair
+    contributes.  The table a curator reads to decide which snapshot /
+    crawl / mirror to DROP entirely (CommonCrawl snapshot overlap being
+    the canonical 100-TB case) instead of paying per-doc dedup on it.
+
+    -> (src_a, src_b, n_pairs, n_docs) with src_a <= src_b; n_docs =
+    distinct docs appearing on either side within the bucket.  Pairs
+    whose doc id is absent from ``docs`` are dropped (inner join — the
+    map is the membership authority).
+
+    Scale shape: two shuffle joins attach sources to the pair table
+    (the doc->source map is corpus-dimension-sized, deliberately NOT
+    assumed broadcastable), then ONE groupBy over the |sources|^2-key
+    space — count(*) div 2 recovers n_pairs from the two-row-per-pair
+    explode exactly (integer div of an even count), countDistinct is
+    the standard two-phase expansion.  All-integer outputs."""
+    m = docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("src"))
+    a = m.select(F.col("doc_id").alias("doc_a"), F.col("src").alias("sa"))
+    b = m.select(F.col("doc_id").alias("doc_b"), F.col("src").alias("sb"))
+    tagged = (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    exploded = tagged.select(
+        "src_a", "src_b", F.explode(F.array("doc_a", "doc_b")).alias("d")
+    )
+    return exploded.groupBy("src_a", "src_b").agg(
+        F.expr("count(*) div 2").cast("long").alias("n_pairs"),
+        F.countDistinct("d").cast("long").alias("n_docs"),
+    )

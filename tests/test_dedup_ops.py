@@ -1338,3 +1338,30 @@ def test_fingerprint_dup_pairs_python_oracle(spark):
         tuple(r) for r in dedup.fingerprint_dup_pairs(fps, min_shared=2).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_source_overlap_matrix(spark):
+    """Hand-computed source-overlap matrix: canonical src ordering
+    (swapped-side pairs land in one bucket), distinct-doc counting
+    across sides, pairs with unmapped docs dropped."""
+    docs = spark.createDataFrame(
+        [(1, "cc"), (2, "cc"), (3, "wiki"), (4, "wiki"), (5, "books")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 2), (4, 1), (5, 99)],  # 99 unmapped -> dropped
+        "doc_a long, doc_b long",
+    )
+    out = {
+        (r.src_a, r.src_b): (r.n_pairs, r.n_docs)
+        for r in dedup.source_overlap(pairs, docs, source_col="source").collect()
+    }
+    # cc-wiki bucket: (1,3), (3,2), (4,1) -> docs {1,2,3,4}
+    assert out == {("cc", "cc"): (1, 2), ("cc", "wiki"): (3, 4)}
+    again = {
+        (r.src_a, r.src_b): (r.n_pairs, r.n_docs)
+        for r in dedup.source_overlap(
+            pairs.repartition(5), docs.repartition(3), source_col="source"
+        ).collect()
+    }
+    assert again == out

@@ -860,6 +860,20 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.dedup import source_overlap as _sov
+
+    record(
+        "source_overlap",
+        _sov(_fdp(_dfp(docs_tbl), min_shared=2, fp_max_docs=50, small_cap=8),
+             docs_tbl),
+        [
+            ("no cartesian product", lambda p: "Cartesian" not in p),
+            ("matrix agg is map-side combined (tiny |sources|^2 reduce key)",
+             lambda p: "partial_count" in p),
+            ("no per-row Python", lambda p: "BatchEvalPython" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
