@@ -517,3 +517,51 @@ def oph_minhash_from_hashes(
             er, eb = er[~ok], eb[~ok]
     out[rows] = sub
     return out
+
+
+def plan_lsh_bands(
+    threshold: float,
+    n_perm: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+    n_quad: int = 200,
+) -> "tuple[int, int]":
+    """Choose the (n_bands, rows_per_band) disjoint-banding config whose
+    S-curve best separates at ``threshold`` — the datasketch
+    ``_optimal_param`` planning rule, reimplemented from the published
+    definition: candidate probability at similarity s is
+    p(s) = 1 - (1 - s^r)^b; minimize
+    fp_weight * ∫_0^t p(s) ds  +  fn_weight * ∫_t^1 (1 - p(s)) ds
+    over all (b, r) with b*r <= n_perm (midpoint quadrature, ``n_quad``
+    points per side).  -> (n_bands, rows_per_band).
+
+    Driver-side model-sized math (microseconds); feed the result into
+    doc_minhash_bands(n_bands=b*r//r …) / band construction.  Note the
+    text-reuse pipeline's OVERLAPPING 85-band layout is fixed by
+    reference parity (intertext.py:63-64) and never planned."""
+    if not 0 < threshold < 1:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if n_perm < 2:
+        raise ValueError(f"n_perm must be >= 2, got {n_perm}")
+
+    def _integrate(f, lo, hi):
+        if hi <= lo:
+            return 0.0
+        step = (hi - lo) / n_quad
+        return step * sum(
+            f(lo + (i + 0.5) * step) for i in range(n_quad)
+        )
+
+    best, best_err = (1, 1), float("inf")
+    for r in range(1, n_perm + 1):
+        for b in range(1, n_perm // r + 1):
+            fp = _integrate(
+                lambda s: 1.0 - (1.0 - s**r) ** b, 0.0, threshold
+            )
+            fn = _integrate(
+                lambda s: (1.0 - s**r) ** b, threshold, 1.0
+            )
+            err = fp_weight * fp + fn_weight * fn
+            if err < best_err:
+                best, best_err = (b, r), err
+    return best

@@ -144,3 +144,46 @@ def test_max_file_sim_gate():
     assert oracle.apply_max_file_sim(ms, windows, cfg) == []
     ms = ms[:2]
     assert len(oracle.apply_max_file_sim(ms, windows, cfg)) == 2
+
+
+def test_plan_lsh_bands_scurve_planner():
+    """The (b, r) planner: (1) exhaustive-search optimality against an
+    independent in-test scorer on a small n_perm; (2) rows-per-band grows
+    with threshold; (3) weighting asymmetry moves the curve the right way
+    (FN-averse -> more bands / fewer rows); (4) budget respected;
+    (5) validation."""
+    import pytest
+
+    from intertext_spark import hashing as hsh
+
+    def err_of(b, r, t, wfp, wfn, nq=200):
+        # independent midpoint quadrature of the same published objective
+        fp = sum(
+            (1 - (1 - ((0 + (i + 0.5) * (t / nq)) ** r)) ** b) * (t / nq)
+            for i in range(nq)
+        )
+        fn = sum(
+            ((1 - ((t + (i + 0.5) * ((1 - t) / nq)) ** r)) ** b) * ((1 - t) / nq)
+            for i in range(nq)
+        )
+        return wfp * fp + wfn * fn
+
+    for t, wfp, wfn in [(0.5, 0.5, 0.5), (0.8, 0.2, 0.8)]:
+        b, r = hsh.plan_lsh_bands(t, 16, fp_weight=wfp, fn_weight=wfn)
+        assert b * r <= 16
+        best = min(
+            (err_of(bb, rr, t, wfp, wfn), bb, rr)
+            for rr in range(1, 17)
+            for bb in range(1, 16 // rr + 1)
+        )
+        assert (best[1], best[2]) == (b, r)
+
+    rows = [hsh.plan_lsh_bands(t, 128)[1] for t in (0.3, 0.5, 0.7, 0.9)]
+    assert rows == sorted(rows) and rows[0] < rows[-1]
+    b_fn, r_fn = hsh.plan_lsh_bands(0.7, 128, fp_weight=0.1, fn_weight=0.9)
+    b_fp, r_fp = hsh.plan_lsh_bands(0.7, 128, fp_weight=0.9, fn_weight=0.1)
+    assert b_fn > b_fp and r_fn < r_fp
+    with pytest.raises(ValueError):
+        hsh.plan_lsh_bands(0.0, 128)
+    with pytest.raises(ValueError):
+        hsh.plan_lsh_bands(0.5, 1)
