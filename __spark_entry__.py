@@ -1830,6 +1830,16 @@ def _fingerprint_pairs_q(spark, sf_dir):
     return fingerprint_dup_pairs(fps, min_shared=2, fp_max_docs=50, small_cap=8)
 
 
+def _winnow_fingerprints_q(spark, sf_dir):
+    """doc_fingerprints under TRUE Schleimer winnowing (rightmost-min
+    per 8-hash window — the MOSS guarantee rule) instead of mod-p
+    selection; the DuckDB twin replays the rightmost-min rule with
+    list_position over reversed slices."""
+    from intertext_spark.operators.textstats import doc_fingerprints
+
+    return doc_fingerprints(_docs(spark, sf_dir), method="winnow", window=8)
+
+
 def _source_overlap_q(spark, sf_dir):
     """Cross-source duplicate accounting over the winnowing-fingerprint
     pair table (the same pairs the fingerprint_dup_pairs row proves) —
@@ -1940,6 +1950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["soft_dedup_weights"] = _soft_dedup_q
     q["fingerprint_dup_pairs"] = _fingerprint_pairs_q
     q["source_overlap"] = _source_overlap_q
+    q["winnow_fingerprints"] = _winnow_fingerprints_q
     return q
 
 
@@ -2855,6 +2866,10 @@ from p
 join cnt ca on p.doc_a = ca.doc_id
 join cnt cb on p.doc_b = cb.doc_id
 """
+    # winnow_fingerprints: same grams, true-winnowing selection replayed
+    # with list ops (rightmost-min via reversed-slice list_position).
+    from intertext_spark.sqlqueries import q_winnow_fingerprints_twin as _wft
+    out["winnow_fingerprints"] = _wft(DUCK, window=8)
     # source_overlap: the fingerprint pair table (same CTE chain as its
     # own row) joined to doc sources, least/greatest canonical source
     # pair, two-row-per-pair union-all explode, count/2 + distinct docs.

@@ -209,10 +209,30 @@ def doc_fingerprints(
     text_col: str = "text",
     gram: int = 8,
     keep_mod: int = 16,
+    method: str = "mod",
+    window: int = 8,
 ) -> DataFrame:
-    """-> (doc_id, fp): rolling char-n-gram hashes, mod-p selection
-    (0-mod-``keep_mod`` winnowing) — compact reuse fingerprints.  Numpy
-    rolling hash in an Arrow-batched UDF; selection + dedup JVM-side."""
+    """-> (doc_id, fp): rolling char-n-gram hashes with one of two
+    selection rules — compact reuse fingerprints for
+    ``dedup.fingerprint_dup_pairs``:
+
+      * ``method='mod'`` (default): keep hashes ≡ 0 mod ``keep_mod`` —
+        the cheap mod-p sampler; expected density 1/keep_mod but NO
+        match-length guarantee (a long verbatim overlap can, with
+        probability (1-1/p)^k, select nothing).
+      * ``method='winnow'``: TRUE Schleimer et al. 2003 winnowing — in
+        every ``window`` consecutive hashes select the minimum
+        (rightmost occurrence on ties); guarantees any shared substring
+        of >= window + gram - 1 chars yields a shared fingerprint, at
+        expected density 2/(window+1).  The rule MOSS ships.
+
+    Numpy rolling hash + selection in one Arrow-batched UDF (the winnow
+    argmin is a vectorized sliding-window reduction, no per-position
+    Python); dedup JVM-side."""
+    if method not in ("mod", "winnow"):
+        raise ValueError(f"method must be 'mod' or 'winnow', got {method!r}")
+    if method == "winnow" and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -227,7 +247,12 @@ def doc_fingerprints(
             fps = []
             for text in pdf[text_col]:
                 h = hashing.shingle_hashes(text or "", gram)
-                sel = h[h % np.uint64(keep_mod) == 0]
+                if method == "mod":
+                    sel = h[h % np.uint64(keep_mod) == 0]
+                elif h.size == 0:
+                    sel = h
+                else:
+                    sel = h[_winnow_positions(h, window)]
                 fps.append(np.unique(sel).astype("int64"))
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "fps": fps})
 
@@ -237,6 +262,21 @@ def doc_fingerprints(
         .select("doc_id", F.explode("fps").alias("fp"))
         .distinct()
     )
+
+
+def _winnow_positions(h: np.ndarray, window: int) -> np.ndarray:
+    """Distinct selected positions under Schleimer winnowing: for every
+    length-``window`` window over ``h`` pick the RIGHTMOST minimum.
+    Vectorized: argmin over the column-reversed sliding view (numpy
+    argmin is leftmost-first, so leftmost-in-reversed == rightmost),
+    mapped back to absolute positions.  Short inputs (< window hashes)
+    degrade to one selection over the whole array — every doc
+    contributes at least one fingerprint."""
+    w = min(window, h.size)
+    view = np.lib.stride_tricks.sliding_window_view(h, w)
+    rev_arg = np.argmin(view[:, ::-1], axis=1)
+    pos = np.arange(view.shape[0], dtype=np.int64) + (w - 1 - rev_arg)
+    return np.unique(pos)
 
 
 def pack_offsets(

@@ -736,19 +736,7 @@ from best
 """
 
 
-def q_fingerprints_native_twin(d: Dialect) -> str:
-    """Twin of textstats.doc_fingerprints: byte-8-gram base-257 polynomial
-    mod 2^31-1 over lower(text), keep h %% 16 == 0, distinct.  Stepwise mod
-    in SQL == the numpy end-mod (mod-compatible; the numpy path folds
-    periodically for n>6 so it never wraps).  ascii(char) == utf8 byte only
-    for ASCII text — the synthetic corpus is ASCII; non-ASCII would need a
-    byte-level oracle."""
-    return """
-select distinct doc_id, fp
-from (
-  select doc_id,
-         unnest(list_filter(grams, h -> h % 16 = 0)) as fp
-  from (
+_GRAMS_SUBQUERY = """
     select doc_id,
            list_transform(
              generate_series(1, length(text) - 7),
@@ -759,7 +747,49 @@ from (
                     (acc, ch) -> (acc * 257 + ch) % 2147483647)) as grams
     from documents
     where length(text) >= 8
-  )
+"""
+
+
+def q_fingerprints_native_twin(d: Dialect) -> str:
+    """Twin of textstats.doc_fingerprints: byte-8-gram base-257 polynomial
+    mod 2^31-1 over lower(text), keep h %% 16 == 0, distinct.  Stepwise mod
+    in SQL == the numpy end-mod (mod-compatible; the numpy path folds
+    periodically for n>6 so it never wraps).  ascii(char) == utf8 byte only
+    for ASCII text — the synthetic corpus is ASCII; non-ASCII would need a
+    byte-level oracle."""
+    return f"""
+select distinct doc_id, fp
+from (
+  select doc_id,
+         unnest(list_filter(grams, h -> h % 16 = 0)) as fp
+  from ({_GRAMS_SUBQUERY})
+)
+"""
+
+
+def q_winnow_fingerprints_twin(d: Dialect, window: int = 8) -> str:
+    """Twin of textstats.doc_fingerprints(method='winnow'): same rolling
+    byte-8-gram hashes, then TRUE Schleimer winnowing — per length-w
+    window the RIGHTMOST minimum.  Rightmost-in-slice is recovered as
+    w' - list_position(list_reverse(slice), list_min(slice)) + 1 (first
+    index in the reversed slice == distance from the end); docs with
+    fewer than w hashes get one window over the whole array, matching
+    the engine's degrade rule."""
+    w = int(window)
+    return f"""
+select distinct doc_id,
+       grams[cast(
+         i + (least({w}, len(grams))
+              - list_position(
+                  list_reverse(list_slice(grams, i,
+                                          i + least({w}, len(grams)) - 1)),
+                  list_min(list_slice(grams, i,
+                                      i + least({w}, len(grams)) - 1))))
+         as int)] as fp
+from (
+  select doc_id, grams,
+         unnest(generate_series(1, greatest(len(grams) - {w} + 1, 1))) as i
+  from ({_GRAMS_SUBQUERY})
 )
 """
 

@@ -1365,3 +1365,54 @@ def test_source_overlap_matrix(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_winnow_fingerprints_oracle_and_guarantee(spark):
+    """doc_fingerprints(method='winnow'): (1) engine rows == a naive
+    python winnowing (rightmost-min per window) on randomized
+    tie-heavy inputs; (2) the Schleimer guarantee — docs sharing a
+    substring of >= window + gram - 1 chars ALWAYS share a
+    fingerprint, even when mod-p selection misses it; (3) validation."""
+    import pytest as _pt
+
+    from intertext_spark import hashing as hsh
+
+    def naive(text, gram, w):
+        h = [int(x) for x in hsh.shingle_hashes(text, gram)]
+        if not h:
+            return set()
+        wd = min(w, len(h))
+        out = set()
+        for i in range(len(h) - wd + 1):
+            win = h[i:i + wd]
+            m = min(win)
+            out.add(h[i + max(k for k in range(wd) if win[k] == m)])
+        return out
+
+    rng = np.random.RandomState(7)
+    texts = []
+    for i in range(30):
+        # tiny alphabet -> heavy hash ties inside windows
+        texts.append((i, "".join(rng.choice(list("abc ")) for _ in range(rng.randint(1, 60)))))
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in textstats.doc_fingerprints(docs, method="winnow", window=5).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for i, t in texts:
+        assert got.get(i, set()) == naive(t, 8, 5), (i, t)
+
+    shared = "the guaranteed shared span here!"  # 32 >= 8 + 8 - 1
+    pair = spark.createDataFrame(
+        [(0, "xxxx unique prefix AAA " + shared + " tail one zz"),
+         (1, "completely other body " + shared + " qqq")],
+        "doc_id long, text string",
+    )
+    wf = {}
+    for r in textstats.doc_fingerprints(pair, method="winnow", window=8).collect():
+        wf.setdefault(r.doc_id, set()).add(r.fp)
+    assert wf[0] & wf[1]
+
+    with _pt.raises(ValueError):
+        textstats.doc_fingerprints(docs, method="nope")
+    with _pt.raises(ValueError):
+        textstats.doc_fingerprints(docs, method="winnow", window=0)
