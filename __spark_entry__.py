@@ -1830,6 +1830,24 @@ def _fingerprint_pairs_q(spark, sf_dir):
     return fingerprint_dup_pairs(fps, min_shared=2, fp_max_docs=50, small_cap=8)
 
 
+def _char_entropy_q(spark, sf_dir):
+    """Per-doc character-distribution Shannon entropy (bits/char) — the
+    randomness gauge; in-row sorted-RLE counts + deterministic-order
+    fold, 6-digit quantize (the ln guard)."""
+    from intertext_spark.operators.textstats import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir))
+
+
+def _compression_ratio_q(spark, sf_dir):
+    """Per-doc zlib compressibility (level 6) — the entropy proxy that
+    sees repeated structure; oracle is a pinned fixture recomputed by
+    plain python zlib over the same parquet (freshness-guarded)."""
+    from intertext_spark.operators.textstats import compression_ratio
+
+    return compression_ratio(_docs(spark, sf_dir))
+
+
 def _winnow_fingerprints_q(spark, sf_dir):
     """doc_fingerprints under TRUE Schleimer winnowing (rightmost-min
     per 8-hash window — the MOSS guarantee rule) instead of mod-p
@@ -1951,6 +1969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint_dup_pairs"] = _fingerprint_pairs_q
     q["source_overlap"] = _source_overlap_q
     q["winnow_fingerprints"] = _winnow_fingerprints_q
+    q["char_entropy"] = _char_entropy_q
+    q["compression_ratio"] = _compression_ratio_q
     return q
 
 
@@ -2866,6 +2886,32 @@ from p
 join cnt ca on p.doc_a = ca.doc_id
 join cnt cb on p.doc_b = cb.doc_id
 """
+    # char_entropy: per-position char unnest + group-by counts, then
+    # H = log2(n) - sum(cnt*log2 cnt)/n with the same 6-digit floor
+    # quantize (sum order differs from the engine's sorted fold; the
+    # per-doc term count is tiny, so last-ulp drift stays far inside
+    # the quantize guard).
+    out["char_entropy"] = """
+with chars as (
+  select doc_id, substring(text, cast(i as int), 1) as c
+  from documents, unnest(generate_series(1, length(text))) t(i)
+  where length(text) > 0
+),
+cnts as (select doc_id, c, count(*) as cnt from chars group by 1, 2),
+agg as (
+  select doc_id,
+         sum(cnt) as n,
+         count(*) as nd,
+         sum(cnt * log2(cnt)) as s
+  from cnts group by doc_id
+)
+select doc_id,
+       cast(n as bigint) as n_chars,
+       cast(nd as bigint) as n_distinct_chars,
+       cast(floor((log2(n) - s / n) * 1000000 + 0.5) / 1000000 as double)
+         as entropy_bits
+from agg
+"""
     # winnow_fingerprints: same grams, true-winnowing selection replayed
     # with list ops (rightmost-min via reversed-slice list_position).
     from intertext_spark.sqlqueries import q_winnow_fingerprints_twin as _wft
@@ -3364,6 +3410,15 @@ where doc_id = keeper
         ("cdc_chunks", "cdc_chunks"),
     ):
         out[qname] = f"select * from read_parquet('{fx}/{fname}.parquet')"
+    # compression_ratio: pinned fixture recomputed by plain python zlib
+    # (same container libzlib) in make_fixtures; ratio re-derived from
+    # the fixture's integer sizes so the division is exercised on both
+    # engines.
+    out["compression_ratio"] = f"""
+select doc_id, n_bytes, n_compressed,
+       cast(n_compressed as double) / n_bytes as ratio
+from read_parquet('{fx}/compression_ratio.parquet')
+"""
     # strip_verbatim_spans: DuckDB re-derives the removal from the pinned
     # span fixture + documents (position anti-join, ordered string_agg);
     # the engine side recomputes spans live, so this row also re-proves

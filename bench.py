@@ -46,6 +46,15 @@ SQL_BENCH = [
 def _make_spark(cpus: int):
     from intertext_spark.session import get_spark
 
+    # Benchmark sessions always pre-fault the full heap (-Xms=Xmx +
+    # AlwaysPreTouch, session.py): this box's hypervisor intermittently
+    # stalls new-page provisioning ~10x (BENCH/BASELINE.md host-state
+    # calibration), and a lazily-grown heap pays that tax inside RANDOM
+    # timed queries — measured same-boot A/B: suites 201.8/176.0s with
+    # per-query swings up to 4x lazily vs 147.6/142.7s tight with
+    # pre-touch, n_matches bit-identical.  Standard steady-state JVM
+    # benchmarking practice; set SPARK_GRAFT_PRETOUCH=0 to disable.
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
     spark = get_spark(
         app="intertext-bench",
         master=f"local[{cpus}]",

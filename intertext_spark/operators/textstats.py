@@ -1171,3 +1171,110 @@ def ccnet_buckets(
             .alias("bucket"),
         )
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quantize_digits: "int | None" = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution
+    (bits/char) — the cheap randomness gauge quality pipelines pair
+    with rule filters: binary spill / base64 / hex dumps score high
+    (~5-6 bits on ASCII), single-character filler and padding score
+    near 0, natural English sits ~4.0-4.5.  -> (doc_id, n_chars,
+    n_distinct_chars, entropy_bits); empty documents are dropped.
+
+    H = log2(n) - (1/n)·Σ cnt·log2(cnt) over per-char counts — the
+    counts come from run-length-encoding the SORTED char array in-row
+    (`_rle_sorted`), and the Σ is an in-row fold over that array in its
+    deterministic sorted order, so the double is partitioning-invariant.
+    ``quantize_digits`` floors to that many digits (the tfidf/unigram
+    ln guard: engines' log2 may differ in the last ulp).
+
+    Scale shape: ZERO exchanges — narrow select end to end, no joins,
+    no Python."""
+    chars = F.array_sort(F.split(F.col(text_col), ""))
+    bound = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .where(F.length(text_col) > 0)
+        # attribute-bind the sorted array before the RLE lambdas (see
+        # top_ngrams: CollapseProject re-inlines per element access)
+        .select("doc_id", chars.alias("cs"))
+        .select("doc_id", _rle_sorted(F.col("cs")).alias("rle"))
+    )
+    n = F.aggregate(
+        "rle", F.lit(0).cast("long"), lambda acc, r: acc + r["cnt"]
+    )
+    sum_clog = F.aggregate(
+        "rle",
+        F.lit(0.0),
+        lambda acc, r: acc
+        + r["cnt"].cast("double") * F.log2(r["cnt"].cast("double")),
+    )
+    h = F.log2(n.cast("double")) - sum_clog / n.cast("double")
+    if quantize_digits is not None:
+        m = 10 ** quantize_digits
+        h = F.floor(h * m + F.lit(0.5)) / m
+    return bound.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.size("rle").cast("long").alias("n_distinct_chars"),
+        h.alias("entropy_bits"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the entropy proxy that, unlike
+    ``char_entropy``, also sees REPEATED STRUCTURE (a doc of one
+    paragraph pasted 50 times has normal char entropy but compresses
+    ~50x): ratio = compressed_bytes / raw_bytes of the utf-8 text at
+    ``level``.  Low ratio -> repetitive filler; ratio near 1 on long
+    text -> random/binary spill.  -> (doc_id, n_bytes, n_compressed,
+    ratio) with ratio an exact-integer division; empty docs dropped.
+
+    Scale shape: ZERO exchanges — one Arrow stage (zlib's C deflate per
+    row inside mapInPandas; there is no vectorized form, but the loop
+    is bytes-in/ints-out), only three ints per doc return to the JVM.
+    Determinism: fixed level + the container's single zlib build; the
+    gate fixture is regenerated by the same library (freshness-guarded)
+    — across zlib builds absolute sizes may shift, which is why the
+    operator emits sizes, not a verdict."""
+    import zlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_bytes", T.LongType(), False),
+            T.StructField("n_compressed", T.LongType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nb, nc = [], []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf8")
+                nb.append(len(raw))
+                nc.append(len(zlib.compress(raw, level)))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].values, "n_bytes": nb, "n_compressed": nc}
+            )
+
+    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col).where(
+        F.length(text_col) > 0
+    )
+    return sel.mapInPandas(compute, out_schema).select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        (F.col("n_compressed").cast("double") / F.col("n_bytes")).alias("ratio"),
+    )

@@ -51,6 +51,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if os.environ.get("SPARK_GRAFT_PRETOUCH") == "1":
+        # Fault the whole heap in at JVM start (-Xms=Xmx + AlwaysPreTouch)
+        # so page provisioning happens before any timed region.  This box's
+        # hypervisor intermittently stalls NEW-page provisioning ~10-100x
+        # (see BENCH/BASELINE.md host-state calibration) — lazily-grown
+        # heap then taxes the first queries that expand it.  Costs a few
+        # seconds of startup on a healthy host, minutes on a stalled one —
+        # which is exactly the point: the tax moves out of the benchmark.
+        mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        b = b.config(
+            "spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch"
+        )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

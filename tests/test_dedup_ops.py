@@ -1416,3 +1416,54 @@ def test_winnow_fingerprints_oracle_and_guarantee(spark):
         textstats.doc_fingerprints(docs, method="nope")
     with _pt.raises(ValueError):
         textstats.doc_fingerprints(docs, method="winnow", window=0)
+
+
+def test_char_entropy_known_values(spark):
+    """Exact entropies on planted distributions (0 / 1 / 2 bits), the
+    uniform upper bound log2(nd), empty-doc drop, multi-byte chars
+    counted as single characters, and layout invariance (in-row fold
+    over the sorted RLE -> no float-sum order sensitivity)."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, "ééxx"),
+         (6, "aab")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.char_entropy(docs).collect()}
+    assert 4 not in out
+    assert (out[1].n_chars, out[1].n_distinct_chars, out[1].entropy_bits) == (4, 1, 0.0)
+    assert out[2].entropy_bits == 1.0
+    assert out[3].entropy_bits == 2.0
+    assert (out[5].n_chars, out[5].n_distinct_chars, out[5].entropy_bits) == (4, 2, 1.0)
+    want6 = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(out[6].entropy_bits - want6) < 1e-6
+    for r in out.values():
+        assert r.entropy_bits <= math.log2(r.n_distinct_chars) + 1e-9
+    again = {r.doc_id: r.entropy_bits
+             for r in textstats.char_entropy(docs.repartition(7)).collect()}
+    assert again == {k: v.entropy_bits for k, v in out.items()}
+
+
+def test_compression_ratio_zlib_oracle(spark):
+    """Sizes equal plain python zlib per doc; repeated structure
+    compresses below the same-length high-entropy text; empty docs
+    dropped; ratio is the exact integer division."""
+    import zlib
+
+    rep = "one paragraph pasted many times. " * 40
+    rng = np.random.RandomState(3)
+    rand = "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz0123456789 "))
+                   for _ in range(len(rep)))
+    docs = spark.createDataFrame(
+        [(1, rep), (2, rand), (3, ""), (4, "héllo wörld")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textstats.compression_ratio(docs).collect()}
+    assert 3 not in out
+    for did, text in [(1, rep), (2, rand), (4, "héllo wörld")]:
+        b = text.encode("utf8")
+        assert out[did].n_bytes == len(b)
+        assert out[did].n_compressed == len(zlib.compress(b, 6))
+        assert out[did].ratio == out[did].n_compressed / out[did].n_bytes
+    assert out[1].ratio < out[2].ratio

@@ -142,3 +142,26 @@ def test_bpe_fixtures_fresh():
         f"select doc_id, n_bpe_tokens from read_parquet('{FIX}/bpe_token_counts.parquet')"
     ).fetchall())
     assert got_c == want
+
+
+@needs_data
+def test_compression_fixture_fresh():
+    """Recompute the zlib sizes for a sample of docs; any libzlib or
+    semantic change (level, encoding, empty-doc rule) breaks this before
+    the driver gate does."""
+    import zlib
+
+    fx = duckdb.sql(
+        f"select doc_id, n_bytes, n_compressed from "
+        f"'{FIX}/compression_ratio.parquet' order by doc_id"
+    ).fetchall()
+    docs = dict(duckdb.sql(
+        f"select doc_id, text from '{SF_DIR}/documents.parquet'"
+    ).fetchall())
+    assert len(fx) > 0
+    for doc_id, n_bytes, n_compressed in fx[::7]:
+        b = (docs[doc_id] or "").encode("utf-8")
+        assert n_bytes == len(b)
+        assert n_compressed == len(zlib.compress(b, 6))
+    # every non-empty doc is present
+    assert len(fx) == sum(1 for t in docs.values() if (t or "").encode("utf-8"))

@@ -860,6 +860,37 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import (
+        char_entropy as _che,
+        compression_ratio as _czr,
+    )
+
+    record(
+        "char_entropy",
+        _che(docs_tbl),
+        [
+            ("zero exchanges (narrow in-row RLE + fold)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no Python at all", lambda p: "Python" not in p),
+            ("sorted char array bound once (CollapseProject did not "
+             "re-inline the sort per element access)",
+             lambda p: p.count("array_sort") <= 1),
+        ],
+    )
+
+    record(
+        "compression_ratio",
+        _czr(docs_tbl),
+        [
+            ("zero exchanges (one Arrow stage, ints-only egress)",
+             lambda p: "Exchange" not in p),
+            ("exactly one Arrow python stage",
+             lambda p: len(_re.findall(r"\(\d+\) MapInPandas", p)) == 1),
+            ("no join", lambda p: "Join" not in p),
+        ],
+    )
+
     from intertext_spark.operators.dedup import source_overlap as _sov
 
     record(

@@ -774,6 +774,34 @@ def cdc_fixture(sf_dir: str, out_dir: str):
     print(f"cdc fixture: {len(out['doc_id'])} chunks over {len(rows)} docs")
 
 
+def compression_fixture(sf_dir: str, out_dir: str, level: int = 6):
+    """Ground truth for the compression_ratio gate row: plain python
+    zlib (the container's single libzlib — the same library the engine
+    UDF calls) over every document's UTF-8 bytes."""
+    import zlib
+
+    rows = duckdb.sql(
+        f"select doc_id, text from '{sf_dir}/documents.parquet' order by doc_id"
+    ).fetchall()
+    ids, nb, nc = [], [], []
+    for doc_id, t in rows:
+        b = (t or "").encode("utf-8")
+        if not b:
+            continue
+        ids.append(doc_id)
+        nb.append(len(b))
+        nc.append(len(zlib.compress(b, level)))
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_compressed": pa.array(nc, pa.int64()),
+        }),
+        os.path.join(out_dir, "compression_ratio.parquet"),
+    )
+    print(f"compression fixture: {len(ids)} docs")
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
@@ -794,6 +822,7 @@ def main():
     xml_page_map_fixture(sf_dir, out_dir)
     bpe_fixtures(sf_dir, out_dir)
     cdc_fixture(sf_dir, out_dir)
+    compression_fixture(sf_dir, out_dir)
     pipeline_fixtures(sf_dir, out_dir, cache)
 
 
