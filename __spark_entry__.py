@@ -832,6 +832,26 @@ def _deterministic_sample_q(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _weighted_sample_q(spark, sf_dir):
+    """Soft-dedup sampling composed end-to-end: exact md5 content groups
+    -> weight = 1/n_members (exact division — the alpha=1 soft weight
+    without pow's ulp risk) -> deterministic weighted Bernoulli at
+    rate=0.9 on the md5 hash-bridge, so DuckDB recomputes the EXACT
+    survivor set (threshold = one IEEE multiply chain + floor)."""
+    from intertext_spark.operators.dedup import soft_dedup_exact
+    from intertext_spark.operators.sampling import weighted_sample
+
+    w = soft_dedup_exact(_docs(spark, sf_dir), alpha=1.0).select(
+        "doc_id",
+        "n_members",
+        (F.lit(1.0) / F.col("n_members").cast("double")).alias("weight"),
+    )
+    bridge = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"
+    )
+    return weighted_sample(w, "weight", rate=0.9, hash_expr=bridge)
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup gate mode: centroids = 8 smallest-id vectors (so DuckDB
     can recompute the exact assignment), round4 cosines before ranking
@@ -1971,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winnow_fingerprints"] = _winnow_fingerprints_q
     q["char_entropy"] = _char_entropy_q
     q["compression_ratio"] = _compression_ratio_q
+    q["weighted_sample"] = _weighted_sample_q
     return q
 
 
@@ -3369,6 +3390,23 @@ where rnk <= 10
 select doc_id, lang, source, n_chars
 from documents
 where ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 3 < 1
+"""
+    out["weighted_sample"] = """
+with w as (
+  select doc_id,
+         count(*) over (partition by md5(text)) as n_members
+  from documents
+)
+select doc_id,
+       cast(n_members as bigint) as n_members,
+       cast(1 as double) / n_members as weight
+from w
+where ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        % 16777216
+      < least(cast(floor(cast(0.9 as double)
+                         * (cast(1 as double) / n_members)
+                         * cast(16777216 as double)) as bigint),
+              cast(16777216 as bigint))
 """
     out["exact_dedup_corpus"] = """
 select doc_id, lang, source, n_chars

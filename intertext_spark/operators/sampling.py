@@ -602,3 +602,47 @@ def pack_stats(packed: DataFrame, capacity: int) -> DataFrame:
             / (F.col("n_bins") * F.lit(capacity)).cast("double")
         ).alias("padding_frac"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate: float = 1.0,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_expr=None,
+    den: int = 1 << 24,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli subsample — the sampling half of
+    soft deduplication: keep each row with probability
+    min(rate * weight, 1), decided by a content-keyed hash so the
+    survivor set is identical on every run, any partitioning, any
+    cluster size (deterministic_sample is the uniform special case
+    weight=1).  Feed it ``dedup.soft_dedup_weights`` output and every
+    duplicate-content group contributes ~rate distinct documents in
+    expectation; DSIR exp(logw) or classifier probabilities slot in the
+    same way.
+
+    Keep rule is an exact integer comparison: pmod(hash(id), den) <
+    floor(rate * weight * den) (clamped to den) — the only float math is
+    one IEEE multiply chain + floor, identical on any engine, so an
+    external SQL oracle recomputes the exact survivor set (pass the md5
+    hash-bridge as ``hash_expr`` as the gate does; production default is
+    xxhash64(id, seed)).  NULL weights drop the row (null predicate);
+    weights <= 0 keep nothing; weights >= 1/rate keep always.
+
+    Scale shape: narrow filter only — zero exchanges, no Python."""
+    if den <= 0:
+        raise ValueError(f"den must be positive, got {den}")
+    if hash_expr is None:
+        hash_expr = F.xxhash64(F.col(id_col), F.lit(seed))
+    raw = F.floor(
+        F.lit(float(rate)) * F.col(weight_col) * F.lit(float(den))
+    ).cast("long")
+    # least() SKIPS nulls (a NULL weight would fall through to the den
+    # clamp and keep the row) — gate the clamp on weight being present
+    # so NULL weights drop via the null predicate as documented
+    thresh = F.when(
+        F.col(weight_col).isNotNull(), F.least(raw, F.lit(den).cast("long"))
+    )
+    return df.where(F.pmod(hash_expr, F.lit(den)) < thresh)

@@ -573,3 +573,44 @@ def test_unimax_allocation_rejects_negative_capacity(spark):
         [(0, "a", -5), (1, "b", 10)], "doc_id long, source string, w long")
     with pytest.raises(ValueError, match="negative source capacity"):
         sampling.unimax_allocation(df, 10, 1.0, weight_col="w")
+
+
+def test_weighted_sample_exact_predicate_and_edges(spark):
+    """Survivor set == a python recomputation of the exact integer
+    predicate on the md5 bridge; weight 0 / NULL drop, weight >= 1/rate
+    always keeps, layout-invariant; den validation."""
+    import hashlib
+    import math
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from intertext_spark.operators.sampling import weighted_sample
+
+    rows = [(i, [0.0, 0.05, 0.3, 0.7, 1.0, 2.0, None][i % 7]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    bridge = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"
+    )
+    den = 1 << 24
+    got = {r.doc_id for r in weighted_sample(df, "weight", rate=0.8,
+                                             hash_expr=bridge).collect()}
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % den
+
+    want = set()
+    for i, w in rows:
+        if w is None:
+            continue
+        thresh = min(math.floor(0.8 * w * float(den)), den)
+        if h(i) < thresh:
+            want.add(i)
+    assert got == want
+    assert not any(r[1] == 0.0 and r[0] in got for r in rows)
+    assert all(i in got for i, w in rows if w == 2.0)
+    again = {r.doc_id for r in weighted_sample(df.repartition(7), "weight",
+                                               rate=0.8, hash_expr=bridge).collect()}
+    assert again == got
+    with _pt.raises(ValueError):
+        weighted_sample(df, "weight", den=0)

@@ -891,6 +891,25 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.sampling import weighted_sample as _wsm
+
+    record(
+        "weighted_sample",
+        _wsm(
+            _sde(docs_tbl, alpha=1.0),
+            "weight",
+            rate=0.9,
+        ),
+        [
+            ("the sample itself adds zero exchanges (narrow filter on the"
+             " weight frame — here one exchange total: the soft-weight"
+             " window it composes with)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no join", lambda p: "Join" not in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     from intertext_spark.operators.dedup import source_overlap as _sov
 
     record(
