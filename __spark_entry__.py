@@ -832,6 +832,21 @@ def _deterministic_sample_q(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "n_chars")
 
 
+def _conv_embeddings_q(spark, sf_dir):
+    """Turn->conversation embedding pooling: vectors grouped 8 per conv
+    (vec_id div 8), mean in vec_id order, L2-normalized; the DuckDB twin
+    folds the identically-sorted list, so raw doubles pin bit-exact
+    (same IEEE sequence — see the operator's float discipline note)."""
+    from intertext_spark.operators.dedup import mean_pool_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.expr("vec_id div 8").cast("long").alias("conv_id"),
+        F.col("vec_id").alias("turn_idx"),
+        "embedding",
+    )
+    return mean_pool_embeddings(emb)
+
+
 def _weighted_sample_q(spark, sf_dir):
     """Soft-dedup sampling composed end-to-end: exact md5 content groups
     -> weight = 1/n_members (exact division — the alpha=1 soft weight
@@ -1992,6 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["char_entropy"] = _char_entropy_q
     q["compression_ratio"] = _compression_ratio_q
     q["weighted_sample"] = _weighted_sample_q
+    q["conv_embeddings"] = _conv_embeddings_q
     return q
 
 
@@ -3390,6 +3406,36 @@ where rnk <= 10
 select doc_id, lang, source, n_chars
 from documents
 where ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 3 < 1
+"""
+    out["conv_embeddings"] = """
+with e as (
+  select vec_id // 8 as grp, vec_id,
+         list_transform(embedding, x -> cast(x as double)) as emb
+  from embeddings
+  where embedding is not null
+),
+g as (
+  select grp, list(emb order by vec_id) as embs
+  from e group by grp
+),
+m as (
+  select grp, cast(len(embs) as bigint) as n_items,
+         list_transform(generate_series(1, len(embs[1])),
+           p -> list_reduce(list_transform(embs, v -> v[cast(p as int)]),
+                            (a, b) -> a + b)
+                / cast(len(embs) as double)) as mean
+  from g
+),
+nrm as (
+  select grp, n_items, mean,
+         sqrt(list_reduce(list_transform(mean, x -> x * x),
+                          (a, b) -> a + b)) as nn
+  from m
+)
+select grp as conv_id, n_items,
+       case when nn > 0 then list_transform(mean, x -> x / nn)
+            else mean end as embedding
+from nrm
 """
     out["weighted_sample"] = """
 with w as (

@@ -1707,3 +1707,77 @@ def source_overlap(
         F.expr("count(*) div 2").cast("long").alias("n_pairs"),
         F.countDistinct("d").cast("long").alias("n_docs"),
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    emb_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Pool item-level embeddings (turns, chunks, frames) into one
+    group-level vector — the standard bridge from turn embeddings to
+    CONVERSATION-level semdedup / ANN / embedding_dup_pairs: mean over
+    the group's vectors in ``order_col`` order, optionally L2-normalized
+    (cosine-ready).  -> (group_col, n_items, embedding:array<double>).
+
+    Float discipline: the fold runs over the collect_list SORTED by
+    (order, vector) — a total order — so the per-element double sums are
+    the same IEEE sequence on every layout AND recomputable by an
+    external engine folding the same sorted list (0.0 + x == x makes the
+    init-vs-first-element fold shapes identical); division and sqrt are
+    correctly rounded.  Raw doubles therefore pin cross-engine without
+    quantizing (the audio-features posture).  Ragged rows (dim != the
+    group's first vector) are dropped from the fold — zip_with would
+    silently truncate (the ivf_train lesson); NULL embeddings are
+    pre-filtered.
+
+    Scale shape: ONE exchange (the group shuffle); everything after is
+    in-row higher-order functions — no joins, no Python.  State per
+    group is O(n_items * dim): at transcript scale bound the group size
+    upstream (conversations are short; for pathological groups pre-sum
+    per partition with a two-level mean)."""
+    sel = df.where(F.col(emb_col).isNotNull()).select(
+        F.col(group_col).alias("grp"),
+        F.col(order_col).alias("o"),
+        F.col(emb_col).cast("array<double>").alias("e"),
+    )
+    grouped = (
+        sel.groupBy("grp")
+        .agg(F.array_sort(F.collect_list(F.struct("o", "e"))).alias("raw"))
+        # attribute-bind before the lambdas (the top_ngrams lesson)
+        .select(
+            "grp",
+            F.filter(
+                "raw",
+                lambda s: F.size(s["e"])
+                == F.size(F.element_at(F.col("raw"), 1)["e"]),
+            ).alias("items"),
+        )
+        .select("grp", "items")
+    )
+    n = F.size("items")
+    zero = F.transform(
+        F.element_at(F.col("items"), 1)["e"], lambda x: F.lit(0.0)
+    )
+    summed = F.aggregate(
+        "items", zero, lambda acc, s: F.zip_with(acc, s["e"], lambda a, b: a + b)
+    )
+    mean = F.transform(summed, lambda x: x / n.cast("double"))
+    bound = grouped.select(
+        "grp", n.cast("long").alias("n_items"), mean.alias("m")
+    )
+    if not normalize:
+        return bound.select(
+            F.col("grp").alias(group_col), "n_items", F.col("m").alias("embedding")
+        )
+    norm = F.sqrt(
+        F.aggregate("m", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    out = F.when(norm > 0, F.transform("m", lambda x: x / norm)).otherwise(
+        F.col("m")
+    )
+    return bound.select(
+        F.col("grp").alias(group_col), "n_items", out.alias("embedding")
+    )

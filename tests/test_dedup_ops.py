@@ -1467,3 +1467,28 @@ def test_compression_ratio_zlib_oracle(spark):
         assert out[did].n_compressed == len(zlib.compress(b, 6))
         assert out[did].ratio == out[did].n_compressed / out[did].n_bytes
     assert out[1].ratio < out[2].ratio
+
+
+def test_mean_pool_embeddings_semantics(spark):
+    """numpy mean/normalize oracle; ragged rows dropped from the fold
+    (never zip-truncated); NULL embeddings pre-filtered; all-zero group
+    keeps the raw mean (no 0/0); bit-exact layout invariance."""
+    rows = [
+        ("a", 0, [1.0, 2.0, 3.0]),
+        ("a", 1, [3.0, 2.0, 1.0]),
+        ("a", 2, [1.0, 1.0]),          # ragged -> dropped
+        ("a", 3, None),                # null -> dropped
+        ("b", 0, [0.0, 0.0, 0.0]),
+        ("c", 5, [2.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, embedding array<double>")
+    out = {r.conv_id: r for r in dedup.mean_pool_embeddings(df).collect()}
+    assert out["a"].n_items == 2
+    a = np.array([2.0, 2.0, 2.0]); a = a / np.linalg.norm(a)
+    assert np.allclose(out["a"].embedding, a)
+    assert out["b"].embedding == [0.0, 0.0, 0.0] and out["b"].n_items == 1
+    assert out["c"].embedding == [1.0, 0.0, 0.0]
+    raw = {r.conv_id: r for r in dedup.mean_pool_embeddings(df, normalize=False).collect()}
+    assert raw["a"].embedding == [2.0, 2.0, 2.0]
+    again = sorted(map(tuple, dedup.mean_pool_embeddings(df.repartition(5)).collect()))
+    assert again == sorted(map(tuple, dedup.mean_pool_embeddings(df).collect()))

@@ -910,6 +910,23 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.dedup import mean_pool_embeddings as _mpe
+
+    record(
+        "mean_pool_embeddings",
+        _mpe(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+                "vec_id div 8 as conv_id", "vec_id as turn_idx", "embedding"
+            )
+        ),
+        [
+            ("exactly one exchange (the group shuffle; pooling is in-row)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("no join", lambda p: "Join" not in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     from intertext_spark.operators.dedup import source_overlap as _sov
 
     record(
