@@ -542,6 +542,55 @@ def _gopher_rules_q(spark, sf_dir):
     return gopher_rules(lined, min_words=20)
 
 
+def _gopher_repetition_q(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 table A1, repetition
+    half).  The gate corpus is single-line word soup with no natural
+    structure, so the query plants every rule deterministically: 5-word
+    lines with every 4th line replaced by a canned constant line
+    (duplicate lines + top-2/3/4-gram + dup-5-gram mass), lines paired
+    into 2-line paragraphs, and doc_id%3==0 docs re-appending their
+    first paragraph (duplicate paragraphs + dup-6..10-gram mass from
+    the >= 10-word repeated span).  The oracle replants identically and
+    recomputes every metric (and the verdict over the QUANTIZED
+    metrics) in DuckDB."""
+    from intertext_spark.operators.textstats import gopher_repetition
+
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    n_lines = F.expr("(size(ws) + 4) div 5")
+    lined = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.when(
+                    i % 4 == 0, F.lit("echo bravo echo bravo echo")
+                ).otherwise(F.array_join(F.slice("ws", i * 5 + 1, 5), " ")),
+            ).alias("ls"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.expr("(size(ls) + 1) div 2") - 1),
+                lambda j: F.array_join(F.slice("ls", j * 2 + 1, 2), "\n"),
+            ).alias("ps"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat("ps", F.array(F.element_at("ps", 1))),
+                ).otherwise(F.col("ps")),
+                "\n\n",
+            ).alias("text"),
+        )
+    )
+    return gopher_repetition(lined)
+
+
 def _ccnet_buckets_q(spark, sf_dir):
     """CCNet per-language perplexity bucketing (Wenzek et al. 2020
     §4.4).  The gate derives a deterministic per-doc fluency proxy
@@ -1945,6 +1994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["strip_boilerplate"] = _strip_boilerplate_q
     q["c4_clean"] = _c4_clean_q
     q["gopher_rules"] = _gopher_rules_q
+    q["gopher_repetition"] = _gopher_repetition_q
     q["cdc_chunks"] = _cdc_chunks_q
     q["cdc_stats"] = _cdc_stats_q
     q["top_ngrams"] = _top_ngrams_q
@@ -2384,6 +2434,155 @@ select *,
         and ellipsis_line_frac <= 0.3
         and alpha_word_frac >= 0.8
         and stopword_hits >= 2) as keep
+from met
+"""
+    # gopher_repetition: DuckDB replants the identical planted structure
+    # (canned line every 4th, 2-line paragraphs, doc_id%3 first-paragraph
+    # repeat — same as _gopher_repetition_q) and recomputes every
+    # repetition metric: line/paragraph dup fractions by unnest+group,
+    # top-n-gram by (count desc, gram asc) row_number, dup-n-gram char
+    # mass by the POSITION-UNION rule (distinct covered word positions of
+    # >= 2x grams), all quantized with the shared floor contract before
+    # the verdict.
+    _grep_tops = "".join(
+        f""",
+g{n} as (
+  select doc_id, i as s, array_to_string(list_slice(ws, i, i + {n - 1}), ' ') as gram
+  from m, unnest(generate_series(1, len(ws) - {n - 1})) as t(i)
+  where len(ws) >= {n}
+),
+t{n} as (select doc_id, gram, count(*) as cnt from g{n} group by doc_id, gram),
+tt{n} as (
+  select doc_id, cnt * (length(gram) - {n - 1}) as top_chars
+  from t{n}
+  qualify row_number() over (partition by doc_id order by cnt desc, gram asc) = 1
+)"""
+        for n in (2, 3, 4)
+    )
+    _grep_dups = "".join(
+        f""",
+g{n} as (
+  select doc_id, i as s, array_to_string(list_slice(ws, i, i + {n - 1}), ' ') as gram
+  from m, unnest(generate_series(1, len(ws) - {n - 1})) as t(i)
+  where len(ws) >= {n}
+),
+d{n} as (
+  select doc_id, s from (
+    select doc_id, s, count(*) over (partition by doc_id, gram) as cnt from g{n}
+  ) where cnt >= 2
+),
+c{n} as (select distinct doc_id, p from d{n}, unnest(generate_series(s, s + {n - 1})) as u(p)),
+f{n} as (
+  select c.doc_id, sum(length(b.ws[c.p])) as dup_chars
+  from c{n} c join base b using (doc_id) group by c.doc_id
+)"""
+        for n in range(5, 11)
+    )
+    _grep_met_cols = "".join(
+        f""",
+       floor(coalesce(tt{n}.top_chars, 0) / cast(b.word_chars as double)
+             * 1000000 + 0.5) / 1000000 as top_{n}gram_char_frac"""
+        for n in (2, 3, 4)
+    ) + "".join(
+        f""",
+       floor(coalesce(f{n}.dup_chars, 0) / cast(b.word_chars as double)
+             * 1000000 + 0.5) / 1000000 as dup_{n}gram_char_frac"""
+        for n in range(5, 11)
+    )
+    _grep_joins = "".join(
+        f"\n  left join tt{n} on tt{n}.doc_id = b.doc_id" for n in (2, 3, 4)
+    ) + "".join(
+        f"\n  left join f{n} on f{n}.doc_id = b.doc_id" for n in range(5, 11)
+    )
+    _grep_verdict = " and ".join(
+        [
+            "dup_line_frac <= 0.30",
+            "dup_para_frac <= 0.30",
+            "dup_line_char_frac <= 0.20",
+            "dup_para_char_frac <= 0.20",
+            "top_2gram_char_frac <= 0.20",
+            "top_3gram_char_frac <= 0.18",
+            "top_4gram_char_frac <= 0.16",
+        ]
+        + [
+            f"dup_{n}gram_char_frac <= {t}"
+            for n, t in zip(range(5, 11), (0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
+        ]
+    )
+    out["gopher_repetition"] = f"""
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+),
+lined as (
+  select doc_id,
+         list_transform(generate_series(0, cast((len(ws) + 4) // 5 as int) - 1),
+           i -> case when i % 4 = 0 then 'echo bravo echo bravo echo'
+                else array_to_string(list_slice(ws, i*5 + 1, i*5 + 5), ' ') end) as ls
+  from w where len(ws) > 0
+),
+paras as (
+  select doc_id,
+         list_transform(generate_series(0, cast((len(ls) + 1) // 2 as int) - 1),
+           j -> array_to_string(list_slice(ls, j*2 + 1, j*2 + 2), chr(10))) as ps
+  from lined
+),
+txt as (
+  select doc_id,
+         array_to_string(
+           case when doc_id % 3 = 0 then list_append(ps, ps[1]) else ps end,
+           chr(10) || chr(10)) as text
+  from paras
+),
+m as (
+  select doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from txt
+),
+base as (
+  select doc_id, ws,
+         cast(len(ws) as bigint) as n_words,
+         list_sum(list_transform(ws, w -> length(w))) as word_chars
+  from m
+),
+lineu as (
+  select doc_id, u as unit
+  from m, unnest(list_filter(str_split(text, chr(10)), x -> x != '')) as t(u)
+),
+linec as (select doc_id, unit, count(*) as cnt from lineu group by doc_id, unit),
+linea as (
+  select doc_id, sum(cnt) as n_units, sum(cnt - 1) as dups,
+         sum(cnt * length(unit)) as chars,
+         sum((cnt - 1) * length(unit)) as dup_chars
+  from linec group by doc_id
+),
+parau as (
+  select doc_id, u as unit
+  from m, unnest(list_filter(str_split(text, chr(10) || chr(10)), x -> x != '')) as t(u)
+),
+parac as (select doc_id, unit, count(*) as cnt from parau group by doc_id, unit),
+paraa as (
+  select doc_id, sum(cnt) as n_units, sum(cnt - 1) as dups,
+         sum(cnt * length(unit)) as chars,
+         sum((cnt - 1) * length(unit)) as dup_chars
+  from parac group by doc_id
+){_grep_tops}{_grep_dups},
+met as (
+  select b.doc_id, b.n_words,
+       floor(cast(la.dups as double) / la.n_units * 1000000 + 0.5) / 1000000
+         as dup_line_frac,
+       floor(case when la.chars > 0 then cast(la.dup_chars as double) / la.chars
+                  else 0.0 end * 1000000 + 0.5) / 1000000 as dup_line_char_frac,
+       floor(cast(pa.dups as double) / pa.n_units * 1000000 + 0.5) / 1000000
+         as dup_para_frac,
+       floor(case when pa.chars > 0 then cast(pa.dup_chars as double) / pa.chars
+                  else 0.0 end * 1000000 + 0.5) / 1000000 as dup_para_char_frac{_grep_met_cols}
+  from base b
+  join linea la on la.doc_id = b.doc_id
+  join paraa pa on pa.doc_id = b.doc_id{_grep_joins}
+)
+select *, ({_grep_verdict}) as keep
 from met
 """
     out["strip_boilerplate"] = _lined_cte + """,

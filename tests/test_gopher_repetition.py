@@ -1,0 +1,145 @@
+"""gopher_repetition: Gopher table-A1 repetition filters vs an
+independent pure-python oracle (randomized word-soup with planted
+repeats) plus pinned hand-computed cases and a narrow-plan assert."""
+
+import random
+from collections import Counter
+
+import pytest
+
+from intertext_spark.operators.textstats import gopher_repetition
+
+Q = 10 ** 6
+
+
+def _q(x):
+    import math
+
+    return math.floor(x * Q + 0.5) / Q
+
+
+def _oracle(doc_id, text):
+    ws = [w for w in text.split() if w]
+    if not ws:
+        return None
+    word_chars = sum(len(w) for w in ws)
+    out = {"doc_id": doc_id, "n_words": len(ws)}
+
+    def unit_stats(sep, prefix):
+        units = [u for u in text.split(sep) if u != ""]
+        cnt = Counter(units)
+        n = len(units)
+        dups = sum(c - 1 for c in cnt.values())
+        chars = sum(len(u) for u in units)
+        dup_chars = sum((c - 1) * len(u) for u, c in cnt.items())
+        out[f"dup_{prefix}_frac"] = _q(dups / n)
+        out[f"dup_{prefix}_char_frac"] = _q(dup_chars / chars) if chars else 0.0
+
+    unit_stats("\n", "line")
+    unit_stats("\n\n", "para")
+
+    for n in (2, 3, 4):
+        grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        if not grams:
+            out[f"top_{n}gram_char_frac"] = 0.0
+            continue
+        cnt = Counter(grams)
+        best = max(cnt, key=lambda g: (cnt[g], [-ord(c) for c in g]))
+        # tie rule: max count, lexicographically SMALLEST gram
+        best_n = max(cnt.values())
+        best = min(g for g, c in cnt.items() if c == best_n)
+        gram_chars = len(best) - (n - 1)
+        out[f"top_{n}gram_char_frac"] = _q(best_n * gram_chars / word_chars)
+
+    for n in range(5, 11):
+        grams = [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        cnt = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if cnt[g] >= 2:
+                covered.update(range(i, i + n))
+        dup_chars = sum(len(ws[p]) for p in covered)
+        out[f"dup_{n}gram_char_frac"] = _q(dup_chars / word_chars)
+
+    out["keep"] = (
+        out["dup_line_frac"] <= 0.30
+        and out["dup_para_frac"] <= 0.30
+        and out["dup_line_char_frac"] <= 0.20
+        and out["dup_para_char_frac"] <= 0.20
+        and out["top_2gram_char_frac"] <= 0.20
+        and out["top_3gram_char_frac"] <= 0.18
+        and out["top_4gram_char_frac"] <= 0.16
+        and all(
+            out[f"dup_{n}gram_char_frac"] <= t
+            for n, t in zip(range(5, 11), (0.15, 0.14, 0.13, 0.12, 0.11, 0.10))
+        )
+    )
+    return out
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition(df).collect()}
+    want = {d: _oracle(d, t) for d, t in rows}
+    want = {d: v for d, v in want.items() if v is not None}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d]), f"doc {d}: {got[d]} != {want[d]}"
+
+
+def test_pinned_hand_cases(spark):
+    _run(
+        spark,
+        [
+            (1, "a b\na b\nc d"),               # dup lines 1/3
+            (2, "x y x y x y"),                 # overlapping top-gram > 1.0
+            (3, "a b c d e a b c d e"),         # dup 5-gram covers all words
+            (4, "p q\n\np q\n\nr s"),           # dup paragraphs
+            (5, "one two three four five six"),
+            (6, "w"),                           # no grams at all
+        ],
+    )
+
+
+def test_randomized_python_oracle_parity(spark):
+    rng = random.Random(20260819)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for d in range(40):
+        n = rng.randint(1, 120)
+        ws = [rng.choice(vocab) for _ in range(n)]
+        if d % 3 == 0 and n >= 12:
+            # plant a verbatim repeat -> engages dup 5..10-gram rules
+            ws = ws + ws[: rng.randint(5, 12)]
+        lines = [" ".join(ws[i:i + 5]) for i in range(0, len(ws), 5)]
+        if d % 4 == 0 and len(lines) >= 2:
+            lines.append(lines[0])  # duplicate line
+        paras = ["\n".join(lines[j:j + 2]) for j in range(0, len(lines), 2)]
+        if d % 5 == 0 and len(paras) >= 2:
+            paras.append(paras[0])  # duplicate paragraph
+        rows.append((d, "\n\n".join(paras)))
+    _run(spark, rows)
+
+
+def test_zero_word_docs_dropped_and_verdict_flips(spark):
+    rows = [(1, "   "), (2, ""), (3, "tok " * 60 + "end")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    assert set(out) == {3}
+    assert out[3]["keep"] is False  # 60x same token trips every gram rule
+    clean = " ".join(f"u{i}" for i in range(60))
+    ok = gopher_repetition(
+        spark.createDataFrame([(9, clean)], "doc_id long, text string")
+    ).collect()[0]
+    assert ok["keep"] is True
+
+
+def test_narrow_plan(spark):
+    # One Arrow kernel, no shuffle, no join: the deliberate mapInPandas
+    # exception (interpreted higher-order-function eval is ~1000x slower
+    # here — see the operator docstring).
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_repetition(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
