@@ -711,6 +711,125 @@ def _corpus_profile_q(spark, sf_dir):
     return corpus_profile(_docs(spark, sf_dir))
 
 
+def _html_text_q(spark, sf_dir):
+    """HTML -> text extraction: the gate wraps the corpus word soup in a
+    deterministic HTML shell exercising every rule — head/comment/script
+    removal (incl. a '<p>' INSIDE the script body, so greedy matching
+    would corrupt), a self-closing script, block-close and <br> newline
+    structure, attribute-bearing tag strip, and all seven entities with
+    '&amp;lt;' ordering pressure.  The oracle replants identically and
+    replays the identical Java-regex/RE2-common-subset chain in RE2."""
+    from intertext_spark.operators.xmlextract import html_text
+
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    n_lines = F.expr("(size(ws) + 5) div 6")
+    lined = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.when(
+                    i % 4 == 0,
+                    F.concat(
+                        F.lit("<p>"),
+                        F.array_join(F.slice("ws", i * 6 + 1, 6), " "),
+                        F.lit(" &amp; tail</p>"),
+                    ),
+                )
+                .when(
+                    i % 4 == 1,
+                    F.concat(
+                        F.lit('<div class="d">'),
+                        F.array_join(F.slice("ws", i * 6 + 1, 6), " "),
+                        F.lit("<br/>after</div>"),
+                    ),
+                )
+                .when(
+                    i % 4 == 2,
+                    F.concat(
+                        F.lit('<h2 id="h2">'),
+                        F.array_join(F.slice("ws", i * 6 + 1, 6), " "),
+                        F.lit("</h2>"),
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.array_join(F.slice("ws", i * 6 + 1, 6), " "),
+                        F.lit(" &lt;kw&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+                    )
+                ),
+            ).alias("ls"),
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(
+                    "<html><head><title>Meta Junk</title></head>"
+                    "<body><!-- drop\nme --><script src=\"a.js\"/>"
+                ),
+                F.array_join("ls", "\n"),
+                F.lit(
+                    '<script type="text/js">var p = "<p>x</p>";</script>'
+                    "</body></html>"
+                ),
+            ).alias("text"),
+        )
+    )
+    return html_text(lined).select("doc_id", "extracted")
+
+
+# fix_mojibake gate plant: a clean phrase covering 2- and 3-byte repairs,
+# corrupted by the exact damage mode the operator repairs (UTF-8 bytes
+# misread as cp1252) — derived, never hand-typed.
+_MOJI_CLEAN = "Café déjà naïve œuvre €5 Žole ±3 ©2024 ‘q’ “open …end"
+_MOJI_BAD = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def _fix_mojibake_q(spark, sf_dir):
+    """Encoding repair (table mode): doc_id%5==0 rows stay clean ASCII
+    (changed must be false), the rest get the derived mojibake phrase
+    appended (changed true, every 2- and 3-byte rule class engaged).
+    The oracle replants the same corruption and replays the same derived
+    repair chain as literal replaces in DuckDB."""
+    from intertext_spark.operators.textstats import fix_mojibake
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" " + _MOJI_BAD)))
+        .alias("text"),
+    )
+    return fix_mojibake(docs)
+
+
+def _dedup_report_q(spark, sf_dir):
+    """Dedup accounting over a planted membership: doc_id%7==0 docs
+    collapse onto 3 canned texts (mega-clusters), the rest are natural
+    singletons; membership = md5(text), weight = char length.  Oracle
+    re-derives the full two-level aggregation in DuckDB (all-integer)."""
+    from intertext_spark.operators.dedup import dedup_report
+
+    planted = _docs(spark, sf_dir).select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("dup text variant "),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    members = planted.select(
+        F.md5("text").alias("group_id"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return dedup_report(members, group_col="group_id", weight_col="n_chars")
+
+
 def _bbit_jaccard_pairs_q(spark, sf_dir):
     """b-bit minhash similarity estimation (b=2, 6 md5-bridge perms,
     adjacent-doc pairs): the engine PACKS fields into Horner-fold words
@@ -1995,6 +2114,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["c4_clean"] = _c4_clean_q
     q["gopher_rules"] = _gopher_rules_q
     q["gopher_repetition"] = _gopher_repetition_q
+    q["html_text"] = _html_text_q
+    q["fix_mojibake"] = _fix_mojibake_q
+    q["dedup_report"] = _dedup_report_q
     q["cdc_chunks"] = _cdc_chunks_q
     q["cdc_stats"] = _cdc_stats_q
     q["top_ngrams"] = _top_ngrams_q
@@ -2125,6 +2247,107 @@ from documents
     expr = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
     expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
     out["xml_extract"] = f"select doc_id, {expr} as extracted from documents"
+    # html_text: replant the gate's HTML shell, then replay the operator's
+    # chain (written in the Java-regex/RE2 common subset) in RE2.  The
+    # entity and block-tag tables are imported so chain order is shared.
+    from intertext_spark.operators.xmlextract import (
+        _HTML_BLOCK_TAGS,
+        _HTML_ENTITIES,
+    )
+
+    hexpr = "text"
+    for pat, repl in [("(?is)<!--.*?-->", "''")] + [
+        p
+        for t in ("script", "style", "noscript", "head")
+        for p in [
+            (f"(?is)<{t}(\\s[^>]*)?>.*?</{t}>", "''"),
+            (f"(?is)<{t}(\\s[^>]*)?/>", "''"),
+        ]
+    ] + [
+        ("(?i)<(br|hr)(\\s[^>]*)?/?>", "chr(10)"),
+        (f"(?i)</({_HTML_BLOCK_TAGS})>", "chr(10)"),
+        ("<[^>]+>", "' '"),
+    ]:
+        hexpr = f"regexp_replace({hexpr}, '{pat}', {repl}, 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        chq = ch.replace("'", "''")
+        hexpr = f"replace({hexpr}, '{ent}', '{chq}')"
+    for pat, repl in [
+        ("[ \\t\\r\\f]+", "' '"),
+        ("[ \\t\\r\\f]*\\n[ \\t\\r\\f]*", "chr(10)"),
+        ("\\n{3,}", "chr(10) || chr(10)"),
+        ("^\\n+|\\n+$", "''"),
+    ]:
+        hexpr = f"regexp_replace({hexpr}, '{pat}', {repl}, 'g')"
+    out["html_text"] = f"""
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+),
+lined as (
+  select doc_id,
+         list_transform(generate_series(0, cast((len(ws) + 5) // 6 as int) - 1),
+           i -> case
+             when i % 4 = 0 then '<p>' ||
+               array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ') || ' &amp; tail</p>'
+             when i % 4 = 1 then '<div class="d">' ||
+               array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ') || '<br/>after</div>'
+             when i % 4 = 2 then '<h2 id="h2">' ||
+               array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ') || '</h2>'
+             else array_to_string(list_slice(ws, i*6 + 1, i*6 + 6), ' ') ||
+               ' &lt;kw&gt; &quot;q&quot; &#39;s&#39;&nbsp;end' end) as ls
+  from w where len(ws) > 0
+),
+h as (
+  select doc_id,
+         '<html><head><title>Meta Junk</title></head><body><!-- drop' || chr(10)
+         || 'me --><script src="a.js"/>'
+         || array_to_string(ls, chr(10))
+         || '<script type="text/js">var p = "<p>x</p>";</script></body></html>'
+         as text
+  from lined
+)
+select doc_id, trim({hexpr}) as extracted from h
+"""
+    # fix_mojibake: replant the derived corruption, replay the derived
+    # repair chain as literal replaces (same table, other engine).
+    from intertext_spark.operators.textstats import _mojibake_table
+
+    mexpr = "text"
+    for bad, good in _mojibake_table():
+        bq, gq = bad.replace("'", "''"), good.replace("'", "''")
+        mexpr = f"replace({mexpr}, '{bq}', '{gq}')"
+    _moji_bad_sql = _MOJI_BAD.replace("'", "''")
+    out["fix_mojibake"] = f"""
+with t as (
+  select doc_id,
+         case when doc_id % 5 = 0 then text
+              else text || ' {_moji_bad_sql}' end as text
+  from documents
+)
+select doc_id, {mexpr} as text_fixed, ({mexpr}) != text as changed from t
+"""
+    out["dedup_report"] = """
+with t as (
+  select case when doc_id % 7 = 0
+              then 'dup text variant ' || cast(doc_id % 3 as varchar)
+              else text end as text
+  from documents
+),
+m as (select md5(text) as group_id, cast(length(text) as bigint) as n_chars from t),
+g as (
+  select group_id, count(*) as sz, sum(n_chars) as b, max(n_chars) as bmax
+  from m group by group_id
+)
+select cast(sz as bigint) as group_size,
+       cast(count(*) as bigint) as n_groups,
+       cast(sum(sz) as bigint) as n_docs,
+       cast(sum(sz - 1) as bigint) as n_removable_docs,
+       cast(sum(b) as bigint) as bytes_total,
+       cast(sum(b - bmax) as bigint) as bytes_removable
+from g group by sz
+"""
     out["contamination"] = """
 with w as (
   select doc_id,

@@ -1781,3 +1781,43 @@ def mean_pool_embeddings(
     return bound.select(
         F.col("grp").alias(group_col), "n_items", out.alias("embedding")
     )
+
+
+def dedup_report(
+    df: DataFrame,
+    group_col: str = "group_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup accounting: cluster-SIZE histogram + removable-mass totals —
+    the report a 100-TB dedup run ships alongside its survivor set (what
+    fraction of the corpus is duplicate mass, and is it a long tail of
+    pairs or a few mega-clusters — the knob-tuning signal for band/cap
+    parameters).  Input is any (row, group, weight) membership table —
+    exact_dup_groups hashes, near-dup connected components, semdedup
+    clusters all compose.  -> one row per distinct group size:
+
+      (group_size, n_groups, n_docs, n_removable_docs,
+       bytes_total, bytes_removable)
+
+    with n_removable_docs = (size-1)*n_groups (keep-one-per-group) and
+    bytes_removable = bytes_total - sum(per-group max weight) — the
+    BEST-case removal (every group keeps its heaviest member); actual
+    keeper policies (dedup_corpus quality keeper) remove at least this
+    much smaller mass.  All-integer egress (bigint casts both engines —
+    the scatter_aggs arrow-family lesson).
+
+    Scale shape: two map-side-combined groupBys — group key (corpus
+    cardinality, combiner collapses each group to one row) then size key
+    (|distinct sizes| rows, tiny).  No joins, no Python, no windows."""
+    g = df.groupBy(group_col).agg(
+        F.count("*").alias("sz"),
+        F.sum(weight_col).cast("long").alias("b"),
+        F.max(weight_col).cast("long").alias("bmax"),
+    )
+    return g.groupBy(F.col("sz").cast("long").alias("group_size")).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.sum(F.col("sz") - 1).cast("long").alias("n_removable_docs"),
+        F.sum("b").cast("long").alias("bytes_total"),
+        F.sum(F.col("b") - F.col("bmax")).cast("long").alias("bytes_removable"),
+    )

@@ -1440,3 +1440,111 @@ def gopher_repetition(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(batches, schema)
+
+
+# fix_mojibake: the repair alphabet — accented Latin, ligatures, and the
+# common punctuation/symbol range; each char's repair sequence is derived
+# (never hand-typed) in _mojibake_table.
+_MOJIBAKE_CHARS = (
+    "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÑÒÓÔÕÖØÙÚÛÜÝàáâãäåæçèéêëìíîïñòóôõöøùúûüýÿ"
+    "ßŒœŠšŽžŸƒ"
+    "–—‘’‚“”„†‡•…‰‹›€™"
+    "©®°±²³µ¶·¼½¾¿¡«»¢£¥§¨ªº¬¯´¸"
+)
+
+
+def _mojibake_table() -> "tuple[tuple[str, str], ...]":
+    """(mojibake_sequence, correct_char) pairs: each repair-alphabet
+    char's UTF-8 bytes misdecoded as cp1252 — the dominant real-world
+    mojibake mode (UTF-8 file read under a Windows-1252 locale).  Chars
+    whose UTF-8 bytes hit cp1252's five undefined bytes (0x81 0x8D 0x8F
+    0x90 0x9D — e.g. the right double quote U+201D) have no lossless
+    cp1252 misreading and are skipped.  Ordered longest sequence first,
+    then lexicographic: 3-byte repairs (punctuation, €) must apply
+    before 2-byte ones that match their prefixes, and the total order
+    makes the chain deterministic cross-engine."""
+    rows = []
+    for ch in _MOJIBAKE_CHARS:
+        try:
+            bad = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            continue
+        rows.append((bad, ch))
+    rows.sort(key=lambda r: (-len(r[0]), r[0]))
+    return tuple(rows)
+
+
+def fix_mojibake(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "table",
+) -> DataFrame:
+    """Repair UTF-8-as-cp1252 mojibake ('CafÃ©' -> 'Café') — the
+    encoding-damage pass of a web-scale ingest (the ftfy problem, scoped
+    to its dominant mode).  -> (doc_id, text_fixed, changed).
+
+    mode='table' (default, the cross-engine-exact path): apply the
+    derived repair chain (:func:`_mojibake_table`) as chained LITERAL
+    replaces, longest sequence first — entirely JVM-side string ops
+    inside whole-stage codegen, zero Python, zero exchanges.  Semantics
+    = "this chain, in this order": like any table-driven repair a
+    crafted adversarial text could chain false positives, but the chain
+    is deterministic and an external engine replays it exactly.
+
+    mode='roundtrip' (the stronger repair, pytest-oracled): per doc, if
+    the text survives encode('cp1252') -> decode('utf-8') the result IS
+    the pre-corruption text, byte-certain (valid multi-byte UTF-8 in a
+    cp1252 re-encoding cannot arise by accident in clean text — the
+    ftfy premise); applied up to twice for double-encoded input.  Texts
+    that fail either codec (CJK, clean ASCII+curly-quote prose that
+    cp1252 can't encode... those encode fine actually, but don't decode
+    as UTF-8) pass through untouched.  Arrow-batched mapInPandas,
+    narrow, text crosses once.  Not SQL-twin-expressible (no cp1252
+    codec in DuckDB) — gate coverage is the table mode."""
+    if mode == "table":
+        col = F.col(text_col)
+        for bad, good in _mojibake_table():
+            col = F.replace(col, F.lit(bad), F.lit(good))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            col.alias("text_fixed"),
+            (col != F.col(text_col)).alias("changed"),
+        )
+    if mode != "roundtrip":
+        raise ValueError(f"mode must be 'table' or 'roundtrip': {mode!r}")
+
+    def _fix_one(s: str) -> str:
+        for _ in range(2):
+            try:
+                t = s.encode("cp1252").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return s
+            if t == s:
+                return s
+            s = t
+        return s
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", df.schema[id_col].dataType),
+            T.StructField("text_fixed", T.StringType()),
+            T.StructField("changed", T.BooleanType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            fixed = [_fix_one(s) for s in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "text_fixed": fixed,
+                    "changed": [f != s for f, s in zip(fixed, pdf["text"])],
+                }
+            )
+
+    src = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return src.mapInPandas(batches, schema)

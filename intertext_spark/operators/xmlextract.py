@@ -58,6 +58,67 @@ def xml_text(
     return df.withColumn(out_col, col)
 
 
+# html_text: chained literal entity decodes, longest/most-specific first
+# and '&amp;' LAST (else '&amp;lt;' would double-decode to '<').
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+# Closing one of these (or any <br>/<hr>) ends a line: downstream
+# line/paragraph operators (c4_clean, boilerplate_lines,
+# gopher_repetition) key on '\n' / '\n\n' structure.
+_HTML_BLOCK_TAGS = (
+    "p|div|li|ul|ol|h[1-6]|tr|table|blockquote|pre|"
+    "section|article|header|footer|title"
+)
+
+
+def html_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "extracted",
+    remove_tags: "tuple[str, ...]" = ("script", "style", "noscript", "head"),
+) -> DataFrame:
+    """HTML column -> plain text with line/paragraph structure (the web
+    half of :func:`xml_text`, which targets TEI-style corpora): drop
+    comments and ``remove_tags`` subtrees (script/style/noscript/head —
+    content that is code or metadata, not prose), turn block-tag closes
+    and <br>/<hr> into newlines, strip remaining tags to spaces, decode
+    the core named entities (fixed table — numeric character references
+    beyond &#39; are out of scope without a chr() regex engine and are
+    left verbatim), collapse horizontal whitespace, and bound vertical
+    runs at one blank line so '\\n\\n' stays a paragraph boundary for
+    gopher_repetition / c4_clean / boilerplate_lines downstream.
+
+    Entirely JVM-side regexp/replace chain (whole-stage codegen, no
+    Python); every pattern is written in the Java-regex/RE2 common
+    subset (no (?U), no backrefs, ASCII whitespace classes) so the
+    DuckDB twin replays the identical chain.  Narrow: zero exchanges."""
+    col = F.col(text_col)
+    col = F.regexp_replace(col, r"(?is)<!--.*?-->", "")
+    for t in remove_tags:
+        tl = t.lower()
+        col = F.regexp_replace(col, f"(?is)<{tl}(\\s[^>]*)?>.*?</{tl}>", "")
+        col = F.regexp_replace(col, f"(?is)<{tl}(\\s[^>]*)?/>", "")
+    col = F.regexp_replace(col, r"(?i)<(br|hr)(\s[^>]*)?/?>", "\n")
+    col = F.regexp_replace(col, f"(?i)</({_HTML_BLOCK_TAGS})>", "\n")
+    col = F.regexp_replace(col, r"<[^>]+>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    col = F.regexp_replace(col, r"[ \t\r\f]+", " ")
+    col = F.regexp_replace(col, r"[ \t\r\f]*\n[ \t\r\f]*", "\n")
+    col = F.regexp_replace(col, r"\n{3,}", "\n\n")
+    col = F.regexp_replace(col, r"^\n+|\n+$", "")
+    col = F.trim(col)
+    return df.withColumn(out_col, col)
+
+
 _PAGE_MAP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

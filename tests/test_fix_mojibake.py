@@ -1,0 +1,84 @@
+"""fix_mojibake: table-mode repair chain vs the codec ground truth,
+roundtrip-mode recovery incl. double encoding, and pass-through
+guarantees for clean text."""
+
+import pytest
+
+from intertext_spark.operators.textstats import (
+    _MOJIBAKE_CHARS,
+    _mojibake_table,
+    fix_mojibake,
+)
+
+CLEAN = "Café déjà naïve œuvre €5 Žole ±3 ©2024 ‘q’ “open …end"
+BAD = CLEAN.encode("utf-8").decode("cp1252")
+
+
+def _run(spark, rows, mode):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in fix_mojibake(df, mode=mode).collect()}
+
+
+def test_table_is_derived_and_ordered():
+    t = _mojibake_table()
+    for bad, good in t:
+        # every rule is the codec ground truth, never hand-typed
+        assert good.encode("utf-8").decode("cp1252") == bad
+        assert len(good) == 1
+    lens = [len(b) for b, _ in t]
+    assert lens == sorted(lens, reverse=True)  # longest first
+    assert len(t) == len({b for b, _ in t})  # sequences distinct
+
+
+def test_table_alphabet_skips_cp1252_holes():
+    # U+201D ” has UTF-8 byte 0x9D, undefined in cp1252 — it is in the
+    # alphabet but must be absent from the derived table
+    assert "”" in _MOJIBAKE_CHARS
+    assert all(g != "”" for _, g in _mojibake_table())
+
+
+@pytest.mark.parametrize("mode", ["table", "roundtrip"])
+def test_planted_corruption_repairs_exactly(spark, mode):
+    out = _run(spark, [(1, BAD), (2, "plain ascii only")], mode)
+    assert out[1]["text_fixed"] == CLEAN
+    assert out[1]["changed"] is True
+    assert out[2]["text_fixed"] == "plain ascii only"
+    assert out[2]["changed"] is False
+
+
+def test_roundtrip_repairs_double_encoding(spark):
+    double = BAD.encode("utf-8").decode("cp1252")
+    out = _run(spark, [(1, double)], "roundtrip")
+    assert out[1]["text_fixed"] == CLEAN
+
+
+def test_roundtrip_leaves_unencodable_text_alone(spark):
+    # CJK cannot encode to cp1252 -> untouched; clean accented text
+    # encodes to cp1252 but is not valid UTF-8 -> untouched
+    rows = [(1, "日本語のテキスト"), (2, CLEAN)]
+    out = _run(spark, rows, "roundtrip")
+    for d, s in rows:
+        assert out[d]["text_fixed"] == s
+        assert out[d]["changed"] is False
+
+
+def test_table_mode_on_clean_accents_is_identity(spark):
+    # repaired chars are single non-ASCII chars; no rule's INPUT is a
+    # single char, so already-clean text never matches a rule
+    out = _run(spark, [(1, CLEAN)], "table")
+    assert out[1]["text_fixed"] == CLEAN
+    assert out[1]["changed"] is False
+
+
+def test_invalid_mode_raises(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        fix_mojibake(df, mode="nope")
+
+
+def test_table_mode_narrow_jvm_plan(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = fix_mojibake(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

@@ -1,0 +1,74 @@
+"""html_text: HTML -> plain text with line/paragraph structure —
+pinned behavioral cases + narrow-plan assert."""
+
+from intertext_spark.operators.xmlextract import html_text
+
+
+def _one(spark, html):
+    df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+    return html_text(df).collect()[0]["extracted"]
+
+
+def test_script_style_head_comment_removal(spark):
+    out = _one(
+        spark,
+        '<html><head><title>T</title><meta x="1"/></head><body>'
+        "<!-- c1 --><script>var p = \"<p>fake</p>\";</script>"
+        "<style>p { color: red }</style>keep<noscript>nope</noscript></body>",
+    )
+    assert out == "keep"
+
+
+def test_nongreedy_two_scripts_keeps_between(spark):
+    # greedy .* would eat the 'mid' between two script blocks
+    out = _one(spark, "<script>a</script>mid<script>b</script>")
+    assert out == "mid"
+
+
+def test_block_structure_newlines_and_br(spark):
+    out = _one(
+        spark,
+        "<p>one two</p><p>three</p><div>four<br/>five</div><h2>six</h2>tail",
+    )
+    assert out == "one two\nthree\nfour\nfive\nsix\ntail"
+
+
+def test_paragraph_gap_bounded_at_one_blank_line(spark):
+    # runs of block closes collapse to at most '\n\n' so the output keeps
+    # the downstream paragraph contract (gopher_repetition / c4_clean)
+    out = _one(spark, "<p>a</p><ul><li>b</li></ul><table><tr>c</tr></table>d")
+    assert "\n\n\n" not in out
+    assert out == "a\nb\n\nc\n\nd"
+    # even a long run of closes stays one blank line
+    out = _one(spark, "<p>a</p></div></div></div></section><p>b</p>")
+    assert out == "a\n\nb"
+
+
+def test_entities_decode_and_amp_last(spark):
+    out = _one(spark, "x &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp;co")
+    assert out == "x <tag> \"q\" 's' &co"
+    # &amp;lt; must decode to literal '&lt;', not '<' (single pass)
+    assert _one(spark, "a &amp;lt; b") == "a &lt; b"
+
+
+def test_inline_tags_to_space_and_ws_collapse(spark):
+    out = _one(spark, "a<i>b</i> c  \t d <span>e</span>")
+    assert out == "a b c d e"
+
+
+def test_attribute_bearing_and_selfclosing_tags(spark):
+    out = _one(spark, '<img src="x.png" alt="y"/>pic<a href="u">link</a>')
+    assert out == "pic link"
+
+
+def test_empty_and_tagless_passthrough(spark):
+    assert _one(spark, "") == ""
+    assert _one(spark, "plain words only") == "plain words only"
+
+
+def test_narrow_plan(spark):
+    df = spark.createDataFrame([(1, "<p>a</p>")], "doc_id long, text string")
+    plan = html_text(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

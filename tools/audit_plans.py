@@ -941,6 +941,63 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import (
+        fix_mojibake as _fmj,
+        gopher_repetition as _grp,
+    )
+
+    record(
+        "gopher_repetition", _grp(docs_tbl),
+        [
+            ("zero exchanges (one narrow Arrow kernel)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("Arrow-batched (MapInPandas), never per-row Python",
+             lambda p: "MapInPandas" in p and "BatchEvalPython" not in p),
+        ],
+    )
+    record(
+        "fix_mojibake", _fmj(docs_tbl),
+        [
+            ("zero exchanges (narrow replace chain)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("table mode stays JVM-side (no Python at all)",
+             lambda p: "Python" not in p),
+        ],
+    )
+
+    from intertext_spark.operators.xmlextract import html_text as _htx
+
+    record(
+        "html_text", _htx(docs_tbl),
+        [
+            ("zero exchanges (narrow regexp chain)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
+    from intertext_spark.operators.dedup import dedup_report as _drp
+
+    record(
+        "dedup_report",
+        _drp(
+            docs_tbl.selectExpr(
+                "md5(text) as group_id", "cast(length(text) as long) as n_chars"
+            )
+        ),
+        [
+            ("exactly two exchanges (group key, then size key)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 2),
+            ("both aggregations map-side combined",
+             lambda p: p.count("partial_count") >= 2),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
