@@ -217,6 +217,11 @@ def run_suite(spark, sf_dir: str) -> dict:
         "classifier_scores",
         # pack_sequences: the one-exchange greedy exporter pack
         "pack_sequences",
+        # gopher_repetition: the 13-metric repetition-filter Arrow kernel
+        # (9 gram sizes per doc) — quality-filter throughput
+        "gopher_repetition",
+        # html_text: the zero-exchange JVM regexp/replace extraction chain
+        "html_text",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
