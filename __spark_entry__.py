@@ -2241,9 +2241,11 @@ from documents
     xml_col = ("'<teiheader>SKIP THIS</teiheader><doc rev=\"2\"><p>' || text"
                " || '</p><note place=\"margin\">drop me too</note><pb/></doc>'")
     expr = f"regexp_extract({xml_col}, '(?is)<doc(?:\\s[^>]*)?>(.*?)</doc>', 1)"
+    # self-closing form FIRST (the paired opener pattern also matches a
+    # self-closing tag — _strip_tag_subtrees order, shared both engines)
     for t in ("note", "teiheader"):
-        expr = f"regexp_replace({expr}, '(?is)<{t}(?:\\s[^>]*)?>.*?</{t}>', '', 'g')"
         expr = f"regexp_replace({expr}, '(?is)<{t}(?:\\s[^>]*)?/>', '', 'g')"
+        expr = f"regexp_replace({expr}, '(?is)<{t}(?:\\s[^>]*)?>.*?</{t}>', '', 'g')"
     expr = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
     expr = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
     out["xml_extract"] = f"select doc_id, {expr} as extracted from documents"
@@ -2259,9 +2261,10 @@ from documents
     for pat, repl in [("(?is)<!--.*?-->", "''")] + [
         p
         for t in ("script", "style", "noscript", "head")
+        # self-closing FIRST (_strip_tag_subtrees order, shared engines)
         for p in [
-            (f"(?is)<{t}(\\s[^>]*)?>.*?</{t}>", "''"),
             (f"(?is)<{t}(\\s[^>]*)?/>", "''"),
+            (f"(?is)<{t}(\\s[^>]*)?>.*?</{t}>", "''"),
         ]
     ] + [
         ("(?i)<(br|hr)(\\s[^>]*)?/?>", "chr(10)"),

@@ -1352,6 +1352,12 @@ def gopher_repetition(
     import re as _re
     from collections import Counter
 
+    if len(max_top_gram_char_frac) != 3:
+        raise ValueError(
+            "max_top_gram_char_frac must have exactly 3 entries (n=2,3,4); "
+            f"got {len(max_top_gram_char_frac)} — a shorter tuple would "
+            "silently shift every dup-gram threshold by one"
+        )
     dup_ns = tuple(range(5, 5 + len(max_dup_gram_char_frac)))
     top_ns = (2, 3, 4)
     quant = 10 ** quantize_digits if quantize_digits is not None else None
@@ -1506,7 +1512,10 @@ def fix_mojibake(
         col = F.col(text_col)
         for bad, good in _mojibake_table():
             col = F.replace(col, F.lit(bad), F.lit(good))
-        return df.select(
+        # null-text rows drop in BOTH modes (one output contract; table
+        # mode without this filter would emit null text_fixed + null
+        # changed — a three-valued boolean downstream)
+        return df.where(F.col(text_col).isNotNull()).select(
             F.col(id_col).alias("doc_id"),
             col.alias("text_fixed"),
             (col != F.col(text_col)).alias("changed"),

@@ -32,6 +32,21 @@ from pyspark.sql import DataFrame, functions as F, types as T
 from ..config import PipelineConfig
 
 
+def _strip_tag_subtrees(col, tags):
+    """Remove each tag's elements: SELF-CLOSING FORM FIRST, then paired.
+    Order is load-bearing — the paired opener pattern `<t(\\s[^>]*)?>`
+    also matches a self-closing `<t .../>` (the '/' is consumed by
+    `[^>]*`), so running paired first would lazily delete everything
+    from a self-closing tag through the NEXT `</t>` in the document.
+    Shared by xml_text and html_text; the DuckDB gate twins replay the
+    same order."""
+    for t in tags:
+        tl = t.lower()
+        col = F.regexp_replace(col, f"(?is)<{tl}(\\s[^>]*)?/>", "")
+        col = F.regexp_replace(col, f"(?is)<{tl}(\\s[^>]*)?>.*?</{tl}>", "")
+    return col
+
+
 def xml_text(
     df: DataFrame,
     text_col: str = "text",
@@ -41,7 +56,8 @@ def xml_text(
 ) -> DataFrame:
     """Markup column -> plain text: select base_tag subtree (first match;
     '' when absent, like the reference's warning path), drop remove_tags
-    elements (paired or self-closing), strip remaining tags to spaces,
+    elements (self-closing form first, then paired — see
+    :func:`_strip_tag_subtrees`), strip remaining tags to spaces,
     collapse whitespace."""
     col = F.col(text_col)
     if base_tag:
@@ -49,10 +65,7 @@ def xml_text(
         col = F.regexp_extract(
             col, f"(?is)<{b}(?:\\s[^>]*)?>(.*?)</{b}>", 1
         )
-    for t in remove_tags:
-        tl = t.lower()
-        col = F.regexp_replace(col, f"(?is)<{tl}(?:\\s[^>]*)?>.*?</{tl}>", "")
-        col = F.regexp_replace(col, f"(?is)<{tl}(?:\\s[^>]*)?/>", "")
+    col = _strip_tag_subtrees(col, remove_tags)
     col = F.regexp_replace(col, r"<[^>]+>", " ")
     col = F.trim(F.regexp_replace(col, r"(?U)[\s\x1c-\x1f]+", " "))
     return df.withColumn(out_col, col)
@@ -102,10 +115,7 @@ def html_text(
     DuckDB twin replays the identical chain.  Narrow: zero exchanges."""
     col = F.col(text_col)
     col = F.regexp_replace(col, r"(?is)<!--.*?-->", "")
-    for t in remove_tags:
-        tl = t.lower()
-        col = F.regexp_replace(col, f"(?is)<{tl}(\\s[^>]*)?>.*?</{tl}>", "")
-        col = F.regexp_replace(col, f"(?is)<{tl}(\\s[^>]*)?/>", "")
+    col = _strip_tag_subtrees(col, remove_tags)
     col = F.regexp_replace(col, r"(?i)<(br|hr)(\s[^>]*)?/?>", "\n")
     col = F.regexp_replace(col, f"(?i)</({_HTML_BLOCK_TAGS})>", "\n")
     col = F.regexp_replace(col, r"<[^>]+>", " ")

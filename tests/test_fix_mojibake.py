@@ -70,6 +70,15 @@ def test_table_mode_on_clean_accents_is_identity(spark):
     assert out[1]["changed"] is False
 
 
+@pytest.mark.parametrize("mode", ["table", "roundtrip"])
+def test_null_text_drops_in_both_modes(spark, mode):
+    # one output contract: null-text rows drop (not null/null rows)
+    df = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    out = fix_mojibake(df, mode=mode).collect()
+    assert [r["doc_id"] for r in out] == [2]
+    assert out[0]["changed"] is False
+
+
 def test_invalid_mode_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):

@@ -44,7 +44,6 @@ def _oracle(doc_id, text):
             out[f"top_{n}gram_char_frac"] = 0.0
             continue
         cnt = Counter(grams)
-        best = max(cnt, key=lambda g: (cnt[g], [-ord(c) for c in g]))
         # tie rule: max count, lexicographically SMALLEST gram
         best_n = max(cnt.values())
         best = min(g for g, c in cnt.items() if c == best_n)
@@ -132,6 +131,13 @@ def test_zero_word_docs_dropped_and_verdict_flips(spark):
         spark.createDataFrame([(9, clean)], "doc_id long, text string")
     ).collect()[0]
     assert ok["keep"] is True
+
+
+def test_wrong_top_threshold_arity_raises(spark):
+    # a 2-entry top tuple would silently shift every dup-gram threshold
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        gopher_repetition(df, max_top_gram_char_frac=(0.2, 0.18))
 
 
 def test_narrow_plan(spark):

@@ -66,9 +66,67 @@ def test_empty_and_tagless_passthrough(spark):
     assert _one(spark, "plain words only") == "plain words only"
 
 
+def test_selfclosing_then_paired_keeps_content_between(spark):
+    # regression: the paired opener pattern also matches a self-closing
+    # tag (the '/' lands in [^>]*); paired-first order deleted everything
+    # from '<script src=.../>' through the NEXT '</script>'.  The shared
+    # _strip_tag_subtrees runs the self-closing form first.
+    out = _one(
+        spark,
+        '<script src="a.js"/>KEEP THIS<p>and this</p>'
+        '<script>var x = 1;</script>tail',
+    )
+    assert out == "KEEP THIS and this\ntail"
+
+
+def test_xml_text_selfclosing_then_paired(spark):
+    # same regression on the xml_text side of the shared helper
+    from intertext_spark.operators.xmlextract import xml_text
+
+    df = spark.createDataFrame(
+        [(1, '<doc><note place="x"/>keep<note>drop</note>end</doc>')],
+        "doc_id long, text string",
+    )
+    out = xml_text(df, base_tag="doc", remove_tags=("note",)).collect()[0]
+    # removal splices to '' (reference get_text() fuses across extract());
+    # the regression is that 'keep' SURVIVES at all — paired-first order
+    # deleted it ('<note .../>keep<note>' matched as one paired element)
+    assert out["extracted"] == "keepend"
+
+
 def test_narrow_plan(spark):
     df = spark.createDataFrame([(1, "<p>a</p>")], "doc_id long, text string")
     plan = html_text(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_gate_query_is_not_vacuous(spark):
+    # anti-vacuity guard: cross-engine parity also passes when BOTH
+    # engines emit '' for every doc (exactly what the pre-fix
+    # paired-first strip did to the gate shell — its planted
+    # self-closing script deleted every document body).  Pin that the
+    # gate's extraction keeps the corpus words AND the decoded entities.
+    import os
+
+    import pytest as _pytest
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf}/documents.parquet"):
+        _pytest.skip("no testdata")
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    out = e.queries()["html_text"](spark, sf)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.min(F.length("extracted")).alias("shortest"),
+        F.sum(F.col("extracted").contains("& tail").cast("int")).alias("amp"),
+        F.sum(F.col("extracted").contains("<kw>").cast("int")).alias("ent"),
+    ).collect()[0]
+    assert stats["n"] > 0 and stats["shortest"] > 0
+    # every doc has an i%4==0 line -> its decoded '&' must survive
+    assert stats["amp"] == stats["n"]
+    # docs with >= 4 lines carry the entity line; the corpus has them
+    assert stats["ent"] > 0
