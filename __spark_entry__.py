@@ -830,6 +830,65 @@ def _dedup_report_q(spark, sf_dir):
     return dedup_report(members, group_col="group_id", weight_col="n_chars")
 
 
+def _token_stream(spark, sf_dir):
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    return _docs(spark, sf_dir).select("doc_id", ws.alias("ws"))
+
+
+def _hll_registers_q(spark, sf_dir):
+    """HyperLogLog register table over a HIGH-cardinality key stream
+    (doc_id:position — one key per token instance), p=12.  The oracle
+    re-derives every register: the 60-bit md5 bridge, the top-12-bit
+    bucket, and the leading-zero rank via length(bin(w)) — exact integer
+    math in both engines."""
+    from intertext_spark.operators.sketches import hll_registers
+
+    keys = _token_stream(spark, sf_dir).select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    ).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                 F.col("pos").cast("string")).alias("token")
+    )
+    return hll_registers(keys, "token", p=12)
+
+
+def _hll_distinct_q(spark, sf_dir):
+    """HyperLogLog estimate over the LOW-cardinality word vocabulary —
+    n_used << m, so this row pins the linear-counting correction branch
+    (m*ln(m/V), 4-digit quantized) end to end."""
+    from intertext_spark.operators.sketches import hll_distinct
+
+    words = _token_stream(spark, sf_dir).select(
+        F.explode("ws").alias("token")
+    )
+    return hll_distinct(words, "token", p=12)
+
+
+def _cms_counts_q(spark, sf_dir):
+    """Count-Min sketch cells (depth=4, width=512) over the corpus word
+    stream; the oracle recomputes every cell from the seeded bridge."""
+    from intertext_spark.operators.sketches import cms_counts
+
+    words = _token_stream(spark, sf_dir).select(
+        F.explode("ws").alias("token")
+    )
+    return cms_counts(words, "token", depth=4, width=512)
+
+
+def _cms_lookup_q(spark, sf_dir):
+    """Point estimates for every distinct word from the Count-Min
+    sketch (min over the 4 rows); with width=512 >> |vocab| these equal
+    the exact counts unless buckets collide — either way the oracle
+    recomputes the identical min-over-rows algebra."""
+    from intertext_spark.operators.sketches import cms_counts, cms_lookup
+
+    words = _token_stream(spark, sf_dir).select(
+        F.explode("ws").alias("token")
+    )
+    cms = cms_counts(words, "token", depth=4, width=512)
+    return cms_lookup(cms, words.distinct(), "token", depth=4, width=512)
+
+
 def _bbit_jaccard_pairs_q(spark, sf_dir):
     """b-bit minhash similarity estimation (b=2, 6 md5-bridge perms,
     adjacent-doc pairs): the engine PACKS fields into Horner-fold words
@@ -2117,6 +2176,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["html_text"] = _html_text_q
     q["fix_mojibake"] = _fix_mojibake_q
     q["dedup_report"] = _dedup_report_q
+    q["hll_registers"] = _hll_registers_q
+    q["hll_distinct"] = _hll_distinct_q
+    q["cms_counts"] = _cms_counts_q
+    q["cms_lookup"] = _cms_lookup_q
     q["cdc_chunks"] = _cdc_chunks_q
     q["cdc_stats"] = _cdc_stats_q
     q["top_ngrams"] = _top_ngrams_q
@@ -2350,6 +2413,81 @@ select cast(sz as bigint) as group_size,
        cast(sum(b) as bigint) as bytes_total,
        cast(sum(b - bmax) as bigint) as bytes_removable
 from g group by sz
+"""
+    # HLL / CMS sketches: both DETERMINISTIC given the md5 bridge, so
+    # DuckDB re-derives every register / cell and the final estimates.
+    _ws_cte = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+)"""
+    _hll_reg = """
+h as (select ('0x' || substring(md5(token), 1, 15))::bigint as h from k),
+reg as (
+  select h >> 48 as bucket,
+         case when (h & ((1::bigint << 48) - 1)) = 0 then 49
+              else 49 - length(bin(h & ((1::bigint << 48) - 1))) end as rho
+  from h
+)"""
+    out["hll_registers"] = _ws_cte + """,
+k as (
+  select doc_id::varchar || ':' || (i - 1)::varchar as token
+  from w, unnest(generate_series(1, len(ws))) as t(i)
+),""" + _hll_reg + """
+select cast(bucket as bigint) as bucket, cast(max(rho) as bigint) as r
+from reg group by bucket
+"""
+    _m = 4096
+    _alpha_num = repr(0.7213 / (1.0 + 1.079 / _m) * _m * _m * float(1 << 49))
+    out["hll_distinct"] = _ws_cte + """,
+k as (select u as token from w, unnest(ws) as t(u)),""" + _hll_reg + f""",
+r2 as (select bucket, max(rho) as r from reg group by bucket),
+a as (
+  select count(*)::bigint as n_used,
+         sum(cast(2 ^ (49 - r) as bigint))::bigint as s_used
+  from r2
+),
+e as (
+  select n_used,
+         {_alpha_num} /
+           cast(s_used + ({_m} - n_used) * (1::bigint << 49) as double) as raw
+  from a
+)
+select cast({_m} as bigint) as m, n_used,
+       floor(case when raw <= 2.5 * {_m} and n_used < {_m}
+                  then {_m}.0 * ln({_m}.0 / ({_m} - n_used))
+                  else raw end * 10000 + 0.5) / 10000 as estimate
+from e
+"""
+    _cms_cells = """
+cells as (
+  select seed,
+         ('0x' || substring(md5(seed::varchar || ':' || token), 1, 15))::bigint
+           % 512 as bucket,
+         token
+  from k, unnest([0, 1, 2, 3]) as s(seed)
+)"""
+    out["cms_counts"] = _ws_cte + """,
+k as (select u as token from w, unnest(ws) as t(u)),""" + _cms_cells + """
+select cast(seed as bigint) as seed, cast(bucket as bigint) as bucket,
+       cast(count(*) as bigint) as cnt
+from cells group by seed, bucket
+"""
+    out["cms_lookup"] = _ws_cte + """,
+k as (select u as token from w, unnest(ws) as t(u)),""" + _cms_cells + """,
+cnts as (select seed, bucket, count(*)::bigint as cnt
+         from cells group by seed, bucket),
+q as (select distinct token from k),
+probes as (
+  select q.token, s.seed,
+         ('0x' || substring(md5(s.seed::varchar || ':' || q.token), 1, 15))::bigint
+           % 512 as bucket
+  from q, unnest([0, 1, 2, 3]) as s(seed)
+)
+select p.token, cast(min(coalesce(c.cnt, 0)) as bigint) as est
+from probes p left join cnts c on c.seed = p.seed and c.bucket = p.bucket
+group by p.token
 """
     out["contamination"] = """
 with w as (

@@ -1,0 +1,217 @@
+"""Mergeable sketches: HyperLogLog distinct counting and Count-Min
+frequency estimation — the fixed-size-state complement of the exact
+aggregations (word_counts, top_ngrams, corpus_profile).
+
+At 10^12 turns an exact count-distinct or per-token count table is a
+corpus-cardinality shuffle; a sketch is a FIXED number of integer cells
+(2^p registers / d*b counters) that every executor builds locally and a
+single tiny reduce merges — and two corpora's sketches merge by
+register-max / cell-sum, so incremental snapshots compose without
+re-scanning history (the accepted-bands posture, statistics edition).
+
+Cross-engine exactness: both sketches are DETERMINISTIC given the hash,
+so unlike approx_count_distinct (whose HLL++ implementation is
+engine-private) every cell value — and the final estimate — is
+re-derivable by an external engine.  Hashing rides the repo's 60-bit
+md5 bridge (sqlqueries.py:10-13), register rank uses length(bin(w))
+(binary-string MSB position — exact integer math in both engines, no
+float log2), and the HLL indicator sum is computed in SCALED INTEGERS
+(sum of 2^(maxrho - r) as bigint) so the only float op is one final
+division (+ one ln on the linear-counting branch, 6-digit-quantized —
+the dsir_weights ln posture).
+
+References: Flajolet et al. 2007 (HyperLogLog); Heule et al. 2013
+(HLL++, the linear-counting small-range correction used here);
+Cormode & Muthukrishnan 2005 (Count-Min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# md5 hash bridge: 60 bits as non-negative bigint (sqlqueries.py:10-13)
+_BRIDGE_BITS = 60
+
+
+def _bridge(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, col: str = "token", p: int = 12
+) -> DataFrame:
+    """-> (bucket, r): the 2^p HyperLogLog registers of ``col``'s
+    distinct-value sketch (only non-empty registers emitted; an absent
+    bucket means register value 0).  bucket = top p bridge bits;
+    r = 1 + leading-zero count of the remaining ``60-p`` bits
+    (= maxrho = 60-p+1 when they are all zero).
+
+    Scale shape: ONE map-side-combined groupBy whose reduce side is at
+    most 2^p rows — partial max(r) per partition means each executor
+    ships <= 2^p integers regardless of input size.  Sketches of two
+    corpora merge by groupBy(bucket).max(r)."""
+    if not 4 <= p <= 20:
+        raise ValueError(f"p must be in [4, 20]: {p}")
+    rem_bits = _BRIDGE_BITS - p
+    h = _bridge(F.col(col))
+    w = h.bitwiseAND(F.lit((1 << rem_bits) - 1))
+    rho = F.when(w == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.shiftrightunsigned(h, rem_bits).cast("long").alias("bucket"),
+            rho.cast("long").alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, p: int = 12, quantize_digits: int = 4
+) -> DataFrame:
+    """Registers -> one row (m, n_used, estimate): the HyperLogLog
+    cardinality estimate with the standard small-range correction
+    (raw E <= 2.5m and empty registers exist -> linear counting
+    m*ln(m/V)).  The indicator sum is exact integer math — each register
+    contributes 2^(maxrho - r), an empty one 2^maxrho; max total
+    2^p * 2^(60-p+1) = 2^61 fits a bigint — so the estimate is one
+    float division (plus one quantized ln on the correction branch),
+    bit-reproducible cross-engine."""
+    m = 1 << p
+    maxrho = _BRIDGE_BITS - p + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    q = 10 ** quantize_digits
+    agg = registers.agg(
+        F.count("*").cast("long").alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), F.lit(maxrho) - F.col("r")).cast("long"))
+        .cast("long")
+        .alias("s_used"),
+    )
+    s = (
+        F.col("s_used")
+        + (F.lit(m) - F.col("n_used")) * F.lit(1 << maxrho).cast("long")
+    ).cast("long")
+    raw = F.lit(alpha * m * m * float(1 << maxrho)) / s.cast("double")
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / (F.lit(m) - F.col("n_used")).cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("n_used") < F.lit(m)), lin
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "n_used",
+        (F.floor(est * q + F.lit(0.5)) / q).alias("estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, col: str = "token", p: int = 12
+) -> DataFrame:
+    """Convenience: registers + estimate in one call -> one row."""
+    return hll_estimate(hll_registers(df, col, p), p)
+
+
+def cms_counts(
+    df: DataFrame,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """-> (seed, bucket, cnt): a Count-Min sketch of ``col``'s frequency
+    (or ``weight_col`` mass) distribution — ``depth`` independent hash
+    rows of ``width`` counters; lookups take the min over rows, so the
+    error is ONE-SIDED (never under-counts) and bounded by
+    e/width * total_mass with probability 1 - e^-depth.
+
+    Row hashes fold the seed into the bridged key string (the
+    dsir_weights seeding idiom), so DuckDB re-derives every cell.
+    Scale shape: one in-row explode to depth rows per value, ONE
+    map-side-combined groupBy with <= depth*width reduce rows — each
+    executor ships a bounded sketch, never its token table."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"depth >= 1 and width >= 2 required: {depth}, {width}")
+    wcol = (
+        F.col(weight_col).cast("long")
+        if weight_col
+        else F.lit(1).cast("long")
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("seed"),
+                F.pmod(
+                    _bridge(
+                        F.concat(
+                            F.lit(f"{i}:"), F.col(col).cast("string")
+                        )
+                    ),
+                    F.lit(width),
+                )
+                .cast("long")
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.explode(rows).alias("rb"), wcol.alias("w"))
+        .groupBy(F.col("rb.seed").alias("seed"), F.col("rb.bucket").alias("bucket"))
+        .agg(F.sum("w").cast("long").alias("cnt"))
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    queries: DataFrame,
+    col: str = "token",
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """(sketch, query values) -> (token, est): min-over-rows point
+    estimates.  The sketch side is depth*width rows — broadcast onto the
+    query table, so lookup is one broadcast join + a |queries|-keyed min
+    agg; never a shuffle of the sketch."""
+    q = queries.select(F.col(col).cast("string").alias("token")).distinct()
+    probes = q.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("seed"),
+                        F.pmod(
+                            _bridge(F.concat(F.lit(f"{i}:"), F.col("token"))),
+                            F.lit(width),
+                        )
+                        .cast("long")
+                        .alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", F.col("rb.seed").alias("seed"), F.col("rb.bucket").alias("bucket"))
+    joined = probes.join(F.broadcast(cms), ["seed", "bucket"], "left").select(
+        "token", F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt")
+    )
+    return joined.groupBy("token").agg(F.min("cnt").alias("est"))
+
+
+__all__ = [
+    "hll_registers",
+    "hll_estimate",
+    "hll_distinct",
+    "cms_counts",
+    "cms_lookup",
+]
+
+
+# scaled-integer bound: 2^p registers x at most 2^(60-p+1) each = 2^61,
+# inside bigint for every allowed p
+assert all(
+    (1 << p) * (1 << (_BRIDGE_BITS - p + 1)) < (1 << 63) for p in range(4, 21)
+)

@@ -1,0 +1,167 @@
+"""HLL / Count-Min sketches: pure-python register/cell recomputation
+(same md5 bridge), estimator accuracy vs exact cardinality on both the
+raw and linear-counting branches, merge laws, CMS one-sided error, and
+the bounded-reduce plan shapes."""
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import pytest
+
+from intertext_spark.operators.sketches import (
+    cms_counts,
+    cms_lookup,
+    hll_distinct,
+    hll_registers,
+)
+
+
+def _bridge(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_registers(values, p=12):
+    regs = {}
+    rem = 60 - p
+    for v in values:
+        h = _bridge(v)
+        bucket = h >> rem
+        w = h & ((1 << rem) - 1)
+        rho = rem + 1 if w == 0 else rem + 1 - w.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def _toks(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "token string")
+
+
+def test_registers_match_python_bridge(spark):
+    vals = [f"key-{i}" for i in range(500)]
+    got = {r["bucket"]: r["r"] for r in hll_registers(_toks(spark, vals)).collect()}
+    assert got == _py_registers(vals)
+
+
+def test_estimate_raw_branch_accuracy(spark):
+    # 40k uniques at p=12 -> raw branch; expected rel. error ~1.04/64
+    n = 40_000
+    est = hll_distinct(_toks(spark, [f"u{i}" for i in range(n)])).collect()[0]
+    assert est["m"] == 4096
+    assert abs(est["estimate"] - n) / n < 0.05
+
+
+def test_estimate_linear_counting_branch(spark):
+    # 30 uniques: n_used << m engages m*ln(m/V); near-exact down here
+    est = hll_distinct(_toks(spark, [f"u{i}" for i in range(30)] * 7)).collect()[0]
+    assert est["n_used"] <= 30
+    assert abs(est["estimate"] - 30) < 2
+
+
+def test_duplicates_do_not_move_registers(spark):
+    vals = [f"k{i}" for i in range(200)]
+    a = sorted(map(tuple, hll_registers(_toks(spark, vals)).collect()))
+    b = sorted(map(tuple, hll_registers(_toks(spark, vals * 5)).collect()))
+    assert a == b
+
+
+def test_register_merge_law(spark):
+    # sketch(A ∪ B) == per-bucket max of sketch(A), sketch(B)
+    a_vals = [f"a{i}" for i in range(300)]
+    b_vals = [f"b{i}" for i in range(300)]
+    union = {r["bucket"]: r["r"]
+             for r in hll_registers(_toks(spark, a_vals + b_vals)).collect()}
+    merged = defaultdict(int)
+    for vals in (a_vals, b_vals):
+        for r in hll_registers(_toks(spark, vals)).collect():
+            merged[r["bucket"]] = max(merged[r["bucket"]], r["r"])
+    assert union == dict(merged)
+
+
+def test_cms_one_sided_and_exact_when_wide(spark):
+    vals = [f"w{i % 37}" for i in range(1000)]
+    truth = Counter(vals)
+    cms = cms_counts(_toks(spark, vals), depth=4, width=512)
+    est = {r["token"]: r["est"]
+           for r in cms_lookup(cms, _toks(spark, list(truth)),
+                               depth=4, width=512).collect()}
+    assert set(est) == set(truth)
+    for t, c in truth.items():
+        assert est[t] >= c  # never under-counts
+    # width 512 >> 37 distinct: overwhelmingly collision-free
+    exact = sum(1 for t, c in truth.items() if est[t] == c)
+    assert exact >= 35
+
+
+def test_cms_total_mass_and_cell_recompute(spark):
+    vals = [f"t{i % 9}" for i in range(90)]
+    rows = cms_counts(_toks(spark, vals), depth=3, width=64).collect()
+    per_seed = defaultdict(int)
+    cells = {}
+    for r in rows:
+        per_seed[r["seed"]] += r["cnt"]
+        cells[(r["seed"], r["bucket"])] = r["cnt"]
+    assert all(per_seed[s] == len(vals) for s in range(3))  # mass conserved
+    want = defaultdict(int)
+    for v in vals:
+        for s in range(3):
+            want[(s, _bridge(f"{s}:{v}") % 64)] += 1
+    assert cells == dict(want)
+
+
+def test_cms_weighted_mass(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 2), ("b", 10)], "token string, w long"
+    )
+    cms = cms_counts(df, weight_col="w", depth=2, width=32)
+    est = {r["token"]: r["est"]
+           for r in cms_lookup(cms, df.select("token"), depth=2, width=32).collect()}
+    assert est["a"] >= 7 and est["b"] >= 10
+
+
+def test_absent_token_estimates_zero_on_empty_buckets(spark):
+    cms = cms_counts(_toks(spark, ["x"]), depth=4, width=512)
+    est = cms_lookup(cms, _toks(spark, ["never-seen"]),
+                     depth=4, width=512).collect()[0]
+    assert est["est"] in (0, 1)  # 0 unless all 4 buckets collide with 'x'
+
+
+def test_validation(spark):
+    df = _toks(spark, ["x"])
+    with pytest.raises(ValueError):
+        hll_registers(df, p=2)
+    with pytest.raises(ValueError):
+        cms_counts(df, depth=0)
+
+
+def test_plan_shapes(spark):
+    df = _toks(spark, ["x"])
+    p1 = hll_registers(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in p1 and "Join" not in p1 and "Python" not in p1
+    p2 = cms_counts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in p2 and "Join" not in p2 and "Python" not in p2
+    p3 = (
+        cms_lookup(cms_counts(df), df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p3 and "SortMergeJoin" not in p3
+
+
+def test_scaled_integer_sum_is_exact_where_float_sum_is_not():
+    # why the operator sums 2^(maxrho-r) in bigint: the textbook float
+    # sum of 2^-M_j drops deep-register contributions (4093.625 + 2^-49
+    # exceeds the 53-bit mantissa), so it would be order- and
+    # engine-sensitive exactly when a register is deep.  The scaled
+    # integer sum is the exact rational, always.
+    from fractions import Fraction
+
+    regs = {1: 3, 7: 49, 100: 1}
+    m, maxrho = 4096, 49
+    s_int = sum(1 << (maxrho - r) for r in regs.values()) + (
+        m - len(regs)
+    ) * (1 << maxrho)
+    s_exact = sum(Fraction(1, 2**r) for r in regs.values()) + (m - len(regs))
+    assert Fraction(s_int, 2**maxrho) == s_exact  # bigint sum is exact
+    s_float = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    assert Fraction(s_float) != s_exact  # the float sum already rounded
+    assert math.isfinite(s_float)

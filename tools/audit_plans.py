@@ -998,6 +998,35 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.sketches import (
+        cms_counts as _cmc,
+        cms_lookup as _cml,
+        hll_registers as _hlr,
+    )
+
+    toks = docs_tbl.selectExpr("explode(split(text, ' ')) as token")
+    record(
+        "hll_registers", _hlr(toks),
+        [
+            ("one exchange, bounded at 2^p reduce rows",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("register max partial-aggregates map-side",
+             lambda p: "partial_max" in p),
+            ("no join, no Python", lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+    record(
+        "cms_lookup", _cml(_cmc(toks), toks),
+        [
+            ("sketch side broadcast onto the query table",
+             lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+            ("cell counts partial-aggregate map-side",
+             lambda p: "partial_sum" in p),
+            ("no cartesian, no Python",
+             lambda p: "Cartesian" not in p and "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
