@@ -2136,6 +2136,50 @@ def _source_overlap_q(spark, sf_dir):
     return source_overlap(pairs, docs)
 
 
+_BM25_QUERIES = [
+    (1, "spark join window"),
+    (2, "hash merge sort order"),
+    (3, "customer line value"),
+    (4, "stream batch vector data"),
+]
+
+
+def _exact_quantiles_q(spark, sf_dir):
+    """Per-language exact n_chars quantiles (quantile_disc semantics,
+    ceil(q*n) 1-based) via the value-count + prefix-sum shape — the
+    distinct-value collapse means the window sorts values, not rows.
+    Oracle: DuckDB quantile_disc with the same q list, zipped unnest."""
+    from intertext_spark.operators.quantiles import exact_quantiles
+
+    return exact_quantiles(
+        _docs(spark, sf_dir), "n_chars",
+        [0.0, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0],
+        group_cols=["lang"],
+    )
+
+
+def _quantile_filter_q(spark, sf_dir):
+    """Percentile-band filter: docs whose n_chars sits inside the
+    per-language exact [p05, p95] band (cutoffs derived on-cluster,
+    broadcast back).  Oracle: DuckDB quantile_disc bounds + between."""
+    from intertext_spark.operators.quantiles import quantile_filter
+
+    return quantile_filter(
+        _docs(spark, sf_dir), "n_chars", 0.05, 0.95, group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _bm25_topk_q(spark, sf_dir):
+    """Okapi BM25 top-10 docs for four fixed queries; per-term
+    contributions quantized to 1e-6 and summed as scaled BIGINTs so the
+    per-pair score is fold-order-free and ln-ulp-immune in both engines.
+    Oracle: DuckDB rederives tf/df/N/avgdl and the same integer sum."""
+    from intertext_spark.operators.textstats import bm25_topk
+
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id long, query_text string")
+    return bm25_topk(_docs(spark, sf_dir), qdf, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in TEMPLATES
@@ -2243,6 +2287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["compression_ratio"] = _compression_ratio_q
     q["weighted_sample"] = _weighted_sample_q
     q["conv_embeddings"] = _conv_embeddings_q
+    q["exact_quantiles"] = _exact_quantiles_q
+    q["quantile_filter"] = _quantile_filter_q
+    q["bm25_topk"] = _bm25_topk_q
     return q
 
 
@@ -4119,5 +4166,66 @@ select cast(sum(n_copies) as bigint) as total_chunks,
        cast(sum(length) as bigint) as distinct_bytes,
        cast(sum(length * n_copies) as double) / sum(length) as dedup_ratio
 from per_hash
+"""
+    # exact_quantiles: DuckDB's native quantile_disc IS the semantics
+    # contract (ceil(q*n) 1-based, probed in quantiles.py docstring);
+    # zipped unnest turns the per-group list into (q, value) rows.
+    _QQS = "[0.0, 0.05, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]"
+    out["exact_quantiles"] = f"""
+with b as (
+  select lang, quantile_disc(n_chars, {_QQS}) as vs
+  from documents group by lang
+)
+select lang, cast(unnest({_QQS}) as double) as q, unnest(vs) as value from b
+"""
+    out["quantile_filter"] = """
+with b as (
+  select lang, quantile_disc(n_chars, 0.05) as lo,
+               quantile_disc(n_chars, 0.95) as hi
+  from documents group by lang
+)
+select d.doc_id, d.lang, d.n_chars
+from documents d join b using (lang)
+where d.n_chars between lo and hi
+"""
+    _bm25_values = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
+    out["bm25_topk"] = f"""
+with base as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as ws
+  from documents
+), d as (
+  select doc_id, cast(len(ws) as bigint) as dl, ws from base where len(ws) >= 1
+), t as (
+  select doc_id, dl, unnest(ws) as term from d
+), tf as (
+  select doc_id, dl, term, count(*) as tf from t group by doc_id, dl, term
+), q(query_id, query_text) as (values {_bm25_values}),
+qt as (
+  select distinct query_id, term from (
+    select query_id,
+           unnest(list_filter(regexp_split_to_array(query_text, '\\s+'), x -> x != '')) as term
+    from q
+  )
+), dfreq as (
+  select term, count(*) as df from tf
+  where term in (select term from qt) group by term
+), stats as (
+  select count(*) as n_corpus, cast(sum(dl) as double) / count(*) as avgdl from d
+), contrib as (
+  select qt.query_id, tf.doc_id,
+         cast(floor(
+           ln(1.0 + (n_corpus - df + 0.5) / (df + 0.5))
+           * ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+           * 1000000 + 0.5) as bigint) as c
+  from tf join qt using (term) join dfreq using (term) cross join stats
+), scored as (
+  select query_id, doc_id, cast(sum(c) as double) / 1000000 as score
+  from contrib group by query_id, doc_id
+)
+select query_id, doc_id, score, cast(rank as int) as rank from (
+  select *, row_number() over (partition by query_id order by score desc, doc_id asc) as rank
+  from scored
+) where rank <= 10
 """
     return out

@@ -1,0 +1,108 @@
+"""Exact distributed quantiles without a global sort.
+
+The percentile primitive a 100-TB curation pipeline needs for
+threshold-setting (per-language length cutoffs, quality-score bands,
+CCNet-style head/middle/tail boundaries) — computed EXACTLY, on-cluster,
+by value-counting + prefix sums instead of sorting the data.  Discrete
+(``quantile_disc`` / ``percentile_disc``) semantics: the returned value
+is an element of the input, at 1-based sorted index ``ceil(q * n)``
+(clamped to >= 1) — verified against DuckDB's rule on boundary probes
+(n in {4,5,7,10,20,49,100,1000}, q incl. 0.05/0.41/0.951), so the
+cross-engine gate compares exact values, no interpolation float drift.
+
+Scale shape: ONE ``groupBy(group, value)`` with map-side partial
+aggregation collapses the data to its distinct (group, value) pairs
+before anything is sorted; the per-group window then orders only the
+distinct VALUES, never the rows.  For integer-ish metrics (char/token
+counts, quantized scores) the distinct-value dimension is bounded (~1e5
+values per group even at 10^12 rows), so the window partitions stay
+small no matter how large the input.  A GLOBAL quantile (group_cols
+None/empty) puts all distinct values in one window partition — fine at
+bounded cardinality; quantize continuous metrics first (or use a
+mergeable sketch) when it isn't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def exact_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: "list[float]",
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """-> group_cols + (q double, value <input type>), one row per
+    (group, q).  NULL values are ignored (SQL aggregate semantics); a
+    group whose values are all NULL emits no rows.
+
+    The selection rank is ``greatest(ceil(q * total), 1)`` computed in
+    doubles — the same IEEE product/ceil DuckDB's quantile_disc applies,
+    so both engines pick the same element even when q*n lands on an
+    integer boundary.
+    """
+    group_cols = list(group_cols or [])
+    counts = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_ord = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols,
+        value_col,
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    # qs ride in-row on the collapsed table: each distinct value is
+    # replicated |qs| times (cheap — the table is distinct-value-sized),
+    # then one filter keeps the (value, q) rows where the selection rank
+    # falls inside this value's run.  No extra exchange.
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    rank = F.greatest(F.ceil(F.col("q") * F.col("total")), F.lit(1))
+    return (
+        cum.select(*group_cols, value_col, "cnt", "cum", "total", F.explode(qarr).alias("q"))
+        .where(((F.col("cum") - F.col("cnt")) < rank) & (rank <= F.col("cum")))
+        .select(*group_cols, "q", F.col(value_col).alias("value"))
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the group's exact
+    [lo, hi] quantile band — percentile-threshold filtering (the
+    Gopher/CCNet cutoff move) with the cutoffs derived on-cluster: no
+    driver collect, no approx sketch drift.
+
+    -> the input rows (schema unchanged) that survive the band.  Rows
+    with a NULL value are dropped (they have no defined percentile).
+
+    Scale shape: the bounds table is group-dimension-sized (one row per
+    group) and is broadcast back onto the data; the only data-sized
+    exchange is exact_quantiles' distinct-value collapse.
+    """
+    group_cols = list(group_cols or [])
+    qb = exact_quantiles(df, value_col, [lo, hi], group_cols)
+    bounds = qb.groupBy(*group_cols).agg(
+        F.min(F.when(F.col("q") == float(lo), F.col("value"))).alias("_q_lo"),
+        F.min(F.when(F.col("q") == float(hi), F.col("value"))).alias("_q_hi"),
+    )
+    if group_cols:
+        joined = df.join(F.broadcast(bounds), group_cols)
+    else:
+        joined = df.crossJoin(F.broadcast(bounds))
+    return joined.where(
+        F.col(value_col).between(F.col("_q_lo"), F.col("_q_hi"))
+    ).drop("_q_lo", "_q_hi")

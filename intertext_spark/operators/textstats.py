@@ -818,6 +818,107 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval of documents for a (small) query
+    set — the lexical-search primitive behind retrieval-based data
+    selection and decontamination-by-retrieval.  -> (query_id, doc_id,
+    score, rank), rank 1..k per query by score descending, ties by
+    doc_id ascending.
+
+    Per (query, doc): sum over the query's DISTINCT terms t present in
+    the doc of  idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  [Robertson-Sparck Jones,
+    the lucene-style non-negative form], dl = doc token count, avgdl the
+    corpus mean, N the corpus doc count — all over whitespace tokens
+    (the WS contract every gate shares).  Docs with zero tokens are
+    outside the corpus (excluded from N/avgdl and unrankable).
+
+    Cross-engine determinism: each term's contribution is quantized to
+    ``quantize_digits`` digits and summed as scaled BIGINTs — the
+    per-(query,doc) score is an integer sum, so it is identical under
+    ANY partitioning/fold order and immune to the engines' last-ulp
+    ln() differences (the tfidf/unigram guard, extended to a sum).
+
+    Scale shape: per-doc term counts are in-row (``_rle_sorted``); the
+    query-term dimension is tiny and BROADCAST, so the postings build is
+    a broadcast semi-join that prunes the corpus term stream before any
+    exchange.  df counts come from the pruned postings (one term-keyed
+    groupBy over query terms only — correct, since the pruned stream
+    still holds every doc containing a query term).  N/avgdl ride a
+    one-row broadcast literal join (no driver collect).  The only
+    data-sized exchange is the (query_id, doc_id) score groupBy, whose
+    key space is bounded by |queries| x |matching docs|.  The final
+    top-k is a per-query window — swap in a two-phase top-K (the
+    source_cap shape) if a query matches a significant fraction of a
+    10^12-doc corpus.
+    """
+    words = _WORDS(text_col)
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+        .where(F.size("ws") >= 1)
+        .select("doc_id", F.size("ws").cast("long").alias("dl"), F.array_sort("ws").alias("sw"))
+    )
+    per_doc = base.select(
+        "doc_id", "dl", F.explode(_rle_sorted(F.col("sw"))).alias("r")
+    ).select("doc_id", "dl", F.col("r.v").alias("term"), F.col("r.cnt").alias("tf"))
+    stats = base.agg(
+        F.count("*").alias("n_corpus"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_WORDS(query_text_col)).alias("term"),
+        )
+        .distinct()
+    )
+    postings = per_doc.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_corpus") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        (F.col("tf") * (F.lit(k1) + F.lit(1.0)))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    p = 10 ** quantize_digits
+    c_int = F.floor(contrib * p + F.lit(0.5)).cast("long")
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+        .select("query_id", "doc_id", c_int.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg((F.sum("c").cast("double") / p).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def normalize_text(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,77 @@
+"""bm25_topk vs a pure-python Okapi BM25 oracle (same formula, same
+scaled-integer quantization)."""
+
+import math
+import random
+
+from intertext_spark.operators.textstats import bm25_topk
+
+K1, B, P = 1.2, 0.75, 10**6
+
+
+def _py_bm25(docs, queries, k=10):
+    """docs: {doc_id: text}; queries: {query_id: text} -> set of
+    (query_id, doc_id, score, rank)."""
+    toks = {d: t.split() for d, t in docs.items() if t.split()}
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    out = set()
+    for qid, qtext in queries.items():
+        scores = {}
+        for term in set(qtext.split()):
+            df = sum(1 for w in toks.values() if term in w)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            for d, w in toks.items():
+                tf = w.count(term)
+                if tf == 0:
+                    continue
+                contrib = idf * (tf * (K1 + 1.0)) / (
+                    tf + K1 * (1.0 - B + B * len(w) / avgdl)
+                )
+                scores[d] = scores.get(d, 0) + int(math.floor(contrib * P + 0.5))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out |= {(qid, d, c / P, i + 1) for i, (d, c) in enumerate(ranked)}
+    return out
+
+
+def test_bm25_matches_python_oracle(spark):
+    rng = random.Random(42)
+    vocab = ["spark", "join", "window", "hash", "merge", "sort", "line",
+             "batch", "stream", "data", "the", "a", "query", "agg"]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40)))
+        for i in range(60)
+    }
+    docs[60] = ""  # zero-token doc: excluded from N/avgdl, never ranked
+    queries = {1: "spark join window", 2: "hash hash merge", 3: "zzz-absent"}
+    ddf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    qdf = spark.createDataFrame(list(queries.items()), "query_id long, query_text string")
+    got = {
+        (r.query_id, r.doc_id, r.score, r.rank)
+        for r in bm25_topk(ddf, qdf, k=10).collect()
+    }
+    assert got == _py_bm25(docs, queries, k=10)
+    # the absent-term query matched nothing
+    assert not any(q == 3 for q, *_ in got)
+
+
+def test_bm25_repeated_query_term_counts_once(spark):
+    docs = {1: "alpha beta", 2: "alpha alpha beta", 3: "gamma"}
+    ddf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    q1 = spark.createDataFrame([(1, "alpha")], "query_id long, query_text string")
+    q2 = spark.createDataFrame([(1, "alpha alpha alpha")], "query_id long, query_text string")
+    r1 = sorted((r.doc_id, r.score) for r in bm25_topk(ddf, q1).collect())
+    r2 = sorted((r.doc_id, r.score) for r in bm25_topk(ddf, q2).collect())
+    assert r1 == r2 and len(r1) == 2
+
+
+def test_bm25_k_cap_and_tiebreak(spark):
+    # five identical docs -> identical scores, ties broken by doc_id asc
+    docs = [(i, "tok tok tok") for i in range(5)]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame([(1, "tok")], "query_id long, query_text string")
+    out = bm25_topk(ddf, qdf, k=3).orderBy("rank").collect()
+    assert [(r.doc_id, r.rank) for r in out] == [(0, 1), (1, 2), (2, 3)]
+    assert len({r.score for r in out}) == 1

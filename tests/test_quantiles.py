@@ -1,0 +1,112 @@
+"""exact_quantiles / quantile_filter vs DuckDB's quantile_disc and a
+pure-python ceil-rule oracle."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from intertext_spark.operators.quantiles import exact_quantiles, quantile_filter
+
+QS = [0.0, 0.05, 0.1, 0.25, 0.41, 0.5, 0.75, 0.9, 0.951, 0.99, 1.0]
+
+
+def _disc(sorted_vals, q):
+    n = len(sorted_vals)
+    idx = max(math.ceil(q * n), 1)
+    return sorted_vals[min(idx, n) - 1]
+
+
+def test_global_quantiles_match_ceil_rule_and_duckdb(spark):
+    rng = random.Random(7)
+    vals = [rng.randint(0, 50) for _ in range(503)]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {
+        (r.q, r.value)
+        for r in exact_quantiles(df, "v", QS).collect()
+    }
+    sv = sorted(vals)
+    expected = {(q, _disc(sv, q)) for q in QS}
+    assert got == expected
+    con = duckdb.connect()
+    duck = con.sql(
+        f"select quantile_disc(v, {QS}) from (select unnest({vals}) as v)"
+    ).fetchall()[0][0]
+    assert {(q, d) for q, d in zip(QS, duck)} == expected
+
+
+def test_grouped_quantiles_exact_per_group(spark):
+    rng = random.Random(11)
+    rows = [
+        (g, rng.randint(-20, 20))
+        for g in ["a", "b", "c", "d"]
+        for _ in range(rng.randint(1, 97))
+    ]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        (r.g, r.q, r.value)
+        for r in exact_quantiles(df, "v", QS, group_cols=["g"]).collect()
+    }
+    expected = set()
+    for g in "abcd":
+        sv = sorted(v for gg, v in rows if gg == g)
+        expected |= {(g, q, _disc(sv, q)) for q in QS}
+    assert got == expected
+
+
+def test_quantiles_ignore_nulls_and_handle_singletons(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("a", None), ("b", None), ("c", 9), ("c", 9), ("c", 1)],
+        "g string, v int",
+    )
+    out = exact_quantiles(df, "v", [0.0, 0.5, 1.0], group_cols=["g"]).collect()
+    got = {(r.g, r.q, r.value) for r in out}
+    # group b (all NULL) emits nothing; a is a singleton at every q
+    assert got == {
+        ("a", 0.0, 5), ("a", 0.5, 5), ("a", 1.0, 5),
+        ("c", 0.0, 1), ("c", 0.5, 9), ("c", 1.0, 9),
+    }
+
+
+def test_quantiles_duplicate_heavy_values(spark):
+    vals = [5] * 30 + [9] * 10
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    got = {(r.q, r.value) for r in exact_quantiles(df, "v", [0.5, 0.75, 0.76, 1.0]).collect()}
+    assert got == {(0.5, 5), (0.75, 5), (0.76, 9), (1.0, 9)}
+
+
+def test_quantile_filter_matches_manual_bounds(spark):
+    rng = random.Random(3)
+    rows = [(("x" if i % 2 else "y"), rng.randint(0, 1000), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, v int, rid int")
+    kept = {r.rid for r in quantile_filter(df, "v", 0.1, 0.9, group_cols=["g"]).collect()}
+    expected = set()
+    for g in ("x", "y"):
+        sv = sorted(v for gg, v, _ in rows if gg == g)
+        lo, hi = _disc(sv, 0.1), _disc(sv, 0.9)
+        expected |= {rid for gg, v, rid in rows if gg == g and lo <= v <= hi}
+    assert kept == expected
+    # schema is unchanged (helper bound columns dropped)
+    assert quantile_filter(df, "v", 0.1, 0.9, group_cols=["g"]).columns == ["g", "v", "rid"]
+
+
+def test_quantile_filter_global_and_null_rows_dropped(spark):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, None])],
+        "rid int, v int",
+    )
+    kept = {r.rid for r in quantile_filter(df, "v", 0.2, 0.8).collect()}
+    # n=10 non-null: lo = ceil(.2*10)=2nd value = 2, hi = ceil(.8*10)=8
+    assert kept == {i for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10]) if 2 <= v <= 8}
+
+
+def test_quantiles_plan_collapses_before_window(spark):
+    """The window must sort the DISTINCT-VALUE table, not the input rows:
+    the physical plan has an Aggregate (the value-count collapse) BELOW
+    the Window."""
+    df = spark.range(0, 1000).selectExpr("id % 7 as v")
+    plan = exact_quantiles(df, "v", [0.5])._jdf.queryExecution().executedPlan().toString()
+    w_pos = plan.find("Window")
+    assert w_pos >= 0
+    assert "HashAggregate" in plan[w_pos:] or "SortAggregate" in plan[w_pos:]
