@@ -2169,6 +2169,26 @@ def _quantile_filter_q(spark, sf_dir):
     ).select("doc_id", "lang", "n_chars")
 
 
+def _hdr_histogram_q(spark, sf_dir):
+    """HdrHistogram-style log-linear sketch of n_chars (sub_bits=5):
+    100% integer math (MSB via length(bin), shift-truncate), so DuckDB
+    re-derives every cell.  Oracle: same bin/shift expression."""
+    from intertext_spark.operators.sketches import hdr_histogram
+
+    return hdr_histogram(_docs(spark, sf_dir), "n_chars", sub_bits=5)
+
+
+def _hdr_quantiles_q(spark, sf_dir):
+    """Quantiles off the HDR sketch — rank-exact, value-quantized
+    (relative error < 2^-5).  Oracle: DuckDB quantile_disc over the
+    per-row quantized values (equivalent to the weighted prefix-sum
+    walk, since bucket counts are exact and qv is monotone in v)."""
+    from intertext_spark.operators.sketches import hdr_histogram, hdr_quantiles
+
+    hist = hdr_histogram(_docs(spark, sf_dir), "n_chars", sub_bits=5)
+    return hdr_quantiles(hist, [0.25, 0.5, 0.75, 0.9, 0.99, 1.0])
+
+
 def _bm25_topk_q(spark, sf_dir):
     """Okapi BM25 top-10 docs for four fixed queries; per-term
     contributions quantized to 1e-6 and summed as scaled BIGINTs so the
@@ -2290,6 +2310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_quantiles"] = _exact_quantiles_q
     q["quantile_filter"] = _quantile_filter_q
     q["bm25_topk"] = _bm25_topk_q
+    q["hdr_histogram"] = _hdr_histogram_q
+    q["hdr_quantiles"] = _hdr_quantiles_q
     return q
 
 
@@ -4227,5 +4249,28 @@ select query_id, doc_id, score, cast(rank as int) as rank from (
   select *, row_number() over (partition by query_id order by score desc, doc_id asc) as rank
   from scored
 ) where rank <= 10
+"""
+    out["hdr_histogram"] = """
+with v as (
+  select cast(n_chars as bigint) as v from documents where n_chars is not null
+), s as (
+  select v, greatest(length(bin(v)) - 6, 0) as s from v
+)
+select (v >> s) << s as qv, cast(count(*) as bigint) as cnt
+from s group by 1
+"""
+    _HQS = "[0.25, 0.5, 0.75, 0.9, 0.99, 1.0]"
+    out["hdr_quantiles"] = f"""
+with v as (
+  select cast(n_chars as bigint) as v from documents where n_chars is not null
+), s as (
+  select v, greatest(length(bin(v)) - 6, 0) as s from v
+), qv as (
+  select (v >> s) << s as qv from s
+), b as (
+  select quantile_disc(qv, {_HQS}) as vs from qv
+)
+select cast(unnest({_HQS}) as double) as q,
+       cast(unnest(vs) as bigint) as value from b
 """
     return out

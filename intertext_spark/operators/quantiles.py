@@ -32,10 +32,16 @@ def exact_quantiles(
     value_col: str,
     qs: "list[float]",
     group_cols: "list[str] | None" = None,
+    weight_col: "str | None" = None,
 ) -> DataFrame:
     """-> group_cols + (q double, value <input type>), one row per
     (group, q).  NULL values are ignored (SQL aggregate semantics); a
     group whose values are all NULL emits no rows.
+
+    ``weight_col``: each row stands for that many occurrences of its
+    value (pre-aggregated histograms — e.g. hdr_histogram sketches; a
+    UNION of several sketches re-merges here because equal values
+    collapse in the groupBy).
 
     The selection rank is ``greatest(ceil(q * total), 1)`` computed in
     doubles — the same IEEE product/ceil DuckDB's quantile_disc applies,
@@ -43,10 +49,11 @@ def exact_quantiles(
     integer boundary.
     """
     group_cols = list(group_cols or [])
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     counts = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(*group_cols, value_col)
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum(w).alias("cnt"))
     )
     w_ord = (
         Window.partitionBy(*group_cols)

@@ -1,6 +1,7 @@
-"""Mergeable sketches: HyperLogLog distinct counting and Count-Min
-frequency estimation — the fixed-size-state complement of the exact
-aggregations (word_counts, top_ngrams, corpus_profile).
+"""Mergeable sketches: HyperLogLog distinct counting, Count-Min
+frequency estimation, and HDR log-linear quantile histograms — the
+fixed-size-state complement of the exact aggregations (word_counts,
+top_ngrams, corpus_profile / exact_quantiles).
 
 At 10^12 turns an exact count-distinct or per-token count table is a
 corpus-cardinality shuffle; a sketch is a FIXED number of integer cells
@@ -201,12 +202,79 @@ def cms_lookup(
     return joined.groupBy("token").agg(F.min("cnt").alias("est"))
 
 
+def hdr_histogram(
+    df: DataFrame, col: str, sub_bits: int = 5
+) -> DataFrame:
+    """-> (qv, cnt): an HdrHistogram-style log-linear histogram of a
+    NON-NEGATIVE integer column — the quantile member of the sketch trio
+    (HLL distinct / CMS frequency / HDR quantiles).  qv is the value
+    with every bit below its top ``sub_bits + 1`` bits zeroed: values
+    below 2^(sub_bits+1) are kept EXACTLY, larger ones with relative
+    truncation error < 2^-sub_bits.  A negative value raises (silently
+    bucketing it would corrupt the prefix-sum rank walk).
+
+    Unlike KLL/t-digest this sketch is 100% integer math (MSB position
+    via length(bin(v)) — no float log2), so every cell is re-derivable
+    by an external engine and the driver gate value-checks it; and it is
+    deterministic, so snapshots taken at different times are directly
+    comparable.
+
+    Scale shape: ONE map-side-combined groupBy with at most
+    ~(64 - sub_bits) * 2^sub_bits + 2^(sub_bits+1) reduce rows (a few
+    thousand at sub_bits=5) — each executor ships a bounded sketch, not
+    its value column.  Two corpora's histograms merge by qv-keyed
+    cnt-sum (or just union them: hdr_quantiles' weighted collapse
+    re-merges duplicate qv rows).
+
+    Reference: Gene Tene's HdrHistogram bucket scheme (log2 buckets x
+    2^sub_bits linear sub-buckets).
+    """
+    if not 1 <= sub_bits <= 16:
+        raise ValueError(f"sub_bits must be in [1, 16]: {sub_bits}")
+    v = F.col(col).cast("long")
+    qv = F.when(
+        F.col("_v") < 0,
+        F.raise_error(F.lit(f"hdr_histogram: negative value in {col}")),
+    ).otherwise(F.expr("shiftleft(shiftright(_v, _s), _s)"))
+    return (
+        df.where(v.isNotNull())
+        .select(v.alias("_v"))
+        .select(
+            "_v",
+            F.greatest(
+                F.length(F.bin("_v")) - F.lit(sub_bits + 1), F.lit(0)
+            ).cast("int").alias("_s"),
+        )
+        .select(qv.alias("qv"))
+        .groupBy("qv")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(hist: DataFrame, qs: "list[float]") -> DataFrame:
+    """Histogram(s) -> (q, value): quantiles off the sketch.  RANK-exact,
+    VALUE-quantized: the prefix-sum walk lands in exactly the bucket
+    holding the true ceil(q*n)-th element (bucket counts are exact), so
+    the returned qv is the true quantile_disc value with its low bits
+    zeroed — value <= true < value + max(1, value * 2^-sub_bits)... i.e.
+    one-sided relative error < 2^-sub_bits.  Pass a UNION of sketches to
+    query merged corpora; duplicate qv rows re-collapse in the weighted
+    groupBy."""
+    from .quantiles import exact_quantiles
+
+    return exact_quantiles(hist, "qv", qs, weight_col="cnt").select(
+        "q", F.col("value").cast("long").alias("value")
+    )
+
+
 __all__ = [
     "hll_registers",
     "hll_estimate",
     "hll_distinct",
     "cms_counts",
     "cms_lookup",
+    "hdr_histogram",
+    "hdr_quantiles",
 ]
 
 

@@ -165,3 +165,87 @@ def test_scaled_integer_sum_is_exact_where_float_sum_is_not():
     s_float = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
     assert Fraction(s_float) != s_exact  # the float sum already rounded
     assert math.isfinite(s_float)
+
+
+# ---------------------------------------------------------------- HDR
+
+def _py_qv(v, m=5):
+    if v == 0:
+        return 0
+    s = max(v.bit_length() - (m + 1), 0)
+    return (v >> s) << s
+
+
+def _py_disc(sorted_vals, q):
+    n = len(sorted_vals)
+    return sorted_vals[min(max(math.ceil(q * n), 1), n) - 1]
+
+
+def test_hdr_histogram_matches_python_and_small_values_exact(spark):
+    import random
+
+    from intertext_spark.operators.sketches import hdr_histogram
+
+    rng = random.Random(19)
+    vals = (
+        [0, 1, 2, 63]                       # < 2^(m+1): exact buckets
+        + [rng.randint(0, 10**9) for _ in range(400)]
+        + [rng.randint(0, 200) for _ in range(200)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {(r.qv, r.cnt) for r in hdr_histogram(df, "v", sub_bits=5).collect()}
+    expected = Counter(_py_qv(v, 5) for v in vals)
+    assert got == set(expected.items())
+    # exactness below 2^(m+1)
+    assert all(_py_qv(v, 5) == v for v in range(64))
+    # bounded cells
+    assert len(got) <= (64 - 5) * 32 + 64
+
+
+def test_hdr_quantiles_rank_exact_value_quantized(spark):
+    import random
+
+    from intertext_spark.operators.sketches import hdr_histogram, hdr_quantiles
+
+    rng = random.Random(23)
+    # heavy-tailed: exp-scale magnitudes
+    vals = [int(2 ** (rng.random() * 30)) for _ in range(1500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    hist = hdr_histogram(df, "v", sub_bits=5)
+    got = {r.q: r.value for r in hdr_quantiles(hist, qs).collect()}
+    sv = sorted(vals)
+    for q in qs:
+        true = _py_disc(sv, q)
+        assert got[q] == _py_qv(true, 5)          # rank-exact bucket
+        assert got[q] <= true < got[q] + max(1, true >> 5) + 1  # rel err < 2^-5
+
+
+def test_hdr_merge_by_union_equals_combined(spark):
+    import random
+
+    from intertext_spark.operators.sketches import hdr_histogram, hdr_quantiles
+
+    rng = random.Random(29)
+    a = [rng.randint(0, 10**7) for _ in range(300)]
+    b = [rng.randint(0, 10**4) for _ in range(500)]
+    da = spark.createDataFrame([(v,) for v in a], "v long")
+    db = spark.createDataFrame([(v,) for v in b], "v long")
+    dab = spark.createDataFrame([(v,) for v in a + b], "v long")
+    qs = [0.1, 0.5, 0.9, 1.0]
+    merged = hdr_histogram(da, "v").unionByName(hdr_histogram(db, "v"))
+    got_m = sorted((r.q, r.value) for r in hdr_quantiles(merged, qs).collect())
+    got_c = sorted(
+        (r.q, r.value) for r in hdr_quantiles(hdr_histogram(dab, "v"), qs).collect()
+    )
+    assert got_m == got_c
+
+
+def test_hdr_negative_raises_and_nulls_ignored(spark):
+    from intertext_spark.operators.sketches import hdr_histogram
+
+    df = spark.createDataFrame([(5,), (None,), (7,)], "v long")
+    assert sum(r.cnt for r in hdr_histogram(df, "v").collect()) == 2
+    bad = spark.createDataFrame([(5,), (-1,)], "v long")
+    with pytest.raises(Exception, match="negative"):
+        hdr_histogram(bad, "v").collect()
