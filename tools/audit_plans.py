@@ -1027,6 +1027,70 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.quantiles import (
+        exact_quantiles as _eq,
+        quantile_filter as _qf,
+    )
+
+    record(
+        "exact_quantiles",
+        _eq(docs_tbl, "n_chars", [0.25, 0.5, 0.75], group_cols=["lang"]),
+        [
+            ("value-count collapse below the window (window sorts distinct values)",
+             lambda p: "HashAggregate" in p and "Window" in p),
+            ("one data-sized exchange (group+value key) + one window exchange",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) <= 2),
+            ("no join, no Python", lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+    record(
+        "quantile_filter",
+        _qf(docs_tbl, "n_chars", 0.05, 0.95, group_cols=["lang"]),
+        [
+            ("per-group bounds broadcast back onto the data",
+             lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+            ("no cartesian, no Python",
+             lambda p: "Cartesian" not in p and "Python" not in p),
+        ],
+    )
+
+    from intertext_spark.operators.sketches import (
+        hdr_histogram as _hh,
+    )
+
+    record(
+        "hdr_histogram", _hh(docs_tbl, "n_chars"),
+        [
+            ("one exchange, bucket-bounded reduce rows",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("cell counts partial-aggregate map-side",
+             lambda p: "partial_count" in p),
+            ("no join, no Python", lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+
+    from intertext_spark.operators.textstats import bm25_topk as _bm
+
+    _bmq = spark.createDataFrame(
+        [(1, "spark join window"), (2, "hash merge sort")],
+        "query_id long, query_text string",
+    )
+    record(
+        "bm25_topk", _bm(docs_tbl, _bmq, k=10),
+        [
+            ("query terms / df / stats all broadcast (no sort-merge join)",
+             lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+            ("corpus term stream pruned by broadcast semi-join",
+             lambda p: "LeftSemi" in p),
+            # bare "Python" would false-positive on applySchemaToPythonRDD
+            # (the local createDataFrame query fixture), so match actual
+            # Python-execution operators
+            ("no cartesian, no Python UDF stage",
+             lambda p: "Cartesian" not in p
+             and not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
