@@ -2200,6 +2200,29 @@ def _bm25_topk_q(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), qdf, k=10)
 
 
+def _validate_conversations_q(spark, sf_dir):
+    """Structural-integrity report over transcripts with deterministic
+    planted violations (dropped turns -> idx gaps, 'bot' roles, forced
+    user runs, blanked first turns) so every rule fires at the gate.
+    Oracle: DuckDB replants identically on the shared transcripts CTE
+    and replays the same lag-window + conditional-sum aggregation."""
+    from intertext_spark.operators.convstats import validate_conversations
+
+    t = transcripts_from_documents(spark, sf_dir)
+    d = F.col("conv_id").cast("long")
+    i = F.col("turn_idx")
+    role = (
+        F.when((d % 11 == 0) & (i % 6 == 2), F.lit("bot"))
+        .when((d % 7 == 0) & (i % 5 == 0), F.lit("user"))
+        .otherwise(F.col("role"))
+    )
+    text = F.when((d % 17 == 0) & (i == 0), F.lit("")).otherwise(F.col("text"))
+    mutated = t.where(~((d % 13 == 0) & (i % 4 == 1))).select(
+        "conv_id", "turn_idx", role.alias("role"), text.alias("text")
+    )
+    return validate_conversations(mutated)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in TEMPLATES
@@ -2312,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_topk"] = _bm25_topk_q
     q["hdr_histogram"] = _hdr_histogram_q
     q["hdr_quantiles"] = _hdr_quantiles_q
+    q["validate_conversations"] = _validate_conversations_q
     return q
 
 
@@ -4272,5 +4296,44 @@ with v as (
 )
 select cast(unnest({_HQS}) as double) as q,
        cast(unnest(vs) as bigint) as value from b
+"""
+    out["validate_conversations"] = _TRANSCRIPTS_CTE + """,
+mut as (
+  select conv_id, turn_idx,
+         case when cast(conv_id as bigint) % 11 = 0 and turn_idx % 6 = 2 then 'bot'
+              when cast(conv_id as bigint) % 7 = 0 and turn_idx % 5 = 0 then 'user'
+              else role end as role,
+         case when cast(conv_id as bigint) % 17 = 0 and turn_idx = 0 then '' else text end as text
+  from tr
+  where not (cast(conv_id as bigint) % 13 = 0 and turn_idx % 4 = 1)
+),
+ordered as (
+  select conv_id, turn_idx, role, text,
+         lag(role) over (partition by conv_id order by turn_idx, role) as prev_role,
+         row_number() over (partition by conv_id order by turn_idx, role) as rn
+  from mut
+),
+agg as (
+  select conv_id,
+         cast(count(*) as bigint) as n_turns,
+         cast(sum(case when text is null or trim(text) = '' then 1 else 0 end) as bigint) as n_empty_turns,
+         cast(sum(case when role not in ('user','assistant','system','tool') then 1 else 0 end) as bigint) as n_unknown_roles,
+         cast(sum(case when prev_role is not null and role = prev_role then 1 else 0 end) as bigint) as n_role_runs,
+         cast(sum(case when role = 'tool' and coalesce(prev_role, '') not in ('assistant','tool') then 1 else 0 end) as bigint) as n_dangling_tool,
+         max(case when rn = 1 then role end) as first_role,
+         count(distinct turn_idx) as n_idx,
+         cast(min(turn_idx) as bigint) as min_idx,
+         cast(max(turn_idx) as bigint) as max_idx
+  from ordered group by conv_id
+)
+select conv_id, n_turns, n_empty_turns, n_unknown_roles, n_role_runs, n_dangling_tool,
+       first_role,
+       first_role = 'user' as first_role_ok,
+       cast(n_turns - n_idx as bigint) as n_dup_turn_idx,
+       (max_idx - min_idx + 1) != n_idx as has_idx_gaps,
+       (n_empty_turns = 0 and n_unknown_roles = 0 and n_role_runs = 0
+        and n_dangling_tool = 0 and first_role = 'user'
+        and n_turns = n_idx and (max_idx - min_idx + 1) = n_idx) as valid
+from agg
 """
     return out

@@ -222,6 +222,15 @@ def run_suite(spark, sf_dir: str) -> dict:
         "gopher_repetition",
         # html_text: the zero-exchange JVM regexp/replace extraction chain
         "html_text",
+        # exact_quantiles: the value-count-collapse percentile primitive
+        # (one data-sized exchange + a distinct-value window)
+        "exact_quantiles",
+        # hdr_quantiles: sketch build (one bounded exchange) + the
+        # weighted prefix-sum walk off ~100 cells
+        "hdr_quantiles",
+        # bm25_topk: broadcast-pruned postings + scaled-integer scoring —
+        # lexical-retrieval throughput
+        "bm25_topk",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

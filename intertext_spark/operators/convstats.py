@@ -96,6 +96,88 @@ def conv_stats(tdf: DataFrame) -> DataFrame:
     )
 
 
+def validate_conversations(
+    tdf: DataFrame,
+    require_first_role: str = "user",
+    valid_roles: "tuple[str, ...]" = ("user", "assistant", "system", "tool"),
+) -> DataFrame:
+    """Per-conversation structural-integrity report — the validation
+    stage an SFT/transcript export runs before packing: -> (conv_id,
+    n_turns, n_empty_turns, n_unknown_roles, n_role_runs,
+    n_dangling_tool, first_role, first_role_ok, n_dup_turn_idx,
+    has_idx_gaps, valid).
+
+    Rules (each an independent count; ``valid`` is their conjunction):
+      * empty turn — text NULL or whitespace-only;
+      * unknown role — role not in ``valid_roles``;
+      * role run — a turn repeating its predecessor's role (user-user /
+        assistant-assistant adjacency, the malformed-SFT signature);
+      * dangling tool — a 'tool' turn whose predecessor is neither
+        'assistant' nor 'tool' (a tool result with no call);
+      * first turn's role must be ``require_first_role``;
+      * turn_idx must be duplicate-free and gap-free (contiguous).
+
+    Determinism: the predecessor order is (turn_idx, role) — total even
+    when turn_idx duplicates exist, so the report is partitioning- and
+    engine-invariant on malformed input too.
+
+    Scale shape: ONE conv-keyed exchange — the lag window and the
+    groupBy share the conv_id hash partitioning (Catalyst reuses the
+    exchange), and every rule is an in-row conditional sum with map-side
+    partial aggregation.  No joins, nothing driver-side.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx", "role")
+    base = tdf.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lag("role").over(w).alias("_prev_role"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    is_empty = F.col("text").isNull() | (F.trim("text") == "")
+    unknown = ~F.col("role").isin(*valid_roles)
+    run = F.col("_prev_role").isNotNull() & (F.col("role") == F.col("_prev_role"))
+    dangling = (F.col("role") == "tool") & ~F.coalesce(
+        F.col("_prev_role"), F.lit("")
+    ).isin("assistant", "tool")
+    agg = base.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.sum(is_empty.cast("long")).alias("n_empty_turns"),
+        F.sum(unknown.cast("long")).alias("n_unknown_roles"),
+        F.sum(run.cast("long")).alias("n_role_runs"),
+        F.sum(dangling.cast("long")).alias("n_dangling_tool"),
+        F.max(F.when(F.col("_rn") == 1, F.col("role"))).alias("first_role"),
+        F.count_distinct("turn_idx").alias("_n_idx"),
+        F.min("turn_idx").cast("long").alias("_min_idx"),
+        F.max("turn_idx").cast("long").alias("_max_idx"),
+    )
+    first_ok = F.col("first_role") == require_first_role
+    n_dup = (F.col("n_turns") - F.col("_n_idx")).alias("n_dup_turn_idx")
+    gaps = (F.col("_max_idx") - F.col("_min_idx") + 1) != F.col("_n_idx")
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_empty_turns",
+        "n_unknown_roles",
+        "n_role_runs",
+        "n_dangling_tool",
+        "first_role",
+        first_ok.alias("first_role_ok"),
+        n_dup,
+        gaps.alias("has_idx_gaps"),
+        (
+            (F.col("n_empty_turns") == 0)
+            & (F.col("n_unknown_roles") == 0)
+            & (F.col("n_role_runs") == 0)
+            & (F.col("n_dangling_tool") == 0)
+            & first_ok
+            & (F.col("n_turns") == F.col("_n_idx"))
+            & ~gaps
+        ).alias("valid"),
+    )
+
+
 def loop_detect(
     tdf: DataFrame,
     min_jaccard: float = 0.6,

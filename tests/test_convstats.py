@@ -370,3 +370,83 @@ def test_tool_stats_profile(spark):
     assert c.mean_pos_pct == 100.0 and c.mean_turn_chars == 0.0
     again = {tuple(r) for r in convstats.tool_stats(tdf.repartition(7)).collect()}
     assert again == {tuple(r) for r in convstats.tool_stats(tdf).collect()}
+
+
+SCHEMA_V = "conv_id string, turn_idx int, role string, text string"
+
+
+def _validate(spark, rows):
+    tdf = spark.createDataFrame(rows, SCHEMA_V)
+    return {r.conv_id: r for r in convstats.validate_conversations(tdf).collect()}
+
+
+def test_validate_clean_conversation(spark):
+    rows = [
+        ("a", 0, "user", "hi"),
+        ("a", 1, "assistant", "hello"),
+        ("a", 2, "assistant", "call"),  # run -> counted below, so use clean:
+    ]
+    out = _validate(spark, rows[:2])
+    a = out["a"]
+    assert a.valid and a.n_turns == 2 and a.first_role_ok
+    assert (a.n_empty_turns, a.n_unknown_roles, a.n_role_runs,
+            a.n_dangling_tool, a.n_dup_turn_idx) == (0, 0, 0, 0, 0)
+    assert not a.has_idx_gaps
+
+
+def test_validate_each_rule_fires_independently(spark):
+    rows = [
+        # b: empty turn + role run
+        ("b", 0, "user", "hi"),
+        ("b", 1, "user", "  "),
+        # c: unknown role, starts with assistant
+        ("c", 0, "assistant", "x"),
+        ("c", 1, "bot", "y"),
+        # d: dangling tool (preceded by user), then legal tool chain
+        ("d", 0, "user", "q"),
+        ("d", 1, "tool", "r"),
+        ("d", 2, "assistant", "a"),
+        ("d", 3, "tool", "t"),
+        ("d", 4, "tool", "t2"),
+        # e: idx gap
+        ("e", 0, "user", "q"),
+        ("e", 2, "assistant", "a"),
+        # f: duplicate turn_idx
+        ("f", 0, "user", "q"),
+        ("f", 0, "assistant", "a"),
+    ]
+    out = _validate(spark, rows)
+    assert out["b"].n_empty_turns == 1 and out["b"].n_role_runs == 1
+    assert not out["b"].valid
+    assert out["c"].n_unknown_roles == 1 and not out["c"].first_role_ok
+    assert out["d"].n_dangling_tool == 1  # only the user->tool one
+    assert out["d"].n_role_runs == 1      # tool,tool adjacency is a run too
+    assert out["e"].has_idx_gaps and out["e"].n_dup_turn_idx == 0
+    assert out["f"].n_dup_turn_idx == 1 and not out["f"].has_idx_gaps
+    assert not any(out[k].valid for k in "bcdef")
+
+
+def test_validate_deterministic_under_dup_idx_and_partitioning(spark):
+    # duplicate turn_idx with different roles: predecessor order is
+    # (turn_idx, role), so the report must not depend on partitioning
+    rows = [
+        ("g", 0, "user", "q"),
+        ("g", 1, "tool", "r"),
+        ("g", 1, "assistant", "a"),
+        ("g", 2, "assistant", "z"),
+    ]
+    tdf = spark.createDataFrame(rows, SCHEMA_V)
+    one = {tuple(r) for r in convstats.validate_conversations(tdf).collect()}
+    for n in (1, 7):
+        again = {
+            tuple(r)
+            for r in convstats.validate_conversations(tdf.repartition(n)).collect()
+        }
+        assert again == one
+    g = next(iter(one))
+    # ordered: (0,user),(1,assistant),(1,tool),(2,assistant):
+    # tool follows assistant (legal); assistant at idx2 follows tool (no run)
+    r = {t[0]: t for t in [g]}  # single row
+    row = convstats.validate_conversations(tdf).collect()[0]
+    assert row.n_dangling_tool == 0 and row.n_role_runs == 0
+    assert row.n_dup_turn_idx == 1 and not row.valid
