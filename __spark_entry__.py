@@ -2223,6 +2223,21 @@ def _validate_conversations_q(spark, sf_dir):
     return validate_conversations(mutated)
 
 
+def _ppjoin_pairs_q(spark, sf_dir):
+    """Exact-threshold Jaccard self-join (prefix + length + positional
+    filters, salted hot-token path) at t=0.9.  The oracle is the
+    BRUTE-FORCE all-pairs formulation — value equality proves the
+    filtered join is lossless vs all pairs.  prefix_group_cap=8 forces
+    the salted path to carry real pairs at gate scale (the 31-word gate
+    vocabulary makes every prefix token hot — exactly the boilerplate
+    skew the salted join exists for)."""
+    from intertext_spark.operators.setjoin import ppjoin_pairs
+
+    return ppjoin_pairs(
+        _docs(spark, sf_dir), threshold=0.9, prefix_group_cap=8
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in TEMPLATES
@@ -2336,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hdr_histogram"] = _hdr_histogram_q
     q["hdr_quantiles"] = _hdr_quantiles_q
     q["validate_conversations"] = _validate_conversations_q
+    q["ppjoin_pairs"] = _ppjoin_pairs_q
     return q
 
 
@@ -4336,4 +4352,9 @@ select conv_id, n_turns, n_empty_turns, n_unknown_roles, n_role_runs, n_dangling
         and n_turns = n_idx and (max_idx - min_idx + 1) = n_idx) as valid
 from agg
 """
+    # ppjoin_pairs: brute-force all-pairs Jaccard — the engine runs the
+    # prefix-filtered join; equality proves the filter is lossless.
+    from intertext_spark.sqlqueries import q_ppjoin_pairs
+
+    out["ppjoin_pairs"] = q_ppjoin_pairs(DUCK, threshold=0.9)
     return out

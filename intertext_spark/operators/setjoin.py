@@ -1,0 +1,248 @@
+"""Exact set-similarity self-join via prefix filtering (PPJoin-style).
+
+The DETERMINISTIC complement of the MinHash/SimHash banding paths: finds
+EVERY pair of documents whose token-set Jaccard similarity >= threshold,
+with recall 1.0 **by construction** (the prefix-filtering lemma), not
+probabilistically.  Use it when a dedup decision must be exact-auditable
+(legal holds, benchmark decontamination appeals) or when the threshold
+sits where an LSH S-curve is mushy.
+
+Algorithm (Chaudhuri/Ganti/Kaushik 2006 SSJoin; Xiao et al. 2008 PPJoin
+length + positional filters; Vernica/Carey/Li 2010 for the distributed
+shape):
+
+1. each doc's distinct tokens are ordered by GLOBAL rarity (document
+   frequency asc, token asc) — rare tokens first;
+2. a doc of set size ``n`` keeps only its first ``n - ceil(t*n) + 1``
+   tokens (the *prefix*): any pair with Jaccard >= t must share at least
+   one prefix token under the common order, so an equi-join on prefix
+   tokens finds every qualifying pair;
+3. candidates are pruned by the length filter (``min_sz >=
+   ceil(t * max_sz)``) and the positional filter (tokens remaining after
+   the shared position bound the achievable overlap below
+   ``ceil(t/(1+t) * (sz_a + sz_b))``);
+4. survivors are verified with an exact ``array_intersect`` Jaccard.
+
+Scale shape: the df-rank join is token-keyed; prefixes total ~(1-t) of
+the distinct-token stream; the prefix-token self-join reuses the window
+pipeline's two-phase + small/salted construction (candidates.py:55-145)
+— singleton prefix tokens never reach collect_set, small groups expand
+in-row, groups hotter than ``prefix_group_cap`` go through the salted
+two-sided join so no single task owns a hot token's full bucket.  Prefix
+tokens are each doc's RAREST tokens, which bounds bucket sizes on
+natural corpora; boilerplate corpora (everyone shares the same rare
+junk line) are exactly what the salted path absorbs.
+
+Float-boundary care: every ``ceil(t * n)`` is computed as
+``ceil(x - 1e-6)`` — an IEEE product landing one ulp ABOVE the true
+integer value would otherwise SHORTEN the prefix / tighten a filter and
+silently drop true pairs.  The guard can only lengthen a prefix or admit
+an extra candidate; the verify stage prunes those, so the output is
+exact either way.
+
+Cross-engine twin: q_ppjoin_pairs (sqlqueries.py) is the brute-force
+all-pairs formulation — at gate scale DuckDB runs it directly, so the
+gate proves the filtered join loses nothing vs all pairs.
+
+Reference parity: intertext validates its LSH candidates with exact
+similarity scoring (reference intertext.py match-validation stage);
+this operator is the standalone exact-join generalization of that
+validate step, with the candidate stage made lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# one-sided ceil guard: ceil(x - _EPS).  Covers |true - computed| up to
+# 1e-6 absolute — set sizes up to ~1e9 at double precision (rel err
+# ~1e-16) stay far inside it; fractional parts smaller than the guard
+# only make a filter more permissive (safe: verify prunes).
+_EPS = 1e-6
+
+
+def _gceil(x):
+    return F.ceil(x - F.lit(_EPS))
+
+
+def token_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (doc_id, toks): each doc's DISTINCT whitespace tokens (empty
+    docs dropped — they have no set to compare)."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .where(F.size("toks") > 0)
+    )
+
+
+def _ordered_sets(sets: DataFrame) -> DataFrame:
+    """-> (doc_id, toks, sz) with toks in the global (df asc, token asc)
+    order.  One token-keyed join against the vocab-sized df table, one
+    doc-keyed regroup; the in-row array_sort over (df_cnt, tok) structs
+    makes the order deterministic regardless of collect_list order."""
+    tokens = sets.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = tokens.groupBy("tok").agg(F.count("*").alias("df_cnt"))
+    return (
+        tokens.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_cnt", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks"),
+            F.count("*").cast("int").alias("sz"),
+        )
+    )
+
+
+def _cand_pred(doc_a, doc_b, sz_a, sz_b, pos_a, pos_b, t: float):
+    """Canonical order + PPJoin length and positional filters."""
+    len_ok = F.least(sz_a, sz_b) >= _gceil(
+        F.greatest(sz_a, sz_b).cast("double") * F.lit(t)
+    )
+    o_min = _gceil((sz_a + sz_b).cast("double") * F.lit(t / (1.0 + t)))
+    pos_ok = F.least(sz_a - pos_a, sz_b - pos_b) >= o_min
+    return (doc_a < doc_b) & len_ok & pos_ok
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_group_cap: int = 256,
+) -> DataFrame:
+    """-> (doc_a, doc_b, jaccard): EVERY pair with token-set Jaccard >=
+    ``threshold`` (doc_a < doc_b; jaccard rounded to 4 decimals via the
+    cross-engine floor rule).  Exact — equal to the brute-force all-pairs
+    answer, proven pairwise at the gate.
+
+    ``prefix_group_cap``: prefix-token buckets larger than this expand
+    through the salted two-sided join instead of in-row pair expansion.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    t = float(threshold)
+    ordered = _ordered_sets(token_sets(docs, text_col, id_col))
+
+    # prefix length n - ceil(t*n) + 1; slice never exceeds the array
+    plen = (F.col("sz") - _gceil(F.col("sz").cast("double") * F.lit(t)) + 1).cast(
+        "int"
+    )
+    pref = ordered.select(
+        "doc_id",
+        "sz",
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos", "tok"),
+    )
+
+    # two-phase: count-only pass finds multi-doc prefix tokens; only those
+    # reach collect_set (candidates.py posture — singletons dominate)
+    multi_toks = (
+        pref.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("tok")
+    )
+    grp = (
+        pref.join(multi_toks, "tok")
+        .groupBy("tok")
+        .agg(F.collect_set(F.struct("doc_id", "sz", "pos")).alias("ms"))
+        .withColumn("n", F.size("ms"))
+    )
+
+    # small path: in-row expansion with the filters applied inside the row
+    def _pair(a, b):
+        return F.struct(
+            a["doc_id"].alias("doc_a"),
+            b["doc_id"].alias("doc_b"),
+            a["sz"].alias("sz_a"),
+            b["sz"].alias("sz_b"),
+            a["pos"].alias("pos_a"),
+            b["pos"].alias("pos_b"),
+        )
+
+    crossed = F.flatten(
+        F.transform("ms", lambda a: F.transform(F.col("ms"), lambda b: _pair(a, b)))
+    )
+    small = (
+        grp.where(F.col("n") <= prefix_group_cap)
+        .select(
+            F.explode(
+                F.filter(
+                    crossed,
+                    lambda p: _cand_pred(
+                        p["doc_a"], p["doc_b"], p["sz_a"], p["sz_b"],
+                        p["pos_a"], p["pos_b"], t,
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+
+    # big path: salted two-sided join (hot prefix tokens).  Every ordered
+    # pair meets exactly once (left's single salt hits one right replica);
+    # the canonical a<b filter inside _cand_pred keeps one orientation.
+    big = grp.where(F.col("n") > prefix_group_cap).select(
+        "tok",
+        F.ceil(F.col("n") / F.lit(prefix_group_cap)).cast("int").alias("n_salt"),
+        F.explode("ms").alias("m"),
+    )
+    left = big.select(
+        "tok",
+        F.col("m.doc_id").alias("doc_a"),
+        F.col("m.sz").alias("sz_a"),
+        F.col("m.pos").alias("pos_a"),
+        F.pmod(F.xxhash64("m.doc_id"), F.col("n_salt")).alias("salt"),
+    )
+    right = big.select(
+        "tok",
+        F.col("m.doc_id").alias("doc_b"),
+        F.col("m.sz").alias("sz_b"),
+        F.col("m.pos").alias("pos_b"),
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+    )
+    big_pairs = (
+        left.join(right, ["tok", "salt"])
+        .where(
+            _cand_pred(
+                F.col("doc_a"), F.col("doc_b"), F.col("sz_a"), F.col("sz_b"),
+                F.col("pos_a"), F.col("pos_b"), t,
+            )
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    cand = small.unionByName(big_pairs).dropDuplicates(["doc_a", "doc_b"])
+
+    # exact verify on the full sets
+    a = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    ov = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    jac = ov / ((F.col("sz_a") + F.col("sz_b")).cast("double") - ov)
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jac >= F.lit(t))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+        )
+    )
+
+
+__all__ = ["token_sets", "ppjoin_pairs"]

@@ -351,6 +351,29 @@ join shingle_sets b on b.doc_id = p.doc_b
 """
 
 
+def q_ppjoin_pairs(d: Dialect, threshold: float = 0.9) -> str:
+    """Brute-force all-pairs twin of setjoin.ppjoin_pairs: identical
+    tokenization (splitws -> distinct), identical Jaccard algebra and
+    floor-rounding, NO prefix/length/positional filtering — so the gate
+    proves the filtered join is LOSSLESS vs all pairs.  Quadratic by
+    design: oracle-only, never a production path."""
+    t = repr(float(threshold))
+    sets = d.arr_distinct(d.splitws("text"))
+    ov = f"cast({d.arr_intersect_size('a.s', 'b.s')} as double)"
+    jac = f"{ov} / (cast(a.sz + b.sz as double) - {ov})"
+    return f"""
+with sets as (
+  select doc_id, {sets} as s
+  from documents where text is not null
+),
+ne as (select doc_id, s, {d.size('s')} as sz from sets where {d.size('s')} > 0)
+select a.doc_id as doc_a, b.doc_id as doc_b,
+       {d.round4(jac)} as jaccard
+from ne a join ne b on a.doc_id < b.doc_id
+where {jac} >= {t}
+"""
+
+
 def q_simhash(d: Dialect) -> str:
     """16-bit SimHash per document: bit b set iff more word hashes have bit
     b than not (SQL-checkable variant of the engine's 64-bit numpy path)."""

@@ -1,0 +1,115 @@
+"""ppjoin_pairs (exact prefix-filtered Jaccard self-join) vs a
+pure-python brute-force oracle — set equality, not recall: the operator
+claims exactness, so every test asserts the FULL pair set matches."""
+
+import random
+
+import pytest
+
+from intertext_spark.operators.setjoin import ppjoin_pairs, token_sets
+
+
+def _brute(docs, t):
+    """All pairs with |a∩b|/|a∪b| >= t over distinct whitespace tokens."""
+    sets = {
+        i: set(txt.split())
+        for i, txt in docs
+        if txt is not None and txt.split()
+    }
+    ids = sorted(sets)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            inter = len(a & b)
+            j = inter / (len(a) + len(b) - inter)
+            if j >= t:
+                out[(ids[x], ids[y])] = round(j, 4)
+    return out
+
+
+def _run(spark, docs, t, cap=256):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        (r.doc_a, r.doc_b): round(r.jaccard, 4)
+        for r in ppjoin_pairs(df, threshold=t, prefix_group_cap=cap).collect()
+    }
+
+
+def _rand_docs(seed, n_docs, vocab, lo=3, hi=25):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs = []
+    for i in range(n_docs):
+        k = rng.randint(lo, hi)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(k))))
+    # plant near-dup pairs: clone with a few substitutions
+    for i in range(0, n_docs, 7):
+        base = docs[i][1].split()
+        if len(base) > 4:
+            base[rng.randrange(len(base))] = rng.choice(words)
+        docs.append((n_docs + i, " ".join(base)))
+    return docs
+
+
+@pytest.mark.parametrize("t", [0.3, 0.5, 0.8, 0.9, 1.0])
+def test_matches_brute_force_small_vocab(spark, t):
+    # tiny vocab -> every prefix token is hot; high pair density
+    docs = _rand_docs(seed=int(t * 100), n_docs=40, vocab=12)
+    assert _run(spark, docs, t) == _brute(docs, t)
+
+
+@pytest.mark.parametrize("t", [0.5, 0.9])
+def test_matches_brute_force_large_vocab(spark, t):
+    docs = _rand_docs(seed=91, n_docs=60, vocab=400)
+    assert _run(spark, docs, t) == _brute(docs, t)
+
+
+def test_salted_path_equals_in_row_path(spark):
+    # cap=1 forces EVERY multi-doc prefix token through the salted join
+    docs = _rand_docs(seed=5, n_docs=50, vocab=10)
+    t = 0.7
+    expected = _brute(docs, t)
+    assert _run(spark, docs, t, cap=1) == expected
+    assert _run(spark, docs, t, cap=10 ** 6) == expected
+
+
+def test_float_boundary_pair_kept(spark):
+    # |a|=|b|=10, overlap 9 -> union 11, J = 9/11 ≈ 0.8182 < 0.9; build
+    # an EXACT J = 0.9 case instead: |a|=|b|=19, overlap 18 -> union 20,
+    # J = 0.9 exactly.  ceil(0.9*19) in floats is ceil(17.1)=18 either
+    # way, but the guarded ceil must also keep the t*n == integer case:
+    # |a|=|b|=10 overlap 10 (identical) at t=1.0.
+    a = " ".join(f"t{i}" for i in range(19))
+    b = " ".join(f"t{i}" for i in range(18)) + " zz"
+    docs = [(1, a), (2, b)]
+    got = _run(spark, docs, 0.9)
+    assert got == {(1, 2): 0.9}
+    ident = [(1, a), (2, a)]
+    assert _run(spark, ident, 1.0) == {(1, 2): 1.0}
+
+
+def test_duplicate_tokens_and_empty_docs(spark):
+    docs = [
+        (1, "a a a b"),          # set {a,b}
+        (2, "b a"),              # set {a,b} -> J=1.0 with 1
+        (3, "   "),              # empty after split -> dropped
+        (4, None),               # NULL -> dropped
+        (5, "c"),                # disjoint singleton
+    ]
+    assert _run(spark, docs, 0.9) == {(1, 2): 1.0}
+
+
+def test_threshold_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError):
+            ppjoin_pairs(df, threshold=bad)
+
+
+def test_token_sets_distinct_and_nonempty(spark):
+    df = spark.createDataFrame(
+        [(1, " x  y x "), (2, ""), (3, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: sorted(r.toks) for r in token_sets(df).collect()}
+    assert rows == {1: ["x", "y"]}

@@ -1091,6 +1091,23 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.setjoin import ppjoin_pairs as _ppj
+
+    # cap=8 exercises BOTH candidate paths (in-row + salted) in one plan
+    record(
+        "ppjoin_pairs", _ppj(docs_tbl, threshold=0.9, prefix_group_cap=8),
+        [
+            ("no cartesian product anywhere",
+             lambda p: "Cartesian" not in p),
+            ("small + salted candidate paths union",
+             lambda p: "Union" in p),
+            ("df-rank and verify stay JVM-side (no Python stage)",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+            ("prefix-token counts partial-aggregate map-side",
+             lambda p: "partial_count" in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
