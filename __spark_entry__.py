@@ -2238,6 +2238,16 @@ def _ppjoin_pairs_q(spark, sf_dir):
     )
 
 
+def _collocations_q(spark, sf_dir):
+    """PMI/NPMI bigram collocation mining at min_count=5, 6-digit ln
+    quantization (the cross-libm gate guard).  Oracle: DuckDB rebuilds
+    the bigram/unigram counts from the same split and replays the
+    fixed-order ratio algebra before its own ln."""
+    from intertext_spark.operators.textstats import collocations
+
+    return collocations(_docs(spark, sf_dir), min_count=5, quantize_digits=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(name) for name in TEMPLATES
@@ -2352,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["hdr_quantiles"] = _hdr_quantiles_q
     q["validate_conversations"] = _validate_conversations_q
     q["ppjoin_pairs"] = _ppjoin_pairs_q
+    q["collocations"] = _collocations_q
     return q
 
 
@@ -4357,4 +4368,53 @@ from agg
     from intertext_spark.sqlqueries import q_ppjoin_pairs
 
     out["ppjoin_pairs"] = q_ppjoin_pairs(DUCK, threshold=0.9)
+    # collocations: DuckDB rebuilds the unigram/bigram counts from the
+    # same WS-bridged split, replays the fixed-multiplication-order PMI
+    # ratio ((n_pair*N)*N) / ((B*n_w1)*n_w2) BEFORE its own ln, and
+    # floor-quantizes pmi/npmi at 6 digits — the cross-libm guard.  The
+    # npmi division uses the UNquantized pmi (exactly as the engine
+    # does) and is NULL when ln(n_pair/B) == 0.
+    out["collocations"] = """
+with w as (
+  select list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents where text is not null
+),
+d as (select words from w where len(words) >= 1),
+uni as (
+  select token as w, count(*) as c
+  from (select unnest(words) as token from d) group by token
+),
+bi as (
+  select unnest(list_transform(generate_series(1, len(words) - 1),
+           i -> struct_pack(w1 := words[i], w2 := words[i + 1]))) as b
+  from d where len(words) >= 2
+),
+pairs as (
+  select b.w1 as w1, b.w2 as w2, count(*) as n_pair
+  from bi group by b.w1, b.w2
+  having count(*) >= 5
+),
+tot as (
+  select cast((select sum(c) from uni) as double) as n_tok,
+         cast((select count(*) from bi) as double) as n_bi
+),
+scored as (
+  select p.w1, p.w2, p.n_pair,
+         cast(u1.c as bigint) as n_w1, cast(u2.c as bigint) as n_w2,
+         ln(((cast(p.n_pair as double) * tot.n_tok) * tot.n_tok)
+            / ((tot.n_bi * cast(u1.c as double)) * cast(u2.c as double)))
+           as pmi_raw,
+         ln(cast(p.n_pair as double) / tot.n_bi) as lnj
+  from pairs p
+  join uni u1 on p.w1 = u1.w
+  join uni u2 on p.w2 = u2.w
+  cross join tot
+)
+select w1, w2, n_pair, n_w1, n_w2,
+       floor(pmi_raw * 1000000 + 0.5) / 1000000 as pmi,
+       case when lnj != 0.0
+            then floor(pmi_raw / -lnj * 1000000 + 0.5) / 1000000
+            end as npmi
+from scored
+"""
     return out

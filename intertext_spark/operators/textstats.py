@@ -1658,3 +1658,91 @@ def fix_mojibake(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(batches, schema)
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize_digits: "int | None" = None,
+) -> DataFrame:
+    """PMI / NPMI bigram collocation mining — the phrase-discovery pass
+    for tokenizer vocab curation and word2vec-style phrase joining
+    (Mikolov et al. 2013 uses the same score with a discount; Church &
+    Hanks 1990 for PMI; Bouma 2009 for the [-1, 1] NPMI normalization).
+
+    -> (w1, w2, n_pair, n_w1, n_w2, pmi, npmi) for every adjacent-token
+    bigram with corpus count >= ``min_count``:
+
+      pmi  = ln( (n_pair * N * N) / (B * n_w1 * n_w2) )
+      npmi = pmi / -ln(n_pair / B)        (NULL when n_pair == B)
+
+    with N = total tokens and B = total bigrams.  The ratio is built in
+    a FIXED multiplication order (both gate engines replay the same
+    IEEE sequence), and ``quantize_digits`` floor-rounds pmi/npmi after
+    the ln — the repo's cross-libm guard for the gate; leave None in
+    production.
+
+    Scale shape: one map-side-combined bigram groupBy (distinct-bigram
+    reduce dimension) + one unigram groupBy (vocab dimension), two
+    token-keyed joins of the min_count-pruned pair table against the
+    vocab table (prune FIRST — the surviving pair table is the small
+    side), and the two scalar totals ride a one-row broadcast literal
+    join (the bm25 posture).  Nothing driver-side, no Python stage.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    src = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(_WORDS(text_col).alias("ws"))
+        .where(F.size("ws") >= 1)
+    )
+    uni = (
+        src.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    pair_src = src.where(F.size("ws") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ws"), i).alias("w1"),
+                    F.element_at(F.col("ws"), i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    )
+    pairs = (
+        pair_src.groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    totals = uni.agg(F.sum("c").cast("double").alias("n_tok")).crossJoin(
+        pair_src.agg(F.count("*").cast("double").alias("n_bi"))
+    )
+    scored = (
+        pairs.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = (
+        (F.col("n_pair").cast("double") * F.col("n_tok")) * F.col("n_tok")
+    ) / (
+        (F.col("n_bi") * F.col("n_w1").cast("double")) * F.col("n_w2").cast("double")
+    )
+    pmi = F.log(ratio)
+    ln_joint = F.log(F.col("n_pair").cast("double") / F.col("n_bi"))
+    npmi = F.when(ln_joint != 0.0, pmi / -ln_joint)
+    if quantize_digits is not None:
+        p = 10 ** quantize_digits
+        pmi = F.floor(pmi * p + F.lit(0.5)) / p
+        npmi = F.floor(npmi * p + F.lit(0.5)) / p
+    return scored.select(
+        "w1", "w2", "n_pair",
+        F.col("n_w1").cast("long").alias("n_w1"),
+        F.col("n_w2").cast("long").alias("n_w2"),
+        pmi.alias("pmi"),
+        npmi.alias("npmi"),
+    )

@@ -1492,3 +1492,62 @@ def test_mean_pool_embeddings_semantics(spark):
     assert raw["a"].embedding == [2.0, 2.0, 2.0]
     again = sorted(map(tuple, dedup.mean_pool_embeddings(df.repartition(5)).collect()))
     assert again == sorted(map(tuple, dedup.mean_pool_embeddings(df).collect()))
+
+
+def test_collocations_python_oracle(spark):
+    """PMI/NPMI against a plain-python recount: unigram/bigram counts,
+    min_count pruning, the exact ratio algebra, NPMI==1 on a
+    deterministic two-word corpus-wide bigram (n_pair==B -> NULL guard
+    on the ln(joint)==0 branch), and layout invariance."""
+    import math
+    from collections import Counter
+
+    docs = spark.createDataFrame(
+        [(1, "new york is big new york never sleeps"),
+         (2, "york new is not new york nor a new day"),
+         (3, "is big a day new york"),
+         (4, None), (5, "solo")],
+        "doc_id long, text string",
+    )
+    out = {(r.w1, r.w2): r
+           for r in textstats.collocations(docs, min_count=2).collect()}
+
+    words = [t.split() for t in
+             ["new york is big new york never sleeps",
+              "york new is not new york nor a new day",
+              "is big a day new york", "solo"]]
+    uni = Counter(w for ws in words for w in ws)
+    bi = Counter((ws[i], ws[i + 1]) for ws in words
+                 for i in range(len(ws) - 1))
+    n_tok = float(sum(uni.values()))
+    n_bi = float(sum(bi.values()))
+    want = {p: c for p, c in bi.items() if c >= 2}
+    assert set(out) == set(want)
+    for (w1, w2), c in want.items():
+        r = out[(w1, w2)]
+        assert (r.n_pair, r.n_w1, r.n_w2) == (c, uni[w1], uni[w2])
+        pmi = math.log(((c * n_tok) * n_tok)
+                       / ((n_bi * uni[w1]) * uni[w2]))
+        assert abs(r.pmi - pmi) < 1e-9
+        npmi = pmi / -math.log(c / n_bi)
+        assert abs(r.npmi - npmi) < 1e-9
+    # 'new york' is the most frequent surviving collocation
+    top = max(out.values(), key=lambda r: r.n_pair)
+    assert (top.w1, top.w2) == ("new", "york")
+
+    # n_pair == B: ln(joint) == 0 -> npmi NULL, pmi still defined
+    pure = spark.createDataFrame(
+        [(1, "ab cd"), (2, "ab cd"), (3, "ab cd")],
+        "doc_id long, text string",
+    )
+    only = textstats.collocations(pure, min_count=2).collect()
+    assert len(only) == 1 and only[0].npmi is None
+    assert abs(only[0].pmi - math.log(6.0 * 6.0 / (3.0 * 3.0))) < 1e-9
+
+    with pytest.raises(ValueError):
+        textstats.collocations(docs, min_count=0)
+
+    again = sorted(map(tuple, textstats.collocations(
+        docs.repartition(7), min_count=2).collect()))
+    assert again == sorted(map(tuple, textstats.collocations(
+        docs, min_count=2).collect()))

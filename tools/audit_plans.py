@@ -1108,6 +1108,27 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import collocations as _clc
+
+    record(
+        "collocations", _clc(docs_tbl, min_count=5),
+        [
+            ("no cartesian on data (the only nested-loop joins are the"
+             " two single-row totals attachments: n_tok x n_bi, then"
+             " totals onto the pruned pair table)",
+             lambda p: len(_re.findall(
+                 r"\(\d+\) BroadcastNestedLoopJoin", p)) == 2
+             and "CartesianProduct" not in p),
+            ("both count aggs partial (map-side combined)",
+             lambda p: p.count("partial_count") >= 2),
+            ("vocab joins are not nested-loop (equi hash/SMJ on tokens)",
+             lambda p: len(_re.findall(
+                 r"\(\d+\) (?:BroadcastHashJoin|ShuffledHashJoin|"
+                 r"SortMergeJoin)", p)) == 2),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
