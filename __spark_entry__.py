@@ -1094,6 +1094,22 @@ def _weighted_sample_q(spark, sf_dir):
     return weighted_sample(w, "weight", rate=0.9, hash_expr=bridge)
 
 
+def _stratified_sample_q(spark, sf_dir):
+    """Exact-quota stratified sample: 15 docs per source, selected by
+    the md5 hash-bridge order so DuckDB recomputes the identical sample
+    with one row_number window.  The engine runs the two-phase salted
+    top-K (n_salts=4 keeps both phases populated at sf0.01)."""
+    from intertext_spark.operators.sampling import stratified_sample
+
+    bridge = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"
+    )
+    return stratified_sample(
+        _docs(spark, sf_dir), n_per_group=15, group_col="source",
+        hash_expr=bridge, n_salts=4,
+    )
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup gate mode: centroids = 8 smallest-id vectors (so DuckDB
     can recompute the exact assignment), round4 cosines before ranking
@@ -2363,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["validate_conversations"] = _validate_conversations_q
     q["ppjoin_pairs"] = _ppjoin_pairs_q
     q["collocations"] = _collocations_q
+    q["stratified_sample"] = _stratified_sample_q
     return q
 
 
@@ -4416,5 +4433,22 @@ select w1, w2, n_pair, n_w1, n_w2,
             then floor(pmi_raw / -lnj * 1000000 + 0.5) / 1000000
             end as npmi
 from scored
+"""
+    # stratified_sample: DuckDB replays the hash-bridge total order with
+    # ONE per-group row_number — equality proves the engine's two-phase
+    # salted top-K collapses to exactly the one-phase sample.
+    out["stratified_sample"] = """
+with h as (
+  select doc_id, source,
+         ('0x' || substring(md5(cast(doc_id as varchar)), 1, 15))::BIGINT as h
+  from documents
+),
+r as (
+  select doc_id, source,
+         row_number() over (partition by source order by h, doc_id) as rank
+  from h
+)
+select doc_id, source, cast(rank as bigint) as rank
+from r where rank <= 15
 """
     return out

@@ -646,3 +646,56 @@ def weighted_sample(
         F.col(weight_col).isNotNull(), F.least(raw, F.lit(den).cast("long"))
     )
     return df.where(F.pmod(hash_expr, F.lit(den)) < thresh)
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_expr=None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Exact-quota stratified sampling: keep exactly ``n_per_group`` rows
+    per ``group_col`` value (all of them when the stratum is smaller) —
+    the balanced-eval-set / per-domain-pilot builder that rate-based
+    sampling can't express (a Bernoulli rate keeps ~n in expectation
+    and ±sqrt(n) in practice; a quota keeps n).  Selection order is
+    (hash(id), id) — a uniform pseudo-random total order that is
+    deterministic under any partitioning, any cluster size, any run.
+
+    -> (<id_col>, <group_col>, rank), rank in 1..n_per_group per group.
+
+    Scale shape: same two-phase salted top-K as ``source_cap`` — a naive
+    per-group row_number funnels a hot stratum through one reducer, so
+    phase 1 ranks within (group, salt=xxhash64(id) % n_salts) and keeps
+    n per salted slice (task input bounded by |stratum| / n_salts),
+    phase 2 ranks the <= n_salts * n survivors per group.  The global
+    top-n of a total order is a subset of the union of per-salt top-n,
+    so two-phase == one-phase exactly.  ``hash_expr`` defaults to
+    xxhash64(id, seed); the gate passes the md5 hash-bridge so an
+    external SQL engine recomputes the identical sample.
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1: {n_per_group}")
+    if hash_expr is None:
+        hash_expr = F.xxhash64(F.col(id_col), F.lit(seed))
+    salted = df.select(id_col, group_col).withColumn(
+        "h", hash_expr
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+    )
+    order = [F.col("h").asc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(group_col, "salt").orderBy(*order)
+    survivors = (
+        salted.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= n_per_group)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= n_per_group)
+        .select(id_col, group_col, "rank")
+    )

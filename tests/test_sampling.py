@@ -614,3 +614,51 @@ def test_weighted_sample_exact_predicate_and_edges(spark):
     assert again == got
     with _pt.raises(ValueError):
         weighted_sample(df, "weight", den=0)
+
+
+def test_stratified_sample_quota_and_python_oracle(spark):
+    """Exact n per group vs a plain-python replay of the (hash, id)
+    order; small strata keep everything; two-phase == one-phase at any
+    n_salts; layout invariance; n_per_group validation."""
+    import hashlib
+    import pytest
+
+    rows = [(i, "big" if i < 40 else ("mid" if i < 52 else "tiny"))
+            for i in range(55)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    bridge = F.expr(
+        "cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"
+    )
+    out = sampling.stratified_sample(
+        df, n_per_group=5, hash_expr=bridge, n_salts=3
+    ).collect()
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for src in ("big", "mid", "tiny"):
+        ids = sorted((i for i, s in rows if s == src),
+                     key=lambda i: (h(i), i))[:5]
+        for r, i in enumerate(ids, 1):
+            want[i] = (src, r)
+    assert {r.doc_id: (r.source, r.rank) for r in out} == want
+    assert sum(1 for r in out if r.source == "tiny") == 3  # |tiny|=3 < 5
+
+    for salts in (1, 7, 64):
+        again = sampling.stratified_sample(
+            df.repartition(9), n_per_group=5, hash_expr=bridge,
+            n_salts=salts,
+        ).collect()
+        assert {r.doc_id: (r.source, r.rank) for r in again} == want
+
+    # default hash path: deterministic, quota respected, seed changes set
+    a = sampling.stratified_sample(df, 5, seed=1).collect()
+    b = sampling.stratified_sample(df.repartition(4), 5, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = sampling.stratified_sample(df, 5, seed=2).collect()
+    assert {r.doc_id for r in a if r.source == "big"} != \
+           {r.doc_id for r in c if r.source == "big"}
+
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, 0)

@@ -1129,6 +1129,21 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.sampling import stratified_sample as _sts
+
+    record(
+        "stratified_sample", _sts(docs_tbl, n_per_group=15),
+        [
+            ("exactly two exchanges (salted phase-1 window, per-group"
+             " phase-2 window over <= n_salts*n survivors)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 2),
+            ("phase-1 partitioning carries the salt key",
+             lambda p: "salt" in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
