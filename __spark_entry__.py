@@ -1094,6 +1094,27 @@ def _weighted_sample_q(spark, sf_dir):
     return weighted_sample(w, "weight", rate=0.9, hash_expr=bridge)
 
 
+def _inverted_postings_q(spark, sf_dir):
+    """Positional inverted-index build over documents; DuckDB rebuilds
+    (term, doc_id, tf, sorted positions) from the same WS split."""
+    from intertext_spark.operators.textstats import inverted_postings
+
+    return inverted_postings(_docs(spark, sf_dir))
+
+
+def _phrase_search_q(spark, sf_dir):
+    """Exact-phrase top-k via the anchor-vote algebra — q1 exercises the
+    repeated-word case ('batch batch'), q3 a 3-word phrase.  DuckDB
+    replays the identical vote counting."""
+    from intertext_spark.operators.textstats import phrase_search
+
+    phrases = spark.createDataFrame(
+        [("q1", "batch batch"), ("q2", "sort merge"), ("q3", "the fast key")],
+        "query_id string, phrase string",
+    )
+    return phrase_search(_docs(spark, sf_dir), phrases, k=10)
+
+
 def _stratified_sample_q(spark, sf_dir):
     """Exact-quota stratified sample: 15 docs per source, selected by
     the md5 hash-bridge order so DuckDB recomputes the identical sample
@@ -2380,6 +2401,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ppjoin_pairs"] = _ppjoin_pairs_q
     q["collocations"] = _collocations_q
     q["stratified_sample"] = _stratified_sample_q
+    q["inverted_postings"] = _inverted_postings_q
+    q["phrase_search"] = _phrase_search_q
     return q
 
 
@@ -4450,5 +4473,84 @@ r as (
 )
 select doc_id, source, cast(rank as bigint) as rank
 from r where rank <= 15
+"""
+    # inverted_postings: DuckDB rebuilds the positional index from the
+    # same WS-bridged split — per-term sorted offset lists + tf.
+    out["inverted_postings"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents where text is not null
+),
+occ as (
+  select doc_id, s.pos as pos, s.term as term
+  from (
+    select doc_id,
+           unnest(list_transform(generate_series(1, len(words)),
+             i -> struct_pack(pos := i - 1, term := words[i]))) as s
+    from w where len(words) >= 1
+  )
+)
+select term, doc_id, cast(count(*) as bigint) as tf,
+       list_sort(list(cast(pos as int))) as positions
+from occ group by term, doc_id
+"""
+    # phrase_search: DuckDB replays the anchor-vote algebra (every
+    # occurrence of phrase word i at pos votes anchor = pos - i; a full
+    # vote set is a phrase occurrence), then the per-query top-k.
+    out["phrase_search"] = """
+with ph as (
+  select * from (values ('q1', 'batch batch'), ('q2', 'sort merge'),
+                        ('q3', 'the fast key')) v(query_id, phrase)
+),
+pt as (
+  select query_id, s.pidx as pidx, s.term as term
+  from (
+    select query_id,
+           unnest(list_transform(generate_series(1, len(ts)),
+             i -> struct_pack(pidx := i - 1, term := ts[i]))) as s
+    from (select query_id,
+                 list_filter(regexp_split_to_array(phrase, '\\s+'),
+                             x -> x != '') as ts
+          from ph)
+  )
+),
+m as (select query_id, count(*) as m from pt group by query_id),
+w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents where text is not null
+),
+occ as (
+  select doc_id, s.pos as pos, s.term as term
+  from (
+    select doc_id,
+           unnest(list_transform(generate_series(1, len(words)),
+             i -> struct_pack(pos := i - 1, term := words[i]))) as s
+    from w where len(words) >= 1
+  )
+),
+votes as (
+  select pt.query_id, occ.doc_id, occ.pos - pt.pidx as anchor,
+         count(*) as v
+  from occ join pt on occ.term = pt.term
+  where occ.pos - pt.pidx >= 0
+  group by pt.query_id, occ.doc_id, occ.pos - pt.pidx
+),
+hits as (
+  select votes.query_id, votes.doc_id,
+         cast(count(*) as bigint) as n_occurrences
+  from votes join m on votes.query_id = m.query_id
+  where votes.v = m.m
+  group by votes.query_id, votes.doc_id
+),
+r as (
+  select query_id, doc_id, n_occurrences,
+         row_number() over (partition by query_id
+                            order by n_occurrences desc, doc_id) as rank
+  from hits
+)
+select query_id, doc_id, n_occurrences, cast(rank as bigint) as rank
+from r where rank <= 10
 """
     return out

@@ -1746,3 +1746,110 @@ def collocations(
         pmi.alias("pmi"),
         npmi.alias("npmi"),
     )
+
+
+def inverted_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional inverted-index build — the materialize-once side of
+    lexical retrieval (bm25_topk / phrase_search recompute their pruned
+    postings per call; at serving scale you build THIS once, write it
+    partitioned/bucketed by term, and query against it).
+
+    -> (term, doc_id, tf, positions) with positions the sorted 0-based
+    word offsets of ``term`` in the doc (WS-contract tokens, so every
+    engine sees the same stream).  tf == size(positions).
+
+    Scale shape: the term stream stays doc-local through the explode;
+    the ONE exchange is the (doc_id, term) groupBy — keyed by doc AND
+    term, so a planet-hot term ('the' in 10^12 docs) still spreads over
+    every partition; partial_count combines map-side and the position
+    list is bounded by the doc length, never the corpus.  No Python.
+    Write with .write.bucketBy(n, 'term') to make downstream
+    term-keyed joins exchange-free.
+    """
+    occ = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), _WORDS(text_col).alias("ws"))
+        .where(F.size("ws") >= 1)
+        .select("doc_id", F.posexplode("ws").alias("pos", "term"))
+    )
+    return (
+        occ.groupBy("doc_id", "term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos").cast("int"))).alias(
+                "positions"
+            ),
+        )
+        .select("term", "doc_id", "tf", "positions")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact-phrase top-``k`` retrieval for a (small) phrase set — the
+    positional complement of bm25_topk: a doc matches only where the
+    phrase's words occur CONSECUTIVELY.  -> (query_id, doc_id,
+    n_occurrences, rank), rank 1..k per query by occurrence count
+    descending, ties by doc_id ascending.
+
+    Anchor algebra: every occurrence of phrase word p_i at doc position
+    pos votes for anchor = pos - i; a position where ALL m phrase words
+    vote (count == m per (doc, anchor)) is a phrase occurrence.  One
+    groupBy handles any phrase length and repeated words ('buffalo
+    buffalo buffalo') without self-joins — m-way positional
+    intersection would be m-1 joins; this is one exchange keyed by
+    (query, doc, anchor).
+
+    Scale shape: the corpus term stream is pruned by a BROADCAST join
+    to the phrase-term dimension before any exchange (only occurrences
+    of phrase words survive); per-query word counts m ride a broadcast
+    |queries|-row join; the final top-k is a per-query window (swap in
+    the two-phase source_cap shape for phrases matching a significant
+    fraction of a 10^12-doc corpus).  All JVM."""
+    occ = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), _WORDS(text_col).alias("ws"))
+        .where(F.size("ws") >= 1)
+        .select("doc_id", F.posexplode("ws").alias("pos", "term"))
+    )
+    pterms = phrases.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(_WORDS(phrase_col)).alias("pidx", "term"),
+    )
+    m = pterms.groupBy("query_id").agg(F.count("*").alias("m"))
+    anchors = (
+        occ.join(F.broadcast(pterms), "term")
+        .select(
+            "query_id", "doc_id", (F.col("pos") - F.col("pidx")).alias("anchor")
+        )
+        .where(F.col("anchor") >= 0)
+        .groupBy("query_id", "doc_id", "anchor")
+        .agg(F.count("*").alias("votes"))
+    )
+    counts = (
+        anchors.join(F.broadcast(m), "query_id")
+        .where(F.col("votes") == F.col("m"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_occurrences"), F.asc("doc_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "n_occurrences", "rank")
+    )

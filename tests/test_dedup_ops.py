@@ -1551,3 +1551,62 @@ def test_collocations_python_oracle(spark):
         docs.repartition(7), min_count=2).collect()))
     assert again == sorted(map(tuple, textstats.collocations(
         docs, min_count=2).collect()))
+
+
+def test_inverted_postings_python_oracle(spark):
+    """Postings equal a plain-python positional index; tf == len(
+    positions); null/empty docs dropped; layout invariance."""
+    docs = spark.createDataFrame(
+        [(1, "a b a c a"), (2, "b b"), (3, None), (4, ""), (5, "c")],
+        "doc_id long, text string",
+    )
+    out = {(r.term, r.doc_id): (r.tf, r.positions)
+           for r in textstats.inverted_postings(docs).collect()}
+    want = {}
+    for d, t in [(1, "a b a c a"), (2, "b b"), (5, "c")]:
+        for pos, w in enumerate(t.split()):
+            tf, ps = want.get((w, d), (0, []))
+            want[(w, d)] = (tf + 1, ps + [pos])
+    assert out == want
+    again = {(r.term, r.doc_id): (r.tf, r.positions)
+             for r in textstats.inverted_postings(
+                 docs.repartition(7)).collect()}
+    assert again == out
+
+
+def test_phrase_search_naive_oracle(spark):
+    """Anchor-vote counts equal a naive substring-scan oracle on every
+    (query, doc) — including repeated-word phrases ('x x') with
+    OVERLAPPING occurrences, a 3-word phrase, a phrase absent from the
+    corpus, and k-boundary tie-breaks by doc_id."""
+    texts = {1: "x x x x y x x", 2: "a b c a b c", 3: "b c a",
+             4: "x y x y", 5: "a b c"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [("p1", "x x"), ("p2", "a b c"), ("p3", "c a"), ("p4", "zz qq")],
+        "query_id string, phrase string",
+    )
+    out = {(r.query_id, r.doc_id): (r.n_occurrences, r.rank)
+           for r in textstats.phrase_search(docs, phrases, k=2).collect()}
+
+    def occs(words, ph):
+        return sum(1 for i in range(len(words) - len(ph) + 1)
+                   if words[i:i + len(ph)] == ph)
+
+    want = {}
+    for qid, ph in [("p1", "x x"), ("p2", "a b c"), ("p3", "c a"),
+                    ("p4", "zz qq")]:
+        cnt = {d: occs(t.split(), ph.split()) for d, t in texts.items()}
+        ranked = sorted(((c, d) for d, c in cnt.items() if c > 0),
+                        key=lambda t: (-t[0], t[1]))[:2]
+        for r, (c, d) in enumerate(ranked, 1):
+            want[(qid, d)] = (c, r)
+    assert out == want
+    # overlapping repeated-word case is actually exercised
+    assert out[("p1", 1)][0] == 4 and ("p4", 1) not in {
+        k for k in out if k[0] == "p4"}
+    again = {(r.query_id, r.doc_id): (r.n_occurrences, r.rank)
+             for r in textstats.phrase_search(
+                 docs.repartition(5), phrases, k=2).collect()}
+    assert again == out

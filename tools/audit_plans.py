@@ -1144,6 +1144,53 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import (
+        inverted_postings as _ivp,
+        phrase_search as _phs,
+    )
+
+    record(
+        "inverted_postings", _ivp(docs_tbl),
+        [
+            ("exactly one exchange (the (doc_id, term) groupBy)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("tf partial-aggregates map-side",
+             lambda p: "partial_count" in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
+    record(
+        "phrase_search",
+        _phs(
+            docs_tbl,
+            spark.createDataFrame(
+                [("q1", "batch batch"), ("q2", "sort merge")],
+                "query_id string, phrase string",
+            ),
+            k=10,
+        ),
+        [
+            ("phrase-term and m dimensions broadcast (term stream pruned"
+             " before any exchange)",
+             lambda p: len(_re.findall(
+                 r"\(\d+\) BroadcastHashJoin", p)) == 2),
+            ("no cartesian / nested-loop join",
+             lambda p: "Cartesian" not in p
+             and "NestedLoop" not in p),
+            ("anchor votes partial-aggregate map-side",
+             lambda p: "partial_count" in p),
+            ("top-k window is per-query partitioned (no SinglePartition"
+             " global sort)",
+             lambda p: "SinglePartition" not in p),
+            ("no Python execution stage (the only 'Python' in the plan"
+             " is createDataFrame's applySchemaToPythonRDD scan of the"
+             " literal phrase rows)",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
