@@ -1131,6 +1131,42 @@ def _stratified_sample_q(spark, sf_dir):
     )
 
 
+def _gram_novelty_q(spark, sf_dir):
+    """Per-doc trigram novelty vs all earlier docs (first-appearance
+    attribution by min doc_id).  DuckDB rebuilds the distinct posting
+    set from the same WS split and replays both aggregations; novelty
+    is one integer division, so doubles match bit-exactly."""
+    from intertext_spark.operators.textstats import gram_novelty
+
+    return gram_novelty(_docs(spark, sf_dir), n=3)
+
+
+def _drift_report_q(spark, sf_dir):
+    """PSI drift of event values per (event_type, week) vs each type's
+    earliest week: exact reference-week quintile edges, Laplace-smoothed
+    bin fractions, each bin term quantized to 1e-6 and summed as scaled
+    BIGINTs (the bm25 idiom) so the sum is fold-order free.  DuckDB
+    re-derives edges with quantile_disc (the exact_quantiles rank rule)
+    and replays the identical term chain."""
+    from intertext_spark.operators.quantiles import drift_report
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            "value",
+        )
+    )
+    out = drift_report(ev, "value", "week", ["event_type"], n_bins=5)
+    return out.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd").alias("week"),
+        "n_rows",
+        "psi",
+    )
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup gate mode: centroids = 8 smallest-id vectors (so DuckDB
     can recompute the exact assignment), round4 cosines before ranking
@@ -2403,6 +2439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stratified_sample"] = _stratified_sample_q
     q["inverted_postings"] = _inverted_postings_q
     q["phrase_search"] = _phrase_search_q
+    q["gram_novelty"] = _gram_novelty_q
+    q["drift_report"] = _drift_report_q
     return q
 
 
@@ -4552,5 +4590,80 @@ r as (
 )
 select query_id, doc_id, n_occurrences, cast(rank as bigint) as rank
 from r where rank <= 10
+"""
+    # gram_novelty: DuckDB rebuilds the distinct (doc, trigram) posting
+    # set from the same WS split, then replays totals / first-owner /
+    # novel-count; novelty = one integer division (bit-exact doubles).
+    out["gram_novelty"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents where text is not null
+),
+g as (
+  select distinct doc_id, gram from (
+    select doc_id, unnest(list_transform(generate_series(1, len(words) - 2),
+        i -> array_to_string(words[i:i+2], ' '))) as gram
+    from w where len(words) >= 3)
+),
+t as (select doc_id, count(*) as n_grams from g group by 1),
+f as (select gram, min(doc_id) as first_doc from g group by 1),
+nv as (select first_doc as doc_id, count(*) as novel from f group by 1)
+select t.doc_id, cast(t.n_grams as bigint) as n_grams,
+       cast(coalesce(nv.novel, 0) as bigint) as novel_grams,
+       cast(coalesce(nv.novel, 0) as double) / cast(t.n_grams as double)
+         as novelty
+from t left join nv using(doc_id)
+"""
+    # drift_report: DuckDB re-derives the reference-week quintile edges
+    # (quantile_disc == the exact_quantiles rank rule), bins every row
+    # with the same strict-greater filter, densifies to all 5 bins, and
+    # replays the Laplace-smoothed scaled-bigint PSI term chain.
+    out["drift_report"] = """
+with base as (
+  select event_type, date_trunc('week', ts) as bucket, value as v
+  from events where value is not null
+),
+ref as (select event_type, min(bucket) as rb from base group by 1),
+earr as (
+  select b.event_type, quantile_disc(b.v, [0.2, 0.4, 0.6, 0.8]) as es
+  from base b join ref using(event_type)
+  where b.bucket = ref.rb
+  group by 1
+),
+binned as (
+  select b.event_type, b.bucket,
+         len(list_filter(e.es, x -> b.v > x)) as bin
+  from base b join earr e using(event_type)
+),
+cnt as (select event_type, bucket, bin, count(*) as c from binned group by 1, 2, 3),
+dims as (select event_type, bucket, sum(c) as total from cnt group by 1, 2),
+dense as (
+  select dd.event_type, dd.bucket, dd.total, dd.bin, coalesce(c.c, 0) as c
+  from (select d.event_type, d.bucket, d.total, gs.bin
+        from dims d cross join
+             (select unnest(generate_series(0, 4)) as bin) gs) dd
+  left join cnt c on c.event_type = dd.event_type
+                 and c.bucket = dd.bucket and c.bin = dd.bin
+),
+reff as (
+  select dn.event_type, dn.bin, dn.c as rc, dn.total as rtotal
+  from dense dn join ref on dn.event_type = ref.event_type
+                        and dn.bucket = ref.rb
+),
+terms as (
+  select d.event_type, d.bucket, d.total,
+    cast(floor(
+      ((d.c + 1)::double / (d.total + 5)::double
+       - (r.rc + 1)::double / (r.rtotal + 5)::double)
+      * ln(((d.c + 1)::double / (d.total + 5)::double)
+           / ((r.rc + 1)::double / (r.rtotal + 5)::double))
+      * 1000000 + 0.5) as bigint) as t
+  from dense d join reff r on d.event_type = r.event_type and d.bin = r.bin
+)
+select event_type, strftime(bucket, '%Y-%m-%d') as week,
+       cast(min(total) as bigint) as n_rows,
+       cast(sum(t) as double) / 1000000 as psi
+from terms group by 1, 2
 """
     return out

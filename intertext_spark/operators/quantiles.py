@@ -113,3 +113,134 @@ def quantile_filter(
     return joined.where(
         F.col(value_col).between(F.col("_q_lo"), F.col("_q_hi"))
     ).drop("_q_lo", "_q_hi")
+
+
+def drift_report(
+    df: DataFrame,
+    value_col: str,
+    bucket_col: str,
+    group_cols: "list[str] | None" = None,
+    n_bins: int = 10,
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Population-Stability-Index drift report: per (group, bucket),
+    how far the ``value_col`` distribution has drifted from the group's
+    REFERENCE bucket (its minimum ``bucket_col`` value — the earliest
+    time window).  -> group_cols + (bucket, n_rows, psi double).  The
+    monitoring read (standard PSI bands): < 0.1 stable, 0.1-0.25 shifting,
+    > 0.25 drifted — the continuous-metric complement of corpus_profile's
+    categorical snapshot, and the alarm a 100-TB ingest pipeline wants per
+    source x day before drift poisons a training mix.
+
+    Method: the reference bucket's EXACT ``i/n_bins`` quantiles
+    (i = 1..n_bins-1, via exact_quantiles — no sketch drift) become the
+    group's bin edges; every row lands in bin = #edges strictly below
+    its value (ties fall to the lower bin); PSI = sum_i (p_i - q_i) *
+    ln(p_i / q_i) over Laplace-smoothed fractions p_i = (c_i + 1) /
+    (total + n_bins) (bucket) vs q_i (reference) — smoothing keeps
+    empty bins finite and is replayed identically by the cross-engine
+    twin.  The reference bucket reports PSI 0 by construction.
+
+    Cross-engine determinism: each bin's term is quantized to
+    ``quantize_digits`` digits and summed as scaled BIGINTs (the bm25
+    idiom) — the per-(group, bucket) PSI is an integer sum, identical
+    under any partitioning/fold order and immune to last-ulp ln()
+    differences.
+
+    Scale shape: three scans of the (group, bucket, value) projection
+    (ref-bucket min; reference quantiles; bin counts) — scans are the
+    cheap part, every aggregate is map-side combined, and nothing
+    data-sized is ever joined: the ref-bucket table (|groups| rows),
+    the edge arrays (|groups| rows), and the reference fractions
+    (|groups| x n_bins rows) are all BROADCAST.  The one data-sized
+    exchange is the (group, bucket, bin) count groupBy.  Bin
+    densification (zero-count bins must exist for smoothing) happens on
+    the dimension-sized counts table via an in-row sequence explode.
+    """
+    group_cols = list(group_cols or [])
+    base = df.select(
+        *group_cols, F.col(bucket_col).alias("bucket"), F.col(value_col).alias("v")
+    ).where(F.col("v").isNotNull())
+
+    ref = base.groupBy(*group_cols).agg(F.min("bucket").alias("__ref_bucket"))
+
+    def _bjoin(big, small):
+        return (
+            big.join(F.broadcast(small), group_cols)
+            if group_cols
+            else big.crossJoin(F.broadcast(small))
+        )
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = exact_quantiles(
+        _bjoin(base, ref).where(F.col("bucket") == F.col("__ref_bucket")),
+        "v",
+        qs,
+        group_cols,
+    )
+    # one sorted edge array per group (sort by q, then strip to values)
+    edge_arr = edges.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("q", "value"))),
+            lambda s: s["value"],
+        ).alias("__edges")
+    )
+    binned = _bjoin(base, edge_arr).select(
+        *group_cols,
+        "bucket",
+        F.size(F.filter("__edges", lambda e: F.col("v") > e)).alias("bin"),
+    )
+    counts = binned.groupBy(*group_cols, "bucket", "bin").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    # densify: every (group, bucket) must carry all n_bins bins
+    dims = counts.groupBy(*group_cols, "bucket").agg(
+        F.sum("c").cast("long").alias("total")
+    )
+    dense = (
+        dims.select(
+            *group_cols,
+            "bucket",
+            "total",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+        .join(counts, [*group_cols, "bucket", "bin"], "left")
+        .select(
+            *group_cols,
+            "bucket",
+            "total",
+            "bin",
+            F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("c"),
+        )
+    )
+    reff = (
+        _bjoin(dense, ref)
+        .where(F.col("bucket") == F.col("__ref_bucket"))
+        .select(
+            *group_cols,
+            "bin",
+            F.col("c").alias("__rc"),
+            F.col("total").alias("__rtotal"),
+        )
+    )
+    joined = (
+        dense.join(F.broadcast(reff), [*group_cols, "bin"])
+        if group_cols
+        else dense.join(F.broadcast(reff), ["bin"])
+    )
+    p = (F.col("c") + F.lit(1)).cast("double") / (
+        F.col("total") + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("__rc") + F.lit(1)).cast("double") / (
+        F.col("__rtotal") + F.lit(n_bins)
+    ).cast("double")
+    scale = 10 ** quantize_digits
+    term = F.floor((p - q) * F.log(p / q) * scale + F.lit(0.5)).cast("long")
+    return (
+        joined.select(*group_cols, "bucket", "total", term.alias("t"))
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.min("total").alias("n_rows"),
+            (F.sum("t").cast("double") / scale).alias("psi"),
+        )
+    )

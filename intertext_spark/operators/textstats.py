@@ -1853,3 +1853,77 @@ def phrase_search(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "n_occurrences", "rank")
     )
+
+
+def gram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty vs every EARLIER document (order =
+    ascending ``id_col``): of a doc's distinct word ``n``-grams, the
+    fraction whose corpus-wide first appearance is this doc.  ->
+    (doc_id, n_grams, novel_grams, novelty double).  The curation read:
+    novelty ~1 is fresh text, ~0 is recombined boilerplate — the
+    doc-granular complement of dedup_report's cluster accounting, and
+    the measurement behind "data age"/novelty curricula.  Docs with
+    fewer than ``n`` words emit no row (they have no grams to judge).
+
+    Scale shape — NO gram-keyed join anywhere: the distinct
+    (doc, gram) posting set is one exchange keyed by BOTH columns (a
+    planet-hot gram spreads over every partition); per-doc totals and
+    the per-gram first-owner are map-side-combined aggregates (min and
+    count partials), and "novel grams per doc" is just the first-owner
+    table re-grouped by its owner — so the hot-gram pathology that
+    would sink a grams-to-first-owner shuffle join never exists.  The
+    only join is doc-keyed (totals x novels, both doc-dimension-sized).
+    ``novelty`` is ONE integer division — bit-identical on any engine.
+    """
+    # No per-gram lambda: explode the gram START INDICES (a sequence —
+    # cheap even when predicate pushdown inlines it into the generate's
+    # size>0 condition), then slice+join the BOUND word array once per
+    # emitted gram.  Building grams with transform(..., lambda i:
+    # slice(ws, i, n)) instead puts the word split INSIDE the lambda
+    # when the generate condition is pushed down, and Catalyst does not
+    # hoist loop-invariant subexpressions out of HOF lambdas — the
+    # split would re-run per gram element (the top_ngrams 100x lesson).
+    ws = F.col("__ws")
+    dg = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), _WORDS(text_col).alias("__ws"))
+        .where(F.size(ws) >= n)
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(
+                F.sequence(F.lit(1), F.size(ws) - F.lit(n - 1))
+            ).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(ws, F.col("__i"), n), " ").alias("gram"),
+        )
+        .distinct()
+    )
+    totals = dg.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_grams"))
+    first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novels = first.groupBy("first_doc").agg(
+        F.count("*").cast("long").alias("novel_grams")
+    )
+    return (
+        totals.join(
+            novels.withColumnRenamed("first_doc", "doc_id"), "doc_id", "left"
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("novel_grams"), F.lit(0).cast("long")).alias(
+                "novel_grams"
+            ),
+            (
+                F.coalesce(F.col("novel_grams"), F.lit(0)).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -1610,3 +1610,46 @@ def test_phrase_search_naive_oracle(spark):
              for r in textstats.phrase_search(
                  docs.repartition(5), phrases, k=2).collect()}
     assert again == out
+
+
+def test_gram_novelty_matches_python_oracle(spark):
+    from intertext_spark.operators.textstats import gram_novelty
+
+    import random as _r
+
+    rng = _r.Random(17)
+    vocab = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu"]
+    docs = []
+    for i in range(30):
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12)))))
+    # exact copy of the first doc that actually has trigrams: zero novelty
+    src = next(t for _, t in docs if len(t.split()) >= 3)
+    docs.append((30, src))
+    docs.append((31, "zz yy xx ww"))  # all-novel doc
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    n = 3
+    first, per_doc = {}, {}
+    for did, text in sorted(docs):
+        ws = text.split()
+        grams = {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        if not grams:
+            continue
+        per_doc[did] = grams
+        for g in grams:
+            first.setdefault(g, did)
+    want = {
+        did: (
+            len(gs),
+            sum(1 for g in gs if first[g] == did),
+        )
+        for did, gs in per_doc.items()
+    }
+    got = {}
+    for r in gram_novelty(df, n=3).collect():
+        got[r["doc_id"]] = (r["n_grams"], r["novel_grams"])
+        assert r["novelty"] == r["novel_grams"] / r["n_grams"]
+    assert got == want
+    assert 30 in got and got[30][1] == 0  # the copy is entirely stale
+    assert got[31] == (2, 2)  # 4 words -> 2 trigrams, both novel
+    short = [d for d, t in docs if len(t.split()) < 3]
+    assert all(d not in got for d in short)  # gram-less docs emit no row

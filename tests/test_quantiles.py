@@ -110,3 +110,79 @@ def test_quantiles_plan_collapses_before_window(spark):
     w_pos = plan.find("Window")
     assert w_pos >= 0
     assert "HashAggregate" in plan[w_pos:] or "SortAggregate" in plan[w_pos:]
+
+
+def _psi_oracle(rows, n_bins):
+    """Pure-python PSI replay: rows = [(group, bucket, value)]."""
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for g, b, v in rows:
+        if v is not None:
+            by_g[g].append((b, v))
+    out = {}
+    for g, bv in by_g.items():
+        ref = min(b for b, _ in bv)
+        rv = sorted(v for b, v in bv if b == ref)
+        edges = [_disc(rv, i / n_bins) for i in range(1, n_bins)]
+
+        def binix(v):
+            return sum(1 for e in edges if v > e)
+
+        cnt = collections.Counter((b, binix(v)) for b, v in bv)
+        tot = collections.Counter(b for b, _ in bv)
+        for b in tot:
+            s = 0
+            for i in range(n_bins):
+                p = (cnt.get((b, i), 0) + 1) / (tot[b] + n_bins)
+                q = (cnt.get((ref, i), 0) + 1) / (tot[ref] + n_bins)
+                s += math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+            out[(g, b)] = (tot[b], s / 1e6)
+    return out
+
+
+def test_drift_report_matches_python_oracle(spark):
+    from intertext_spark.operators.quantiles import drift_report
+
+    rng = random.Random(41)
+    rows = []
+    for b in range(4):
+        for _ in range(120):
+            # planted drift: mean shifts with the bucket for group 'a'
+            rows.append(("a", b, rng.gauss(10 + 3 * b, 2.0)))
+            rows.append(("b", b, rng.gauss(5, 1.0)))  # stable
+    df = spark.createDataFrame(rows, "g string, bucket int, v double")
+    got = {
+        (r["g"], r["bucket"]): (r["n_rows"], round(r["psi"], 9))
+        for r in drift_report(df, "v", "bucket", ["g"], n_bins=8).collect()
+    }
+    want = {k: (n, round(p, 9)) for k, (n, p) in _psi_oracle(rows, 8).items()}
+    assert got == want
+    # reference buckets are PSI 0 by construction; planted drift grows
+    assert got[("a", 0)][1] == 0.0 and got[("b", 0)][1] == 0.0
+    assert got[("a", 3)][1] > got[("a", 1)][1] > 0.05
+    # the stable group stays inside the standard "no action" PSI band
+    # and well under the planted drift (sampling noise at 120 rows x 8
+    # bins is ~n_bins/N ~ 0.07, so 0.1 is too tight a line to pin)
+    assert all(got[("b", b)][1] < 0.25 for b in range(4))
+    assert max(got[("b", b)][1] for b in range(4)) < got[("a", 3)][1]
+
+
+def test_drift_report_empty_bins_and_single_bucket(spark):
+    from intertext_spark.operators.quantiles import drift_report
+
+    # group 'c' has one bucket only (its own reference, psi exactly 0);
+    # group 'd' bucket 1 lands entirely in the top bin (7 empty bins
+    # exercise the Laplace smoothing)
+    rows = [("c", 0, float(v)) for v in range(40)]
+    rows += [("d", 0, float(v)) for v in range(40)]
+    rows += [("d", 1, 1000.0)] * 10
+    df = spark.createDataFrame(rows, "g string, bucket int, v double")
+    got = {
+        (r["g"], r["bucket"]): (r["n_rows"], round(r["psi"], 9))
+        for r in drift_report(df, "v", "bucket", ["g"], n_bins=8).collect()
+    }
+    want = {k: (n, round(p, 9)) for k, (n, p) in _psi_oracle(rows, 8).items()}
+    assert got == want
+    assert got[("c", 0)] == (40, 0.0)
+    assert got[("d", 1)][1] > 1.0  # total drift scores deep in the red

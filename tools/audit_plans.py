@@ -1191,6 +1191,52 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import gram_novelty as _gn
+    from intertext_spark.operators.quantiles import drift_report as _drift
+    from pyspark.sql import functions as _F
+
+    record(
+        "gram_novelty", _gn(docs_tbl, n=3),
+        [
+            ("no gram-keyed join (the only join is doc-keyed totals x"
+             " novels) and no cartesian",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p
+             and len(_re.findall(r"\(\d+\) SortMergeJoin", p)) <= 1),
+            ("first-owner min and counts partial-aggregate map-side",
+             lambda p: "partial_min" in p and "partial_count" in p),
+            ("no per-gram HOF lambda (grams come from an index explode +"
+             " one slice per emitted gram, so the word split can never be"
+             " re-inlined inside a lambda by predicate pushdown — the"
+             " top_ngrams lesson)",
+             lambda p: "transform(" not in p and p.count("split(") <= 8),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
+    events_tbl = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_type",
+            _F.date_trunc("week", _F.col("ts")).cast("date").alias("week"),
+            "value",
+        )
+    )
+    record(
+        "drift_report",
+        _drift(events_tbl, "value", "week", ["event_type"], n_bins=5),
+        [
+            ("every dimension table broadcast (ref buckets, edge arrays,"
+             " reference fractions)",
+             lambda p: len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3),
+            ("no cartesian / nested-loop join",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+            ("bin counts and PSI terms partial-aggregate map-side",
+             lambda p: "partial_count" in p and "partial_sum" in p),
+            ("no SinglePartition funnel", lambda p: "SinglePartition" not in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
