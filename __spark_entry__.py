@@ -1167,6 +1167,41 @@ def _drift_report_q(spark, sf_dir):
     )
 
 
+def _asof_join_q(spark, sf_dir):
+    """Join-free backward as-of join (tagged union + running
+    last-ignorenulls window): every error event matched to the user's
+    most recent click within 1 day.  The oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN — an independent implementation, not a replay of the
+    engine's chain — plus the same tolerance null-out.  Timestamps ride
+    as unix_micros/epoch_us bigints (integer-exact, no format drift)."""
+    from intertext_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        left, right, ["user_id"], "ts",
+        right_cols=["event_id", "value"], tolerance=86400,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id_r",
+        "value_r",
+        F.unix_micros(F.col("ts_r").cast("timestamp")).alias("ts_r_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts_r").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup gate mode: centroids = 8 smallest-id vectors (so DuckDB
     can recompute the exact assignment), round4 cosines before ranking
@@ -2441,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["phrase_search"] = _phrase_search_q
     q["gram_novelty"] = _gram_novelty_q
     q["drift_report"] = _drift_report_q
+    q["asof_join"] = _asof_join_q
     return q
 
 
@@ -4665,5 +4701,31 @@ select event_type, strftime(bucket, '%Y-%m-%d') as week,
        cast(min(total) as bigint) as n_rows,
        cast(sum(t) as double) / 1000000 as psi
 from terms group by 1, 2
+"""
+    # asof_join: DuckDB's NATIVE ASOF LEFT JOIN is the oracle (an
+    # independent implementation of the semantics, not a replay), with
+    # the same 1-day tolerance null-out applied on top.
+    out["asof_join"] = """
+with l as (
+  select user_id, ts, event_id, value from events where event_type = 'error'
+),
+r as (
+  select user_id, ts, event_id, value from events where event_type = 'click'
+),
+j as (
+  select l.user_id, l.event_id, l.value, epoch_us(l.ts) as ts_us,
+         r.event_id as rid, r.value as rv, epoch_us(r.ts) as rts
+  from l asof left join r on l.user_id = r.user_id and l.ts >= r.ts
+)
+select user_id, event_id, value, ts_us,
+       case when rts is not null and ts_us - rts <= 86400000000
+            then rid end as event_id_r,
+       case when rts is not null and ts_us - rts <= 86400000000
+            then rv end as value_r,
+       case when rts is not null and ts_us - rts <= 86400000000
+            then rts end as ts_r_us,
+       case when rts is not null and ts_us - rts <= 86400000000
+            then ts_us - rts end as gap_us
+from j
 """
     return out

@@ -1,0 +1,115 @@
+"""Temporal operators over event streams: as-of join (nearest prior
+match), the primitive behind point-in-time feature joins ("what was the
+user's last click when this error fired"), session state attribution,
+and leakage-free feature backfills.
+
+Spark has no ASOF JOIN; the naive emulations are a range join (O(n*m)
+per key worst case) or a windowed self-join.  `asof_join` instead uses
+the tagged-union trick: union both sides on the key + timestamp, sort
+each key partition once, and carry the most recent right-side row
+forward with a running ``last(ignorenulls)`` window — ZERO join
+operators in the physical plan, one data-sized exchange (the per-key
+window), and the running frame (UnboundedPreceding..CurrentRow) is
+Spark's O(1)-per-row accumulation case, never a re-scan per row.
+
+Scale notes: the window partitions by the join keys, so one key's full
+history lands in one task — inherent to ordered per-key semantics (same
+caveat as sessionize).  For a monster key (a bot user with 10^9
+events), pre-split by coarse time bucket and stitch the boundary with a
+per-(key, bucket) last-row handoff.  Right-side collapse to one row per
+(key, ts) is a map-side-combined max aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: "list[str]",
+    ts_col: str = "ts",
+    right_cols: "list[str] | None" = None,
+    suffix: str = "_r",
+    tolerance: "float | None" = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of LEFT join: every left row, matched to the most
+    recent right row with the same ``key_cols`` and ``right.ts <=
+    left.ts`` (``<`` when ``strict``).  -> all left columns + the
+    matched right ``ts_col`` and ``right_cols``, each suffixed with
+    ``suffix``; unmatched left rows keep NULLs (left-join semantics).
+
+    ``tolerance``: maximum allowed left-minus-right gap — in SECONDS
+    for timestamp columns, in the column's own units for numerics; a
+    staler match is nulled out, the left row stays.
+
+    Determinism: the right side is first collapsed to ONE row per
+    (key, ts) by taking the struct-max of its value columns (a total
+    order), so duplicate right timestamps can never make the match
+    depend on partitioning.  Rows with a NULL timestamp are dropped on
+    both sides (they have no position on the time axis).
+    """
+    right_cols = (
+        [c for c in right.columns if c not in key_cols and c != ts_col]
+        if right_cols is None
+        else list(right_cols)
+    )
+    # one right row per (key, ts): struct-max over the value columns
+    r1 = (
+        right.where(F.col(ts_col).isNotNull())
+        .groupBy(*key_cols, ts_col)
+        .agg(F.max(F.struct(*right_cols)).alias("__rv"))
+        .select(
+            *key_cols,
+            F.col(ts_col).alias("__ts"),
+            F.lit(False).alias("__is_l"),
+            F.struct(
+                F.col(ts_col).alias("__rts"),
+                *[F.col("__rv")[c].alias(c) for c in right_cols],
+            ).alias("__r"),
+        )
+    )
+    lu = left.where(F.col(ts_col).isNotNull()).select(
+        *key_cols,
+        F.col(ts_col).alias("__ts"),
+        F.lit(True).alias("__is_l"),
+        F.struct(*[c for c in left.columns if c not in key_cols]).alias("__l"),
+    )
+    u = lu.unionByName(r1, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal ts so <= matches see
+    # them (strict flips the tie so equal-ts rows are invisible)
+    tie = F.col("__is_l").asc() if not strict else F.col("__is_l").desc()
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__ts").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.last("__r", ignorenulls=True).over(w)
+    # window BEFORE the left-rows filter — the right rows must still be
+    # in the frame when the running last is computed
+    out = u.withColumn("__m", m).where("__is_l")
+    if tolerance is not None:
+        ts_type = dict(zip(left.schema.names, left.schema.fields))[
+            ts_col
+        ].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ needs the cast (unix_micros takes TIMESTAMP only);
+            # the session tz is pinned UTC so the instant is unchanged
+            gap_ok = (
+                F.unix_micros(F.col("__ts").cast("timestamp"))
+                - F.unix_micros(F.col("__m.__rts").cast("timestamp"))
+            ) <= int(tolerance * 1_000_000)
+        else:
+            gap_ok = (F.col("__ts") - F.col("__m.__rts")) <= F.lit(tolerance)
+        out = out.withColumn(
+            "__m", F.when(F.col("__m").isNotNull() & gap_ok, F.col("__m"))
+        )
+    lcols = [c for c in left.columns if c not in key_cols]
+    return out.select(
+        *key_cols,
+        *[F.col("__l")[c].alias(c) for c in lcols],
+        F.col("__m.__rts").alias(f"{ts_col}{suffix}"),
+        *[F.col("__m")[c].alias(f"{c}{suffix}") for c in right_cols],
+    )

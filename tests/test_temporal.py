@@ -1,0 +1,113 @@
+"""asof_join vs a brute-force python oracle (and DuckDB's native ASOF
+JOIN on the randomized case)."""
+
+import random
+
+import duckdb
+import pytest
+
+
+def _brute(left, right, strict=False, tolerance=None):
+    """left/right: [(k, ts, payload)] with right payload orderable.
+    Returns {(k, l_ts, l_payload): matched right (ts, payload) or None}."""
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for k, ts, v in right:
+        by_k[k].append((ts, v))
+    # operator semantics: one right row per (k, ts) = struct-max payload
+    coll = {}
+    for k, rows in by_k.items():
+        best = {}
+        for ts, v in rows:
+            if ts not in best or v > best[ts]:
+                best[ts] = v
+        coll[k] = sorted(best.items())
+    out = {}
+    for k, ts, v in left:
+        cands = [
+            (rts, rv)
+            for rts, rv in coll.get(k, [])
+            if (rts < ts if strict else rts <= ts)
+        ]
+        m = max(cands) if cands else None
+        if m is not None and tolerance is not None and ts - m[0] > tolerance:
+            m = None
+        out[(k, ts, v)] = m
+    return out
+
+
+def test_asof_join_randomized_vs_brute_and_duckdb(spark):
+    from intertext_spark.operators.temporal import asof_join
+
+    rng = random.Random(99)
+    left = [
+        (rng.randint(0, 5), rng.randint(0, 100), float(i))
+        for i in range(200)
+    ]
+    right = [
+        (rng.randint(0, 5), rng.randint(0, 100), float(rng.randint(0, 50)))
+        for i in range(150)
+    ]  # collisions on (k, ts) are likely: exercises the struct-max collapse
+    L = spark.createDataFrame(left, "k int, ts int, lv double")
+    R = spark.createDataFrame(right, "k int, ts int, rv double")
+    for strict in (False, True):
+        for tol in (None, 7):
+            got = {
+                (r["k"], r["ts"], r["lv"]): (
+                    None if r["ts_r"] is None else (r["ts_r"], r["rv_r"])
+                )
+                for r in asof_join(
+                    L.repartition(7), R.repartition(3), ["k"], "ts",
+                    strict=strict, tolerance=tol,
+                ).collect()
+            }
+            want = _brute(left, right, strict=strict, tolerance=tol)
+            assert got == want, f"strict={strict} tol={tol}"
+    # independent cross-check of the default mode: DuckDB native ASOF
+    # over the pre-collapsed right side
+    con = duckdb.connect()
+    con.execute("create table l(k int, ts int, lv double)")
+    con.execute("create table r(k int, ts int, rv double)")
+    con.executemany("insert into l values (?,?,?)", left)
+    con.executemany("insert into r values (?,?,?)", right)
+    ora = {
+        (k, ts, lv): (None if rts is None else (rts, rv))
+        for k, ts, lv, rts, rv in con.sql(
+            """
+            with rc as (select k, ts, max(rv) as rv from r group by 1, 2)
+            select l.k, l.ts, l.lv, rc.ts, rc.rv
+            from l asof left join rc on l.k = rc.k and l.ts >= rc.ts
+            """
+        ).fetchall()
+    }
+    assert ora == _brute(left, right)
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    from intertext_spark.operators.temporal import asof_join
+
+    L = spark.createDataFrame([(1, 10, "x")], "k int, ts int, tag string")
+    R = spark.createDataFrame([(1, 5, 1.0)], "k int, ts int, v double")
+    df = asof_join(L, R, ["k"], "ts")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Join" not in plan  # the whole point: asof without a join
+    assert "partial_max" in plan  # right collapse combines map-side
+    assert "SinglePartition" not in plan or "k#" in plan  # keyed window
+
+
+def test_asof_join_null_ts_dropped_and_left_schema_kept(spark):
+    from intertext_spark.operators.temporal import asof_join
+
+    L = spark.createDataFrame(
+        [(1, 10, "a"), (1, None, "dropped")], "k int, ts int, tag string"
+    )
+    R = spark.createDataFrame(
+        [(1, 4, 9.0), (1, None, 99.0)], "k int, ts int, v double"
+    )
+    rows = asof_join(L, R, ["k"], "ts").collect()
+    assert [(r["k"], r["ts"], r["tag"], r["ts_r"], r["v_r"]) for r in rows] == [
+        (1, 10, "a", 4, 9.0)
+    ]

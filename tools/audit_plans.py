@@ -1237,6 +1237,35 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.temporal import asof_join as _asof
+
+    _ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    record(
+        "asof_join",
+        _asof(
+            _ev.where(_F.col("event_type") == "error").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            _ev.where(_F.col("event_type") == "click").select(
+                "user_id", "ts", "event_id", "value"
+            ),
+            ["user_id"], "ts",
+            right_cols=["event_id", "value"], tolerance=86400,
+        ),
+        [
+            ("ZERO join operators (tagged union + running-last window"
+             " replaces the range join entirely)",
+             lambda p: "Join" not in p),
+            ("right collapse partial-aggregates map-side",
+             lambda p: "partial_max" in p),
+            ("the window is key-partitioned, never a global sort",
+             lambda p: "SinglePartition" not in p),
+            ("running frame, not a re-scan per row",
+             lambda p: "unboundedpreceding" in p and "currentrow" in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
