@@ -1202,6 +1202,24 @@ def _asof_join_q(spark, sf_dir):
     )
 
 
+def _funnel_q(spark, sf_dir):
+    """4-step earliest-completion funnel (signup -> view -> click ->
+    purchase) over the first two days of events — the restriction
+    thins each user's stream so partial funnels actually occur at the
+    gate.  DuckDB replays the same nested min-over-partition window
+    chain; step times ride as unix_micros/epoch_us bigints."""
+    from intertext_spark.operators.temporal import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp_ntz")
+    )
+    out = funnel(ev, ["signup", "view", "click", "purchase"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp")).alias(f"{c}_us")  # noqa: E731
+    return out.select(
+        "user_id", "steps_completed", us("t0"), us("t1"), us("t2"), us("t3")
+    )
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup gate mode: centroids = 8 smallest-id vectors (so DuckDB
     can recompute the exact assignment), round4 cosines before ranking
@@ -2477,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["gram_novelty"] = _gram_novelty_q
     q["drift_report"] = _drift_report_q
     q["asof_join"] = _asof_join_q
+    q["funnel"] = _funnel_q
     return q
 
 
@@ -4727,5 +4746,30 @@ select user_id, event_id, value, ts_us,
        case when rts is not null and ts_us - rts <= 86400000000
             then ts_us - rts end as gap_us
 from j
+"""
+    # funnel: DuckDB replays the identical nested min-over-partition
+    # window chain (an uncompleted step's NULL nulls every later step
+    # through the >= comparison).
+    out["funnel"] = """
+with e as (
+  select user_id, ts, event_type from events
+  where ts is not null and ts < timestamp '2024-01-03'
+    and event_type in ('signup', 'view', 'click', 'purchase')
+),
+s0 as (select *, min(case when event_type = 'signup' then ts end)
+                   over (partition by user_id) as t0 from e),
+s1 as (select *, min(case when event_type = 'view' and ts >= t0 then ts end)
+                   over (partition by user_id) as t1 from s0),
+s2 as (select *, min(case when event_type = 'click' and ts >= t1 then ts end)
+                   over (partition by user_id) as t2 from s1),
+s3 as (select *, min(case when event_type = 'purchase' and ts >= t2 then ts end)
+                   over (partition by user_id) as t3 from s2)
+select user_id,
+       cast((t0 is not null)::int + (t1 is not null)::int
+            + (t2 is not null)::int + (t3 is not null)::int as bigint)
+         as steps_completed,
+       epoch_us(min(t0)) as t0_us, epoch_us(min(t1)) as t1_us,
+       epoch_us(min(t2)) as t2_us, epoch_us(min(t3)) as t3_us
+from s3 group by user_id, t0, t1, t2, t3
 """
     return out

@@ -113,3 +113,52 @@ def asof_join(
         F.col("__m.__rts").alias(f"{ts_col}{suffix}"),
         *[F.col("__m")[c].alias(f"{c}{suffix}") for c in right_cols],
     )
+
+
+def funnel(
+    df: DataFrame,
+    steps: "list[str]",
+    key_cols: "list[str] | None" = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per key (user), the earliest time each
+    ``steps[i]`` event occurs AT OR AFTER the earliest completion of
+    step i-1 (the classic earliest-completion funnel rule — greedy is
+    optimal here: taking the earliest valid step-i time can only leave
+    more room for step i+1).  -> key_cols + (steps_completed,
+    t0..t{k-1} timestamps, NULL from the first uncompleted step on).
+
+    Scale shape: ONE data-sized exchange.  Every step is a
+    min(when(...)) window aggregate over the SAME key partitioning, so
+    Spark stacks k Window nodes on one shuffle instead of k self-joins
+    (the naive funnel emulation); the final per-key collapse reuses the
+    partitioning too.  Keys with billions of rows hit the same
+    single-task caveat as any ordered per-key operator (see asof_join).
+    """
+    key_cols = list(key_cols or ["user_id"])
+    w = Window.partitionBy(*key_cols)
+    cur = df.where(
+        F.col(ts_col).isNotNull() & F.col(type_col).isin(list(steps))
+    ).select(*key_cols, ts_col, type_col)
+    names = []
+    for i, s in enumerate(steps):
+        cond = F.col(type_col) == s
+        if names:
+            # a NULL previous step makes the comparison NULL, so an
+            # uncompleted step nulls every later step automatically
+            cond = cond & (F.col(ts_col) >= F.col(names[-1]))
+        name = f"t{i}"
+        cur = cur.withColumn(
+            name, F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+        names.append(name)
+    return cur.groupBy(*key_cols).agg(
+        *[F.min(n).alias(n) for n in names]
+    ).select(
+        *key_cols,
+        sum(
+            (F.col(n).isNotNull().cast("int") for n in names), F.lit(0)
+        ).cast("long").alias("steps_completed"),
+        *names,
+    )

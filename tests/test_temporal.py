@@ -111,3 +111,87 @@ def test_asof_join_null_ts_dropped_and_left_schema_kept(spark):
     assert [(r["k"], r["ts"], r["tag"], r["ts_r"], r["v_r"]) for r in rows] == [
         (1, 10, "a", 4, 9.0)
     ]
+
+
+def _funnel_brute(rows, steps):
+    """rows: [(k, ts, type)] -> {k: [t0, t1, ...]} earliest-completion."""
+    from collections import defaultdict
+
+    by_k = defaultdict(list)
+    for k, ts, t in rows:
+        if ts is not None:
+            by_k[k].append((ts, t))
+    out = {}
+    for k, evs in by_k.items():
+        ts_list = []
+        prev = None
+        for s in steps:
+            cands = [
+                ts for ts, t in evs
+                if t == s and (prev is None or ts >= prev)
+            ]
+            cur = min(cands) if cands else None
+            ts_list.append(cur)
+            prev = cur
+            if cur is None:
+                # later steps can never match a NULL bound
+                ts_list.extend([None] * (len(steps) - len(ts_list)))
+                break
+        out[k] = ts_list
+    return out
+
+
+def test_funnel_matches_brute_force(spark):
+    from intertext_spark.operators.temporal import funnel
+
+    rng = random.Random(5)
+    types = ["a", "b", "c", "x"]
+    rows = [
+        (rng.randint(0, 9), rng.randint(0, 30), rng.choice(types))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, event_type string")
+    steps = ["a", "b", "c"]
+    got = {
+        r["user_id"]: (r["steps_completed"], [r["t0"], r["t1"], r["t2"]])
+        for r in funnel(df.repartition(5), steps).collect()
+    }
+    want = _funnel_brute(rows, steps)
+    assert set(got) == set(want)
+    for k, ts_list in want.items():
+        n = sum(1 for t in ts_list if t is not None)
+        assert got[k] == (n, ts_list), k
+
+
+def test_funnel_order_matters_and_equal_ts_counts(spark):
+    from intertext_spark.operators.temporal import funnel
+
+    rows = [
+        (1, 10, "a"), (1, 5, "b"),   # b BEFORE a: step 2 incomplete...
+        (1, 10, "b"),                # ...but an equal-ts b completes it
+        (2, 10, "b"), (2, 20, "a"),  # no b at/after a: stops at 1
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts int, event_type string")
+    got = {
+        r["user_id"]: (r["steps_completed"], r["t0"], r["t1"])
+        for r in funnel(df, ["a", "b"]).collect()
+    }
+    assert got == {1: (2, 10, 10), 2: (1, 20, None)}
+
+
+def test_funnel_single_exchange_plan(spark):
+    from intertext_spark.operators.temporal import funnel
+    import re
+
+    df = spark.createDataFrame(
+        [(1, 10, "a")], "user_id int, ts int, event_type string"
+    )
+    out = funnel(df, ["a", "b", "c"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # k windows + the final collapse all ride ONE key exchange
+    ops = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert ops.count("Exchange") == 1
+    assert ops.count("Window") == 3
+    assert "Join" not in plan

@@ -1266,6 +1266,26 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.temporal import funnel as _funnel
+
+    record(
+        "funnel",
+        _funnel(_ev, ["signup", "view", "click", "purchase"]),
+        [
+            ("all step windows + the final collapse ride ONE exchange",
+             lambda p: len(set(_re.findall(r"^\(\d+\) Exchange", p,
+                                           _re.M))) <= 1
+             and len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 1),
+            ("one Window node per funnel step",
+             lambda p: len(_re.findall(r"^\(\d+\) Window", p, _re.M)) == 4),
+            ("no join (the naive funnel emulation is k self-joins)",
+             lambda p: "Join" not in p),
+            ("type filter pushed to the scan",
+             lambda p: "PushedFilters" in p and "In(event_type" in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
