@@ -1220,6 +1220,21 @@ def _funnel_q(spark, sf_dir):
     )
 
 
+def _random_project_q(spark, sf_dir):
+    """Sparse JL projection 64 -> 8 dims: the matrix is md5-derived
+    (engine-independent), the per-dim dot product is a sequential
+    in-row fold, so DuckDB re-derives the same matrix literal and
+    replays every double BIT-EXACTLY (no quantization)."""
+    from intertext_spark.operators.dedup import (
+        jl_projection_matrix,
+        random_project,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mat = jl_projection_matrix(64, 8, seed=1)
+    return random_project(emb, mat).select("vec_id", "proj")
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup gate mode: centroids = 8 smallest-id vectors (so DuckDB
     can recompute the exact assignment), round4 cosines before ranking
@@ -2496,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["drift_report"] = _drift_report_q
     q["asof_join"] = _asof_join_q
     q["funnel"] = _funnel_q
+    q["random_project"] = _random_project_q
     return q
 
 
@@ -4771,5 +4787,26 @@ select user_id,
        epoch_us(min(t0)) as t0_us, epoch_us(min(t1)) as t1_us,
        epoch_us(min(t2)) as t2_us, epoch_us(min(t3)) as t3_us
 from s3 group by user_id, t0, t1, t2, t3
+"""
+    # random_project: the md5-derived JL matrix is rendered as a list
+    # literal (same floats, shortest-roundtrip repr) and the per-dim
+    # fold replayed with list_reduce — raw doubles, bit-exact.
+    from intertext_spark.operators.dedup import jl_projection_matrix as _jlm
+
+    _mat = _jlm(64, 8, seed=1)
+    _mat_sql = "[" + ",".join(
+        "[" + ",".join(repr(v) for v in row) + "]" for row in _mat
+    ) + "]"
+    out["random_project"] = f"""
+with m as (select {_mat_sql} as mm),
+e as (select vec_id, list_transform(embedding, x -> cast(x as double)) as ed
+      from embeddings
+      where embedding is not null and len(embedding) = 64)
+select vec_id,
+  list_transform(generate_series(1, 8),
+    j -> list_reduce(list_transform(generate_series(1, 64),
+           i -> ed[cast(i as int)] * mm[cast(j as int)][cast(i as int)]),
+         (a, b) -> a + b)) as proj
+from e, m
 """
     return out

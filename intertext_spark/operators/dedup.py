@@ -1821,3 +1821,89 @@ def dedup_report(
         F.sum("b").cast("long").alias("bytes_total"),
         F.sum(F.col("b") - F.col("bmax")).cast("long").alias("bytes_removable"),
     )
+
+
+def jl_projection_matrix(
+    dim: int, out_dim: int, seed: int = 1
+) -> "list[list[float]]":
+    """Achlioptas sparse Johnson-Lindenstrauss matrix (out_dim x dim):
+    entries sqrt(3/out_dim) * {+1 w.p. 1/6, -1 w.p. 1/6, 0 w.p. 2/3},
+    derived per-cell from md5(seed:j:i) — deterministic and
+    ENGINE-INDEPENDENT, so an external oracle can re-derive the exact
+    matrix (the hash-bridge posture applied to model weights).
+    Model-sized: build on the driver, embed as literals / broadcast."""
+    import hashlib
+    import math as _m
+
+    scale = _m.sqrt(3.0 / out_dim)
+    mat = []
+    for j in range(out_dim):
+        row = []
+        for i in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16
+            )
+            r = h % 6
+            row.append(scale if r == 0 else (-scale if r == 1 else 0.0))
+        mat.append(row)
+    return mat
+
+
+def random_project(
+    df: DataFrame,
+    matrix: "list[list[float]]",
+    emb_col: str = "embedding",
+    out_col: str = "proj",
+    method: str = "fold",
+) -> DataFrame:
+    """Project ``emb_col`` (array<float|double>, dim = len(matrix[0]))
+    onto ``len(matrix)`` dimensions — the JL dimensionality-reduction
+    step that makes 1024-dim embeddings ANN-affordable (project to
+    64-128 dims, index THAT; Achlioptas 2003 bounds the cosine
+    distortion).  -> input + ``out_col`` array<double>.  Rows whose
+    vector is NULL or not exactly dim long are dropped (the zip_with
+    silent-truncation guard, the ivf_train lesson).
+
+    ``method='fold'``: per output dim, aggregate(zip_with(e, row, *),
+    0.0, +) — a sequential in-row IEEE fold an external engine replays
+    BIT-EXACTLY (list_reduce; 0.0 + x == x makes init-vs-first-element
+    folds identical).  The matrix rides as literal expression nodes:
+    right for out_dim*dim up to a few thousand (the cross-engine gate
+    shape).  ``method='arrow'``: one numpy matmul per Arrow batch — the
+    throughput path for big matrices (BLAS-blocked summation, so equal
+    to the fold only within float tolerance, not bitwise).
+
+    Scale shape: both methods are ZERO-exchange row maps; the matrix is
+    a closure/literal broadcast, never a join.
+    """
+    out_dim, dim = len(matrix), len(matrix[0])
+    base = df.where(
+        F.col(emb_col).isNotNull() & (F.size(emb_col) == dim)
+    )
+    if method == "arrow":
+        mat_t = np.asarray(matrix, dtype=np.float64).T  # dim x out_dim
+
+        @F.pandas_udf(T.ArrayType(T.DoubleType()))
+        def _proj(s: pd.Series) -> pd.Series:
+            x = np.asarray(list(s), dtype=np.float64)  # batch x dim
+            y = x @ mat_t
+            return pd.Series(list(y))
+
+        return base.withColumn(out_col, _proj(F.col(emb_col)))
+    if method != "fold":
+        raise ValueError(f"unknown method {method!r}")
+    # bind the double-cast vector to an attribute: all out_dim folds
+    # reference it, and CollapseProject keeps multiply-referenced
+    # non-cheap aliases bound (the top_ngrams lesson)
+    bound = base.withColumn("__e", F.col(emb_col).cast("array<double>"))
+    cols = []
+    for j in range(out_dim):
+        row = F.array(*[F.lit(float(v)) for v in matrix[j]])
+        cols.append(
+            F.aggregate(
+                F.zip_with(F.col("__e"), row, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    return bound.withColumn(out_col, F.array(*cols)).drop("__e")

@@ -1653,3 +1653,62 @@ def test_gram_novelty_matches_python_oracle(spark):
     assert got[31] == (2, 2)  # 4 words -> 2 trigrams, both novel
     short = [d for d, t in docs if len(t.split()) < 3]
     assert all(d not in got for d in short)  # gram-less docs emit no row
+
+
+def test_random_project_numpy_oracle_and_jl_distortion(spark):
+    import numpy as np
+
+    from intertext_spark.operators.dedup import (
+        jl_projection_matrix,
+        random_project,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, out_dim, n = 32, 16, 40
+    X = rng.randn(n, dim)
+    M = jl_projection_matrix(dim, out_dim, seed=7)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in random_project(df, M).collect()
+    }
+    arrow = {
+        r["vec_id"]: np.array(r["proj"])
+        for r in random_project(df, M, method="arrow").collect()
+    }
+    want = X @ np.asarray(M).T
+    for i in range(n):
+        assert np.allclose(got[i], want[i], rtol=1e-12, atol=1e-12)
+        assert np.allclose(arrow[i], got[i], rtol=1e-12, atol=1e-12)
+    # JL property sanity: pairwise distances roughly preserved (loose —
+    # out_dim=16 gives coarse distortion bounds)
+    d_in = np.linalg.norm(X[:10, None, :] - X[None, :10, :], axis=2)
+    P = np.stack([got[i] for i in range(10)])
+    d_out = np.linalg.norm(P[:, None, :] - P[None, :, :], axis=2)
+    iu = np.triu_indices(10, 1)
+    ratios = d_out[iu] / d_in[iu]
+    assert 0.3 < ratios.min() and ratios.max() < 2.2
+    # matrix determinism + Achlioptas sparsity (~2/3 zeros)
+    assert M == jl_projection_matrix(dim, out_dim, seed=7)
+    assert M != jl_projection_matrix(dim, out_dim, seed=8)
+    z = sum(1 for row in M for v in row if v == 0.0) / (dim * out_dim)
+    assert 0.5 < z < 0.8
+
+
+def test_random_project_drops_ragged_and_null(spark):
+    from intertext_spark.operators.dedup import (
+        jl_projection_matrix,
+        random_project,
+    )
+
+    M = jl_projection_matrix(4, 2, seed=1)
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [1.0, 2.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = random_project(df, M).collect()
+    assert [r["vec_id"] for r in rows] == [1]
+    assert len(rows[0]["proj"]) == 2

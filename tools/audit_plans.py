@@ -1286,6 +1286,25 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.dedup import (
+        jl_projection_matrix as _jlm,
+        random_project as _rproj,
+    )
+
+    _embt = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    record(
+        "random_project", _rproj(_embt, _jlm(64, 8, seed=1)),
+        [
+            ("zero exchanges (pure row map; the matrix is literals,"
+             " never a join)",
+             lambda p: "Exchange" not in p and "Join" not in p),
+            ("no Python (fold method is all JVM)",
+             lambda p: "Python" not in p),
+            ("size guard pushes to the scan filter",
+             lambda p: "Filter" in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
