@@ -2341,6 +2341,41 @@ def _bm25_topk_q(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), qdf, k=10)
 
 
+def _rrf_hybrid_q(spark, sf_dir):
+    """Reciprocal-rank fusion of two rankers over the shared BM25 query
+    set: Okapi BM25 (precision-oriented) x distinct-query-term coverage
+    (recall-oriented boolean ranker, built inline from the same WS
+    split).  Reciprocals quantized to 1e-9 and summed as scaled bigints;
+    DuckDB replays both rankers and the identical fusion arithmetic."""
+    from intertext_spark.operators.textstats import bm25_topk, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    a = bm25_topk(docs, qdf, k=10)
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    qws = F.filter(
+        F.split("query_text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
+    )
+    qt = qdf.select("query_id", F.explode(qws).alias("term")).distinct()
+    dt = docs.select("doc_id", F.explode(ws).alias("term")).distinct()
+    cov = (
+        dt.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("cov"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.desc("cov"), F.asc("doc_id"))
+    b = (
+        cov.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    return rrf_fuse([a, b], k=10)
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2512,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join"] = _asof_join_q
     q["funnel"] = _funnel_q
     q["random_project"] = _random_project_q
+    q["rrf_hybrid"] = _rrf_hybrid_q
     return q
 
 
@@ -4808,5 +4844,57 @@ select vec_id,
            i -> ed[cast(i as int)] * mm[cast(j as int)][cast(i as int)]),
          (a, b) -> a + b)) as proj
 from e, m
+"""
+    # rrf_hybrid: both rankers replayed (the bm25 twin verbatim as a
+    # CTE + the coverage ranker), then the identical quantized fusion.
+    _bm25_sql = out["bm25_topk"].strip().rstrip(";")
+    out["rrf_hybrid"] = f"""
+with a as ({_bm25_sql}),
+qv(query_id, query_text) as (values (1, 'spark join window'),
+   (2, 'hash merge sort order'), (3, 'customer line value'),
+   (4, 'stream batch vector data')),
+qt as (
+  select distinct query_id, unnest(list_filter(
+    regexp_split_to_array(query_text, '\\s+'), x -> x != '')) as term
+  from qv
+),
+dt as (
+  select distinct doc_id, unnest(list_filter(
+    regexp_split_to_array(text, '\\s+'), x -> x != '')) as term
+  from documents
+),
+cov as (
+  select qt.query_id, dt.doc_id, count(*) as cov
+  from dt join qt using(term)
+  group by 1, 2
+),
+b as (
+  select query_id, doc_id,
+         row_number() over (partition by query_id
+                            order by cov desc, doc_id) as rank
+  from cov
+),
+u as (
+  select query_id, doc_id,
+         cast(floor(1.0 / (60 + rank) * 1000000000 + 0.5) as bigint) as c
+  from a
+  union all
+  select query_id, doc_id,
+         cast(floor(1.0 / (60 + rank) * 1000000000 + 0.5) as bigint) as c
+  from b where rank <= 10
+),
+s as (
+  select query_id, doc_id,
+         cast(sum(c) as double) / 1000000000 as score
+  from u group by 1, 2
+),
+r as (
+  select query_id, doc_id, score,
+         row_number() over (partition by query_id
+                            order by score desc, doc_id) as rank
+  from s
+)
+select query_id, doc_id, score, cast(rank as bigint) as rank
+from r where rank <= 10
 """
     return out

@@ -1927,3 +1927,61 @@ def gram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    k: int = 10,
+    k0: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    quantize_digits: int = 9,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked
+    retrieval lists — the standard hybrid-search combiner (BM25 +
+    ANN + ...): score(q, d) = sum over lists of 1 / (k0 + rank_i),
+    missing entries contribute 0.  -> (query_id, doc_id, score, rank),
+    rank 1..k per query by fused score descending, ties by doc_id.
+    RRF needs no score calibration across engines — only ranks — which
+    is exactly why it is the default fusion rule.
+
+    Cross-engine determinism: each list's reciprocal is quantized to
+    ``quantize_digits`` and summed as scaled BIGINTs (the bm25 idiom) —
+    integer sums are fold-order free.
+
+    Scale shape: NO joins — the lists union (they are already per-query
+    top-k, i.e. bounded by |queries| x k x N), one (query, doc) groupBy
+    collapses the contributions, one per-query window ranks.  Both
+    exchanges are over ranked-list-sized data, never the corpus.
+    """
+    scale = 10 ** quantize_digits
+    parts = [
+        d.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.floor(
+                F.lit(1.0) / (F.lit(k0) + F.col(rank_col)) * scale
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        for d in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("query_id", "doc_id").agg(
+        (F.sum("c").cast("double") / scale).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -75,3 +75,52 @@ def test_bm25_k_cap_and_tiebreak(spark):
     out = bm25_topk(ddf, qdf, k=3).orderBy("rank").collect()
     assert [(r.doc_id, r.rank) for r in out] == [(0, 1), (1, 2), (2, 3)]
     assert len({r.score for r in out}) == 1
+
+
+def test_rrf_fuse_hand_computed_and_missing_entries(spark):
+    from intertext_spark.operators.textstats import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: (r["rank"], r["score"])
+        for r in rrf_fuse([a, b], k=10).collect()
+    }
+
+    def rc(rank):
+        import math
+
+        return math.floor(1.0 / (60 + rank) * 1e9 + 0.5)
+
+    want_scores = {
+        10: rc(1) / 1e9,
+        11: (rc(2) + rc(1)) / 1e9,  # in both lists: fused to the top
+        12: rc(3) / 1e9,
+        13: rc(2) / 1e9,
+    }
+    order = sorted(want_scores, key=lambda d: (-want_scores[d], d))
+    assert got == {
+        d: (i + 1, want_scores[d]) for i, d in enumerate(order)
+    }
+    assert order[0] == 11  # consensus doc wins despite rank 2 + rank 1
+
+
+def test_rrf_fuse_three_lists_and_k_cut(spark):
+    from intertext_spark.operators.textstats import rrf_fuse
+
+    lists = [
+        spark.createDataFrame(
+            [(1, d, r + 1) for r, d in enumerate(perm)],
+            "query_id long, doc_id long, rank long",
+        )
+        for perm in ([5, 6, 7], [6, 7, 5], [7, 6, 5])
+    ]
+    rows = rrf_fuse(lists, k=2).collect()
+    assert len(rows) == 2
+    assert rows[0]["doc_id"] == 6  # ranks (2,1,2) beat (1,3,3) and (3,2,1)
+    plan = rows is not None

@@ -1305,6 +1305,26 @@ def main():
         ],
     )
 
+    record(
+        "rrf_hybrid", e.queries()["rrf_hybrid"](spark, sf_dir),
+        [
+            ("every join is a broadcast from the input rankers (bm25's"
+             " dims + its 1-row stats NLJ + the coverage semi); no"
+             " cartesian, no shuffle join",
+             lambda p: "CartesianProduct" not in p
+             and "SortMergeJoin" not in p
+             and "ShuffledHashJoin" not in p),
+            ("fused scores partial-aggregate map-side",
+             lambda p: "partial_sum" in p),
+            ("the fusion window is per-query partitioned (the only"
+             " SinglePartition is bm25's one-row N/avgdl grand total)",
+             lambda p: "windowspecdefinition(query_id" in p
+             and p.count("SinglePartition") <= 1),
+            ("no Python execution stage (createDataFrame literals only)",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
