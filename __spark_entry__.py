@@ -2376,6 +2376,21 @@ def _rrf_hybrid_q(spark, sf_dir):
     return rrf_fuse([a, b], k=10)
 
 
+def _pagerank_q(spark, sf_dir):
+    """3-round PageRank over the customer->order bipartite graph
+    (orders are dangling nodes, so the uniform-redistribution path is
+    hot at the gate).  Rank mass rides as scaled BIGINTS — every round
+    is integer ops + one floor-round quantize — so DuckDB replays the
+    identical 3 rounds value-exactly."""
+    from intertext_spark.operators.graph import pagerank
+
+    edges = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.lit(1_000_000_000) + F.col("o_orderkey")).cast("long").alias("dst"),
+    )
+    return pagerank(edges, n_iter=3)
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2548,6 +2563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel"] = _funnel_q
     q["random_project"] = _random_project_q
     q["rrf_hybrid"] = _rrf_hybrid_q
+    q["pagerank"] = _pagerank_q
     return q
 
 
@@ -4896,5 +4912,41 @@ r as (
 )
 select query_id, doc_id, score, cast(rank as bigint) as rank
 from r where rank <= 10
+"""
+    # pagerank: DuckDB replays the 3 integer rounds (CTE chain built by
+    # the same loop that sets the round count — one source of truth).
+    _pr_scale, _pr_d, _pr_iters = 10 ** 12, 0.85, 3
+    _round_tpl = """
+{name} as (
+  with raw as (select e.dst as node, cast(sum(r.r // d.deg) as bigint) as raw
+               from edges e join {prev} r on e.src = r.node
+               join deg d on e.src = d.src group by 1),
+       dang as (select cast(coalesce(sum(r.r), 0) as bigint) as dm
+                from {prev} r left join deg d on r.node = d.src
+                where d.src is null)
+  select n.node,
+         (cast(floor((1 - {d}) * {scale} / ns.n + 0.5) as bigint)
+          + cast(floor({d} * (coalesce(raw.raw, 0) + dang.dm // ns.n)
+                       + 0.5) as bigint)) as r
+  from {prev} n left join raw on n.node = raw.node, dang, ns
+)"""
+    _rounds, _prev = [], "r0"
+    for _i in range(1, _pr_iters + 1):
+        _rounds.append(_round_tpl.format(
+            name=f"it{_i}", prev=_prev, d=_pr_d, scale=_pr_scale))
+        _prev = f"it{_i}"
+    out["pagerank"] = f"""
+with edges as (
+  select cast(o_custkey as bigint) as src,
+         1000000000 + cast(o_orderkey as bigint) as dst
+  from orders
+),
+nodes as (select distinct src as node from edges
+          union select distinct dst from edges),
+ns as (select cast(count(*) as bigint) as n from nodes),
+deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
+r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
+{','.join(_rounds)}
+select node, cast(r as double) / {_pr_scale} as rank from {_prev}
 """
     return out

@@ -231,6 +231,15 @@ def run_suite(spark, sf_dir: str) -> dict:
         # bm25_topk: broadcast-pruned postings + scaled-integer scoring —
         # lexical-retrieval throughput
         "bm25_topk",
+        # asof_join: the join-free tagged-union as-of (one key exchange +
+        # running-last window) over the full events table
+        "asof_join",
+        # pagerank: 3 integer power-iteration rounds over the
+        # customer-order bipartite graph (join + map-side sum per round)
+        "pagerank",
+        # gram_novelty: distinct trigram postings + first-owner
+        # attribution — two map-side-combined aggs over the gram stream
+        "gram_novelty",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

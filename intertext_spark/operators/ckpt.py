@@ -1,0 +1,55 @@
+"""Deterministic release for localCheckpoint caches.
+
+``DataFrame.unpersist()`` is a SILENT NO-OP for the cache that
+``Dataset.localCheckpoint`` creates: the checkpoint persists the
+internal RDD in the block store (RDD-level), while unpersist only asks
+the CacheManager about DataFrame-level caches.  A superseded checkpoint
+therefore stays pinned until its JVM object is GC'd and the
+ContextCleaner drains it ASYNCHRONOUSLY — for iterative operators
+(connected_components, pagerank, the banish BFS) that means one leaked
+node-sized frame per round, released at a nondeterministic later point
+(the exact flake class the cache-lifecycle tests exist to prevent, and
+a real memory hazard for long drivers at scale).
+
+The fix is the dedupstream sweep idiom, packaged: snapshot the
+persistent-RDD id set around the checkpoint call, remember the ids it
+created, and release them positionally through the JVM map.
+
+Caveat: the before/after diff assumes no CONCURRENT persist/checkpoint
+calls on the same SparkContext (single driver thread — the same
+assumption dedupstream's per-batch sweep already makes); a racing
+thread's new id could be captured and later released.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def local_ckpt_tracked(df: DataFrame) -> "tuple[DataFrame, set]":
+    """Eager localCheckpoint + the set of persistent-RDD ids it created
+    (pass to release_rdd_ids when the frame is superseded)."""
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    out = df.localCheckpoint()
+    ids = set(sc._jsc.getPersistentRDDs().keySet().toArray()) - before
+    return out, ids
+
+
+def release_rdd_ids(spark: SparkSession, ids: "set") -> None:
+    """Unpersist the given RDD ids via the JVM map (blocking).  Ids
+    already drained (e.g. by the ContextCleaner) are skipped."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in ids:
+        if jmap.containsKey(rid):
+            jmap.get(rid).unpersist(True)  # py4j JavaRDD: positional only
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Release a frame returned by an operator that attached its final
+    checkpoint ids as ``_ckpt_rdd_ids`` (the caller-owned-cache
+    contract for localCheckpoint-backed results, where plain
+    ``unpersist()`` cannot work)."""
+    ids = getattr(df, "_ckpt_rdd_ids", None)
+    if ids:
+        release_rdd_ids(df.sparkSession, ids)

@@ -76,17 +76,19 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     logarithmically.  Convergence check is an aggregate on the changed-row
     count; localCheckpoint truncates lineage so plans stay flat.
     """
+    from .ckpt import local_ckpt_tracked, release_rdd_ids
+
+    spark = edges.sparkSession
     bidir = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = (
+    labels, labels_ids = local_ckpt_tracked(
         bidir.groupBy("src")
         .agg(F.min("dst").alias("min_nbr"))
         .select(
             F.col("src").alias("node"),
             F.least("src", "min_nbr").alias("label"),
         )
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         # neighbor-min: push labels across edges
@@ -103,13 +105,12 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         ptr = new_labels.select(
             F.col("node").alias("label"), F.col("label").alias("label2")
         )
-        jumped = (
+        jumped, jumped_ids = local_ckpt_tracked(
             new_labels.join(ptr, "label", "left")
             .select(
                 "node",
                 F.coalesce(F.col("label2"), F.col("label")).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             jumped.alias("n")
@@ -120,13 +121,17 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
         )
         # jumped's localCheckpoint is eager — the superseded labels frame
         # is strictly dead once `changed` is counted; without this, every
-        # iteration leaks one cached frame (r3 review finding).  The
-        # RETURNED labels stays checkpointed: callers still consume it.
-        labels.unpersist(blocking=True)
-        labels = jumped
+        # iteration leaks one cached frame until the ContextCleaner's
+        # nondeterministic GC drain (DataFrame.unpersist is a NO-OP for
+        # localCheckpoint caches — see ckpt.py; the r3 fix used it and
+        # silently released nothing).  The RETURNED labels stays
+        # checkpointed: callers release via ckpt.release_checkpoint.
+        release_rdd_ids(spark, labels_ids)
+        labels, labels_ids = jumped, jumped_ids
         if changed == 0:
             break
     bidir.unpersist(blocking=True)
+    labels._ckpt_rdd_ids = labels_ids
     return labels
 
 
@@ -139,10 +144,15 @@ def banish_filter(
 
     banished_file_ids: DataFrame(file_id: long).  Returns filtered matches.
     """
+    from .ckpt import local_ckpt_tracked, release_rdd_ids
+
+    spark = matches.sparkSession
     edges = match_edges(matches)
-    bidir = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    bidir, bidir_ids = local_ckpt_tracked(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    )
     nodes = bidir.select(F.col("src").alias("node")).distinct()
     # banish sets are tiny relative to the corpus — broadcast the semi-join
     frontier = nodes.join(
@@ -150,20 +160,28 @@ def banish_filter(
         F.shiftright(F.col("node"), _SHIFT) == F.col("file_id"),
         "left_semi",
     )
-    seen = frontier.select("node").distinct().localCheckpoint()
-    frontier = seen
+    seen, seen_ids = local_ckpt_tracked(frontier.select("node").distinct())
+    frontier, frontier_ids = seen, set()  # alias: ids owned by seen_ids
     for _ in range(max(0, distance - 1)):
-        nxt = (
+        nxt, nxt_ids = local_ckpt_tracked(
             bidir.join(frontier, bidir["src"] == frontier["node"])
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(seen, "node", "left_anti")
-            .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
+            release_rdd_ids(spark, nxt_ids)
             break
-        seen = seen.unionByName(nxt).localCheckpoint()
-        frontier = nxt
+        new_seen, new_seen_ids = local_ckpt_tracked(seen.unionByName(nxt))
+        # superseded frames are dead once the union materializes
+        # (release_rdd_ids, not DataFrame.unpersist — see ckpt.py)
+        release_rdd_ids(spark, seen_ids)
+        release_rdd_ids(spark, frontier_ids)
+        seen, seen_ids = new_seen, new_seen_ids
+        frontier, frontier_ids = nxt, nxt_ids
+    release_rdd_ids(spark, bidir_ids)
+    if frontier_ids is not seen_ids:
+        release_rdd_ids(spark, frontier_ids)
     bad = seen
     m = matches
     m = m.join(
@@ -176,6 +194,9 @@ def banish_filter(
         encode_node(F.col("file_id_b"), F.col("window_id_b")) == F.col("bad_b"),
         "left_anti",
     )
+    # the final seen checkpoint rides inside the returned plan —
+    # caller-owned, releasable via ckpt.release_checkpoint
+    m._ckpt_rdd_ids = seen_ids
     return m
 
 
@@ -190,3 +211,110 @@ def exclude_filter(matches: DataFrame, excluded_file_ids: DataFrame) -> DataFram
         matches.join(F.broadcast(ex_a), "file_id_a", "left_anti")
         .join(F.broadcast(ex_b), "file_id_b", "left_anti")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    quantize_digits: int = 12,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (src, dst) ->
+    (node, rank double).  The graph-centrality complement of
+    connected_components: on the match graph it ranks the most-copied
+    documents (boilerplate hubs); on a customer-order bipartite graph,
+    the heaviest entities.  Dangling nodes (out-degree 0) redistribute
+    their mass uniformly, per the standard formulation.
+
+    Integer discipline: rank mass is carried as SCALED BIGINTS
+    (10^quantize_digits total mass ~ 1.0).  Every per-iteration
+    operation is an integer op (div for the per-edge split and the
+    dangling share) or one correctly-rounded double multiply + the
+    floor-round quantize — so ranks are identical under ANY
+    partitioning/fold order AND an external engine replaying the same
+    k rounds reproduces every value exactly.  The ~1-unit-per-node
+    truncation loss per round is bounded by n_nodes * n_iter / 10^12
+    of total mass — irrelevant for ranking, priceless for determinism.
+
+    Scale shape: degrees and the edge list are computed once and
+    persisted; each round is ONE node-keyed join (ranks onto the
+    degree-annotated edges) + one dst-keyed sum (map-side combined) +
+    dimension-sized broadcasts (N, dangling mass — no driver collect,
+    both ride 1-row frames).  localCheckpoint per round keeps lineage
+    flat (the connected_components discipline).  Hot dst nodes are
+    fine (partial aggregation); a hot SRC node fans its rank out as
+    data parallelism, not a reducer funnel.
+    """
+    from .ckpt import local_ckpt_tracked, release_rdd_ids
+
+    spark = edges.sparkSession
+    scale = 10 ** quantize_digits
+    nodes, nodes_ids = local_ckpt_tracked(
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # N rides its own 1-row checkpoint: it is referenced every round,
+    # and without it each round would recompute the distinct union
+    nstats_df, nstats_ids = local_ckpt_tracked(
+        nodes.agg(F.count("*").cast("long").alias("n"))
+    )
+    nstats = F.broadcast(nstats_df)
+    degrees = edges.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    ewd = edges.join(degrees, "src").persist()
+    ewd.count()
+    # init: every node starts at scale/N (integer div)
+    ranks, ranks_ids = local_ckpt_tracked(
+        nodes.crossJoin(nstats)
+        .select("node", F.expr(f"{scale} div n").alias("r"))
+    )
+    # both consumers of `nodes` are materialized now
+    release_rdd_ids(spark, nodes_ids)
+    base = F.floor(
+        F.lit(1.0 - damping) * scale / F.col("n") + F.lit(0.5)
+    ).cast("long")
+    for _ in range(n_iter):
+        msgs = (
+            ewd.join(ranks, ewd["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), F.expr("r div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").cast("long").alias("raw"))
+        )
+        dang = F.broadcast(
+            ranks.join(degrees, ranks["node"] == degrees["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+        )
+        new_ranks, new_ids = local_ckpt_tracked(
+            ranks.select("node", "r")
+            .join(msgs, "node", "left")
+            .crossJoin(dang)
+            .crossJoin(nstats)
+            .select(
+                "node",
+                (
+                    base
+                    + F.floor(
+                        F.lit(damping)
+                        * (
+                            F.coalesce(F.col("raw"), F.lit(0))
+                            + F.expr("dm div n")
+                        )
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).alias("r"),
+            )
+        )
+        # the superseded round is strictly dead (checkpoints are eager);
+        # DataFrame.unpersist would be a no-op here — see ckpt.py
+        release_rdd_ids(spark, ranks_ids)
+        ranks, ranks_ids = new_ranks, new_ids
+    out = ranks.select(
+        "node", (F.col("r").cast("double") / scale).alias("rank")
+    )
+    # every round materialized eagerly; only the FINAL ranks checkpoint
+    # (inside `out`'s plan) stays — caller-owned, releasable via
+    # ckpt.release_checkpoint(out)
+    ewd.unpersist(blocking=True)
+    release_rdd_ids(spark, nstats_ids)
+    out._ckpt_rdd_ids = ranks_ids
+    return out

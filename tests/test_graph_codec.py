@@ -8,6 +8,8 @@ instead of overflowing.
 """
 
 import pytest
+
+from conftest import cached_rdd_ids
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException  # noqa: F401  (version shims)
 
@@ -112,3 +114,85 @@ def test_match_probabilities_stable_without_persist(spark):
     r2 = sorted(map(tuple, p1.collect()))  # full recompute, no persist
     assert r1 == r2 and len(r1) == 1
     assert r1[0][2] >= 0
+
+
+def test_pagerank_exact_integer_replay_and_properties(spark):
+    import math
+    import random
+    from collections import defaultdict
+
+    from intertext_spark.operators.graph import pagerank
+
+    rng = random.Random(13)
+    # random directed graph + a guaranteed hub + dangling sinks
+    rows = list({(rng.randint(0, 30), rng.randint(0, 40)) for _ in range(150)})
+    rows += [(i, 7) for i in range(20)]  # node 7: in-degree hub
+    rows = sorted(set(rows))
+    df = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=4).collect()}
+
+    SCALE, d = 10 ** 12, 0.85
+    nodes = sorted({s for s, _ in rows} | {t for _, t in rows})
+    n = len(nodes)
+    deg = defaultdict(int)
+    for s, _ in rows:
+        deg[s] += 1
+    r = {v: SCALE // n for v in nodes}
+    base = math.floor((1 - d) * SCALE / n + 0.5)
+    for _ in range(4):
+        raw = defaultdict(int)
+        for s, t in rows:
+            raw[t] += r[s] // deg[s]
+        dm = sum(r[v] for v in nodes if deg[v] == 0)
+        r = {v: base + math.floor(d * (raw[v] + dm // n) + 0.5) for v in nodes}
+    want = {v: r[v] / SCALE for v in nodes}
+    assert got == want
+    # properties: mass ~conserved (integer truncation only), hub is top
+    assert abs(sum(got.values()) - 1.0) < n * 5 / SCALE * 10
+    assert max(got, key=got.get) == 7
+    # layout invariance: different partitioning, identical ranks
+    again = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.repartition(13), n_iter=4).collect()
+    }
+    assert again == got
+
+
+def test_pagerank_cache_returns_to_baseline(spark):
+    from intertext_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    baseline = cached_rdd_ids(spark)
+    out = pagerank(df, n_iter=2)
+    rows = {r["node"]: r["rank"] for r in out.collect()}
+    # 3-cycle with no dangling: symmetric, all ranks equal
+    assert len(set(rows.values())) == 1
+    # every intermediate checkpoint/persist is released inside the
+    # operator; ONLY the final ranks checkpoint (caller-owned, inside
+    # the returned plan) remains, and release_checkpoint returns the
+    # cache to baseline — as an id-set diff: an id disappearing is fine
+    # (ContextCleaner), only a new id SURVIVING release is a leak
+    from intertext_spark.operators.ckpt import release_checkpoint
+
+    new_ids = cached_rdd_ids(spark) - baseline
+    assert len(new_ids) == 1  # the final ranks checkpoint, nothing else
+    release_checkpoint(out)
+    assert cached_rdd_ids(spark) - baseline == set()
+
+
+def test_connected_components_releases_per_round_checkpoints(spark):
+    from intertext_spark.operators.ckpt import release_checkpoint
+    from intertext_spark.operators.graph import connected_components
+
+    # a 12-node path graph forces several label-propagation rounds
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    baseline = cached_rdd_ids(spark)
+    labels = connected_components(df)
+    got = {r["node"]: r["label"] for r in labels.collect()}
+    assert set(got.values()) == {0}  # one component, min-id label
+    new_ids = cached_rdd_ids(spark) - baseline
+    assert len(new_ids) == 1  # only the returned labels checkpoint
+    release_checkpoint(labels)
+    assert cached_rdd_ids(spark) - baseline == set()
