@@ -2391,6 +2391,48 @@ def _pagerank_q(spark, sf_dir):
     return pagerank(edges, n_iter=3)
 
 
+def _rolling_stats_q(spark, sf_dir):
+    """Trailing 6-hour per-user aggregates (range-frame window).  The
+    value pre-quantizes to integer cents so w_sum is an exact long on
+    both engines (frame tie order can never matter); timestamps ride as
+    unix_micros/epoch_us."""
+    from intertext_spark.operators.temporal import rolling_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    out = rolling_stats(ev, ["user_id"], "ts", "vc", window_seconds=21600)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "vc",
+        "w_count",
+        F.col("w_sum").cast("long").alias("w_sum"),
+        F.col("w_min").cast("long").alias("w_min"),
+        F.col("w_max").cast("long").alias("w_max"),
+    )
+
+
+def _retention_cohorts_q(spark, sf_dir):
+    """Weekly cohort retention triangle over events: cohort = first
+    active week per user, matrix = distinct active users per (cohort,
+    week).  Join-free on the user axis (per-user min window); DuckDB
+    replays the identical chain; retention is one integer division."""
+    from intertext_spark.operators.temporal import retention_cohorts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        F.date_format(
+            F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"
+        ).alias("bucket"),
+    )
+    return retention_cohorts(ev, "user_id", "bucket")
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2564,6 +2606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["random_project"] = _random_project_q
     q["rrf_hybrid"] = _rrf_hybrid_q
     q["pagerank"] = _pagerank_q
+    q["rolling_stats"] = _rolling_stats_q
+    q["retention_cohorts"] = _retention_cohorts_q
     return q
 
 
@@ -4948,5 +4992,37 @@ deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
 r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
 {','.join(_rounds)}
 select node, cast(r as double) / {_pr_scale} as rank from {_prev}
+"""
+    # rolling_stats: DuckDB's RANGE frame over the same epoch_us axis;
+    # integer-cent values make the frame sum exact on both engines.
+    out["rolling_stats"] = """
+with e as (
+  select event_id, user_id, epoch_us(ts) as ts_us,
+         cast(floor(value * 100 + 0.5) as bigint) as vc
+  from events where ts is not null
+)
+select event_id, user_id, ts_us, vc,
+       cast(count(vc) over w as bigint) as w_count,
+       cast(sum(vc) over w as bigint) as w_sum,
+       cast(min(vc) over w as bigint) as w_min,
+       cast(max(vc) over w as bigint) as w_max
+from e
+window w as (partition by user_id order by ts_us
+             range between 21600000000 preceding and current row)
+"""
+    # retention_cohorts: replay distinct activity -> per-user min week
+    # -> (cohort, week) matrix -> diagonal sizes -> one division.
+    out["retention_cohorts"] = """
+with act as (
+  select distinct user_id as u, strftime(date_trunc('week', ts), '%Y-%m-%d') as bucket
+  from events where user_id is not null and ts is not null
+),
+wc as (select u, bucket, min(bucket) over (partition by u) as cohort from act),
+mat as (select cohort, bucket, cast(count(*) as bigint) as n_users
+        from wc group by 1, 2),
+sz as (select cohort, n_users as cohort_size from mat where bucket = cohort)
+select m.cohort, m.bucket, m.n_users, s.cohort_size,
+       cast(m.n_users as double) / cast(s.cohort_size as double) as retention
+from mat m join sz s using(cohort)
 """
     return out

@@ -162,3 +162,99 @@ def funnel(
         ).cast("long").alias("steps_completed"),
         *names,
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    key_cols: "list[str]",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Trailing-window aggregates per row: count / sum / min / max of
+    ``value_col`` over [ts - window_seconds, ts] within the row's key —
+    the rate/burst signal (events per user-hour, tokens per
+    conversation-minute) behind throttling analytics and activity
+    features.  -> input + (w_count, w_sum, w_min, w_max).
+
+    Scale shape: ONE key exchange; the RANGE frame runs over the sorted
+    partition with a sliding two-pointer pass (Spark's bounded-frame
+    window), never a per-row rescan.  Same ordered-per-key single-task
+    ceiling as asof_join for monster keys.
+
+    Determinism note: w_sum folds the frame in sort order; rows tied on
+    ts may fold in either tie order, so for cross-engine float equality
+    feed an integer-scaled value column (the gate does).  Counts and
+    min/max are order-free.
+    """
+    ts_type = dict(zip(df.schema.names, df.schema.fields))[ts_col].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        axis = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        span = int(window_seconds) * 1_000_000
+    else:
+        axis = F.col(ts_col).cast("long")
+        span = int(window_seconds)
+    base = df.where(F.col(ts_col).isNotNull()).withColumn("__axis", axis)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("__axis").asc())
+        .rangeBetween(-span, 0)
+    )
+    v = F.col(value_col)
+    return (
+        base.withColumn("w_count", F.count(v).over(w).cast("long"))
+        .withColumn("w_sum", F.sum(v).over(w))
+        .withColumn("w_min", F.min(v).over(w))
+        .withColumn("w_max", F.max(v).over(w))
+        .drop("__axis")
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the user's FIRST bucket (week
+    of first activity); for every (cohort, bucket) pair, how many of
+    the cohort's users were active — the standard product-analytics
+    retention triangle, and for agent telemetry "do users who arrived
+    in week X still run the agent in week Y".  -> (cohort, bucket,
+    n_users, cohort_size, retention double); the diagonal row
+    (bucket == cohort) has retention exactly 1.0.
+
+    Scale shape: JOIN-FREE on the data axis.  Distinct (user, bucket)
+    activity collapses first (one exchange, map-side combined); the
+    user's cohort is a min window over that per-user slice (same
+    exchange family); the matrix is a (cohort, bucket) count — and
+    cohort sizes come from the matrix's own diagonal via a
+    cohort-dimension broadcast, never a user-dimension join.
+    retention = one integer division (bit-exact cross-engine).
+    """
+    act = (
+        df.where(F.col(user_col).isNotNull() & F.col(bucket_col).isNotNull())
+        .select(F.col(user_col).alias("u"), F.col(bucket_col).alias("bucket"))
+        .distinct()
+    )
+    w = Window.partitionBy("u")
+    mat = (
+        act.withColumn("cohort", F.min("bucket").over(w))
+        .groupBy("cohort", "bucket")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    sizes = mat.where(F.col("bucket") == F.col("cohort")).select(
+        "cohort", F.col("n_users").alias("cohort_size")
+    )
+    return (
+        mat.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "bucket",
+            "n_users",
+            "cohort_size",
+            (
+                F.col("n_users").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )

@@ -195,3 +195,52 @@ def test_funnel_single_exchange_plan(spark):
     assert ops.count("Exchange") == 1
     assert ops.count("Window") == 3
     assert "Join" not in plan
+
+
+def test_rolling_stats_brute_force(spark):
+    from intertext_spark.operators.temporal import rolling_stats
+
+    rng = random.Random(3)
+    rows = [
+        (rng.randint(0, 4), rng.randint(0, 500), rng.randint(-20, 99))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, v long")
+    got = {
+        (r["k"], r["ts"], r["v"]): (r["w_count"], r["w_sum"], r["w_min"], r["w_max"])
+        for r in rolling_stats(
+            df.repartition(7), ["k"], "ts", "v", window_seconds=50
+        ).collect()
+    }
+    for k, ts, v in rows:
+        frame = [v2 for k2, t2, v2 in rows if k2 == k and ts - 50 <= t2 <= ts]
+        assert got[(k, ts, v)] == (len(frame), sum(frame), min(frame), max(frame))
+
+
+def test_retention_cohorts_staggered_arrivals(spark):
+    from intertext_spark.operators.temporal import retention_cohorts
+
+    rows = []
+    # cohort A (week 0): users 0-9, half churn after week 1
+    for u in range(10):
+        rows.append((u, "w0"))
+        if u < 8:
+            rows.append((u, "w1"))
+        if u < 5:
+            rows.append((u, "w2"))
+    # cohort B (week 1): users 10-14, all retained in week 2
+    for u in range(10, 15):
+        rows.append((u, "w1"))
+        rows.append((u, "w2"))
+    df = spark.createDataFrame(rows * 3, "user_id long, bucket string")  # dups collapse
+    got = {
+        (r["cohort"], r["bucket"]): (r["n_users"], r["cohort_size"], r["retention"])
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("w0", "w0"): (10, 10, 1.0),
+        ("w0", "w1"): (8, 10, 0.8),
+        ("w0", "w2"): (5, 10, 0.5),
+        ("w1", "w1"): (5, 5, 1.0),
+        ("w1", "w2"): (5, 5, 1.0),
+    }

@@ -1325,6 +1325,30 @@ def main():
         ],
     )
 
+    record(
+        "rolling_stats", e.queries()["rolling_stats"](spark, sf_dir),
+        [
+            ("one key exchange, all four frame aggs on it",
+             lambda p: len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 1),
+            ("bounded range frame (sliding two-pointer, never a rescan)",
+             lambda p: "RangeFrame" in p or "specifiedwindowframe" in p),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+    record(
+        "retention_cohorts", e.queries()["retention_cohorts"](spark, sf_dir),
+        [
+            ("cohort sizes ride a cohort-dimension BROADCAST, never a"
+             " user-dimension join",
+             lambda p: len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 1
+             and "SortMergeJoin" not in p),
+            ("activity distinct + matrix count partial-aggregate",
+             lambda p: "partial_count" in p or "HashAggregate" in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
