@@ -2433,6 +2433,26 @@ def _retention_cohorts_q(spark, sf_dir):
     return retention_cohorts(ev, "user_id", "bucket")
 
 
+def _outlier_flags_q(spark, sf_dir):
+    """Modified z-score outliers per event_type, with deterministic
+    planted spikes (event_id % 97 == 0 adds +500) so the flag path is
+    hot at the gate.  DuckDB replays median/MAD via quantile_disc and
+    the identical quantized score."""
+    from intertext_spark.operators.quantiles import outlier_flags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        (
+            F.col("value")
+            + F.when(F.col("event_id") % 97 == 0, F.lit(500.0)).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("v"),
+    )
+    return outlier_flags(ev, "v", ["event_type"], k=3.5)
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2608,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank"] = _pagerank_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
+    q["outlier_flags"] = _outlier_flags_q
     return q
 
 
@@ -5024,5 +5045,30 @@ sz as (select cohort, n_users as cohort_size from mat where bucket = cohort)
 select m.cohort, m.bucket, m.n_users, s.cohort_size,
        cast(m.n_users as double) / cast(s.cohort_size as double) as retention
 from mat m join sz s using(cohort)
+"""
+    # outlier_flags: replay the exact median/MAD (quantile_disc = the
+    # exact_quantiles rank rule) + the quantized modified z-score.
+    out["outlier_flags"] = """
+with e as (
+  select event_id, event_type,
+         value + case when event_id % 97 = 0 then 500.0 else 0.0 end as v
+  from events
+),
+med as (select event_type, quantile_disc(v, 0.5) as med from e group by 1),
+res as (select e.event_type, abs(e.v - m.med) as r
+        from e join med m using(event_type)),
+mad as (select event_type, quantile_disc(r, 0.5) as mad from res group by 1),
+j as (
+  select e.event_id, e.event_type, e.v, m.med, d.mad,
+         floor(0.6745 * abs(e.v - m.med) / d.mad * 1000000 + 0.5) / 1000000
+           as zq
+  from e join med m using(event_type) join mad d using(event_type)
+)
+select event_id, event_type, v,
+       case when v is not null and mad > 0 then zq end as mod_z,
+       case when v is null then null
+            when mad > 0 then zq > 3.5
+            else v != med end as is_outlier
+from j
 """
     return out

@@ -244,3 +244,72 @@ def drift_report(
             (F.sum("t").cast("double") / scale).alias("psi"),
         )
     )
+
+
+def outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str] | None" = None,
+    k: float = 3.5,
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Robust per-group outlier detection (Iglewicz-Hoaglin modified
+    z-score): flag rows where 0.6745 * |v - median| / MAD > ``k``,
+    MAD = median(|v - median|) — the data-cleaning screen that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers it
+    hunts.  -> input + (mod_z double, is_outlier boolean).  Rows with a
+    NULL value pass through with NULL z / NULL flag; a group with
+    MAD = 0 (over half its values identical) flags any v != median
+    (the standard convention: mod_z is +inf there, emitted as NULL z
+    with is_outlier = v != median).
+
+    Determinism: median and MAD are EXACT (exact_quantiles, the
+    percentile_disc rank rule — no sketch drift), |v - med| and the
+    final comparison are single correctly-rounded IEEE ops, and mod_z
+    is floor-round quantized — so both the flag and the score replay
+    identically on any engine/partitioning.
+
+    Scale shape: two exact_quantiles passes (median, then MAD over the
+    residuals) — each ONE map-side-combined value-collapse exchange —
+    plus group-dimension broadcasts back; the flag itself is in-row.
+    """
+    group_cols = list(group_cols or [])
+
+    def _bjoin(big, small):
+        return (
+            big.join(F.broadcast(small), group_cols)
+            if group_cols
+            else big.crossJoin(F.broadcast(small))
+        )
+
+    med = exact_quantiles(df, value_col, [0.5], group_cols).select(
+        *group_cols, F.col("value").alias("__med")
+    )
+    with_med = _bjoin(df, med)
+    resid = with_med.select(
+        *group_cols,
+        F.abs(F.col(value_col) - F.col("__med")).alias("__resid"),
+    )
+    mad = exact_quantiles(resid, "__resid", [0.5], group_cols).select(
+        *group_cols, F.col("value").alias("__mad")
+    )
+    p = 10 ** quantize_digits
+    z_raw = (
+        F.lit(0.6745)
+        * F.abs(F.col(value_col) - F.col("__med"))
+        / F.col("__mad")
+    )
+    z = F.floor(z_raw * p + F.lit(0.5)) / p
+    out = _bjoin(with_med, mad)
+    return out.select(
+        *[c for c in df.columns],
+        F.when(
+            F.col(value_col).isNotNull() & (F.col("__mad") > 0), z
+        ).alias("mod_z"),
+        F.when(
+            F.col(value_col).isNull(), F.lit(None).cast("boolean")
+        )
+        .when(F.col("__mad") > 0, z > k)
+        .otherwise(F.col(value_col) != F.col("__med"))
+        .alias("is_outlier"),
+    )

@@ -186,3 +186,35 @@ def test_drift_report_empty_bins_and_single_bucket(spark):
     assert got == want
     assert got[("c", 0)] == (40, 0.0)
     assert got[("d", 1)][1] > 1.0  # total drift scores deep in the red
+
+
+def test_outlier_flags_python_oracle_and_conventions(spark):
+    from intertext_spark.operators.quantiles import outlier_flags
+
+    rng = random.Random(9)
+    rows = [("a", float(rng.randint(40, 60))) for _ in range(80)]
+    rows += [("a", 500.0), ("a", -400.0)]  # planted spikes
+    rows += [("b", 7.0)] * 30 + [("b", 9.0)] * 5  # MAD == 0 group
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = [
+        (r["g"], r["v"], r["mod_z"], r["is_outlier"])
+        for r in outlier_flags(df, "v", ["g"], k=3.5).collect()
+    ]
+
+    def disc_median(vals):
+        return _disc(sorted(vals), 0.5)
+
+    a_vals = [v for g, v in rows if g == "a" and v is not None]
+    med = disc_median(a_vals)
+    mad = disc_median([abs(v - med) for v in a_vals])
+    for g, v, z, flag in got:
+        if v is None:
+            assert z is None and flag is None
+        elif g == "a":
+            zq = math.floor(0.6745 * abs(v - med) / mad * 1e6 + 0.5) / 1e6
+            assert z == zq and flag == (zq > 3.5)
+        else:  # MAD == 0 convention: z NULL, flag = v != median (7.0)
+            assert z is None and flag == (v != 7.0)
+    assert sum(1 for g, v, z, f in got if g == "a" and f) == 2
+    assert sum(1 for g, v, z, f in got if g == "b" and f) == 5

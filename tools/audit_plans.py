@@ -1349,6 +1349,20 @@ def main():
         ],
     )
 
+    record(
+        "outlier_flags", e.queries()["outlier_flags"](spark, sf_dir),
+        [
+            ("median and MAD tables broadcast back (group-dimension,"
+             " never a data-sized join)",
+             lambda p: len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2
+             and "SortMergeJoin" not in p),
+            ("both quantile passes collapse values map-side first",
+             lambda p: len(_re.findall(r"partial_sum", p)) >= 2),
+            ("flag is in-row (no extra exchange after the MAD join)",
+             lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
