@@ -2453,6 +2453,17 @@ def _outlier_flags_q(spark, sf_dir):
     return outlier_flags(ev, "v", ["event_type"], k=3.5)
 
 
+def _chunk_documents_q(spark, sf_dir):
+    """40-word chunks with 10-word overlap (stride 30) — the RAG chunk
+    table.  All-integer chunk math, so DuckDB re-derives the exact
+    chunk set from the same WS split with list slices."""
+    from intertext_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir), chunk_words=40, overlap_words=10
+    )
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2629,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
+    q["chunk_documents"] = _chunk_documents_q
     return q
 
 
@@ -5070,5 +5082,30 @@ select event_id, event_type, v,
             when mad > 0 then zq > 3.5
             else v != med end as is_outlier
 from j
+"""
+    # chunk_documents: DuckDB re-derives the integer chunk math and
+    # slices the same WS word list.
+    out["chunk_documents"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents where text is not null
+),
+d as (
+  select doc_id, words, len(words) as n,
+         case when len(words) <= 40 then 1
+              else 1 + cast((len(words) - 40 + 29) // 30 as int) end as nc
+  from w where len(words) >= 1
+),
+c as (
+  select doc_id, words, unnest(generate_series(0, nc - 1)) as chunk_idx
+  from d
+)
+select doc_id, cast(chunk_idx as bigint) as chunk_idx,
+       cast(len(words[chunk_idx * 30 + 1 : chunk_idx * 30 + 40]) as bigint)
+         as n_words,
+       array_to_string(words[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' ')
+         as chunk
+from c
 """
     return out

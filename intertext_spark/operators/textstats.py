@@ -1985,3 +1985,63 @@ def rrf_fuse(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_words: int = 200,
+    overlap_words: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size word chunks — the
+    RAG-indexing / context-window prep staple (embed chunks, not docs;
+    overlap keeps boundary-straddling facts findable).  -> (doc_id,
+    chunk_idx, n_words, chunk) with stride = chunk_words -
+    overlap_words: chunk i covers words [i*stride, i*stride +
+    chunk_words); a doc with <= chunk_words words is ONE chunk; the
+    last chunk may be short (it is never dropped — tails carry data).
+    Chunk count = 1 + ceil((n - chunk)/stride) — all integer math, so
+    an external engine re-derives the exact chunk set.
+
+    Scale shape: ZERO exchanges — a pure row map (WS split bound to an
+    attribute, chunk indices exploded from a sequence, one slice+join
+    per emitted chunk; no HOF lambda for predicate pushdown to
+    re-inline — the gram_novelty / top_ngrams guard).
+    """
+    if overlap_words >= chunk_words:
+        raise ValueError("overlap_words must be < chunk_words")
+    stride = chunk_words - overlap_words
+    ws = F.col("__ws")
+    n = F.size(ws)
+    n_chunks = F.when(n <= chunk_words, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (n - F.lit(chunk_words) + F.lit(stride - 1)) / F.lit(stride)
+        ).cast("int")
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), _WORDS(text_col).alias("__ws"))
+        .where(F.size("__ws") >= 1)
+        .select(
+            "doc_id",
+            "__ws",
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                ws, F.col("chunk_idx") * stride + F.lit(1), chunk_words
+            ).alias("__cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("__cw").cast("long").alias("n_words"),
+            F.array_join("__cw", " ").alias("chunk"),
+        )
+    )

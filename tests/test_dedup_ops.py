@@ -1712,3 +1712,45 @@ def test_random_project_drops_ragged_and_null(spark):
     rows = random_project(df, M).collect()
     assert [r["vec_id"] for r in rows] == [1]
     assert len(rows[0]["proj"]) == 2
+
+
+def test_chunk_documents_python_oracle(spark):
+    from intertext_spark.operators.textstats import chunk_documents
+
+    import random as _r
+
+    rng = _r.Random(23)
+    docs = [
+        (i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n)))
+        for i, n in enumerate([1, 5, 39, 40, 41, 70, 71, 100, 130, 0])
+        if n > 0
+    ]
+    docs.append((99, "   "))  # whitespace-only: no words, no chunks
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, chunk_words=40, overlap_words=10).collect():
+        got[(r["doc_id"], r["chunk_idx"])] = (r["n_words"], r["chunk"])
+    want = {}
+    for did, text in docs:
+        ws = text.split()
+        if not ws:
+            continue
+        n = len(ws)
+        nc = 1 if n <= 40 else 1 + -(-(n - 40) // 30)
+        for i in range(nc):
+            cw = ws[i * 30 : i * 30 + 40]
+            want[(did, i)] = (len(cw), " ".join(cw))
+    assert got == want
+    # boundary facts: 40 words -> 1 chunk; 41 -> 2 (tail of 11 words)
+    assert sum(1 for (d, _) in got if d == 3) == 1
+    assert sum(1 for (d, _) in got if d == 4) == 2
+    assert got[(4, 1)][0] == 11
+    # overlap property: consecutive chunks share exactly 10 words
+    for (d, i), (n_w, ch) in got.items():
+        if (d, i + 1) in got and n_w == 40:
+            nxt = got[(d, i + 1)][1].split()
+            assert ch.split()[30:] == nxt[: min(10, len(nxt))]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(df, chunk_words=10, overlap_words=10)

@@ -1363,6 +1363,18 @@ def main():
         ],
     )
 
+    record(
+        "chunk_documents", e.queries()["chunk_documents"](spark, sf_dir),
+        [
+            ("zero exchanges (pure row map + index explode)",
+             lambda p: "Exchange" not in p),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+            ("no per-chunk HOF lambda (slice on the bound split)",
+             lambda p: "transform(" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
