@@ -2464,6 +2464,34 @@ def _chunk_documents_q(spark, sf_dir):
     )
 
 
+def _interval_join_q(spark, sf_dir):
+    """Banded interval-overlap join: per user, error windows [ts,
+    ts+2h] x click windows [ts, ts+30m].  The engine runs the bucketed
+    equi-join with canonical-bucket dedup; the DuckDB oracle is the
+    PLAIN inequality theta join — an independent formulation."""
+    from intertext_spark.operators.temporal import interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        us.alias("start"),
+        (us + F.lit(7_200_000_000)).alias("end"),
+        F.col("event_id").alias("err_id"),
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("start"),
+        (us + F.lit(1_800_000_000)).alias("end"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = interval_join(left, right, ["user_id"], bucket_size=3_600_000_000)
+    return out.select(
+        "user_id", "err_id", "start", "end",
+        "click_id_r", "start_r", "end_r",
+    )
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2641,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
     q["chunk_documents"] = _chunk_documents_q
+    q["interval_join"] = _interval_join_q
     return q
 
 
@@ -5107,5 +5136,24 @@ select doc_id, cast(chunk_idx as bigint) as chunk_idx,
        array_to_string(words[chunk_idx * 30 + 1 : chunk_idx * 30 + 40], ' ')
          as chunk
 from c
+"""
+    # interval_join: the oracle is the PLAIN inequality theta join —
+    # DuckDB evaluates it directly; the engine's banded equi-join +
+    # canonical-bucket dedup must produce the identical pair set.
+    out["interval_join"] = """
+with l as (
+  select user_id, epoch_us(ts) as start_, epoch_us(ts) + 7200000000 as end_,
+         event_id as err_id
+  from events where event_type = 'error'
+),
+r as (
+  select user_id, epoch_us(ts) as start_, epoch_us(ts) + 1800000000 as end_,
+         event_id as click_id
+  from events where event_type = 'click'
+)
+select l.user_id, l.err_id, l.start_ as start, l.end_ as "end",
+       r.click_id as click_id_r, r.start_ as start_r, r.end_ as end_r
+from l join r on l.user_id = r.user_id
+             and l.start_ <= r.end_ and r.start_ <= l.end_
 """
     return out

@@ -258,3 +258,74 @@ def retention_cohorts(
             ).alias("retention"),
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: "list[str]",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_size: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-overlap (range) join: pairs of left/right rows with the
+    same keys whose CLOSED intervals [start, end] overlap (l.start <=
+    r.end AND r.start <= l.end) — the span-matching primitive (PII
+    spans x chunk boundaries, session windows x incident windows) that
+    Spark would otherwise plan as a nested-loop theta join.
+
+    -> key_cols + left's columns + right's columns suffixed.
+
+    Scale shape — banded equi-join: every interval explodes to its
+    covering buckets of ``bucket_size`` axis units, the join is a pure
+    (keys, bucket) EQUI-join (shuffle-hashable, AQE-skew-splittable),
+    and duplicate pairs (intervals sharing several buckets) are
+    eliminated WITHOUT a distinct: a pair is kept only in its canonical
+    bucket max(floor(l.start/B), floor(r.start/B)) — the first bucket
+    where both intervals exist — so the only exchanges are the join's.
+    Pick bucket_size near the median interval length: too small
+    multiplies the explode, too large degrades bucket selectivity
+    toward all-pairs-per-key.  All bucket/overlap math is integer
+    (floor division on longs), so results are engine-replayable.
+    """
+
+    def prep(df, side):
+        s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+        payload = [c for c in df.columns if c not in key_cols]
+        return (
+            df.where(
+                F.col(start_col).isNotNull()
+                & F.col(end_col).isNotNull()
+                & (e >= s)
+            )
+            .select(
+                *key_cols,
+                F.struct(*payload).alias(f"__{side}"),
+                s.alias(f"__s_{side}"),
+                e.alias(f"__e_{side}"),
+                F.expr(
+                    f"explode(sequence(cast({start_col} as long) div"
+                    f" {bucket_size}, cast({end_col} as long) div"
+                    f" {bucket_size}))"
+                ).alias("__b"),
+            )
+        )
+    lp, rp = prep(left, "l"), prep(right, "r")
+    joined = lp.join(rp, [*key_cols, "__b"])
+    canonical = F.greatest(
+        F.expr(f"__s_l div {bucket_size}"), F.expr(f"__s_r div {bucket_size}")
+    )
+    overlap = (F.col("__s_l") <= F.col("__e_r")) & (
+        F.col("__s_r") <= F.col("__e_l")
+    )
+    lcols = [c for c in left.columns if c not in key_cols]
+    rcols = [c for c in right.columns if c not in key_cols]
+    return (
+        joined.where(overlap & (F.col("__b") == canonical))
+        .select(
+            *key_cols,
+            *[F.col("__l")[c].alias(c) for c in lcols],
+            *[F.col("__r")[c].alias(f"{c}{suffix}") for c in rcols],
+        )
+    )

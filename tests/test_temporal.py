@@ -244,3 +244,42 @@ def test_retention_cohorts_staggered_arrivals(spark):
         ("w1", "w1"): (5, 5, 1.0),
         ("w1", "w2"): (5, 5, 1.0),
     }
+
+
+def test_interval_join_brute_force_and_bucket_invariance(spark):
+    from intertext_spark.operators.temporal import interval_join
+
+    rng = random.Random(7)
+    L = [
+        (rng.randint(0, 3), s, s + rng.randint(0, 80), i)
+        for i, s in ((i, rng.randint(0, 500)) for i in range(120))
+    ]
+    R = [
+        (rng.randint(0, 3), s, s + rng.randint(0, 80), 1000 + i)
+        for i, s in ((i, rng.randint(0, 500)) for i in range(100))
+    ]
+    ldf = spark.createDataFrame(L, "k int, start long, end long, lid long")
+    rdf = spark.createDataFrame(R, "k int, start long, end long, rid long")
+    want = sorted(
+        (lk, lid, rid)
+        for lk, ls, le, lid in L
+        for rk, rs, re_, rid in R
+        if lk == rk and ls <= re_ and rs <= le
+    )
+    # the canonical-bucket dedup must make the pair set bucket-size
+    # INVARIANT — tiny buckets maximize shared-bucket duplication
+    for b in (1, 7, 64, 1000):
+        got = sorted(
+            (r["k"], r["lid"], r["rid_r"])
+            for r in interval_join(ldf, rdf, ["k"], bucket_size=b).collect()
+        )
+        assert got == want, f"bucket_size={b}"
+    # degenerate/invalid intervals dropped; touching endpoints overlap
+    l2 = spark.createDataFrame(
+        [(1, 0, 10, 1), (1, 20, 15, 2)], "k int, start long, end long, lid long"
+    )
+    r2 = spark.createDataFrame(
+        [(1, 10, 12, 7)], "k int, start long, end long, rid long"
+    )
+    rows = interval_join(l2, r2, ["k"], bucket_size=5).collect()
+    assert [(r["lid"], r["rid_r"]) for r in rows] == [(1, 7)]

@@ -1375,6 +1375,21 @@ def main():
         ],
     )
 
+    record(
+        "interval_join", e.queries()["interval_join"](spark, sf_dir),
+        [
+            ("EQUI-join on (keys, bucket) — never the nested-loop theta"
+             " join Spark would plan for the raw overlap predicate",
+             lambda p: "NestedLoop" not in p and "Cartesian" not in p
+             and ("SortMergeJoin" in p or "ShuffledHashJoin" in p
+                  or "BroadcastHashJoin" in p)),
+            ("canonical-bucket dedup is a filter, not a distinct (no"
+             " extra exchange beyond the join's)",
+             lambda p: "partial_first" not in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
