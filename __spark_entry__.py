@@ -2492,6 +2492,17 @@ def _interval_join_q(spark, sf_dir):
     )
 
 
+def _concordance_q(spark, sf_dir):
+    """KWIC concordance for three corpus terms, ±4 words of context,
+    top-20 hits per term by (doc_id, pos).  DuckDB replays the pruned
+    posexplode + 1-based slice arithmetic."""
+    from intertext_spark.operators.textstats import concordance
+
+    return concordance(
+        _docs(spark, sf_dir), ["batch", "merge", "vector"], width=4, k=20
+    )
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2670,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["outlier_flags"] = _outlier_flags_q
     q["chunk_documents"] = _chunk_documents_q
     q["interval_join"] = _interval_join_q
+    q["concordance"] = _concordance_q
     return q
 
 
@@ -5155,5 +5167,38 @@ select l.user_id, l.err_id, l.start_ as start, l.end_ as "end",
        r.click_id as click_id_r, r.start_ as start_r, r.end_ as end_r
 from l join r on l.user_id = r.user_id
              and l.start_ <= r.end_ and r.start_ <= l.end_
+"""
+    # concordance: replay the pruned position explode + the 1-based
+    # context slice [max(1, p+1-w), min(p+1+w, n)].
+    out["concordance"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents where text is not null
+),
+occ as (
+  select doc_id, s.pos as pos, s.term as term
+  from (
+    select doc_id,
+           unnest(list_transform(generate_series(1, len(words)),
+             i -> struct_pack(pos := i - 1, term := words[i]))) as s
+    from w where len(words) >= 1
+  )
+  where s.term in ('batch', 'merge', 'vector')
+),
+ctx as (
+  select o.term, o.doc_id, cast(o.pos as bigint) as pos,
+         array_to_string(
+           w.words[greatest(1, o.pos + 1 - 4) : least(o.pos + 1 + 4, len(w.words))],
+           ' ') as context
+  from occ o join w using(doc_id)
+),
+r as (
+  select term, doc_id, pos, context,
+         row_number() over (partition by term order by doc_id, pos) as rank
+  from ctx
+)
+select term, doc_id, pos, context, cast(rank as bigint) as rank
+from r where rank <= 20
 """
     return out

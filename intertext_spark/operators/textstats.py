@@ -2045,3 +2045,62 @@ def chunk_documents(
             F.array_join("__cw", " ").alias("chunk"),
         )
     )
+
+
+def concordance(
+    df: DataFrame,
+    terms: "list[str]",
+    width: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance: for each query term, up
+    to ``k`` occurrences with ±``width`` words of context — the
+    corpus-exploration view behind every text-reuse reader UI.  ->
+    (term, doc_id, pos, context, rank), rank 1..k per term by
+    (doc_id, pos) ascending (a stable, engine-replayable order).
+
+    Scale shape: the corpus term stream is pruned by a BROADCAST
+    semi-join on the (tiny) term list BEFORE anything data-sized
+    happens; context slicing re-joins the pruned occurrences to the
+    bound word arrays on doc_id — a shuffle join whose left side is
+    occurrence-count-sized (query terms only), never the corpus term
+    stream.  The top-k window partitions by term.
+    """
+    spark = df.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    words = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), _WORDS(text_col).alias("__ws"))
+        .where(F.size("__ws") >= 1)
+    )
+    occ = (
+        words.select("doc_id", F.posexplode("__ws").alias("pos", "term"))
+        .join(F.broadcast(tdf), "term")
+    )
+    ctx = occ.join(words, "doc_id").select(
+        "term",
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        # 1-based slice: the hit word sits at pos+1; context spans
+        # [max(1, pos+1-width), min(pos+1+width, n)]
+        F.array_join(
+            F.slice(
+                F.col("__ws"),
+                F.greatest(F.lit(1), F.col("pos") + F.lit(1 - width)),
+                F.least(F.col("pos") + F.lit(1 + width), F.size("__ws"))
+                - F.greatest(F.lit(1), F.col("pos") + F.lit(1 - width))
+                + F.lit(1),
+            ),
+            " ",
+        ).alias("context"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.asc("doc_id"), F.asc("pos"))
+    return (
+        ctx.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("term", "doc_id", "pos", "context", "rank")
+    )

@@ -1754,3 +1754,37 @@ def test_chunk_documents_python_oracle(spark):
 
     with _pt.raises(ValueError):
         chunk_documents(df, chunk_words=10, overlap_words=10)
+
+
+def test_concordance_hand_cases_and_python_oracle(spark):
+    from intertext_spark.operators.textstats import concordance
+
+    docs = [
+        (1, "a b c HIT d e f g"),
+        (2, "HIT x y"),
+        (3, "p q r s t u HIT"),
+        (4, "no match here"),
+        (5, "HIT HIT"),  # adjacent hits: both positions emitted
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["term"], r["doc_id"], r["pos"], r["context"], r["rank"])
+        for r in concordance(df.repartition(3), ["HIT", "q"], width=2, k=3).collect()
+    )
+    want = []
+    hits = []
+    for did, text in docs:
+        ws = text.split()
+        for p, w in enumerate(ws):
+            if w in ("HIT", "q"):
+                lo, hi = max(0, p - 2), min(p + 3, len(ws))
+                hits.append((w, did, p, " ".join(ws[lo:hi])))
+    by_term = {}
+    for t, did, p, ctx in sorted(hits, key=lambda h: (h[0], h[1], h[2])):
+        by_term.setdefault(t, []).append((t, did, p, ctx))
+    for t, rows in by_term.items():
+        for i, (tt, did, p, ctx) in enumerate(rows[:3]):
+            want.append((tt, did, p, ctx, i + 1))
+    assert got == sorted(want)
+    # k cap: HIT occurs 4 times, k=3 keeps the first 3 by (doc, pos)
+    assert sum(1 for g in got if g[0] == "HIT") == 3

@@ -1390,6 +1390,21 @@ def main():
         ],
     )
 
+    record(
+        "concordance", e.queries()["concordance"](spark, sf_dir),
+        [
+            ("term list broadcast prunes the corpus term stream before"
+             " anything data-sized",
+             lambda p: len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 1),
+            ("no cartesian / nested-loop",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+            ("per-term top-k window (no global sort)",
+             lambda p: "SinglePartition" not in p),
+            ("no Python execution stage",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
