@@ -2503,6 +2503,19 @@ def _concordance_q(spark, sf_dir):
     )
 
 
+def _percentile_rank_q(spark, sf_dir):
+    """Exact percentile-rank columns per event_type.  The oracle uses
+    DuckDB's NATIVE percent_rank()/cume_dist() window functions over
+    raw rows — an independent formulation of the same definition the
+    engine computes from distinct-value prefix sums."""
+    from intertext_spark.operators.quantiles import percentile_rank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return percentile_rank(ev, "value", ["event_type"])
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2682,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["chunk_documents"] = _chunk_documents_q
     q["interval_join"] = _interval_join_q
     q["concordance"] = _concordance_q
+    q["percentile_rank"] = _percentile_rank_q
     return q
 
 
@@ -5200,5 +5214,24 @@ r as (
 )
 select term, doc_id, pos, context, cast(rank as bigint) as rank
 from r where rank <= 20
+"""
+    # percentile_rank: NATIVE percent_rank()/cume_dist() windows are
+    # the oracle (independent formulation); n_lt/n_le via rank()/counts.
+    out["percentile_rank"] = """
+select event_id, event_type, value,
+       cast(rank() over w - 1 as bigint) as n_lt,
+       cast(count(*) over (partition by event_type
+                           order by value
+                           range between unbounded preceding
+                                     and current row) as bigint) as n_le,
+       percent_rank() over w as percent_rank,
+       cume_dist() over w as cume_dist
+from events
+where value is not null
+window w as (partition by event_type order by value)
+union all
+select event_id, event_type, value,
+       null, null, null, null
+from events where value is null
 """
     return out

@@ -313,3 +313,55 @@ def outlier_flags(
         .otherwise(F.col(value_col) != F.col("__med"))
         .alias("is_outlier"),
     )
+
+
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Exact percentile-rank columns — the inverse of exact_quantiles
+    (value -> rank instead of rank -> value), and the normalization
+    behind percentile-scaled quality scores: per group, n_lt / n_le
+    (values strictly below / at-or-below), percent_rank = n_lt /
+    (n - 1) (0 for singleton groups, the SQL convention) and cume_dist
+    = n_le / n.  Rows with NULL values pass through with NULLs.
+
+    Scale shape — NO global sort, NO row-ordered window: the data
+    collapses to its distinct (group, value) counts first (one
+    map-side-combined exchange, the exact_quantiles discipline); the
+    running prefix sums order only the DISTINCT VALUES; rows get their
+    ranks back through a (group, value) equi-join against the
+    value-dimension table.  Contrast with calling percent_rank() over
+    the raw rows, which sorts the full partition per group.
+    """
+    group_cols = list(group_cols or [])
+    vals = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.partitionBy(*group_cols)
+    ranked = (
+        vals.withColumn("__n_le", F.sum("__c").over(w).cast("long"))
+        .withColumn("__n", F.sum("__c").over(wg).cast("long"))
+        .select(
+            *group_cols,
+            value_col,
+            (F.col("__n_le") - F.col("__c")).alias("n_lt"),
+            F.col("__n_le").alias("n_le"),
+            (
+                (F.col("__n_le") - F.col("__c")).cast("double")
+                / F.greatest(F.col("__n") - F.lit(1), F.lit(1)).cast("double")
+            ).alias("percent_rank"),
+            (F.col("__n_le").cast("double") / F.col("__n").cast("double")).alias(
+                "cume_dist"
+            ),
+        )
+    )
+    return df.join(ranked, [*group_cols, value_col], "left")

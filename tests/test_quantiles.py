@@ -218,3 +218,32 @@ def test_outlier_flags_python_oracle_and_conventions(spark):
             assert z is None and flag == (v != 7.0)
     assert sum(1 for g, v, z, f in got if g == "a" and f) == 2
     assert sum(1 for g, v, z, f in got if g == "b" and f) == 5
+
+
+def test_percentile_rank_python_oracle_and_ties(spark):
+    from intertext_spark.operators.quantiles import percentile_rank
+
+    rng = random.Random(31)
+    rows = [("a", rng.randint(0, 10)) for _ in range(90)]  # tie-heavy
+    rows += [("b", 5)]  # singleton: percent_rank 0, cume_dist 1
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = [
+        (r["g"], r["v"], r["n_lt"], r["n_le"], r["percent_rank"], r["cume_dist"])
+        for r in percentile_rank(df, "v", ["g"]).collect()
+    ]
+    a_vals = [v for g, v in rows if g == "a" and v is not None]
+    n = len(a_vals)
+    for g, v, n_lt, n_le, pr, cd in got:
+        if v is None:
+            assert (n_lt, n_le, pr, cd) == (None, None, None, None)
+        elif g == "b":
+            assert (n_lt, n_le, pr, cd) == (0, 1, 0.0, 1.0)
+        else:
+            lt = sum(1 for x in a_vals if x < v)
+            le = sum(1 for x in a_vals if x <= v)
+            assert (n_lt, n_le) == (lt, le)
+            assert pr == lt / (n - 1) and cd == le / n
+    # schema: input columns preserved + the four rank columns appended
+    out = percentile_rank(df, "v", ["g"])
+    assert out.columns == ["g", "v", "n_lt", "n_le", "percent_rank", "cume_dist"]

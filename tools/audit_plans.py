@@ -1405,6 +1405,19 @@ def main():
         ],
     )
 
+    record(
+        "percentile_rank", e.queries()["percentile_rank"](spark, sf_dir),
+        [
+            ("values collapse map-side BEFORE any window (the window"
+             " orders distinct values, never the raw rows)",
+             lambda p: "partial_count" in p or "partial_sum" in p),
+            ("no global sort", lambda p: "SinglePartition" not in p),
+            ("rank join is an equi-join, no cartesian",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
