@@ -2516,6 +2516,37 @@ def _percentile_rank_q(spark, sf_dir):
     return percentile_rank(ev, "value", ["event_type"])
 
 
+def _split_sentences_q(spark, sf_dir):
+    """Sentence segmentation over text with PLANTED terminators (the
+    corpus has none): every 6th word gains '.', every 30th '?!' — both
+    engines rebuild the identical text, then DuckDB replays the
+    sentinel-split rule."""
+    from intertext_spark.operators.textstats import split_sentences
+
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    planted = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ws.alias("__w"))
+        .where(F.size("__w") >= 1)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__w")),
+                    lambda i: F.concat(
+                        F.element_at(F.col("__w"), i),
+                        F.when(i % 30 == 0, F.lit("?!"))
+                        .when(i % 6 == 0, F.lit("."))
+                        .otherwise(F.lit("")),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return split_sentences(planted)
+
+
 def _validate_conversations_q(spark, sf_dir):
     """Structural-integrity report over transcripts with deterministic
     planted violations (dropped turns -> idx gaps, 'bot' roles, forced
@@ -2696,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["interval_join"] = _interval_join_q
     q["concordance"] = _concordance_q
     q["percentile_rank"] = _percentile_rank_q
+    q["split_sentences"] = _split_sentences_q
     return q
 
 
@@ -5233,5 +5265,40 @@ union all
 select event_id, event_type, value,
        null, null, null, null
 from events where value is null
+"""
+    # split_sentences: DuckDB rebuilds the planted text and replays the
+    # sentinel-split rule (chr(30) = the engine's \x1e marker).
+    out["split_sentences"] = """
+with w as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+  from documents where text is not null
+),
+p as (
+  select doc_id,
+         array_to_string(list_transform(generate_series(1, len(words)),
+           i -> words[i] || case when i % 30 = 0 then '?!'
+                                 when i % 6 = 0 then '.' else '' end), ' ')
+           as text
+  from w where len(words) >= 1
+),
+m as (
+  select doc_id,
+         list_filter(list_transform(
+           string_split(regexp_replace(text, '([.!?]+)\\s+',
+                                       '\\1' || chr(30), 'g'), chr(30)),
+           s -> trim(s)), s -> s != '') as sents
+  from p
+),
+x as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(sents)),
+           i -> struct_pack(idx := i - 1, s := sents[i]))) as u
+  from m
+)
+select doc_id, cast(u.idx as bigint) as sent_idx, u.s as sentence,
+       cast(len(list_filter(regexp_split_to_array(u.s, '\\s+'),
+                            x -> x != '')) as bigint) as n_words
+from x
 """
     return out

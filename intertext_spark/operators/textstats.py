@@ -2104,3 +2104,44 @@ def concordance(
         .where(F.col("rank") <= k)
         .select("term", "doc_id", "pos", "context", "rank")
     )
+
+
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rule-based sentence segmentation: boundaries are runs of
+    ``.!?`` followed by whitespace (the terminator stays with its
+    sentence; trailing text without one is the final sentence).  ->
+    (doc_id, sent_idx, sentence, n_words), sent_idx 0-based over the
+    non-empty sentences in order.  Deliberately deterministic and
+    regex-engine-portable (the Java/RE2 common subset) rather than
+    model-based: the downstream consumers (sentence-level dedup, span
+    alignment, chunk boundaries) need REPLAYABLE boundaries.
+
+    Scale shape: ZERO exchanges - a JVM regexp inserts a \\x1e sentinel
+    at each boundary, one split + filter + posexplode emits the rows.
+    Caveat: \\x1e (ASCII record separator) in the input would add
+    boundaries; strip C0 controls first (normalize_text) if the corpus
+    can contain it.
+    """
+    sep = "\x1e"
+    marked = F.regexp_replace(
+        F.col(text_col), r"([.!?]+)\s+", "$1" + sep
+    )
+    sents = F.filter(
+        F.transform(F.split(marked, sep), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), sents.alias("__sents"))
+        .select("doc_id", F.posexplode("__sents").alias("sent_idx", "sentence"))
+        .select(
+            "doc_id",
+            F.col("sent_idx").cast("long").alias("sent_idx"),
+            "sentence",
+            F.size(_WORDS("sentence")).cast("long").alias("n_words"),
+        )
+    )

@@ -1788,3 +1788,28 @@ def test_concordance_hand_cases_and_python_oracle(spark):
     assert got == sorted(want)
     # k cap: HIT occurs 4 times, k=3 keeps the first 3 by (doc, pos)
     assert sum(1 for g in got if g[0] == "HIT") == 3
+
+
+def test_split_sentences_rules(spark):
+    from intertext_spark.operators.textstats import split_sentences
+
+    docs = [
+        (1, "One two. Three four?! Five"),
+        (2, "No terminators at all"),
+        (3, "Trailing dot ends."),
+        (4, "A.  B!   C"),
+        (5, "x.y stays together. next"),  # no whitespace after '.' -> no split
+        (6, "   "),  # whitespace-only: zero sentences
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["sent_idx"], r["sentence"], r["n_words"])
+        for r in split_sentences(df).collect()
+    )
+    assert got == [
+        (1, 0, "One two.", 2), (1, 1, "Three four?!", 2), (1, 2, "Five", 1),
+        (2, 0, "No terminators at all", 4),
+        (3, 0, "Trailing dot ends.", 3),
+        (4, 0, "A.", 1), (4, 1, "B!", 1), (4, 2, "C", 1),
+        (5, 0, "x.y stays together.", 3), (5, 1, "next", 1),
+    ]

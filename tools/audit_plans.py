@@ -1418,6 +1418,19 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import split_sentences as _ssent
+
+    record(
+        "split_sentences", _ssent(docs_tbl),
+        [
+            ("zero exchanges (sentinel regexp + split + posexplode,"
+             " all row-local)",
+             lambda p: "Exchange" not in p),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
