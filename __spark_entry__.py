@@ -1760,6 +1760,26 @@ def _ivfpq_topk_native(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def _sq_topk_native(spark, sf_dir):
+    """SQ8 (8-bit scalar quantization) symmetric top-10 for vec_id=0's
+    embedding: per-dim (min, max) bounds trained on the corpus, codes =
+    floor((x-mn)/(mx-mn)*255 + 0.5) clamped to [0,255], distance =
+    INTEGER L2 over codes — no round-quantization anywhere because min/
+    max are exact and the code rule is one fixed-order IEEE expression
+    both engines spell identically; everything downstream is integer."""
+    from pyspark.sql import Window
+    from intertext_spark.operators import pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.where("vec_id != 0")
+    vmin, vmax = pq.sq_train(base, dim=64)
+    q = [float(x) for x in emb.where("vec_id = 0").collect()[0].embedding]
+    codes = pq.sq_encode(base, vmin, vmax)
+    top = pq.sq_topk(codes, vmin, vmax, q, topk=10)
+    w = Window.orderBy(F.asc("sq_dist"), F.asc("vec_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def _loop_detect_q(spark, sf_dir):
     """Agent-loop detection over assistant turns (word-set Jaccard vs the
     previous assistant turn, one conv-keyed window).  Jaccard is an exact
@@ -2609,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ivf_topk_native"] = _ivf_topk_native
     q["ann_topk_batch_native"] = _ann_topk_batch_native
     q["pq_topk_native"] = _pq_topk_native
+    q["sq_topk_native"] = _sq_topk_native
     q["ivfpq_topk_native"] = _ivfpq_topk_native
     q["token_stats_native"] = _token_stats_native
     q["quality_scores_native"] = _quality_native
@@ -2752,6 +2773,48 @@ from documents
 
     out["pq_topk_native"] = q_pq_adc_twin(DUCK)
     out["ivfpq_topk_native"] = q_ivfpq_adc_twin(DUCK)
+    # sq_topk_native: DuckDB re-derives the per-dim bounds, the code
+    # rule (same IEEE expression order as pq._sq_code / the python
+    # quantizer), and the integer L2 — no quantization needed anywhere.
+    out["sq_topk_native"] = """
+with e as (
+  select vec_id, (embedding)::DOUBLE[] as emb from embeddings
+  where vec_id != 0 and len(embedding) = 64
+),
+b as (
+  select g.i as i, min(e.emb[g.i]) as mn, max(e.emb[g.i]) as mx
+  from e, generate_series(1, 64) as g(i)
+  group by g.i
+),
+q as (select (embedding)::DOUBLE[] as qe from embeddings where vec_id = 0),
+qc as (
+  select b.i,
+         case when b.mx = b.mn then 0
+              else greatest(0, least(255,
+                cast(floor((q.qe[b.i] - b.mn) / (b.mx - b.mn) * 255.0 + 0.5)
+                     as bigint))) end as qcode
+  from b, q
+),
+c as (
+  select e.vec_id, b.i,
+         case when b.mx = b.mn then 0
+              else greatest(0, least(255,
+                cast(floor((e.emb[b.i] - b.mn) / (b.mx - b.mn) * 255.0 + 0.5)
+                     as bigint))) end as code
+  from e, b
+),
+d as (
+  select c.vec_id,
+         cast(sum((c.code - qc.qcode) * (c.code - qc.qcode)) as bigint)
+           as sq_dist
+  from c join qc on qc.i = c.i
+  group by c.vec_id
+)
+select vec_id, sq_dist,
+       cast(row_number() over (order by sq_dist asc, vec_id asc) as bigint)
+         as rnk
+from d order by sq_dist asc, vec_id asc limit 10
+"""
     # engine-native twins: DuckDB re-derives the native operator's values
     # independently (see sqlqueries q_*_native_twin docstrings for the
     # exactness arguments; minhash twin is brute-force ground truth, so a

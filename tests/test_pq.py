@@ -265,3 +265,58 @@ def test_pq_encode_drops_ragged(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     got = sorted(r.vec_id for r in pq.pq_encode(df, cbs).collect())
     assert got == [0, 3]
+
+
+def test_sq_hand_case_codes_and_distance(spark):
+    # dim=2: pos0 spans [0, 10], pos1 is CONSTANT (mx == mn -> code 0)
+    rows = [(1, [0.0, 5.0]), (2, [10.0, 5.0]), (3, [2.5, 5.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    vmin, vmax = pq.sq_train(df, dim=2)
+    assert vmin == [0.0, 5.0] and vmax == [10.0, 5.0]
+    codes = {r.vec_id: r.codes for r in pq.sq_encode(df, vmin, vmax).collect()}
+    # 2.5/10*255 = 63.75 -> floor(+0.5) = 64
+    assert codes == {1: [0, 0], 2: [255, 0], 3: [64, 0]}
+    # query [2.6, 5.0] -> code floor(66.3+0.5)=66; dists: 3->4, 1->4356, 2->35721
+    assert pq.sq_quantize_query([2.6, 5.0], vmin, vmax) == [66, 0]
+    top = pq.sq_topk(pq.sq_encode(df, vmin, vmax), vmin, vmax, [2.6, 5.0], topk=3)
+    assert [(r.vec_id, r.sq_dist) for r in top.collect()] == [
+        (3, 4), (1, 4356), (2, 35721)
+    ]
+
+
+def test_sq_encode_matches_python_quantizer_and_clamps(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-3, 3) for _ in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    vmin, vmax = pq.sq_train(df, dim=6)
+    got = {r.vec_id: list(r.codes) for r in pq.sq_encode(df, vmin, vmax).collect()}
+    for vid, vec in rows:
+        assert got[vid] == pq.sq_quantize_query(vec, vmin, vmax), vid
+    # out-of-bounds query values clamp to the code range
+    assert pq.sq_quantize_query([99.0] * 6, vmin, vmax) == [255] * 6
+    assert pq.sq_quantize_query([-99.0] * 6, vmin, vmax) == [0] * 6
+
+
+def test_sq_train_ignores_ragged_and_recall_vs_exact(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    ragged = rows + [(997, [99.0] * 7), (998, [99.0] * 9)]
+    df = spark.createDataFrame(ragged, ["vec_id", "embedding"])
+    vmin, vmax = pq.sq_train(df, dim=8)
+    clean_min, clean_max = pq.sq_train(
+        spark.createDataFrame(rows, ["vec_id", "embedding"]), dim=8
+    )
+    assert (vmin, vmax) == (clean_min, clean_max)  # ragged rows excluded
+    # recall@10: SQ8 integer top-10 vs exact float-L2 top-10
+    q = rows[0][1]
+    exact = sorted(
+        rows[1:], key=lambda r: sum((a - b) ** 2 for a, b in zip(r[1], q))
+    )[:10]
+    truth = {vid for vid, _ in exact}
+    codes = pq.sq_encode(df.where("vec_id != 0"), vmin, vmax)
+    got = {r.vec_id for r in pq.sq_topk(codes, vmin, vmax, q, topk=10).collect()}
+    assert len(got & truth) >= 9  # 8-bit resolution: near-exact recall

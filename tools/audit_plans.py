@@ -438,6 +438,41 @@ def main():
         ],
     )
 
+    # SQ8: scan-side (encode + integer ADC + top-k) must be one narrow
+    # JVM pass; the dim-sized training agg is the only exchange and is
+    # map-side combined
+    sq_bounds = ([-1.0] * 64, [1.0] * 64)
+    record(
+        "sq_adc",
+        pq.sq_topk(
+            pq.sq_encode(emb.where("vec_id != 0"), *sq_bounds),
+            *sq_bounds, [0.0] * 64, topk=10,
+        ),
+        [
+            ("zero exchanges (encode + integer ADC are one narrow pass)",
+             lambda p: "Exchange" not in p),
+            ("top-k is TakeOrdered, not a global sort",
+             lambda p: "TakeOrdered" in p and "Sort " not in p),
+            ("no join, no Python stage",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+    record(
+        "sq_train",
+        emb.where("vec_id != 0")
+        .where(F.size("embedding") == 64)
+        .select(F.posexplode(F.col("embedding").cast("array<double>"))
+                .alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx")),
+        [
+            ("exactly one exchange for the dim-keyed bounds agg",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 1),
+            ("map-side partial aggregation before the exchange",
+             lambda p: "partial_min" in p or "HashAggregate" in p),
+        ],
+    )
+
     # round-4: IVF-PQ — with the index WRITTEN partitioned by list_id (the
     # cluster layout), an nprobe search must prune to the probed
     # partitions at the scan (PartitionFilters carries the isin), stay
