@@ -1760,6 +1760,29 @@ def _ivfpq_topk_native(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def _turn_latency_q(spark, sf_dir):
+    """Role-transition latency profile over transcripts with PLANTED
+    timestamp structure (the derived ts is a constant 1s/turn): ts =
+    epoch + turn_idx * (turn_idx%7 + 1) gives varied positive AND
+    negative deltas across a conversation, and every 11th turn's ts is
+    NULLed to exercise the pair-drop rule.  All-integer deltas; mean_s
+    is one int/int IEEE division — bit-identical cross-engine."""
+    from intertext_spark.operators.convstats import turn_latency
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    planted = tdf.withColumn(
+        "ts",
+        F.when(
+            F.pmod("turn_idx", 11) != 10,
+            (
+                F.lit(1704067200)
+                + F.col("turn_idx") * (F.pmod("turn_idx", 7) + 1)
+            ).cast("timestamp"),
+        ),
+    )
+    return turn_latency(planted)
+
+
 def _sq_topk_native(spark, sf_dir):
     """SQ8 (8-bit scalar quantization) symmetric top-10 for vec_id=0's
     embedding: per-dim (min, max) bounds trained on the corpus, codes =
@@ -2630,6 +2653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_batch_native"] = _ann_topk_batch_native
     q["pq_topk_native"] = _pq_topk_native
     q["sq_topk_native"] = _sq_topk_native
+    q["turn_latency"] = _turn_latency_q
     q["ivfpq_topk_native"] = _ivfpq_topk_native
     q["token_stats_native"] = _token_stats_native
     q["quality_scores_native"] = _quality_native
@@ -4133,6 +4157,34 @@ lagged as (
 select from_state, to_state, cast(count(*) as bigint) as n_transitions
 from lagged
 group by from_state, to_state
+"""
+    # turn_latency: DuckDB replants the same ts structure on the
+    # rebuilt transcripts and replays the lag + integer-delta + role
+    # grouping; mean_s is the identical int/int division.
+    out["turn_latency"] = _TRANSCRIPTS_CTE + """,
+pl as (
+  select conv_id, turn_idx, role,
+         case when turn_idx % 11 != 10
+              then 1704067200 + turn_idx * ((turn_idx % 7) + 1) end as ts_s
+  from tr
+),
+lagged as (
+  select lag(coalesce(role, '_none_'))
+           over (partition by conv_id order by turn_idx) as from_role,
+         coalesce(role, '_none_') as to_role,
+         ts_s - lag(ts_s)
+           over (partition by conv_id order by turn_idx) as lat_s
+  from pl
+)
+select from_role, to_role,
+       cast(count(*) as bigint) as n,
+       cast(sum(lat_s) as bigint) as total_s,
+       cast(sum(lat_s) as double) / count(*) as mean_s,
+       cast(min(lat_s) as bigint) as min_s,
+       cast(max(lat_s) as bigint) as max_s
+from lagged
+where from_role is not null and lat_s is not null
+group by from_role, to_role
 """
     # sft_examples: exclusive running token sum c0, then context turns
     # for target t are turns p with p < t and c0_t - c0_p <= budget (the

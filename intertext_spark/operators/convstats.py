@@ -558,3 +558,53 @@ def tool_stats(tdf: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("n_calls"), "tool")
     )
+
+
+def turn_latency(tdf: DataFrame) -> DataFrame:
+    """Response-latency profile by role transition: for every
+    consecutive turn pair inside a conversation (turn_idx order, the
+    stable-ordering contract), the seconds between their timestamps,
+    aggregated per (from_role, to_role) -> (from_role, to_role, n,
+    total_s, mean_s, min_s, max_s).  This is the first latency table an
+    agent-telemetry reader asks for: user->assistant is model response
+    time, assistant->tool is dispatch overhead, tool->assistant is tool
+    round-trip.
+
+    Semantics: latencies are INTEGER epoch-second deltas (exact — and
+    mean_s = total_s / n is one int/int IEEE division, so every column
+    is externally re-derivable bit-for-bit); pairs where either side has
+    a NULL ts are dropped (a transcript hole is not a measurement);
+    NEGATIVE deltas are kept and reported — out-of-order timestamps are
+    a data defect this table should surface, not mask (pair with
+    validate_conversations to locate them).
+
+    Scale shape: ONE conv-keyed window exchange (lag over turn_idx),
+    then a groupBy over the tiny role x role key space — map-side
+    combine collapses each task to at most |roles|^2 rows.  No joins,
+    no Python."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts_s = F.unix_timestamp("ts")
+    st = F.coalesce(F.col("role").cast("string"), F.lit("_none_"))
+    pairs = (
+        tdf.select("conv_id", "turn_idx", st.alias("state"), ts_s.alias("ts_s"))
+        .select(
+            # lag of a non-null marker distinguishes "no previous turn"
+            # from "previous turn had a NULL role" (mapped to _none_,
+            # the turn_transitions convention)
+            F.lag("state").over(w).alias("from_role"),
+            F.col("state").alias("to_role"),
+            (F.col("ts_s") - F.lag("ts_s").over(w)).alias("lat_s"),
+        )
+        .where(F.col("from_role").isNotNull() & F.col("lat_s").isNotNull())
+    )
+    n = F.count("*")
+    return (
+        pairs.groupBy("from_role", "to_role")
+        .agg(
+            n.cast("long").alias("n"),
+            F.sum("lat_s").cast("long").alias("total_s"),
+            (F.sum("lat_s").cast("double") / n).alias("mean_s"),
+            F.min("lat_s").cast("long").alias("min_s"),
+            F.max("lat_s").cast("long").alias("max_s"),
+        )
+    )

@@ -450,3 +450,49 @@ def test_validate_deterministic_under_dup_idx_and_partitioning(spark):
     row = convstats.validate_conversations(tdf).collect()[0]
     assert row.n_dangling_tool == 0 and row.n_role_runs == 0
     assert row.n_dup_turn_idx == 1 and not row.valid
+
+
+def test_turn_latency_hand_case(spark):
+    from datetime import datetime, timezone
+    from intertext_spark.operators.convstats import turn_latency
+
+    def t(s):
+        return datetime.fromtimestamp(1704067200 + s, tz=timezone.utc)
+
+    rows = [
+        # conv A: user@0 -> assistant@5 -> user@7 -> assistant@6 (NEGATIVE)
+        ("A", 0, "user", t(0)), ("A", 1, "assistant", t(5)),
+        ("A", 2, "user", t(7)), ("A", 3, "assistant", t(6)),
+        # conv B: NULL ts in the middle drops BOTH adjacent pairs
+        ("B", 0, "user", t(0)), ("B", 1, "assistant", None),
+        ("B", 2, "user", t(9)),
+        # conv C: NULL role maps to _none_, latency still measured
+        ("C", 0, "user", t(0)), ("C", 1, None, t(3)),
+    ]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    got = {
+        (r.from_role, r.to_role): (r.n, r.total_s, r.mean_s, r.min_s, r.max_s)
+        for r in turn_latency(tdf).collect()
+    }
+    assert got == {
+        ("user", "assistant"): (2, 4, 2.0, -1, 5),  # 5 and -1 (kept)
+        ("assistant", "user"): (1, 2, 2.0, 2, 2),
+        ("user", "_none_"): (1, 3, 3.0, 3, 3),
+    }
+
+
+def test_turn_latency_single_turn_and_empty(spark):
+    from datetime import datetime, timezone
+    from intertext_spark.operators.convstats import turn_latency
+
+    one = spark.createDataFrame(
+        [("A", 0, "user", datetime.now(timezone.utc))],
+        "conv_id string, turn_idx int, role string, ts timestamp",
+    )
+    assert turn_latency(one).count() == 0
+    empty = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, role string, ts timestamp"
+    )
+    assert turn_latency(empty).count() == 0

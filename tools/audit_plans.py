@@ -233,6 +233,17 @@ def main():
         ],
     )
     record(
+        "turn_latency", convstats.turn_latency(tdf_full),
+        [
+            ("two exchanges: conv-keyed window + tiny (role,role) groupBy",
+             lambda p: len(__import__("re").findall(r"\(\d+\) Exchange", p)) == 2),
+            ("map-side partial agg before the role-pair exchange",
+             lambda p: "partial" in p.lower()),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+    record(
         "gumbel_topk", sampling.gumbel_topk(
             sampling.dsir_weights(docs_tbl, docs_tbl.where("lang = 'en'")), k=50
         ),
