@@ -1760,6 +1760,33 @@ def _ivfpq_topk_native(spark, sf_dir):
     return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def _url_stats_q(spark, sf_dir):
+    """Per-domain link profile with PLANTED URLs (the corpus has none):
+    each doc gains one mixed-case www URL with a trailing comma and one
+    parenthesized uppercase-scheme URL with a trailing ')."' — so the
+    gate exercises scheme case-folding, www-strip, lowercasing, and
+    trailing-punctuation trim, not just counting.  Anti-vacuity: the
+    pytest hand cases pin the extraction semantics independently."""
+    from intertext_spark.operators.textstats import url_stats
+
+    k5 = (F.col("doc_id") % 5).cast("string")
+    k7 = (F.col("doc_id") % 7).cast("string")
+    planted = (
+        _docs(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" see https://WWW.Example"), k5,
+                F.lit(".COM/a/b?q=1, or (HTTP://site"), k7,
+                F.lit(".org/x/y)."),
+            ).alias("text"),
+        )
+    )
+    return url_stats(planted)
+
+
 def _turn_latency_q(spark, sf_dir):
     """Role-transition latency profile over transcripts with PLANTED
     timestamp structure (the derived ts is a constant 1s/turn): ts =
@@ -2654,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pq_topk_native"] = _pq_topk_native
     q["sq_topk_native"] = _sq_topk_native
     q["turn_latency"] = _turn_latency_q
+    q["url_stats"] = _url_stats_q
     q["ivfpq_topk_native"] = _ivfpq_topk_native
     q["token_stats_native"] = _token_stats_native
     q["quality_scores_native"] = _quality_native
@@ -4157,6 +4185,35 @@ lagged as (
 select from_state, to_state, cast(count(*) as bigint) as n_transitions
 from lagged
 group by from_state, to_state
+"""
+    # url_stats: DuckDB replants the same URLs and replays the
+    # extraction chain (RE2's (?i) and char classes match Java's here);
+    # semantics are pinned independently by the pytest hand cases.
+    out["url_stats"] = r"""
+with p as (
+  select doc_id,
+         text || ' see https://WWW.Example' || cast(doc_id % 5 as varchar)
+              || '.COM/a/b?q=1, or (HTTP://site'
+              || cast(doc_id % 7 as varchar) || '.org/x/y).' as text
+  from documents where text is not null
+),
+u as (
+  select doc_id,
+         unnest(regexp_extract_all(text, '(?i)https?://[^\s<>"]+')) as raw
+  from p
+),
+t as (
+  select doc_id, regexp_replace(raw, '[.,;:!?)\]''"]+$', '') as url from u
+),
+h as (
+  select doc_id, url,
+         regexp_replace(lower(regexp_extract(url, '(?i)^https?://([^/:?#]+)', 1)),
+                        '^www\.', '') as host
+  from t where url != ''
+)
+select host, cast(count(*) as bigint) as n_urls,
+       cast(count(distinct doc_id) as bigint) as n_docs
+from h group by host
 """
     # turn_latency: DuckDB replants the same ts structure on the
     # rebuilt transcripts and replays the lag + integer-delta + role

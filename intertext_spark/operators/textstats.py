@@ -2145,3 +2145,68 @@ def split_sentences(
             F.size(_WORDS("sentence")).cast("long").alias("n_words"),
         )
     )
+
+
+_URL_RE = r'(?i)https?://[^\s<>"]+'
+# trailing punctuation that is sentence context, not URL: strip from the
+# raw match end.  Kept to the Java/RE2 common subset (plain char class).
+_URL_TRIM_RE = r"""[.,;:!?)\]'"]+$"""
+
+
+def extract_urls(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """URL extraction for domain-level curation (blocklists, per-domain
+    caps, link-density gates): every http(s) URL in ``text`` ->
+    (doc_id, url, host), one row per occurrence in document order.
+    ``url`` is the raw match with trailing sentence punctuation
+    stripped; ``host`` is lowercased with one leading ``www.`` removed
+    (the blocklist-lookup normal form).
+
+    Deliberately rule-based and regex-engine-portable (the Java/RE2
+    common subset, like html_text): curation decisions keyed on domains
+    must be REPLAYABLE by other engines.
+
+    Scale shape: zero exchanges — regexp_extract_all + explode + two
+    in-row regexps; no joins, no Python."""
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), 0)
+    trimmed = F.regexp_replace(F.col("__raw"), _URL_TRIM_RE, "")
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("url"), r"(?i)^https?://([^/:?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), F.explode(urls).alias("__raw"))
+        .select("doc_id", trimmed.alias("url"))
+        .where(F.col("url") != "")
+        .select("doc_id", "url", host.alias("host"))
+    )
+
+
+def url_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-domain link profile over a corpus: -> (host, n_urls, n_docs)
+    where n_urls counts occurrences and n_docs distinct documents
+    mentioning the host.  The first table a domain-blocklist or
+    source-mix audit reads.
+
+    Scale shape: extraction is row-local (see extract_urls); ONE
+    groupBy(host) with map-side partial aggregation — count_distinct
+    rides the same exchange as a two-phase agg.  Hot domains are fine:
+    the key space is domains, the partial agg collapses each task's
+    contribution first."""
+    return (
+        extract_urls(df, id_col=id_col, text_col=text_col)
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )

@@ -1813,3 +1813,32 @@ def test_split_sentences_rules(spark):
         (4, 0, "A.", 1), (4, 1, "B!", 1), (4, 2, "C", 1),
         (5, 0, "x.y stays together.", 3), (5, 1, "next", 1),
     ]
+
+
+def test_extract_urls_semantics(spark):
+    from intertext_spark.operators.textstats import extract_urls, url_stats
+
+    docs = [
+        (1, "see https://www.Foo.COM/a?x=1, then (http://bar.org/p)."),
+        (2, "plain text no links"),
+        (3, "HTTPS://FOO.com/z and https://foo.com:8080/q and ftp://no.match"),
+        (4, None),
+        (5, "dangling scheme https:// end"),  # empty after trim of nothing? host empty
+        (6, "twice http://a.io/1 http://a.io/2"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.url, r.host) for r in extract_urls(df).collect()
+    )
+    assert got == [
+        (1, "http://bar.org/p", "bar.org"),
+        (1, "https://www.Foo.COM/a?x=1", "foo.com"),     # trailing ',' trimmed
+        (3, "HTTPS://FOO.com/z", "foo.com"),             # scheme case-insensitive
+        (3, "https://foo.com:8080/q", "foo.com"),        # port excluded from host
+        (6, "http://a.io/1", "a.io"),
+        (6, "http://a.io/2", "a.io"),
+    ]
+    stats = {
+        r.host: (r.n_urls, r.n_docs) for r in url_stats(df).collect()
+    }
+    assert stats == {"bar.org": (1, 1), "foo.com": (3, 2), "a.io": (2, 1)}

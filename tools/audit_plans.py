@@ -232,6 +232,26 @@ def main():
             ("no join", lambda p: "Join" not in p),
         ],
     )
+    from intertext_spark.operators.textstats import extract_urls, url_stats
+
+    record(
+        "extract_urls", extract_urls(docs_tbl),
+        [
+            ("zero exchanges (regexp chain + explode, row-local)",
+             lambda p: "Exchange" not in p),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+    record(
+        "url_stats", url_stats(docs_tbl),
+        [
+            ("domain-keyed agg with map-side partial aggregation",
+             lambda p: "partial" in p.lower()),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
     record(
         "turn_latency", convstats.turn_latency(tdf_full),
         [
