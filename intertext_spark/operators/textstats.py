@@ -13,7 +13,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 from .. import hashing
 
@@ -2063,10 +2063,12 @@ def concordance(
 
     Scale shape: the corpus term stream is pruned by a BROADCAST
     semi-join on the (tiny) term list BEFORE anything data-sized
-    happens; context slicing re-joins the pruned occurrences to the
-    bound word arrays on doc_id — a shuffle join whose left side is
-    occurrence-count-sized (query terms only), never the corpus term
-    stream.  The top-k window partitions by term.
+    happens, and the top-k window runs on the occurrence table — (term,
+    doc_id, pos), no contexts — BEFORE any join, so a corpus-frequent
+    query term ("the") contributes at most ``k`` rows downstream, not
+    its full occurrence stream.  Context fetch then BROADCASTS the
+    <= |terms| * k surviving hits onto the corpus words scan: the
+    data-sized side never shuffles.
     """
     spark = df.sparkSession
     tdf = spark.createDataFrame([(t,) for t in terms], "term string")
@@ -2079,7 +2081,12 @@ def concordance(
         words.select("doc_id", F.posexplode("__ws").alias("pos", "term"))
         .join(F.broadcast(tdf), "term")
     )
-    ctx = occ.join(words, "doc_id").select(
+    w = Window.partitionBy("term").orderBy(F.asc("doc_id"), F.asc("pos"))
+    hits = (
+        occ.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+    ctx = F.broadcast(hits).join(words, "doc_id").select(
         "term",
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
@@ -2095,15 +2102,9 @@ def concordance(
             ),
             " ",
         ).alias("context"),
+        "rank",
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("term").orderBy(F.asc("doc_id"), F.asc("pos"))
-    return (
-        ctx.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("term", "doc_id", "pos", "context", "rank")
-    )
+    return ctx.select("term", "doc_id", "pos", "context", "rank")
 
 
 def split_sentences(

@@ -1459,9 +1459,11 @@ def main():
     record(
         "concordance", e.queries()["concordance"](spark, sf_dir),
         [
-            ("term list broadcast prunes the corpus term stream before"
-             " anything data-sized",
-             lambda p: len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 1),
+            ("both joins broadcast: term-list prune AND the k-sized"
+             " ranked-hits context fetch (the corpus side never shuffles"
+             " through a join)",
+             lambda p: len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) == 2
+             and "SortMergeJoin" not in p and "ShuffledHashJoin" not in p),
             ("no cartesian / nested-loop",
              lambda p: "Cartesian" not in p and "NestedLoop" not in p),
             ("per-term top-k window (no global sort)",
