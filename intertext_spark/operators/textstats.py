@@ -173,6 +173,55 @@ def redact_pii(df: DataFrame, text_col: str = "text", out_col: str | None = None
     return df.withColumn(out_col or text_col, col)
 
 
+# Credential shapes, Java-regex/RE2 common subset (no lookaround, no
+# backreferences; \b is ASCII-safe on these ASCII-anchored prefixes).
+# Deliberately high-precision prefix/structure rules, not entropy
+# guesses: a secrets gate must be REPLAYABLE by the engine that audits
+# the exported corpus.  hex32 (32+ lowercase hex) is the recall-side
+# catch-all — it also fires on md5/sha hex digests, which is the right
+# call for training data (verbatim digests memorize like secrets do).
+SECRET_PATTERNS = (
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b"),
+    ("github_token", r"\bgh[pousr]_[A-Za-z0-9]{36,}"),
+    ("slack_token", r"\bxox[baprs]-[A-Za-z0-9-]{10,}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    ("jwt", r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}"),
+    ("hex32", r"\b[0-9a-f]{32,}\b"),
+)
+
+
+def secrets_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Credential/secret detection over a corpus -> one row per input
+    row: (doc_id, n_aws_key, n_github_token, n_slack_token,
+    n_private_key, n_jwt, n_hex32, n_secrets, has_secrets).  Unlike PII
+    (redact_pii's job), a leaked credential should usually DROP the
+    document — redaction leaves the surrounding exploit context — so
+    this emits per-kind counts for the filter/audit rather than a
+    rewritten text.  NULL text counts as zero hits (scan verdicts must
+    cover every row).
+
+    Scale shape: ZERO exchanges — six JVM regexp_count expressions in
+    one whole-stage-codegen projection; no joins, no Python."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(txt, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat in SECRET_PATTERNS
+    ]
+    out = df.select(F.col(id_col).alias("doc_id"), *counts)
+    n_secrets = sum(
+        (F.col(f"n_{kind}") for kind, _ in SECRET_PATTERNS[1:]),
+        F.col(f"n_{SECRET_PATTERNS[0][0]}"),
+    )
+    return out.select(
+        "doc_id",
+        *[f"n_{kind}" for kind, _ in SECRET_PATTERNS],
+        n_secrets.cast("long").alias("n_secrets"),
+        (n_secrets > 0).alias("has_secrets"),
+    )
+
+
 # GPT-2-style pre-tokenizer shape: contractions, letter runs, digit runs,
 # punctuation runs, whitespace runs — each optionally space-prefixed.
 # Written to parse identically under Java regex and RE2 (both are

@@ -777,6 +777,19 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import secrets_scan as _sscan
+
+    record(
+        "secrets_scan",
+        _sscan(docs_tbl),
+        [
+            ("zero exchanges (six regexp_count columns in one projection)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     from intertext_spark.operators.textstats import gopher_rules as _gq
 
     record(
