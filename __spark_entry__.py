@@ -2243,6 +2243,19 @@ def _secrets_scan_q(spark, sf_dir):
     return secrets_scan(docs)
 
 
+def _shard_manifest_q(spark, sf_dir):
+    """16-shard export manifest over documents with the md5 hash-bridge
+    shard assignment (engine-portable twin of the default xxhash64);
+    DuckDB re-derives shard ids, content keys, byte counts, and the
+    order-free XOR checksum."""
+    from intertext_spark.curate import shard_manifest
+
+    bridge = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return shard_manifest(_docs(spark, sf_dir), 16, hash_expr=bridge)
+
+
 def _bpe_tokens_q(spark, sf_dir):
     from intertext_spark.operators.textstats import bpe_token_stats
 
@@ -2783,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["xml_page_map"] = _xml_page_map_q
     q["redact_pii"] = _redact_pii_q
     q["secrets_scan"] = _secrets_scan_q
+    q["shard_manifest"] = _shard_manifest_q
     q["bpe_token_stats"] = _bpe_tokens_q
     q["suffix_spans"] = _suffix_spans
     q["media_image_features"] = _media_features
@@ -3165,6 +3179,21 @@ from train t left join hits h using (doc_id)
         p = pat.replace("'", "''")
         redact_expr = f"regexp_replace({redact_expr}, '{p}', '{repl}', 'g')"
     out["redact_pii"] = f"select doc_id, {redact_expr} as redacted from documents"
+
+    # shard_manifest: re-derive shard ids from the md5 bridge, content
+    # keys from md5(id || \x1f || text), and the order-free XOR checksum.
+    out["shard_manifest"] = """
+with d as (
+  select cast(('0x' || substring(md5(cast(doc_id as varchar)),1,15))::BIGINT % 16 as int) as shard_id,
+         ('0x' || substring(md5(cast(doc_id as varchar) || chr(31) || coalesce(text,'')),1,15))::BIGINT as key,
+         coalesce(strlen(text), 0) as nb
+  from documents
+)
+select shard_id, cast(count(*) as bigint) as n_docs,
+       cast(sum(nb) as bigint) as n_bytes,
+       cast(bit_xor(key) as bigint) as checksum
+from d group by shard_id
+"""
 
     # secrets_scan: replay the doc_id%6 plant decoration, then count
     # every SECRET_PATTERNS regex with RE2 (len(regexp_extract_all)).

@@ -391,3 +391,79 @@ def export_training_data(
 
     packed = runner.run("pack", f"cap={capacity},groups={n_groups}", pack_stage)
     return packed, runner.metrics
+
+
+def shard_plan(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    hash_expr=None,
+) -> DataFrame:
+    """Deterministic shard assignment for training export: appends
+    ``shard_id`` = pmod(hash(id), n_shards) — a pure function of the
+    row's identity, so the same corpus always shards identically
+    regardless of partitioning, cluster size, or insertion order (a
+    round-robin or monotonically_increasing_id assignment is neither).
+    Balanced in expectation; hot shards cannot form because doc ids are
+    unique.  ``hash_expr`` defaults to xxhash64(id); pass an
+    engine-portable expression (e.g. the md5 bridge) when an external
+    engine must replay the plan.
+
+    Scale shape: ZERO exchanges — the assignment is one in-row hash.
+    The writer then does ONE repartition(shard_id) (or
+    partitionBy(shard_id) at the sink), which is the unavoidable
+    placement shuffle."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    h = hash_expr if hash_expr is not None else F.xxhash64(F.col(id_col))
+    return df.withColumn("shard_id", F.pmod(h, F.lit(n_shards)).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_expr=None,
+) -> DataFrame:
+    """Integrity manifest over the shard plan -> one row per NON-EMPTY
+    shard: (shard_id, n_docs, n_bytes, checksum).  ``checksum`` is the
+    bitwise XOR of each row's 60-bit md5 content key (id || \\x1f ||
+    text) — ORDER-FREE, so any engine that can hash rows can recompute
+    it without replaying Spark's partitioning, and any single changed /
+    dropped / duplicated row flips it.  This is the receipt a training
+    job checks before reading a shard: n_docs and n_bytes catch
+    truncation, the checksum catches content drift.  NULL text hashes
+    as the empty string and counts 0 bytes.
+
+    Scale shape: ONE map-side-combined groupBy(shard_id) — each task
+    ships at most n_shards partial rows; nothing corpus-sized moves.
+    Shards absent from the output are empty (possible only when
+    n_shards approaches the corpus size)."""
+    planned = shard_plan(df, n_shards, id_col=id_col, hash_expr=hash_expr)
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col(id_col).cast("string"),
+                    F.coalesce(F.col(text_col), F.lit("")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        planned.select("shard_id", key.alias("__key"), F.col(text_col))
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.octet_length(text_col), F.lit(0)))
+            .cast("long")
+            .alias("n_bytes"),
+            F.expr("bit_xor(__key)").cast("long").alias("checksum"),
+        )
+    )

@@ -261,3 +261,49 @@ def test_export_training_data_checkpoint_resume(spark, tmp_path):
         n_groups=2, store=store, input_token="e1",
     )
     assert [m["skipped"] for m in m3] == [True, False, False]
+
+
+def test_shard_manifest_invariance_and_sensitivity(spark):
+    from pyspark.sql import functions as F
+    from intertext_spark.curate import shard_manifest, shard_plan
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(400)] + [(9999, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.shard_id, r.n_docs, r.n_bytes, r.checksum)
+        for r in shard_manifest(df, 8).collect()
+    )
+    assert sum(r[1] for r in rows) == 401
+    assert all(0 <= r[0] < 8 for r in rows)
+    # NULL text: hashes as '' and contributes 0 bytes (already in rows)
+    # layout invariance: identical manifest under any partitioning
+    assert rows == sorted(
+        (r.shard_id, r.n_docs, r.n_bytes, r.checksum)
+        for r in shard_manifest(df.repartition(13), 8).collect()
+    )
+    # one changed row flips exactly one shard's checksum (n_docs equal)
+    df2 = df.withColumn(
+        "text", F.when(F.col("doc_id") == 200, "CHANGED").otherwise(F.col("text"))
+    )
+    rows2 = sorted(
+        (r.shard_id, r.n_docs, r.n_bytes, r.checksum)
+        for r in shard_manifest(df2, 8).collect()
+    )
+    assert [a[1] for a in rows] == [b[1] for b in rows2]
+    assert sum(1 for a, b in zip(rows, rows2) if a[3] != b[3]) == 1
+    # a dropped row flips its shard's n_docs AND checksum
+    rows3 = sorted(
+        (r.shard_id, r.n_docs, r.n_bytes, r.checksum)
+        for r in shard_manifest(df.where(F.col("doc_id") != 200), 8).collect()
+    )
+    assert sum(1 for a, b in zip(rows, rows3) if a[1] != b[1]) == 1
+    assert sum(1 for a, b in zip(rows, rows3) if a[3] != b[3]) == 1
+    # shard_plan is a pure function of id: stable across calls/layouts
+    p1 = {r.doc_id: r.shard_id for r in shard_plan(df, 8).collect()}
+    p2 = {r.doc_id: r.shard_id for r in shard_plan(df.repartition(7), 8).collect()}
+    assert p1 == p2
+    with pytest.raises(ValueError):
+        shard_plan(df, 0)

@@ -790,6 +790,21 @@ def main():
         ],
     )
 
+    from intertext_spark.curate import shard_manifest as _sman
+
+    record(
+        "shard_manifest",
+        _sman(docs_tbl, 16),
+        [
+            ("exactly one exchange: the map-side-combined groupBy(shard_id)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("partial aggregation before the exchange (<= n_shards rows/task)",
+             lambda p: len(_re.findall(r"\(\d+\) HashAggregate", p)) >= 2),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     from intertext_spark.operators.textstats import gopher_rules as _gq
 
     record(
