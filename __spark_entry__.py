@@ -2243,6 +2243,40 @@ def _secrets_scan_q(spark, sf_dir):
     return secrets_scan(docs)
 
 
+# Profile-saturating lines for the language-segmentation gate: each is
+# the ten bigrams of one toy profile as 2-char words, so it scores 1.0
+# on its language and < 1.0 on every other.  Duplicated verbatim into
+# the DuckDB oracle.
+_LANG_LINES = {
+    "en": "th he in er an re on at en nd",
+    "de": "en er ch de ei ie in te nd ge",
+    "fr": "es le de en re nt on ou ai it",
+    "es": "de en el la os es ar ue ra as",
+}
+
+
+def _lang_segments_q(spark, sf_dir):
+    """Language-mix profile with planted multilingual docs: doc_id%4
+    class 0 appends an English line, class 1 a French + a German line
+    (forcing is_mixed), class 2 two Spanish lines, class 3 stays
+    undecorated.  Oracle replays line split, per-line bigram scoring,
+    and the per-doc top-language fold."""
+    from intertext_spark.operators.textstats import lang_segments
+
+    L = _LANG_LINES
+    plant = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("\n" + L["en"]))
+        .when(F.col("doc_id") % 4 == 1, F.lit("\n" + L["fr"] + "\n" + L["de"]))
+        .when(F.col("doc_id") % 4 == 2, F.lit("\n" + L["es"] + "\n" + L["es"]))
+        .otherwise(F.lit(""))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), plant).alias("text"),
+    )
+    return lang_segments(docs)
+
+
 def _shard_manifest_q(spark, sf_dir):
     """16-shard export manifest over documents with the md5 hash-bridge
     shard assignment (engine-portable twin of the default xxhash64);
@@ -2797,6 +2831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["redact_pii"] = _redact_pii_q
     q["secrets_scan"] = _secrets_scan_q
     q["shard_manifest"] = _shard_manifest_q
+    q["lang_segments"] = _lang_segments_q
     q["bpe_token_stats"] = _bpe_tokens_q
     q["suffix_spans"] = _suffix_spans
     q["media_image_features"] = _media_features
@@ -3179,6 +3214,84 @@ from train t left join hits h using (doc_id)
         p = pat.replace("'", "''")
         redact_expr = f"regexp_replace({redact_expr}, '{p}', '{repl}', 'g')"
     out["redact_pii"] = f"select doc_id, {redact_expr} as redacted from documents"
+
+    # lang_segments: replay the plant decoration, the line split (>= 8
+    # chars), the per-line bigram profile scoring (the lang_id twin's
+    # chain), and the per-doc top-language fold with (cnt desc, lang
+    # asc) tiebreak.
+    _ll = {k: v.replace("'", "''") for k, v in _LANG_LINES.items()}
+    lang_case = (
+        "case cast(doc_id % 4 as int) "
+        f"when 0 then chr(10) || '{_ll['en']}' "
+        f"when 1 then chr(10) || '{_ll['fr']}' || chr(10) || '{_ll['de']}' "
+        f"when 2 then chr(10) || '{_ll['es']}' || chr(10) || '{_ll['es']}' "
+        "else '' end"
+    )
+    _profs = {
+        "de": ["en", "er", "ch", "de", "ei", "ie", "in", "te", "nd", "ge"],
+        "en": ["th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"],
+        "es": ["de", "en", "el", "la", "os", "es", "ar", "ue", "ra", "as"],
+        "fr": ["es", "le", "de", "en", "re", "nt", "on", "ou", "ai", "it"],
+    }
+    _score_cols = ",\n         ".join(
+        f"cast(len(list_intersect(grams, {pl!r})) as double) / 10 as s_{lang}"
+        for lang, pl in _profs.items()
+    )
+    out["lang_segments"] = f"""
+with base as (
+  select doc_id, coalesce(text, '') || {lang_case} as t from documents
+),
+lines as (
+  select doc_id, s.ln as ln
+  from (
+    select doc_id,
+           unnest(list_transform(generate_series(1, len(string_split(t, chr(10)))),
+             i -> struct_pack(ln := string_split(t, chr(10))[i]))) as s
+    from base
+  )
+  where length(s.ln) >= 8
+),
+g as (
+  select doc_id,
+         list_distinct(list_filter(
+           list_transform(generate_series(1, length(lower(ln)) - 1),
+                          i -> substring(lower(ln), i, 2)),
+           gr -> not contains(gr, ' '))) as grams
+  from lines
+),
+s as (
+  select doc_id, grams,
+         {_score_cols}
+  from g
+),
+best as (
+  select doc_id,
+         case when len(grams) = 0 then 'unk'
+              when greatest(s_de, s_en, s_es, s_fr) <= 0.2 then 'unk'
+              when s_de = greatest(s_de, s_en, s_es, s_fr) then 'de'
+              when s_en = greatest(s_de, s_en, s_es, s_fr) then 'en'
+              when s_es = greatest(s_de, s_en, s_es, s_fr) then 'es'
+              else 'fr' end as lang
+  from s
+),
+counts as (
+  select doc_id, lang, cast(count(*) as bigint) as cnt
+  from best group by doc_id, lang
+),
+ranked as (
+  select doc_id, lang, cnt,
+         row_number() over (partition by doc_id order by cnt desc, lang asc) as rn,
+         sum(cnt) over (partition by doc_id) as n_lines,
+         count(*) over (partition by doc_id) as n_langs
+  from counts
+)
+select doc_id, cast(n_lines as bigint) as n_lines,
+       cast(n_langs as bigint) as n_langs, lang as top_lang,
+       cast(cnt as double) / cast(n_lines as double) as top_frac,
+       (n_langs > 1 and cast(cnt as double) / cast(n_lines as double) < 0.9)
+         as is_mixed
+from ranked where rn = 1
+"""
 
     # shard_manifest: re-derive shard ids from the md5 bridge, content
     # keys from md5(id || \x1f || text), and the order-free XOR checksum.

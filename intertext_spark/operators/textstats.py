@@ -108,10 +108,33 @@ _LANG_PROFILES = {
 }
 
 
+def _lang_scores(texts) -> "tuple[list[str], list[float]]":
+    """Shared scoring kernel for lang_id / line_langs: distinct char
+    bigrams of lower(text) (space-containing grams excluded), profile
+    overlap / |profile|, best language by score with alphabetical
+    tiebreak, 'unk' below 0.2 or with no grams."""
+    profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
+    langs, confs = [], []
+    for text in texts:
+        t = (text or "").lower()
+        grams = {t[i:i + 2] for i in range(len(t) - 1) if " " not in t[i:i + 2]}
+        if not grams:
+            langs.append("unk")
+            confs.append(0.0)
+            continue
+        scores = {
+            lang: len(grams & prof) / len(prof)
+            for lang, prof in profiles.items()
+        }
+        best = max(sorted(scores), key=lambda k: scores[k])
+        langs.append(best if scores[best] > 0.2 else "unk")
+        confs.append(round(scores[best], 4))
+    return langs, confs
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, predicted_lang, confidence): character-bigram profile
     overlap scoring, vectorized pandas UDF."""
-    profiles = {k: set(v) for k, v in _LANG_PROFILES.items()}
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType(), False),
@@ -124,21 +147,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            langs, confs = [], []
-            for text in pdf[text_col]:
-                t = (text or "").lower()
-                grams = {t[i:i + 2] for i in range(len(t) - 1) if " " not in t[i:i + 2]}
-                if not grams:
-                    langs.append("unk")
-                    confs.append(0.0)
-                    continue
-                scores = {
-                    lang: len(grams & prof) / len(prof)
-                    for lang, prof in profiles.items()
-                }
-                best = max(sorted(scores), key=lambda k: scores[k])
-                langs.append(best if scores[best] > 0.2 else "unk")
-                confs.append(round(scores[best], 4))
+            langs, confs = _lang_scores(pdf[text_col])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -149,6 +158,112 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
     return sel.mapInPandas(compute, out_schema)
+
+
+def line_langs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 8,
+) -> DataFrame:
+    """Per-LINE language ID: split on newlines, keep lines with >=
+    ``min_chars`` characters (shorter lines carry too few bigrams to
+    classify), score each with the lang_id kernel -> (doc_id, line_idx,
+    lang, confidence).  line_idx is the 0-based position among ALL
+    lines, so hits map back to the source text.
+
+    Scale shape: a zero-exchange JVM split + posexplode, then ONE
+    Arrow stage for the scoring kernel — per-line Python is the same
+    vectorized mapInPandas the doc-level scorer uses; no joins."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("line_idx", T.LongType(), False),
+            T.StructField("lang", T.StringType(), False),
+            T.StructField("confidence", T.DoubleType(), False),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            langs, confs = _lang_scores(pdf["__line"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "line_idx": pdf["__idx"].values,
+                    "lang": langs,
+                    "confidence": confs,
+                }
+            )
+
+    lines = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias(id_col),
+            F.posexplode(F.split(text_col, "\n")).alias("__idx", "__line"),
+        )
+        .where(F.length("__line") >= min_chars)
+        .select(id_col, F.col("__idx").cast("long").alias("__idx"), "__line")
+    )
+    return lines.mapInPandas(compute, out_schema)
+
+
+def lang_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 8,
+    mixed_frac: float = 0.9,
+) -> DataFrame:
+    """Per-document language-mix profile over line_langs — the
+    mixed-language detector behind CCNet-style per-language routing
+    (a doc-level label misroutes a half-English-half-German page; this
+    table says HOW mixed each doc is) -> (doc_id, n_lines, n_langs,
+    top_lang, top_frac, is_mixed).  top_lang ties break alphabetically;
+    top_frac = top-language line count / classified line count (one
+    int/int IEEE division, externally re-derivable); is_mixed = more
+    than one language observed AND top_frac < ``mixed_frac``.  Docs
+    with no classifiable line (NULL text or all lines under
+    ``min_chars``) are absent — no lines, no verdict.
+
+    Scale shape: two map-side-combined exchanges on line-count-derived
+    keys — groupBy(doc_id, lang) then groupBy(doc_id) with the top
+    language picked by min(struct(-cnt, lang)) in the same aggregate
+    (no window, no join)."""
+    counts = (
+        line_langs(df, id_col=id_col, text_col=text_col, min_chars=min_chars)
+        .groupBy(id_col, "lang")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    top = F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lang")))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_lines"),
+            F.count("*").cast("long").alias("n_langs"),
+            top.alias("__top"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_langs",
+            F.col("__top.lang").alias("top_lang"),
+            (
+                (-F.col("__top.nc")).cast("double")
+                / F.col("n_lines").cast("double")
+            ).alias("top_frac"),
+            (
+                (F.col("n_langs") > 1)
+                & (
+                    (-F.col("__top.nc")).cast("double")
+                    / F.col("n_lines").cast("double")
+                    < mixed_frac
+                )
+            ).alias("is_mixed"),
+        )
+    )
 
 
 # PII patterns chosen to behave identically under Java regex (Spark) and

@@ -1871,3 +1871,45 @@ def test_secrets_scan_detectors_and_edges(spark):
         assert got[did]["n_secrets"] == 0 and got[did]["has_secrets"] is False, did
     # one row per input row, even NULL text
     assert len(got) == len(rows)
+
+
+def test_line_langs_and_lang_segments(spark):
+    from intertext_spark.operators.textstats import lang_segments, line_langs
+
+    EN = "th he in er an re on at en nd"
+    DE = "en er ch de ei ie in te nd ge"
+    FR = "es le de en re nt on ou ai it"
+    rows = [
+        (1, EN + "\n" + EN + "\n" + DE),   # en-majority, mixed
+        (2, DE),                            # single pure-de line
+        (3, "short\n" + FR),                # sub-min_chars line skipped
+        (4, None),                          # NULL text: absent
+        (5, "x\ny\nz"),                     # all lines too short: absent
+        (6, EN + "\n" + EN),                # two en lines: NOT mixed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    lines = sorted(
+        (r.doc_id, r.line_idx, r.lang, r.confidence)
+        for r in line_langs(df.repartition(3)).collect()
+    )
+    assert lines == [
+        (1, 0, "en", 1.0), (1, 1, "en", 1.0), (1, 2, "de", 1.0),
+        (2, 0, "de", 1.0),
+        (3, 1, "fr", 1.0),           # line_idx counts ALL lines
+        (6, 0, "en", 1.0), (6, 1, "en", 1.0),
+    ]
+    segs = {
+        r.doc_id: (r.n_lines, r.n_langs, r.top_lang, r.top_frac, r.is_mixed)
+        for r in lang_segments(df).collect()
+    }
+    assert segs == {
+        1: (3, 2, "en", 2 / 3, True),
+        2: (1, 1, "de", 1.0, False),
+        3: (1, 1, "fr", 1.0, False),
+        6: (2, 1, "en", 1.0, False),
+    }
+    # alphabetical tiebreak on equal counts: de before en
+    tie = lang_segments(
+        spark.createDataFrame([(9, EN + "\n" + DE)], "doc_id long, text string")
+    ).collect()[0]
+    assert (tie.top_lang, tie.is_mixed) == ("de", True)

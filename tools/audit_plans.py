@@ -805,6 +805,23 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import lang_segments as _lseg
+
+    record(
+        "lang_segments",
+        _lseg(docs_tbl),
+        [
+            ("two map-side-combined exchanges: (doc,lang) counts then the"
+             " per-doc top-language fold — no window over raw lines",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 2),
+            ("no join", lambda p: "Join" not in p),
+            ("exactly one Arrow stage for the scoring kernel",
+             lambda p: len(_re.findall(r"\(\d+\) MapInPandas", p)) == 1),
+            ("top pick is an aggregate, not a row_number window",
+             lambda p: "Window" not in p),
+        ],
+    )
+
     from intertext_spark.operators.textstats import gopher_rules as _gq
 
     record(
