@@ -2277,6 +2277,19 @@ def _lang_segments_q(spark, sf_dir):
     return lang_segments(docs)
 
 
+def _histogram_q(spark, sf_dir):
+    """Equi-width 8-bin text-length histogram per doc_id%4 group;
+    oracle replays the min/max bounds, the IEEE bin rule, and the dense
+    grid with empty bins."""
+    from intertext_spark.operators.quantiles import histogram
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        (F.col("doc_id") % 4).cast("int").alias("grp"),
+        F.length("text").cast("double").alias("v"),
+    )
+    return histogram(docs, "v", ["grp"], n_bins=8)
+
+
 def _shard_manifest_q(spark, sf_dir):
     """16-shard export manifest over documents with the md5 hash-bridge
     shard assignment (engine-portable twin of the default xxhash64);
@@ -2832,6 +2845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["secrets_scan"] = _secrets_scan_q
     q["shard_manifest"] = _shard_manifest_q
     q["lang_segments"] = _lang_segments_q
+    q["histogram"] = _histogram_q
     q["bpe_token_stats"] = _bpe_tokens_q
     q["suffix_spans"] = _suffix_spans
     q["media_image_features"] = _media_features
@@ -3214,6 +3228,33 @@ from train t left join hits h using (doc_id)
         p = pat.replace("'", "''")
         redact_expr = f"regexp_replace({redact_expr}, '{p}', '{repl}', 'g')"
     out["redact_pii"] = f"select doc_id, {redact_expr} as redacted from documents"
+
+    # histogram: replay bounds, the IEEE bin rule (least(floor((v-mn)/
+    # ((mx-mn)/8.0)), 7)), edge doubles, and the dense grid.
+    out["histogram"] = """
+with data as (
+  select cast(doc_id % 4 as int) as grp, cast(length(text) as double) as v
+  from documents where text is not null
+),
+b as (select grp, min(v) as mn, max(v) as mx from data group by grp),
+binned as (
+  select d.grp,
+         case when b.mx = b.mn then 0
+              else cast(least(floor((d.v - b.mn) / ((b.mx - b.mn) / 8.0)), 7) as int)
+         end as bin
+  from data d join b using (grp)
+),
+counts as (
+  select grp, bin, cast(count(*) as bigint) as n from binned group by grp, bin
+),
+grid as (select grp, unnest(generate_series(0, 7)) as bin, mn, mx from b)
+select g.grp, cast(g.bin as int) as bin,
+       g.mn + g.bin * ((g.mx - g.mn) / 8.0) as lo,
+       case when g.bin = 7 then g.mx
+            else g.mn + (g.bin + 1) * ((g.mx - g.mn) / 8.0) end as hi,
+       cast(coalesce(c.n, 0) as bigint) as n
+from grid g left join counts c using (grp, bin)
+"""
 
     # lang_segments: replay the plant decoration, the line split (>= 8
     # chars), the per-line bigram profile scoring (the lang_id twin's

@@ -365,3 +365,72 @@ def percentile_rank(
         )
     )
     return df.join(ranked, [*group_cols, value_col], "left")
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: "list[str] | None" = None,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Equi-width histogram per group — the distribution profile behind
+    every corpus-stats dashboard panel: -> (group..., bin, lo, hi, n),
+    bin 0..n_bins-1, [lo, hi) edges derived from the group's own
+    min/max (hi inclusive for the last bin: the max value lands in
+    bin n_bins-1, never a phantom overflow bin).  A degenerate group
+    (min == max) puts every row in bin 0 with lo == hi.  NULL values
+    are dropped.  Empty bins are emitted as n = 0 so downstream
+    plotting/PSI code never special-cases gaps.
+
+    Determinism: bin = least(floor((v - min) / width), n_bins - 1) with
+    width = (max - min) / n_bins evaluated in this exact IEEE order, so
+    any engine re-derives identical assignments from the same data.
+
+    Scale shape: one map-side-combined groupBy for the per-group
+    (min, max) bounds — group-dimension-sized, BROADCAST back (never a
+    data-sized join side) — then ONE data-sized exchange for the
+    (group, bin) counts; the n_bins-per-group dense grid is built by a
+    group-dimension explode joined to the counts, all dimension-sized."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    group_cols = list(group_cols or [])
+    v = F.col(value_col).cast("double")
+    data = df.where(v.isNotNull()).select(*group_cols, v.alias("__v"))
+    bounds = data.groupBy(*group_cols).agg(
+        F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    binned = (
+        data.join(F.broadcast(bounds), group_cols) if group_cols
+        else data.crossJoin(F.broadcast(bounds))
+    )
+    bin_expr = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("__v") - F.col("__mn")) / width),
+            F.lit(n_bins - 1),
+        )
+    )
+    counts = (
+        binned.select(*group_cols, bin_expr.cast("int").alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    grid = bounds.select(
+        *group_cols,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        F.col("__mn"),
+        F.col("__mx"),
+    )
+    w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    return (
+        grid.join(F.broadcast(counts), [*group_cols, "bin"], "left")
+        .select(
+            *group_cols,
+            "bin",
+            (F.col("__mn") + F.col("bin") * w).alias("lo"),
+            F.when(F.col("bin") == n_bins - 1, F.col("__mx"))
+            .otherwise(F.col("__mn") + (F.col("bin") + 1) * w)
+            .alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )

@@ -247,3 +247,31 @@ def test_percentile_rank_python_oracle_and_ties(spark):
     # schema: input columns preserved + the four rank columns appended
     out = percentile_rank(df, "v", ["g"])
     assert out.columns == ["g", "v", "n_lt", "n_le", "percent_rank", "cume_dist"]
+
+
+def test_histogram_bins_edges_and_degenerate(spark):
+    from intertext_spark.operators.quantiles import histogram
+    import pytest
+
+    rows = [("a", float(i)) for i in range(100)] + [("b", 5.0)] * 3 + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = sorted(
+        (r.g, r.bin, r.lo, r.hi, r.n)
+        for r in histogram(df.repartition(5), "v", ["g"], n_bins=4).collect()
+    )
+    assert [r for r in out if r[0] == "a"] == [
+        ("a", 0, 0.0, 24.75, 25), ("a", 1, 24.75, 49.5, 25),
+        ("a", 2, 49.5, 74.25, 25), ("a", 3, 74.25, 99.0, 25),
+    ]
+    # degenerate group: everything in bin 0, lo == hi, empty bins emitted
+    assert [r for r in out if r[0] == "b"] == [
+        ("b", 0, 5.0, 5.0, 3), ("b", 1, 5.0, 5.0, 0),
+        ("b", 2, 5.0, 5.0, 0), ("b", 3, 5.0, 5.0, 0),
+    ]
+    # max value lands in the LAST bin, not a phantom overflow bin
+    assert sum(r[4] for r in out if r[0] == "a") == 100
+    # global histogram (no group cols)
+    g = sorted((r.bin, r.n) for r in histogram(df, "v", None, n_bins=2).collect())
+    assert sum(n for _, n in g) == 103 and len(g) == 2
+    with pytest.raises(ValueError):
+        histogram(df, "v", ["g"], n_bins=0)

@@ -805,6 +805,29 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.quantiles import histogram as _hist
+
+    record(
+        "histogram",
+        _hist(
+            docs_tbl.where("text is not null").selectExpr(
+                "cast(doc_id % 4 as int) as grp",
+                "cast(length(text) as double) as v",
+            ),
+            "v",
+            ["grp"],
+            n_bins=8,
+        ),
+        [
+            ("bounds and dense grid ride broadcasts (no data-sized join side)",
+             lambda p: len(_re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2
+             and "SortMergeJoin" not in p),
+            ("one data-sized exchange: the (group, bin) counts",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) <= 3),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     from intertext_spark.operators.textstats import lang_segments as _lseg
 
     record(
