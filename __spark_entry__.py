@@ -2277,6 +2277,25 @@ def _lang_segments_q(spark, sf_dir):
     return lang_segments(docs)
 
 
+def _readability_q(spark, sf_dir):
+    """Flesch scores with planted sentence structure: doc_id%3 class 0
+    gets terminal punctuation inserted (multi-sentence docs), class 1 a
+    consonant-only token (0-syllable word), class 2 unchanged; oracle
+    replays the three regexp counts and the floor-round4 formulas."""
+    from intertext_spark.operators.textstats import readability
+
+    plant = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("One two three. Four five! Six? "))
+        .when(F.col("doc_id") % 3 == 1, F.lit("bzzt pfft "))
+        .otherwise(F.lit(""))
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(plant, F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    return readability(docs)
+
+
 def _histogram_q(spark, sf_dir):
     """Equi-width 8-bin text-length histogram per doc_id%4 group;
     oracle replays the min/max bounds, the IEEE bin rule, and the dense
@@ -2846,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["shard_manifest"] = _shard_manifest_q
     q["lang_segments"] = _lang_segments_q
     q["histogram"] = _histogram_q
+    q["readability"] = _readability_q
     q["bpe_token_stats"] = _bpe_tokens_q
     q["suffix_spans"] = _suffix_spans
     q["media_image_features"] = _media_features
@@ -3228,6 +3248,36 @@ from train t left join hits h using (doc_id)
         p = pat.replace("'", "''")
         redact_expr = f"regexp_replace({redact_expr}, '{p}', '{repl}', 'g')"
     out["redact_pii"] = f"select doc_id, {redact_expr} as redacted from documents"
+
+    # readability: replay the plant, the sentence/word/vowel-run regexp
+    # counts, and the floor-round4 Flesch formulas in the same IEEE
+    # textual order.
+    out["readability"] = r"""
+with base as (
+  select doc_id,
+         case cast(doc_id % 3 as int)
+           when 0 then 'One two three. Four five! Six? '
+           when 1 then 'bzzt pfft '
+           else '' end || coalesce(text, '') as t
+  from documents
+),
+c as (
+  select doc_id,
+         cast(len(list_filter(regexp_split_to_array(t, '\s+'), x -> x != '')) as bigint) as n_words,
+         cast(len(regexp_extract_all(t, '[.!?]+\s+')) + 1 as bigint) as n_sentences,
+         cast(len(regexp_extract_all(lower(t), '[aeiouy]+')) as bigint) as n_syllables
+  from base
+)
+select doc_id, n_sentences, n_words, n_syllables,
+       floor((206.835 - 1.015 * (cast(n_words as double) / cast(n_sentences as double))
+              - 84.6 * (cast(n_syllables as double) / cast(n_words as double))) * 10000 + 0.5) / 10000
+         as reading_ease,
+       floor((0.39 * (cast(n_words as double) / cast(n_sentences as double))
+              + 11.8 * (cast(n_syllables as double) / cast(n_words as double))
+              - 15.59) * 10000 + 0.5) / 10000
+         as fk_grade
+from c where n_words >= 1
+"""
 
     # histogram: replay bounds, the IEEE bin rule (least(floor((v-mn)/
     # ((mx-mn)/8.0)), 7)), edge doubles, and the dense grid.

@@ -2375,3 +2375,60 @@ def url_stats(
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
         )
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flesch reading-ease and Flesch-Kincaid grade per document — the
+    classic rule-based quality signals (simple prose scores high ease /
+    low grade; tangled boilerplate the opposite) -> (doc_id,
+    n_sentences, n_words, n_syllables, reading_ease, fk_grade).  Docs
+    with no words are dropped (the formulas are undefined).
+
+    Deliberately crude and REPLAYABLE, like every rule filter here:
+    sentences are the split_sentences boundary rule (runs of ``.!?`` +
+    whitespace, +1 for the trailing sentence; never below 1);
+    syllables are vowel-group runs ``[aeiouy]+`` of the lowercased text
+    (a run never spans whitespace, so the doc-level count equals the
+    per-word sum; all-consonant tokens contribute 0 — documented
+    approximation, not a dictionary).  Scores are floor-round4 quantized
+    so external engines reproduce them exactly.
+
+    Scale shape: ZERO exchanges — three regexp counts + arithmetic in
+    one whole-stage-codegen projection; no joins, no Python."""
+    words = F.size(_WORDS(text_col))
+    sents = F.regexp_count(F.col(text_col), F.lit(r"[.!?]+\s+")) + F.lit(1)
+    syll = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
+    wpd = F.col("n_words").cast("double")
+    spd = F.col("n_sentences").cast("double")
+    ypd = F.col("n_syllables").cast("double")
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            words.cast("long").alias("n_words"),
+            sents.cast("long").alias("n_sentences"),
+            syll.cast("long").alias("n_syllables"),
+        )
+        .where(F.col("n_words") >= 1)
+        .select(
+            "doc_id",
+            "n_sentences",
+            "n_words",
+            "n_syllables",
+            q4(
+                F.lit(206.835)
+                - F.lit(1.015) * (wpd / spd)
+                - F.lit(84.6) * (ypd / wpd)
+            ).alias("reading_ease"),
+            q4(
+                F.lit(0.39) * (wpd / spd)
+                + F.lit(11.8) * (ypd / wpd)
+                - F.lit(15.59)
+            ).alias("fk_grade"),
+        )
+    )

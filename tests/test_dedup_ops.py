@@ -1913,3 +1913,27 @@ def test_line_langs_and_lang_segments(spark):
         spark.createDataFrame([(9, EN + "\n" + DE)], "doc_id long, text string")
     ).collect()[0]
     assert (tie.top_lang, tie.is_mixed) == ("de", True)
+
+
+def test_readability_hand_cases(spark):
+    from intertext_spark.operators.textstats import readability
+
+    rows = [
+        # 6 words, 3 sentences, 8 vowel runs (one/2, two/1, three/1,
+        # four/1, five/2, six/1)
+        (1, "One two three. Four five! Six?"),
+        (2, "bzzt pfft"),          # 2 words, 0 syllables, 1 sentence
+        (3, ""),                     # no words: dropped
+        (4, None),                   # NULL: dropped
+        (5, "beautiful"),            # beau-ti-ful: vowel runs 'eau','i','u' = 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability(df.repartition(3)).collect()}
+    assert set(got) == {1, 2, 5}
+    r1 = got[1]
+    assert (r1.n_sentences, r1.n_words, r1.n_syllables) == (3, 6, 8)
+    # trailing '?' has no following whitespace -> counts via the +1 rule;
+    # scores pinned to the floor-round4 of the exact IEEE chain
+    assert r1.reading_ease == 92.005 and r1.fk_grade == 0.9233
+    assert (got[2].n_syllables, got[2].n_sentences) == (0, 1)
+    assert got[5].n_syllables == 3

@@ -805,6 +805,19 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import readability as _read
+
+    record(
+        "readability",
+        _read(docs_tbl),
+        [
+            ("zero exchanges (three regexp counts + arithmetic in-row)",
+             lambda p: "Exchange" not in p),
+            ("no join", lambda p: "Join" not in p),
+            ("no per-row Python", lambda p: "EvalPython" not in p),
+        ],
+    )
+
     from intertext_spark.operators.quantiles import histogram as _hist
 
     record(
