@@ -240,6 +240,15 @@ def run_suite(spark, sf_dir: str) -> dict:
         # gram_novelty: distinct trigram postings + first-owner
         # attribution — two map-side-combined aggs over the gram stream
         "gram_novelty",
+        # secrets_scan: six zero-exchange regexp_count detectors — the
+        # cost of the credential gate per corpus pass
+        "secrets_scan",
+        # lang_segments: line explode + one Arrow scoring stage + two
+        # bounded exchanges — the mixed-language router
+        "lang_segments",
+        # shard_manifest: one map-side-combined groupBy(shard_id) with
+        # md5 content keys — export-integrity throughput
+        "shard_manifest",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
