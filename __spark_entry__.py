@@ -2386,6 +2386,31 @@ def _tool_stats_q(spark, sf_dir):
     return tool_stats(tdf)
 
 
+def _tool_errors_q(spark, sf_dir):
+    """Per-tool failure rates with the tool_stats 3-tool remap and a
+    planted error prefix on tool turns where (conv_id + turn_idx) % 5
+    == 0; oracle replays remap, plant, and the (?i) error regexp."""
+    from intertext_spark.operators.convstats import tool_errors
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    tools = F.array(F.lit("search"), F.lit("code"), F.lit("browse"))
+    key = F.col("conv_id").cast("long") + F.col("turn_idx")
+    tdf = tdf.withColumn(
+        "tool",
+        F.when(
+            F.col("tool").isNotNull(),
+            F.element_at(tools, (F.pmod(key, 3) + 1).cast("int")),
+        ),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("tool").isNotNull() & (F.pmod(key, 5) == 0),
+            F.concat(F.lit("Error: upstream request FAILED. "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    return tool_errors(tdf)
+
+
 def _soft_dedup_q(spark, sf_dir):
     """Soft (reweighting) dedup over exact md5 content groups at
     alpha=0.5; weight quantized to 4 decimals on both engines (pow is
@@ -2882,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipeline_match_strings"] = _match_strings_q
     q["pipeline_scatter_aggs"] = _scatter_native
     q["tool_stats"] = _tool_stats_q
+    q["tool_errors"] = _tool_errors_q
     q["soft_dedup_weights"] = _soft_dedup_q
     q["fingerprint_dup_pairs"] = _fingerprint_pairs_q
     q["source_overlap"] = _source_overlap_q
@@ -4340,6 +4366,34 @@ select tool,
        cast(sum(n_chars) as double) / count(*) as mean_turn_chars
 from calls group by tool
 """
+    # tool_errors: same transcript rederivation + 3-tool remap, the
+    # planted error prefix on (conv_id + turn_idx) % 5 == 0 tool turns,
+    # and the identical (?i) error regexp; rate = one int/int division.
+    out["tool_errors"] = _TRANSCRIPTS_CTE + r""",
+remap as (
+  select case when tool is not null
+              then (['search','code','browse'])[
+                     cast((cast(conv_id as bigint) + turn_idx) % 3 as int) + 1]
+         end as tool,
+         case when tool is not null
+                   and (cast(conv_id as bigint) + turn_idx) % 5 = 0
+              then 'Error: upstream request FAILED. ' || coalesce(text, '')
+              else text end as text
+  from tr
+),
+flags as (
+  select tool,
+         case when regexp_matches(coalesce(text, ''),
+              '(?i)\b(error|exception|traceback|failed|failure|timeout|timed out|denied)\b')
+              then 1 else 0 end as err
+  from remap where tool is not null
+)
+select tool, cast(count(*) as bigint) as n_calls,
+       cast(sum(err) as bigint) as n_errors,
+       cast(sum(err) as double) / count(*) as error_rate
+from flags group by tool
+"""
+
     # soft_dedup_weights: same md5 grouping, count window, pow(n, -0.5)
     # with the 4-decimal quantize both engines share.
     out["soft_dedup_weights"] = """

@@ -608,3 +608,40 @@ def turn_latency(tdf: DataFrame) -> DataFrame:
             F.max("lat_s").cast("long").alias("max_s"),
         )
     )
+
+
+# Error shapes in tool-result text, Java-regex/RE2 common subset (the
+# secrets_scan posture: failure verdicts must be replayable).  (?i) is
+# an inline flag both engines accept.
+TOOL_ERROR_PATTERN = (
+    r"(?i)\b(error|exception|traceback|failed|failure|timeout|timed out|denied)\b"
+)
+
+
+def tool_errors(tdf: DataFrame, pattern: str = TOOL_ERROR_PATTERN) -> DataFrame:
+    """Per-tool failure profile over an agent-transcript corpus: of the
+    turns attributed to each tool, how many carry an error shape in
+    their text -> (tool, n_calls, n_errors, error_rate) for every
+    distinct non-null tool.  The companion table to tool_stats — a
+    harness regression or a flaky integration shows up here as a rate
+    jump before any eval moves.  NULL text counts as no error;
+    error_rate is ONE int/int IEEE division, so the row is byte-stable
+    across engines and partitionings.
+
+    Scale shape: ONE map-side-combined groupBy(tool) — the regexp
+    verdict is computed in-row before the exchange, and the reduce side
+    is |distinct tools| rows.  No window, no join, no Python."""
+    is_err = (
+        F.coalesce(F.col("text"), F.lit("")).rlike(pattern).cast("long")
+    )
+    n = F.count("*")
+    return (
+        tdf.where(F.col("tool").isNotNull())
+        .select("tool", is_err.alias("__err"))
+        .groupBy("tool")
+        .agg(
+            n.cast("long").alias("n_calls"),
+            F.sum("__err").cast("long").alias("n_errors"),
+            (F.sum("__err").cast("double") / n).alias("error_rate"),
+        )
+    )

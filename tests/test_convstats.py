@@ -496,3 +496,24 @@ def test_turn_latency_single_turn_and_empty(spark):
         [], "conv_id string, turn_idx int, role string, ts timestamp"
     )
     assert turn_latency(empty).count() == 0
+
+
+def test_tool_errors_rates_and_pattern(spark):
+    from intertext_spark.operators.convstats import tool_errors
+
+    rows = [
+        # (conv_id, turn_idx, role, text, tool, ts)
+        ("c1", 0, "user", "hi", None, None),
+        ("c1", 1, "tool", "Traceback (most recent call last): boom", "code", None),
+        ("c1", 2, "tool", "ok result", "code", None),
+        ("c1", 3, "tool", "request TIMED OUT after 30s", "web", None),
+        ("c2", 0, "tool", None, "web", None),                 # NULL text: no error
+        ("c2", 1, "tool", "permission denied", "web", None),
+        ("c2", 2, "tool", "terror in the aisles", "code", None),  # \b guard: no hit
+        ("c2", 3, "assistant", "error discussed but no tool", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r.tool: (r.n_calls, r.n_errors, r.error_rate) for r in tool_errors(df.repartition(3)).collect()}
+    assert got == {"code": (3, 1, 1 / 3), "web": (3, 2, 2 / 3)}

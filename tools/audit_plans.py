@@ -976,6 +976,23 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.convstats import tool_errors as _terr
+
+    record(
+        "tool_errors",
+        _terr(tdf),
+        [
+            ("one exchange: the map-side-combined groupBy(tool)",
+             lambda p: len(_re.findall(r"\(\d+\) Exchange", p)) == 1),
+            ("regexp verdict computed in-row before the exchange"
+             " (partial agg present)",
+             lambda p: "partial_count" in p or "Functions: [partial_" in p),
+            ("no window / join / Python",
+             lambda p: "Window" not in p and "Join" not in p
+             and "EvalPython" not in p),
+        ],
+    )
+
     from intertext_spark.operators.dedup import (
         soft_dedup_exact as _sde,
         fingerprint_dup_pairs as _fdp,
