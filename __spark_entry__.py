@@ -2596,6 +2596,34 @@ def _pagerank_q(spark, sf_dir):
     return pagerank(edges, n_iter=3)
 
 
+def _triangle_counts_q(spark, sf_dir):
+    """Triangle counts + clustering coefficients over a deterministic
+    ring-lattice + hub graph on the (dense) doc_id axis: ring edges
+    (i, i+1 mod n) and (i, i+2 mod n) close triangles everywhere, the
+    hub (0 -> every doc_id % 7 == 0) plants the exact degree skew the
+    orientation exists for.  All counts exact ints; clustering is one
+    int/int IEEE division.  The DuckDB twin is an INDEPENDENT naive
+    triple-join formulation (no degree orientation)."""
+    from intertext_spark.operators.graph import triangle_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("d")
+    )
+    n = F.broadcast(docs.agg(F.count("*").cast("long").alias("n")))
+    ring1 = docs.crossJoin(n).select(
+        F.col("d").alias("src"),
+        ((F.col("d") + 1) % F.col("n")).cast("long").alias("dst"),
+    )
+    ring2 = docs.crossJoin(n).select(
+        F.col("d").alias("src"),
+        ((F.col("d") + 2) % F.col("n")).cast("long").alias("dst"),
+    )
+    hub = docs.where((F.col("d") % 7 == 0) & (F.col("d") > 0)).select(
+        F.lit(0).cast("long").alias("src"), F.col("d").alias("dst")
+    )
+    return triangle_counts(ring1.unionByName(ring2).unionByName(hub))
+
+
 def _rolling_stats_q(spark, sf_dir):
     """Trailing 6-hour per-user aggregates (range-frame window).  The
     value pre-quantizes to integer cents so w_sum is an exact long on
@@ -2934,6 +2962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["random_project"] = _random_project_q
     q["rrf_hybrid"] = _rrf_hybrid_q
     q["pagerank"] = _pagerank_q
+    q["triangle_counts"] = _triangle_counts_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
@@ -5628,6 +5657,38 @@ deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
 r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
 {','.join(_rounds)}
 select node, cast(r as double) / {_pr_scale} as rank from {_prev}
+"""
+    # triangle_counts: INDEPENDENT naive triple-join oracle (no degree
+    # orientation) over the same planted ring+hub graph.
+    out["triangle_counts"] = """
+with d as (select cast(doc_id as bigint) as d from documents),
+n as (select cast(count(*) as bigint) as n from d),
+raw as (
+  select d as src, (d + 1) % n.n as dst from d, n
+  union all select d, (d + 2) % n.n from d, n
+  union all select cast(0 as bigint), d from d where d % 7 = 0 and d > 0
+),
+e as (select distinct least(src, dst) as lo, greatest(src, dst) as hi
+      from raw where src <> dst),
+deg as (select node, cast(count(*) as bigint) as deg
+        from (select lo as node from e union all select hi from e)
+        group by 1),
+tri as (select e1.lo as a, e1.hi as b, e2.hi as c
+        from e e1
+        join e e2 on e1.lo = e2.lo and e1.hi < e2.hi
+        join e e3 on e3.lo = e1.hi and e3.hi = e2.hi),
+pn as (select node, cast(count(*) as bigint) as n_tri
+       from (select a as node from tri
+             union all select b from tri
+             union all select c from tri)
+       group by 1)
+select deg.node, deg.deg,
+       cast(coalesce(pn.n_tri, 0) as bigint) as n_tri,
+       case when deg.deg >= 2
+            then cast(2 * coalesce(pn.n_tri, 0) as double)
+                 / cast(deg.deg * (deg.deg - 1) as double)
+            else 0.0 end as clustering
+from deg left join pn using (node)
 """
     # rolling_stats: DuckDB's RANGE frame over the same epoch_us axis;
     # integer-cent values make the frame sum exact on both engines.

@@ -213,6 +213,109 @@ def exclude_filter(matches: DataFrame, excluded_file_ids: DataFrame) -> DataFram
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected graph given as an edge list (src, dst) ->
+    (node, deg, n_tri, clustering).
+
+    The match-graph QA table: a duplicate CLUSTER (everyone copies the
+    same passage) closes its triangles (clustering ~ 1), while a CHAIN
+    of pairwise near-dups that never share three ways (template drift,
+    LSH false-positive strings) stays open (clustering ~ 0) — so this
+    table separates "true boilerplate family" from "chained artifacts"
+    in the output of any *_dup_pairs operator without re-reading a
+    single text.
+
+    Algorithm — node-iterator with DEGREE ORIENTATION (the classic
+    bound; cf. Suri & Vassilvitskii WWW'11 for the MapReduce shape):
+    every undirected edge is oriented from its lower-(deg, node) end to
+    the higher one, so each node's OUT-degree is at most O(sqrt(m))
+    regardless of raw degree; wedges are generated by a self-join of
+    the oriented adjacency on the source (sum of C(out_deg, 2) pairs —
+    the orientation makes a 10^8-degree boilerplate hub contribute ZERO
+    wedges from its own fan), then closed against the oriented edge set
+    with one (lo, hi)-keyed equi-join.  Each triangle is found exactly
+    once and credited to all three corners via one explode + groupBy.
+
+    All counts are exact integers; clustering = 2*n_tri / (deg*(deg-1))
+    is ONE int/int IEEE division, so rows are byte-stable across
+    engines and partitionings.  Scale shape: canonicalization is one
+    (lo, hi) distinct; degrees one map-side-combined groupBy; the wedge
+    join and the closing join are plain shuffle equi-joins whose hot
+    keys are bounded by the orientation.  No window, no Python, no
+    driver collect.
+    """
+    # canonical undirected edge set: (lo, hi), self-loops dropped
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("lo"),
+            F.greatest(F.col("src"), F.col("dst")).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    # orient by (deg, node): u -> v iff (deg_u, u) < (deg_v, v)
+    du = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
+    dv = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        e.join(du, "lo")
+        .join(dv, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        )
+    )
+    # wedges: (u -> v), (u -> w) with v < w; close against oriented (v, w)
+    # or (w, v) — triangle corners carry MIXED orientation order, so the
+    # closing key must be the canonical (lo, hi) pair of the third edge.
+    a = oriented.select(F.col("u").alias("cu"), F.col("v").alias("x"))
+    b = oriented.select(F.col("u").alias("cu"), F.col("v").alias("y"))
+    wedges = (
+        a.join(b, "cu")
+        .where(F.col("x") < F.col("y"))
+        .select(
+            "cu",
+            F.col("x").alias("clo"),
+            F.col("y").alias("chi"),
+        )
+    )
+    closing = oriented.select(
+        F.least("u", "v").alias("clo"), F.greatest("u", "v").alias("chi")
+    )
+    tris = wedges.join(closing, ["clo", "chi"])
+    per_node = (
+        tris.select(
+            F.explode(F.array("cu", "clo", "chi")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+            F.when(
+                F.col("deg") >= 2,
+                (F.coalesce(F.col("n_tri"), F.lit(0)) * 2).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

@@ -196,3 +196,60 @@ def test_connected_components_releases_per_round_checkpoints(spark):
     assert len(new_ids) == 1  # only the returned labels checkpoint
     release_checkpoint(labels)
     assert cached_rdd_ids(spark) - baseline == set()
+
+
+def test_triangle_counts_known_and_random(spark):
+    import random
+    from collections import defaultdict
+    from itertools import combinations
+
+    from intertext_spark.operators.graph import triangle_counts
+
+    # K4 (clustering 1 everywhere), a disjoint path (0 triangles), and a
+    # hub whose only closed wedge is (100, 101, 102) — fed with
+    # duplicate, reversed, and self-loop rows to prove canonicalization
+    k4 = [(a, b) for a, b in combinations([1, 2, 3, 4], 2)]
+    path = [(5, 6), (6, 7)]
+    hub = [(100, x) for x in range(101, 111)] + [(101, 102)]
+    noise = [(2, 1), (3, 1), (5, 5), (6, 5)]
+    df = spark.createDataFrame(k4 + path + hub + noise, "src long, dst long")
+    got = {r["node"]: r for r in triangle_counts(df).collect()}
+    for v in (1, 2, 3, 4):
+        assert got[v]["deg"] == 3 and got[v]["n_tri"] == 3
+        assert got[v]["clustering"] == 1.0
+    assert got[6]["deg"] == 2 and got[6]["n_tri"] == 0 and got[6]["clustering"] == 0.0
+    assert got[100]["deg"] == 10 and got[100]["n_tri"] == 1
+    assert got[100]["clustering"] == 2.0 / 90.0
+    assert got[101]["n_tri"] == 1 and got[102]["n_tri"] == 1
+    assert 5 in got and got[5]["deg"] == 1  # self-loop dropped, edge kept
+
+    # randomized vs a brute-force python oracle
+    rng = random.Random(31)
+    edges = {(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(120)}
+    canon = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = defaultdict(set)
+    for a, b in canon:
+        adj[a].add(b)
+        adj[b].add(a)
+    want_tri = defaultdict(int)
+    for v in adj:
+        for x, y in combinations(sorted(adj[v]), 2):
+            if y in adj[x]:
+                want_tri[v] += 1
+    df2 = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got2 = {r["node"]: r for r in triangle_counts(df2).collect()}
+    assert set(got2) == set(adj)
+    for v in adj:
+        assert got2[v]["n_tri"] == want_tri[v], v
+        assert got2[v]["deg"] == len(adj[v])
+        d = len(adj[v])
+        want_c = (2.0 * want_tri[v]) / (d * (d - 1)) if d >= 2 else 0.0
+        assert got2[v]["clustering"] == want_c
+    # layout invariance
+    again = {
+        r["node"]: (r["deg"], r["n_tri"], r["clustering"])
+        for r in triangle_counts(df2.repartition(11)).collect()
+    }
+    assert again == {
+        k: (v["deg"], v["n_tri"], v["clustering"]) for k, v in got2.items()
+    }

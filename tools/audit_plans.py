@@ -1597,6 +1597,30 @@ def main():
         ],
     )
 
+    # the bare operator over a hash-derived edge list (the gate query
+    # adds 1-row broadcast crossJoins for its planted-graph modulus,
+    # which plan as benign BroadcastNestedLoopJoin Cross — auditing the
+    # operator alone pins ITS join shape)
+    from intertext_spark.operators.graph import triangle_counts as _tric
+    from pyspark.sql import functions as _F
+
+    _tedges = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        _F.col("doc_id").cast("long").alias("src"),
+        (_F.abs(_F.xxhash64("doc_id")) % 500).cast("long").alias("dst"),
+    )
+    record(
+        "triangle_counts", _tric(_tedges),
+        [
+            ("every join is an equi-join — no cartesian/nested-loop"
+             " anywhere in the wedge or closing joins",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+            ("degree agg is map-side combined before its exchange",
+             lambda p: "partial_count" in p),
+            ("no Python, no window",
+             lambda p: "Python" not in p and "Window" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
