@@ -2596,6 +2596,47 @@ def _pagerank_q(spark, sf_dir):
     return pagerank(edges, n_iter=3)
 
 
+def _corpus_diff_q(spark, sf_dir):
+    """Snapshot-refresh accounting: new = documents with doc_id%10
+    dropped (removed), %7 suffixed by two words (minor edit), %13
+    rewritten wholesale, and %11 re-added under shifted ids (added) —
+    every status and both change kinds are hot at the gate.  The DuckDB
+    twin replays the mutation + the full-outer-join classification +
+    the in-row shingle Jaccard."""
+    from intertext_spark.curate import corpus_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    mut = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" xyzzy plugh")),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("rewritten snapshot content entirely new words for doc "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("added snapshot doc "), F.col("doc_id").cast("string")
+        ).alias("text"),
+    )
+    out = corpus_diff(docs, mut.unionByName(added))
+    return out.select(
+        "doc_id", "status", _round4(F.col("jaccard")).alias("jaccard"),
+        "change_kind",
+    )
+
+
 def _triangle_counts_q(spark, sf_dir):
     """Triangle counts + clustering coefficients over a deterministic
     ring-lattice + hub graph on the (dense) doc_id axis: ring edges
@@ -2963,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rrf_hybrid"] = _rrf_hybrid_q
     q["pagerank"] = _pagerank_q
     q["triangle_counts"] = _triangle_counts_q
+    q["corpus_diff"] = _corpus_diff_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
@@ -5657,6 +5699,69 @@ deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
 r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
 {','.join(_rounds)}
 select node, cast(r as double) / {_pr_scale} as rank from {_prev}
+"""
+    # corpus_diff: replay the snapshot mutation, the full-outer-join
+    # status classification, and the changed-rows-only shingle Jaccard.
+    out["corpus_diff"] = """
+with docs as (select cast(doc_id as bigint) as doc_id, text from documents),
+new as (
+  select doc_id,
+         case when doc_id % 7 = 0 then text || ' xyzzy plugh'
+              when doc_id % 13 = 0
+                then 'rewritten snapshot content entirely new words for doc '
+                     || cast(doc_id as varchar)
+              else text end as text
+  from docs where doc_id % 10 <> 0
+  union all
+  select doc_id + 100000, 'added snapshot doc ' || cast(doc_id as varchar)
+  from docs where doc_id % 11 = 0
+),
+j as (
+  select coalesce(o.doc_id, n.doc_id) as doc_id,
+         o.text as ot, n.text as nt,
+         o.doc_id is not null as in_old, n.doc_id is not null as in_new
+  from docs o full outer join new n on o.doc_id = n.doc_id
+),
+cls as (
+  select doc_id, ot, nt,
+         case when in_old and not in_new then 'removed'
+              when in_new and not in_old then 'added'
+              when (ot is null and nt is null) or ot = nt then 'unchanged'
+              else 'changed' end as status
+  from j
+),
+sh as (
+  select doc_id, status,
+         list_distinct(list_transform(
+           generate_series(1, len(ow) - 2),
+           i -> array_to_string(list_slice(ow, i, i + 2), ' '))) as sa,
+         list_distinct(list_transform(
+           generate_series(1, len(nw) - 2),
+           i -> array_to_string(list_slice(nw, i, i + 2), ' '))) as sb
+  from (
+    select doc_id, status,
+           list_filter(regexp_split_to_array(coalesce(ot, ''), '\\s+'),
+                       x -> x != '') as ow,
+           list_filter(regexp_split_to_array(coalesce(nt, ''), '\\s+'),
+                       x -> x != '') as nw
+    from cls
+  )
+),
+scored as (
+  select doc_id, status,
+         case when status <> 'changed' then null
+              when len(sa) + len(sb) - len(list_intersect(sa, sb)) > 0
+                then cast(len(list_intersect(sa, sb)) as double)
+                     / (len(sa) + len(sb) - len(list_intersect(sa, sb)))
+              else 0.0 end as jraw
+  from sh
+)
+select doc_id, status,
+       case when jraw is null then null
+            else cast(floor(jraw * 10000 + 0.5) / 10000 as double) end as jaccard,
+       case when status <> 'changed' then null
+            when jraw >= 0.7 then 'minor' else 'rewrite' end as change_kind
+from scored
 """
     # triangle_counts: INDEPENDENT naive triple-join oracle (no degree
     # orientation) over the same planted ring+hub graph.

@@ -393,6 +393,99 @@ def export_training_data(
     return packed, runner.metrics
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    minor_threshold: float = 0.7,
+) -> DataFrame:
+    """Snapshot delta between two corpus versions (the re-crawl /
+    re-ingest accounting query) -> one row per doc id present in either
+    side: (doc_id, status, jaccard, change_kind) with
+
+      status      added | removed | unchanged | changed
+      jaccard     word-shingle Jaccard of old-vs-new text, CHANGED rows
+                  only (NULL otherwise); pairs where neither side has
+                  ``shingle_words`` words score 0.0 — no shingle
+                  evidence means no similarity claim
+      change_kind minor (jaccard >= minor_threshold) | rewrite, CHANGED
+                  rows only (NULL otherwise)
+
+    This is the table that decides what a refresh actually costs: how
+    much of the new snapshot needs re-tokenizing / re-deduping
+    (added + rewrite), how much is churn-free (unchanged), and how much
+    is cosmetic edit noise (minor).  Equality is by exact text compare;
+    NULL text equals NULL, not the empty string.
+
+    Scale shape: ONE id-keyed full outer join — the unavoidable shuffle
+    (bucket both snapshots by id to make it exchange-free); the shingle
+    arrays and Jaccard are computed IN-ROW and only inside the
+    ``changed`` branch (conditional expressions evaluate lazily per
+    row), so unchanged/added/removed rows never pay the shingling.  No
+    second join, no window, no Python.  jaccard is one int/int IEEE
+    division — byte-stable across engines and partitionings."""
+    from .operators.windows import WS
+
+    # presence must be distinguishable from NULL text (a doc can exist
+    # with NULL text), so each side's text rides inside a struct: after
+    # the outer join, a NULL STRUCT means "absent", a non-null struct
+    # with a NULL field means "present with null text"
+    o2 = old.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.struct(F.col(text_col).alias("t")).alias("__o"),
+    )
+    n2 = new.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.struct(F.col(text_col).alias("t")).alias("__n"),
+    )
+    j = o2.join(n2, "doc_id", "full_outer")
+    in_old = F.col("__o").isNotNull()
+    in_new = F.col("__n").isNotNull()
+    to = F.col("__o.t")
+    tn = F.col("__n.t")
+    same = (to.isNull() & tn.isNull()) | (to == tn)
+
+    def shingles(c):
+        words = F.filter(F.split(F.coalesce(c, F.lit("")), WS), lambda w: w != "")
+        # guard: sequence(1, n) DESCENDS for n < 1 (phantom shingles
+        # from slice(words, 0, k) / negative starts) — short texts get
+        # an explicit empty set
+        return F.when(
+            F.size(words) >= shingle_words,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),
+                    lambda i: F.array_join(
+                        F.slice(words, i.cast("int"), shingle_words), " "
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sa, sb = shingles(to), shingles(tn)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    status = (
+        F.when(in_old & ~in_new, F.lit("removed"))
+        .when(~in_old & in_new, F.lit("added"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = j.select("doc_id", status.alias("status"),
+                   F.when(status == "changed", jac).alias("jaccard"))
+    return out.withColumn(
+        "change_kind",
+        F.when(
+            F.col("status") == "changed",
+            F.when(F.col("jaccard") >= minor_threshold, F.lit("minor"))
+            .otherwise(F.lit("rewrite")),
+        ),
+    )
+
+
 def shard_plan(
     df: DataFrame,
     n_shards: int,

@@ -307,3 +307,57 @@ def test_shard_manifest_invariance_and_sensitivity(spark):
     assert p1 == p2
     with pytest.raises(ValueError):
         shard_plan(df, 0)
+
+
+def test_corpus_diff_statuses_and_jaccard(spark):
+    from intertext_spark.curate import corpus_diff
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [
+            (1, base),                       # unchanged
+            (2, base),                       # minor edit in new
+            (3, base),                       # full rewrite in new
+            (4, "dropped from new"),         # removed
+            (6, None),                       # null text, unchanged
+            (7, None),                       # null -> text (changed)
+            (8, "a b"),                      # short -> short (no shingles)
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " iota"),
+            (3, "totally different words here now friend"),
+            (5, "fresh addition"),           # added
+            (6, None),
+            (7, "now it has text content instead"),
+            (8, "c d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in corpus_diff(old, new).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7, 8}
+    assert got[1]["status"] == "unchanged" and got[1]["jaccard"] is None
+    assert got[1]["change_kind"] is None
+    assert got[4]["status"] == "removed" and got[5]["status"] == "added"
+    assert got[6]["status"] == "unchanged"  # NULL == NULL, not empty
+    assert got[7]["status"] == "changed" and got[7]["jaccard"] == 0.0
+    # doc 2: old has 6 shingles, new has 7, 6 shared -> 6/7
+    assert got[2]["status"] == "changed"
+    assert got[2]["jaccard"] == 6.0 / 7.0
+    assert got[2]["change_kind"] == "minor"
+    assert got[3]["status"] == "changed" and got[3]["jaccard"] == 0.0
+    assert got[3]["change_kind"] == "rewrite"
+    # no shingle evidence on either side -> 0.0, rewrite
+    assert got[8]["status"] == "changed" and got[8]["jaccard"] == 0.0
+
+    # layout invariance
+    again = {
+        r["doc_id"]: (r["status"], r["jaccard"], r["change_kind"])
+        for r in corpus_diff(old.repartition(5), new.repartition(3)).collect()
+    }
+    assert again == {
+        k: (v["status"], v["jaccard"], v["change_kind"]) for k, v in got.items()
+    }

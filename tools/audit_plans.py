@@ -1621,6 +1621,26 @@ def main():
         ],
     )
 
+    from intertext_spark.curate import corpus_diff as _cdiff
+
+    _cd_old = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _cd_new = _cd_old.where(_F.col("doc_id") % 3 != 0)
+    record(
+        "corpus_diff", _cdiff(_cd_old, _cd_new),
+        [
+            ("exactly ONE join — the id-keyed full outer; the Jaccard"
+             " is in-row on the joined row, never a second join"
+             " (formatted explain lists each operator twice: tree +"
+             " detail header)",
+             lambda p: len(
+                 __import__("re").findall(r"\(\d+\) [A-Za-z]+Join", p)
+             ) == 1),
+            ("full outer on the id key", lambda p: "FullOuter" in p),
+            ("no window, no Python",
+             lambda p: "Window" not in p and "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
