@@ -2596,6 +2596,20 @@ def _pagerank_q(spark, sf_dir):
     return pagerank(edges, n_iter=3)
 
 
+def _zorder_key_q(spark, sf_dir):
+    """Z-order layout keys over events (user_id x value, 8 bits each,
+    computed bounds).  The key is a pure function of the row under the
+    equi-width scaling rule, so DuckDB re-derives the bounds and replays
+    the scale + interleave bit-exactly."""
+    from intertext_spark.curate import zorder_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("user_id").cast("double").alias("u"), "value"
+    )
+    out = zorder_key(ev, ["u", "value"], bits=8)
+    return out.select("event_id", F.col("__zkey").alias("zkey"))
+
+
 def _corpus_diff_q(spark, sf_dir):
     """Snapshot-refresh accounting: new = documents with doc_id%10
     dropped (removed), %7 suffixed by two words (minor edit), %13
@@ -3005,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pagerank"] = _pagerank_q
     q["triangle_counts"] = _triangle_counts_q
     q["corpus_diff"] = _corpus_diff_q
+    q["zorder_key"] = _zorder_key_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
@@ -5699,6 +5714,31 @@ deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
 r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
 {','.join(_rounds)}
 select node, cast(r as double) / {_pr_scale} as rank from {_prev}
+"""
+    # zorder_key: re-derive the (min, max) bounds, replay the equi-width
+    # scale (one subtract / divide / multiply / floor — IEEE-identical)
+    # and the bit interleave with integer ops.
+    _z_terms = " | ".join(
+        f"(((su >> {i}) & 1) << {2 * i}) | (((sv >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    out["zorder_key"] = f"""
+with e as (select event_id, cast(user_id as double) as u, value from events),
+b as (select min(u) as lo_u, max(u) as hi_u,
+             min(value) as lo_v, max(value) as hi_v from e),
+s as (
+  select event_id,
+    case when u is null or (hi_u - lo_u) <= 0 then 0
+         else least(greatest(
+                cast(floor((u - lo_u) / (hi_u - lo_u) * 256.0) as bigint),
+                0), 255) end as su,
+    case when value is null or (hi_v - lo_v) <= 0 then 0
+         else least(greatest(
+                cast(floor((value - lo_v) / (hi_v - lo_v) * 256.0) as bigint),
+                0), 255) end as sv
+  from e, b
+)
+select event_id, cast({_z_terms} as bigint) as zkey from s
 """
     # corpus_diff: replay the snapshot mutation, the full-outer-join
     # status classification, and the changed-rows-only shingle Jaccard.

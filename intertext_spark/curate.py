@@ -486,6 +486,88 @@ def corpus_diff(
     )
 
 
+def zorder_key(
+    df: DataFrame,
+    cols: "list[str]",
+    bits: int = 16,
+    bounds: "dict[str, tuple[float, float]] | None" = None,
+) -> DataFrame:
+    """Append ``__zkey`` — the Z-order (Morton) interleave of the given
+    numeric columns — so ONE ``repartitionByRange("__zkey")`` (or a
+    range-partitioned sink) clusters the data on ALL the columns at
+    once: a range filter on any single participating column then prunes
+    most files via parquet min/max stats.  This is the multi-dimensional
+    layout move (Delta's OPTIMIZE ZORDER) expressed as a pure column, so
+    it composes with any writer.
+
+    Each column is scaled to an integer in [0, 2^bits) with the
+    equi-width rule scaled = clamp(floor((v - min) / (max - min) *
+    2^bits), 0, 2^bits - 1) over broadcast (min, max) bounds (computed
+    from the data when ``bounds`` is None — no driver collect; pass
+    literal bounds to pin a layout across snapshots); bit i of column c
+    lands at position i * n_cols + c.  NULL values scale to 0 (they
+    sort first, same as a range partitioner).  ``bits * len(cols)``
+    must fit a signed long (<= 62).
+
+    Scale shape: with literal ``bounds``, ZERO exchanges — the key is a
+    fixed tree of shiftleft/bitwiseAND ops, all JVM codegen; with
+    computed bounds, one map-side-combined global agg broadcast back as
+    a 1-row frame.  The key is a pure function of the row's values, so
+    the layout is identical under any partitioning or cluster size, and
+    any engine replays it (the scaling is one subtract / one divide /
+    one multiply / one floor — correctly-rounded IEEE doubles both
+    sides)."""
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key needs at least one column")
+    if bits < 1 or bits * n > 62:
+        raise ValueError(
+            f"bits * len(cols) must be in [1, 62]: {bits} * {n}"
+        )
+    if bounds is not None:
+        missing = [c for c in cols if c not in bounds]
+        if missing:
+            raise ValueError(f"bounds missing for columns: {missing}")
+        src = df
+        lo = {c: F.lit(float(bounds[c][0])) for c in cols}
+        hi = {c: F.lit(float(bounds[c][1])) for c in cols}
+    else:
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
+        src = df.crossJoin(F.broadcast(df.agg(*aggs)))
+        lo = {c: F.col(f"__lo_{c}") for c in cols}
+        hi = {c: F.col(f"__hi_{c}") for c in cols}
+    top = (1 << bits) - 1
+    scaled = {}
+    for c in cols:
+        v = F.col(c).cast("double")
+        span = hi[c] - lo[c]
+        raw = F.floor((v - lo[c]) / span * F.lit(float(1 << bits)))
+        s = (
+            F.when(v.isNull() | (span <= 0), F.lit(0))
+            .otherwise(F.least(F.greatest(raw, F.lit(0)), F.lit(top)))
+            .cast("long")
+        )
+        scaled[c] = s
+    terms = []
+    for i in range(bits):
+        for ci, c in enumerate(cols):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(scaled[c], i).bitwiseAND(F.lit(1)),
+                    i * n + ci,
+                )
+            )
+    zkey = terms[0]
+    for t in terms[1:]:
+        zkey = zkey.bitwiseOR(t)
+    out = src.withColumn("__zkey", zkey.cast("long"))
+    return out.drop(*[f"__lo_{c}" for c in cols if bounds is None],
+                    *[f"__hi_{c}" for c in cols if bounds is None])
+
+
 def shard_plan(
     df: DataFrame,
     n_shards: int,

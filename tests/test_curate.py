@@ -361,3 +361,84 @@ def test_corpus_diff_statuses_and_jaccard(spark):
     assert again == {
         k: (v["status"], v["jaccard"], v["change_kind"]) for k, v in got.items()
     }
+
+
+def test_zorder_key_oracle_and_clustering(spark):
+    from intertext_spark.curate import zorder_key
+
+    # known case, literal bounds: scaled = clamp(floor(v), 0, 3)
+    rows = [(float(x), float(y)) for x in range(5) for y in range(5)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    got = {
+        (r["x"], r["y"]): r["__zkey"]
+        for r in zorder_key(df, ["x", "y"], bits=2,
+                            bounds={"x": (0, 4), "y": (0, 4)}).collect()
+    }
+
+    def morton(vals, bits, n):
+        z = 0
+        for i in range(bits):
+            for c, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * n + c)
+        return z
+
+    for (x, y), z in got.items():
+        sx = min(max(int((x - 0) / 4 * 4), 0), 3)
+        sy = min(max(int((y - 0) / 4 * 4), 0), 3)
+        assert z == morton([sx, sy], 2, 2), (x, y)
+
+    # computed bounds + python IEEE replay, NULLs scale to 0
+    import math
+    import random
+
+    rng = random.Random(17)
+    data = [
+        (rng.uniform(-50, 50) if i % 9 else None, float(rng.randint(0, 1000)))
+        for i in range(300)
+    ]
+    df2 = spark.createDataFrame(data, "a double, b double")
+    out = zorder_key(df2, ["a", "b"], bits=8).collect()
+    xs = [a for a, _ in data if a is not None]
+    lo_a, hi_a = min(xs), max(xs)
+    lo_b, hi_b = min(b for _, b in data), max(b for _, b in data)
+
+    def scale(v, lo, hi, bits):
+        if v is None or hi - lo <= 0:
+            return 0
+        raw = math.floor((v - lo) / (hi - lo) * float(1 << bits))
+        return min(max(raw, 0), (1 << bits) - 1)
+
+    for r in out:
+        want = morton(
+            [scale(r["a"], lo_a, hi_a, 8), scale(r["b"], lo_b, hi_b, 8)], 8, 2
+        )
+        assert r["__zkey"] == want, (r["a"], r["b"])
+
+    # clustering property: range-partitioning the key bounds BOTH dims'
+    # per-partition spans (the reason the operator exists)
+    grid = spark.createDataFrame(
+        [(float(x), float(y)) for x in range(32) for y in range(32)],
+        "x double, y double",
+    )
+    zk = zorder_key(grid, ["x", "y"], bits=5,
+                    bounds={"x": (0, 32), "y": (0, 32)})
+    parts = (
+        zk.repartitionByRange(16, F.col("__zkey"))
+        .select(F.spark_partition_id().alias("p"), "x", "y")
+        .groupBy("p")
+        .agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        )
+        .collect()
+    )
+    avg_sx = sum(r["sx"] for r in parts) / len(parts)
+    avg_sy = sum(r["sy"] for r in parts) / len(parts)
+    assert avg_sx < 16 and avg_sy < 16, (avg_sx, avg_sy)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        zorder_key(df, ["x", "y"], bits=32)
+    with _pt.raises(ValueError):
+        zorder_key(df, ["x", "z"], bits=4, bounds={"x": (0, 1)})

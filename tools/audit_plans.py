@@ -1641,6 +1641,24 @@ def main():
         ],
     )
 
+    from intertext_spark.curate import zorder_key as _zok
+
+    record(
+        "zorder_key",
+        _zok(
+            spark.read.parquet(f"{sf_dir}/events.parquet"),
+            ["user_id", "value"], bits=8,
+            bounds={"user_id": (0, 1000), "value": (0, 100)},
+        ),
+        [
+            ("literal bounds -> ZERO exchanges (the key is a fixed"
+             " shiftleft/and tree in codegen)",
+             lambda p: "Exchange" not in p),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
