@@ -1948,6 +1948,19 @@ def _conv_overlap_pairs_q(spark, sf_dir):
     )
 
 
+def _conv_dedup_q(spark, sf_dir):
+    """End-to-end conversation dedup verdict: overlap pairs -> string-
+    node connected components -> longest-member keeper.  Oracle: the
+    conv_overlap twin extended with a RECURSIVE-CTE transitive closure
+    (an independent CC formulation) + a window-ranked keeper."""
+    from intertext_spark.operators.convstats import conv_dedup
+
+    tdf = transcripts_from_documents(spark, sf_dir)
+    return conv_dedup(
+        tdf, min_jaccard=0.2, min_containment=0.8, turn_max_convs=64
+    )
+
+
 _INTERLEAVE_W = {"src0": 4, "src1": 3, "src2": 2, "src3": 1, "src4": 1}
 
 
@@ -3020,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["triangle_counts"] = _triangle_counts_q
     q["corpus_diff"] = _corpus_diff_q
     q["zorder_key"] = _zorder_key_q
+    q["conv_dedup"] = _conv_dedup_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
@@ -4732,6 +4746,69 @@ join sizes sa on sa.conv_id = i.conv_a
 join sizes sb on sb.conv_id = i.conv_b
 where cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) >= 0.2
    or cast(i.n_shared as double) / least(sa.sz, sb.sz) >= 0.8
+"""
+    # conv_dedup: the conv_overlap chain + a RECURSIVE transitive
+    # closure (independent CC formulation: reach = edges U reach*edges,
+    # label = least(self, min reachable)) + window-ranked keeper.
+    out["conv_dedup"] = _TRANSCRIPTS_CTE.replace(
+        "with ", "with recursive ", 1
+    ) + """,
+th as (
+  select distinct conv_id, md5(text) as h from tr where length(text) > 0
+),
+sizes as (select conv_id, cast(count(*) as bigint) as sz from th group by conv_id),
+buckets as (
+  select h, list_sort(list(conv_id)) as ms from th group by h
+  having count(*) >= 2 and count(*) <= 64
+),
+cpairs as (
+  select p.a as conv_a, p.b as conv_b
+  from (select unnest(list_filter(
+          flatten(list_transform(ms, x -> list_transform(ms,
+            y -> struct_pack(a := x, b := y)))),
+          p -> p.a < p.b)) as p
+        from buckets) t
+),
+inter as (
+  select conv_a, conv_b, cast(count(*) as bigint) as n_shared
+  from cpairs group by conv_a, conv_b
+),
+fpairs as (
+  select i.conv_a, i.conv_b
+  from inter i
+  join sizes sa on sa.conv_id = i.conv_a
+  join sizes sb on sb.conv_id = i.conv_b
+  where cast(i.n_shared as double) / (sa.sz + sb.sz - i.n_shared) >= 0.2
+     or cast(i.n_shared as double) / least(sa.sz, sb.sz) >= 0.8
+),
+bi as (select conv_a as x, conv_b as y from fpairs
+       union select conv_b, conv_a from fpairs),
+reach(x, y) as (
+  select x, y from bi
+  union
+  select r.x, b.y from reach r join bi b on r.y = b.x
+),
+lbl as (
+  select x as conv_id, least(x, min(y)) as dup_group from reach group by x
+),
+nt as (select conv_id, cast(count(*) as bigint) as n_turns from tr group by conv_id),
+rk as (
+  select l.conv_id, l.dup_group, coalesce(nt.n_turns, 0) as n_turns
+  from lbl l left join nt using (conv_id)
+),
+keep as (
+  select dup_group, conv_id as keeper
+  from (select dup_group, conv_id,
+               row_number() over (partition by dup_group
+                                  order by n_turns desc, conv_id asc) as rn
+        from rk)
+  where rn = 1
+)
+select nt.conv_id, nt.n_turns, l.dup_group,
+       (l.dup_group is null or nt.conv_id = k.keeper) as kept
+from nt
+left join lbl l using (conv_id)
+left join keep k on l.dup_group = k.dup_group
 """
     # merged_turns: the same u/a/a role re-map, then gaps-and-islands —
     # run starts where the previous role differs (or at the first turn),

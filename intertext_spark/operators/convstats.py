@@ -449,6 +449,74 @@ def conv_overlap_pairs(
     )
 
 
+def conv_dedup(
+    tdf: DataFrame,
+    min_jaccard: float = 0.5,
+    min_containment: "float | None" = None,
+    turn_max_convs: int = 64,
+) -> DataFrame:
+    """The end-to-end conversation-dedup verdict: which conversations
+    does a transcript corpus keep?  -> one row per conversation:
+    (conv_id, n_turns, dup_group, kept) where dup_group is the min
+    conv_id of the connected component over :func:`conv_overlap_pairs`
+    edges (NULL for conversations in no group) and the keeper per group
+    is the member with the MOST turns, ties -> min conv_id — in the
+    dominant prefix-replay mode the superset conversation survives and
+    its replayed prefixes drop, which is the verdict an exporter wants
+    (``dedup_corpus``'s min-id rule would keep the truncated prefix).
+
+    Scale shape: the pair stage is conv_overlap_pairs (capped buckets,
+    in-row expansion — see there); connected components run over the
+    PAIR table, which is dup-density-sized, not corpus-sized (the CC
+    operator is node-type-agnostic: min-label semantics work on string
+    conv ids directly, no hash-to-long bridge and so no collision
+    caveat); turn counts are one map-side-combined groupBy(conv_id);
+    the keeper is one groupBy(dup_group) max_by.  The returned frame
+    carries the CC checkpoint (caller-owned — release via
+    ckpt.release_checkpoint)."""
+    from .graph import connected_components
+
+    pairs = conv_overlap_pairs(
+        tdf,
+        min_jaccard=min_jaccard,
+        min_containment=min_containment,
+        turn_max_convs=turn_max_convs,
+    )
+    edges = pairs.select(
+        F.col("conv_a").alias("src"), F.col("conv_b").alias("dst")
+    )
+    labels = connected_components(edges)  # (node, label) — string nodes
+    members = labels.select(
+        F.col("node").alias("conv_id"), F.col("label").alias("dup_group")
+    )
+    n_turns = tdf.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns")
+    )
+    ranked = members.join(n_turns, "conv_id", "left").withColumn(
+        "n_turns", F.coalesce("n_turns", F.lit(0))
+    )
+    keepers = ranked.groupBy("dup_group").agg(
+        F.min_by(
+            "conv_id", F.struct((-F.col("n_turns")).alias("neg"), F.col("conv_id"))
+        ).alias("keeper")
+    )
+    verdicts = members.join(keepers, "dup_group")
+    out = (
+        n_turns.join(verdicts, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            "dup_group",
+            (
+                F.col("dup_group").isNull()
+                | (F.col("conv_id") == F.col("keeper"))
+            ).alias("kept"),
+        )
+    )
+    out._ckpt_rdd_ids = getattr(labels, "_ckpt_rdd_ids", set())
+    return out
+
+
 def merge_adjacent_turns(tdf: DataFrame, sep: str = "\n") -> DataFrame:
     """Transcript normalization: collapse runs of consecutive same-role
     turns into one turn (text joined by ``sep`` in turn order, tool =

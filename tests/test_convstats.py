@@ -517,3 +517,45 @@ def test_tool_errors_rates_and_pattern(spark):
     )
     got = {r.tool: (r.n_calls, r.n_errors, r.error_rate) for r in tool_errors(df.repartition(3)).collect()}
     assert got == {"code": (3, 1, 1 / 3), "web": (3, 2, 2 / 3)}
+
+
+def test_conv_dedup_keeps_longest_and_chains_components(spark):
+    """Prefix-replay family: long > mid > short share turns pairwise in
+    a chain; CC merges all three into one group and the LONGEST member
+    survives (dedup_corpus's min-id rule would keep 'a_short')."""
+    rows = []
+    rows += [("c_long", i, "user", f"step {i}", None, EP) for i in range(10)]
+    rows += [("b_mid", i, "user", f"step {i}", None, EP) for i in range(6)]
+    rows += [("a_short", i, "user", f"step {i}", None, EP) for i in range(3)]
+    rows += [("z_solo", i, "user", f"other {i}", None, EP) for i in range(4)]
+    tdf = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = convstats.conv_dedup(tdf, min_jaccard=0.5, min_containment=0.9)
+    got = {r.conv_id: (r.n_turns, r.dup_group, r.kept) for r in out.collect()}
+    assert set(got) == {"c_long", "b_mid", "a_short", "z_solo"}
+    # one component, min-id label, longest member kept
+    assert got["c_long"] == (10, "a_short", True)
+    assert got["b_mid"] == (6, "a_short", False)
+    assert got["a_short"] == (3, "a_short", False)
+    assert got["z_solo"] == (4, None, True)
+    # tie on n_turns -> min conv_id wins
+    rows2 = [("x", i, "user", f"t {i}", None, EP) for i in range(3)]
+    rows2 += [("w", i, "user", f"t {i}", None, EP) for i in range(3)]
+    tdf2 = spark.createDataFrame(
+        rows2, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got2 = {
+        r.conv_id: r.kept
+        for r in convstats.conv_dedup(tdf2, min_jaccard=0.5).collect()
+    }
+    assert got2 == {"w": True, "x": False}
+
+    from conftest import cached_rdd_ids
+    from intertext_spark.operators.ckpt import release_checkpoint
+
+    baseline = cached_rdd_ids(spark)
+    out3 = convstats.conv_dedup(tdf2, min_jaccard=0.5)
+    out3.collect()
+    release_checkpoint(out3)
+    assert cached_rdd_ids(spark) - baseline == set()
