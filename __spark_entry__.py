@@ -1948,6 +1948,17 @@ def _conv_overlap_pairs_q(spark, sf_dir):
     )
 
 
+def _keyphrase_counts_q(spark, sf_dir):
+    """RAKE-style corpus key phrases: the corpus' own 'the'/'a' vocab
+    words act as natural carving boundaries.  The DuckDB twin replays
+    the identical regexp carving but aggregates INDEPENDENTLY
+    (unnest + group by + count distinct, no RLE)."""
+    from intertext_spark.operators.textstats import keyphrase_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return keyphrase_counts(docs, k=100)
+
+
 def _conv_dedup_q(spark, sf_dir):
     """End-to-end conversation dedup verdict: overlap pairs -> string-
     node connected components -> longest-member keeper.  Oracle: the
@@ -3034,6 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["corpus_diff"] = _corpus_diff_q
     q["zorder_key"] = _zorder_key_q
     q["conv_dedup"] = _conv_dedup_q
+    q["keyphrase_counts"] = _keyphrase_counts_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
@@ -5791,6 +5803,46 @@ deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
 r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
 {','.join(_rounds)}
 select node, cast(r as double) / {_pr_scale} as rank from {_prev}
+"""
+    # keyphrase_counts: replay the carving chain (lower -> punct runs ->
+    # word-bounded stopwords -> sentinel split -> ws normalize), then
+    # aggregate INDEPENDENTLY (unnest + count distinct, no RLE).
+    from intertext_spark.operators.textstats import RAKE_STOPWORDS as _RSW
+
+    _sw_alt = "|".join(_RSW)
+    out["keyphrase_counts"] = f"""
+with carved as (
+  select doc_id,
+         regexp_replace(
+           regexp_replace(lower(coalesce(text, '')),
+                          '[^\\p{{L}}\\p{{N}}\\s]+', chr(7), 'g'),
+           '\\b({_sw_alt})\\b', chr(7), 'g') as s
+  from documents
+),
+ph as (
+  select doc_id,
+         array_to_string(
+           list_filter(regexp_split_to_array(p, '\\s+'), x -> x != ''),
+           ' ') as phrase
+  from (select doc_id, unnest(string_split(s, chr(7))) as p from carved)
+),
+f as (
+  select doc_id, phrase from ph
+  where phrase != ''
+    and len(string_split(phrase, ' ')) between 2 and 4
+),
+agg as (
+  select phrase,
+         cast(count(*) as bigint) as n_occurrences,
+         cast(count(distinct doc_id) as bigint) as n_docs
+  from f group by phrase
+)
+select phrase,
+       cast(len(string_split(phrase, ' ')) as bigint) as n_words,
+       n_occurrences, n_docs
+from agg
+order by n_occurrences desc, phrase asc
+limit 100
 """
     # zorder_key: re-derive the (min, max) bounds, replay the equi-width
     # scale (one subtract / divide / multiply / floor — IEEE-identical)

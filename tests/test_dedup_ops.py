@@ -1937,3 +1937,47 @@ def test_readability_hand_cases(spark):
     assert r1.reading_ease == 92.005 and r1.fk_grade == 0.9233
     assert (got[2].n_syllables, got[2].n_sentences) == (0, 1)
     assert got[5].n_syllables == 3
+
+
+def test_keyphrase_counts_carving_and_counts(spark):
+    """Stopword/punctuation carving, per-doc multiplicity, n_docs vs
+    n_occurrences, word-count band, tie order, and validation."""
+    df = spark.createDataFrame(
+        [
+            # 'lazy dog' twice in one doc (multiplicity), once in another
+            (1, "The lazy dog; a LAZY dog! Quick brown fox."),
+            (2, "my lazy dog runs over the quick brown fox"),
+            (3, "machine learning and machine learning"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.keyphrase_counts(df, k=10)
+    got = {r["phrase"]: (r["n_words"], r["n_occurrences"], r["n_docs"])
+           for r in out.collect()}
+    # doc 2's 'lazy dog' rides inside 'my lazy dog runs' ('my' is a
+    # content word), so the standalone phrase counts only doc 1's two
+    assert got["lazy dog"] == (2, 2, 1)
+    assert got["machine learning"] == (2, 2, 1)
+    assert got["quick brown fox"] == (3, 2, 2)
+    # 'my lazy dog runs' is carved at 'over' -> 'my lazy dog runs' (4
+    # words) exists; 5+-word phrases are excluded by max_words=4
+    assert "my lazy dog runs" in got
+    # single words excluded by min_words=2
+    assert all(r[0] >= 2 for r in got.values())
+    # tie order: equal counts sort by phrase ascending at the boundary
+    rows = textstats.keyphrase_counts(df, k=3).collect()
+    assert [r["phrase"] for r in rows] == sorted(
+        [r["phrase"] for r in rows],
+        key=lambda p: (-got[p][1], p),
+    )
+    # custom stopwords + validation
+    one = textstats.keyphrase_counts(
+        df, k=5, min_words=1, max_words=1, stopwords=["dog"]
+    ).collect()
+    assert all(r["n_words"] == 1 for r in one)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        textstats.keyphrase_counts(df, min_words=3, max_words=2)
+    with _pt.raises(ValueError):
+        textstats.keyphrase_counts(df, stopwords=[])

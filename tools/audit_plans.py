@@ -1641,6 +1641,21 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.textstats import keyphrase_counts as _kpc
+
+    record(
+        "keyphrase_counts", _kpc(docs_tbl, k=100),
+        [
+            ("per-doc RLE emits (phrase, cnt) pre-shuffle; corpus agg"
+             " is map-side combined",
+             lambda p: "partial_sum" in p or "partial_count" in p),
+            ("top-k is a TakeOrdered heap, never a global sort",
+             lambda p: "TakeOrderedAndProject" in p),
+            ("no join, no Python",
+             lambda p: "Join" not in p and "Python" not in p),
+        ],
+    )
+
     from intertext_spark.curate import zorder_key as _zok
 
     record(
