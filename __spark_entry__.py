@@ -1948,6 +1948,35 @@ def _conv_overlap_pairs_q(spark, sf_dir):
     )
 
 
+def _validate_corpus_q(spark, sf_dir):
+    """Corpus integrity report over a deliberately-damaged snapshot:
+    every defect class planted by doc_id residue (null ids, duplicated
+    ids, null/whitespace text, C0 contamination, U+FFFD decode damage,
+    oversize) — each rule's counter is non-zero at the gate.  DuckDB
+    replays the plant and the per-source conditional sums."""
+    from intertext_spark.curate import validate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "source"
+    )
+    planted = docs.select(
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id"))
+        .alias("doc_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 11 == 0, F.lit("   "))
+        .when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("\x01ctl")))
+        .when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" �")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    dups = docs.where(
+        (F.col("doc_id") % 19 == 0) & (F.col("doc_id") % 17 != 0)
+    ).select("doc_id", "text", "source")
+    return validate_corpus(planted.unionByName(dups), max_chars=150)
+
+
 def _keyphrase_counts_q(spark, sf_dir):
     """RAKE-style corpus key phrases: the corpus' own 'the'/'a' vocab
     words act as natural carving boundaries.  The DuckDB twin replays
@@ -3046,6 +3075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["zorder_key"] = _zorder_key_q
     q["conv_dedup"] = _conv_dedup_q
     q["keyphrase_counts"] = _keyphrase_counts_q
+    q["validate_corpus"] = _validate_corpus_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
@@ -5803,6 +5833,45 @@ deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
 r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
 {','.join(_rounds)}
 select node, cast(r as double) / {_pr_scale} as rank from {_prev}
+"""
+    # validate_corpus: replay the damage plant + the per-source
+    # conditional sums; dup ids = n_docs - nulls - distinct non-null.
+    out["validate_corpus"] = """
+with docs as (select cast(doc_id as bigint) as doc_id, text, source from documents),
+planted as (
+  select case when doc_id % 17 = 0 then null else doc_id end as doc_id,
+         case when doc_id % 13 = 0 then null
+              when doc_id % 11 = 0 then '   '
+              when doc_id % 7 = 0 then text || chr(1) || 'ctl'
+              when doc_id % 5 = 0 then text || ' ' || chr(65533)
+              else text end as text,
+         source
+  from docs
+  union all
+  select doc_id, text, source from docs
+  where doc_id % 19 = 0 and doc_id % 17 <> 0
+),
+agg as (
+  select source,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(case when doc_id is null then 1 else 0 end) as bigint) as n_null_id,
+         cast(count(*) - sum(case when doc_id is null then 1 else 0 end)
+              - count(distinct doc_id) as bigint) as n_dup_id,
+         cast(sum(case when text is null then 1 else 0 end) as bigint) as n_null_text,
+         cast(sum(case when text is not null and trim(text) = '' then 1 else 0 end)
+              as bigint) as n_empty_text,
+         cast(sum(case when regexp_matches(coalesce(text, ''),
+                                           '[\\x00-\\x08\\x0e-\\x1f]')
+                       then 1 else 0 end) as bigint) as n_control_chars,
+         cast(sum(case when contains(coalesce(text, ''), chr(65533))
+                       then 1 else 0 end) as bigint) as n_repl_chars,
+         cast(sum(case when octet_length(encode(coalesce(text, ''))) > 150
+                       then 1 else 0 end) as bigint) as n_oversize
+  from planted group by source
+)
+select *, (n_null_id + n_dup_id + n_null_text + n_empty_text
+           + n_control_chars + n_repl_chars + n_oversize) = 0 as valid
+from agg
 """
     # keyphrase_counts: replay the carving chain (lower -> punct runs ->
     # word-bounded stopwords -> sentinel split -> ws normalize), then

@@ -642,3 +642,67 @@ def shard_manifest(
             F.expr("bit_xor(__key)").cast("long").alias("checksum"),
         )
     )
+
+
+def validate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: "str | None" = "source",
+    max_chars: int = 1_000_000,
+) -> DataFrame:
+    """Pre-flight corpus integrity report — the batch analog of
+    validate_conversations, run before any curation stage trusts the
+    snapshot: -> one row per source (or one global row when
+    ``source_col`` is None): (source?, n_docs, n_null_id, n_dup_id,
+    n_null_text, n_empty_text, n_control_chars, n_repl_chars,
+    n_oversize, valid).
+
+    Rules (each an independent count; ``valid`` is their conjunction):
+      * null id — unjoinable rows (every dedup/join stage keys on id);
+      * duplicate id — n_docs minus distinct non-null ids (a dup id
+        silently merges two documents in any id-keyed stage);
+      * null text / empty-or-whitespace-only text;
+      * control characters — C0 bytes outside whitespace
+        (\\x00-\\x08, \\x0e-\\x1f), the binary-contamination marker;
+      * replacement char (U+FFFD) — upstream decode damage;
+      * oversize — octet_length > ``max_chars`` (a concatenation bug or
+        an unsplit dump; these blow up shingling and packing).
+
+    Scale shape: ONE groupBy(source) where every rule is an in-row
+    conditional sum with map-side partials; the distinct-id count is
+    the only two-phase aggregate (Spark's Expand plan — still partial-
+    aggregated per node).  No joins, no window, no Python."""
+    is_ws_empty = F.col(text_col).isNotNull() & (
+        F.trim(F.col(text_col)) == ""
+    )
+    ctrl = F.coalesce(F.col(text_col), F.lit("")).rlike(
+        "[\x00-\x08\x0e-\x1f]"
+    )
+    repl = F.coalesce(F.col(text_col), F.lit("")).contains("�")
+    aggs = [
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col(id_col).isNull().cast("long")).cast("long").alias("n_null_id"),
+        (
+            F.count("*")
+            - F.sum(F.col(id_col).isNull().cast("long"))
+            - F.count_distinct(F.col(id_col))
+        ).cast("long").alias("n_dup_id"),
+        F.sum(F.col(text_col).isNull().cast("long")).cast("long").alias("n_null_text"),
+        F.sum(is_ws_empty.cast("long")).cast("long").alias("n_empty_text"),
+        F.sum(ctrl.cast("long")).cast("long").alias("n_control_chars"),
+        F.sum(repl.cast("long")).cast("long").alias("n_repl_chars"),
+        F.sum(
+            (F.coalesce(F.octet_length(text_col), F.lit(0)) > max_chars).cast("long")
+        ).cast("long").alias("n_oversize"),
+    ]
+    if source_col is not None:
+        out = df.groupBy(F.col(source_col).alias("source")).agg(*aggs)
+    else:
+        out = df.agg(*aggs)
+    defect = (
+        F.col("n_null_id") + F.col("n_dup_id") + F.col("n_null_text")
+        + F.col("n_empty_text") + F.col("n_control_chars")
+        + F.col("n_repl_chars") + F.col("n_oversize")
+    )
+    return out.withColumn("valid", defect == 0)

@@ -442,3 +442,46 @@ def test_zorder_key_oracle_and_clustering(spark):
         zorder_key(df, ["x", "y"], bits=32)
     with _pt.raises(ValueError):
         zorder_key(df, ["x", "z"], bits=4, bounds={"x": (0, 1)})
+
+
+def test_validate_corpus_rules_and_modes(spark):
+    from intertext_spark.curate import validate_corpus
+
+    rows = [
+        (1, "fine document text", "s0"),
+        (2, None, "s0"),            # null text
+        (3, "   ", "s0"),           # whitespace-only
+        (4, "ctl\x01here", "s0"),   # control char
+        (5, "bad � decode", "s0"),  # replacement char
+        (6, "x" * 300, "s0"),       # oversize at max_chars=100
+        (None, "no id", "s1"),      # null id
+        (8, "dup id", "s1"),
+        (8, "dup id again", "s1"),  # duplicate id
+        (9, "clean", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in validate_corpus(df, max_chars=100).collect()}
+    s0 = got["s0"]
+    assert (s0["n_docs"], s0["n_null_text"], s0["n_empty_text"]) == (6, 1, 1)
+    assert (s0["n_control_chars"], s0["n_repl_chars"], s0["n_oversize"]) == (1, 1, 1)
+    assert s0["n_null_id"] == 0 and s0["n_dup_id"] == 0 and not s0["valid"]
+    s1 = got["s1"]
+    assert (s1["n_docs"], s1["n_null_id"], s1["n_dup_id"]) == (4, 1, 1)
+    assert not s1["valid"]
+    # global mode: one row, defects summed
+    [g] = validate_corpus(df, source_col=None, max_chars=100).collect()
+    assert g["n_docs"] == 10 and g["n_dup_id"] == 1 and not g["valid"]
+    # a clean corpus is valid
+    clean = spark.createDataFrame(
+        [(1, "ok text", "s0"), (2, "more text", "s0")],
+        "doc_id long, text string, source string",
+    )
+    [c] = validate_corpus(clean).collect()
+    assert c["valid"]
+    # newlines/tabs are NOT control-char defects (they are whitespace)
+    nl = spark.createDataFrame(
+        [(1, "line one\nline two\ttabbed", "s0")],
+        "doc_id long, text string, source string",
+    )
+    [n] = validate_corpus(nl).collect()
+    assert n["n_control_chars"] == 0 and n["valid"]

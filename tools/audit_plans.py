@@ -1641,6 +1641,20 @@ def main():
         ],
     )
 
+    from intertext_spark.curate import validate_corpus as _vcorp
+
+    record(
+        "validate_corpus", _vcorp(docs_tbl),
+        [
+            ("every rule is an in-row conditional sum with map-side"
+             " partials (distinct-id via the two-phase Expand)",
+             lambda p: "partial_sum" in p or "partial_count" in p),
+            ("no join, no window, no Python",
+             lambda p: "Join" not in p and "Window" not in p
+             and "Python" not in p),
+        ],
+    )
+
     from intertext_spark.operators.textstats import keyphrase_counts as _kpc
 
     record(
