@@ -1235,6 +1235,24 @@ def _random_project_q(spark, sf_dir):
     return random_project(emb, mat).select("vec_id", "proj")
 
 
+def _srp_dup_pairs_q(spark, sf_dir):
+    """SRP cosine-sketch near-dup pairs over embeddings + 50 scaled
+    echoes (x2 is IEEE-exact, and the sign sketch is scale-invariant,
+    so every echo pair sits at hamming 0 — the recall path provably
+    fires).  DuckDB re-derives the md5 hyperplane matrix and replays
+    fold -> sign -> pack -> 9-chunk pigeonhole join -> popcount."""
+    from intertext_spark.operators.dedup import srp_dup_pairs
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    echo = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    return srp_dup_pairs(base.unionByName(echo), dim=64, max_hamming=8)
+
+
 def _semdedup_q(spark, sf_dir):
     """SemDeDup gate mode: centroids = 8 smallest-id vectors (so DuckDB
     can recompute the exact assignment), round4 cosines before ranking
@@ -3068,6 +3086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join"] = _asof_join_q
     q["funnel"] = _funnel_q
     q["random_project"] = _random_project_q
+    q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
     q["pagerank"] = _pagerank_q
     q["triangle_counts"] = _triangle_counts_q
@@ -5745,6 +5764,58 @@ select vec_id,
            i -> ed[cast(i as int)] * mm[cast(j as int)][cast(i as int)]),
          (a, b) -> a + b)) as proj
 from e, m
+"""
+    # srp_dup_pairs: re-derive the 63x64 md5 hyperplane matrix, replay
+    # the bit-exact fold, sign-pack bits 0..62 (bit 63 clear, so no
+    # shift overflow), split the 9-chunk partition of the 64 bits, and
+    # close pairs with xor+bit_count.
+    from intertext_spark.operators.dedup import (  # noqa: E402
+        jl_projection_matrix as _jlm,
+    )
+
+    _srp_mat = _jlm(64, 63, seed=1)
+    _srp_mat_sql = "[" + ",".join(
+        "[" + ",".join(repr(v) for v in row) + "]" for row in _srp_mat
+    ) + "]"
+    _srp_nc, _srp_bits = 9, 64
+    _srp_base, _srp_rem = _srp_bits // _srp_nc, _srp_bits % _srp_nc
+    _srp_w = [_srp_base + 1 if i < _srp_rem else _srp_base
+              for i in range(_srp_nc)]
+    _srp_off = [sum(_srp_w[:i]) for i in range(_srp_nc)]
+    _srp_chunks = ", ".join(
+        f"struct_pack(ci := {i}, cv := (sig >> {_srp_off[i]})"
+        f" & {(1 << _srp_w[i]) - 1})"
+        for i in range(_srp_nc)
+    )
+    out["srp_dup_pairs"] = f"""
+with m as (select {_srp_mat_sql} as mm),
+e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as ed
+  from embeddings where embedding is not null and len(embedding) = 64
+  union all
+  select vec_id + 10000,
+         list_transform(embedding, x -> cast(x as double) * 2.0)
+  from embeddings
+  where vec_id < 50 and embedding is not null and len(embedding) = 64
+),
+sig as (
+  select vec_id,
+    list_reduce(list_transform(generate_series(1, 63),
+      j -> case when list_reduce(list_transform(generate_series(1, 64),
+                     i -> ed[cast(i as int)] * mm[cast(j as int)][cast(i as int)]),
+                   (a, b) -> a + b) >= 0
+                then (cast(1 as bigint) << (j - 1))
+                else cast(0 as bigint) end),
+      (a, b) -> a | b) as sig
+  from e, m
+),
+ch as (
+  select vec_id, sig, unnest([{_srp_chunks}], recursive := true) from sig
+)
+select distinct l.vec_id as doc_a, r.vec_id as doc_b,
+       cast(bit_count(xor(l.sig, r.sig)) as int) as hamming
+from ch l join ch r on l.ci = r.ci and l.cv = r.cv and l.vec_id < r.vec_id
+where bit_count(xor(l.sig, r.sig)) <= 8
 """
     # rrf_hybrid: both rankers replayed (the bm25 twin verbatim as a
     # CTE + the coverage ranker), then the identical quantized fusion.

@@ -863,12 +863,19 @@ def simhash_dup_pairs(
     base, rem = divmod(64, n_chunks)
     widths = [base + 1 if i < rem else base for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    # width 64 (n_chunks=1: band on the whole signature — the exact
+    # hamming-0 grouping) needs the all-ones mask as -1: (1<<64)-1
+    # overflows a signed long literal
+    masks = [
+        -1 if widths[i] == 64 else (1 << widths[i]) - 1
+        for i in range(n_chunks)
+    ]
     chunk_arr = F.array(
         *[
             F.struct(
                 F.lit(i).alias("chunk_idx"),
                 F.shiftright(F.col("simhash"), offsets[i])
-                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .bitwiseAND(F.lit(masks[i]))
                 .alias("chunk_val"),
             )
             for i in range(n_chunks)
@@ -1907,3 +1914,77 @@ def random_project(
             )
         )
     return bound.withColumn(out_col, F.array(*cols)).drop("__e")
+
+
+def srp_signature(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 63,
+    seed: int = 1,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Signed-random-projection cosine sketch (Charikar STOC'02): bit i
+    of the signature is the SIGN of the embedding's projection onto the
+    i-th md5-derived hyperplane (:func:`jl_projection_matrix` rows —
+    the sparse Achlioptas family is a valid SRP family), packed into
+    one long.  P(bit_i differs) = angle(a, b) / pi, so Hamming distance
+    over the packed longs estimates cosine — the bridge from
+    array<float> embeddings onto the ENTIRE 64-bit simhash machinery
+    (banding, pigeonhole recall, skew caps) at 8 bytes per vector.
+    -> (id_col, simhash long).
+
+    ``n_bits`` defaults to 63 so the sign bit stays clear: every
+    signature is non-negative, which keeps the packed value
+    representable in engines whose left-shift refuses bit 63 (the
+    cross-engine gate posture); the downstream chunk partition of the
+    full 64 bits is unaffected (the top bit is constant 0).
+
+    Scale shape: zero exchanges — the projection is the random_project
+    in-row fold (matrix as literals, replayable BIT-EXACTLY by an
+    external engine) and the packing is a fixed shiftleft/OR tree in
+    codegen.  Rows whose vector is NULL or not exactly ``dim`` long are
+    dropped (the zip_with truncation guard)."""
+    if not 1 <= n_bits <= 63:
+        raise ValueError(f"n_bits must be in [1, 63]: {n_bits}")
+    mat = jl_projection_matrix(dim, n_bits, seed=seed)
+    proj = random_project(df, mat, emb_col=emb_col, out_col="__p")
+    sig = F.lit(0).cast("long")
+    for i in range(n_bits):
+        bit = (F.element_at("__p", i + 1) >= 0).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return proj.select(F.col(id_col), sig.alias("simhash"))
+
+
+def srp_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 63,
+    max_hamming: int = 8,
+    n_chunks: "int | None" = None,
+    chunk_max_docs: "int | None" = None,
+    seed: int = 1,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs by SRP Hamming ball: sign-sketch every
+    vector (:func:`srp_signature`), then run the pigeonhole-banded
+    Hamming join (:func:`simhash_dup_pairs` — n_chunks defaults to
+    max_hamming + 1 for exact recall at the sketch level).  ->
+    (doc_a, doc_b, hamming) with ids from ``id_col``.
+
+    This is the third ANN tier next to bucketed cosine and IVF/PQ: 8
+    bytes per vector, no training, no float math after the one signing
+    pass — the right first pass over 10^12 embeddings where even PQ
+    codes are heavy, with survivors handed to exact cosine.  Sketch
+    error is intrinsic (hamming estimates angle); calibrate
+    max_hamming against n_bits: E[hamming] = n_bits * angle / pi."""
+    sigs = srp_signature(
+        df, dim, n_bits=n_bits, seed=seed, emb_col=emb_col, id_col=id_col
+    ).select(F.col(id_col).alias("doc_id"), "simhash")
+    return simhash_dup_pairs(
+        sigs,
+        max_hamming=max_hamming,
+        n_chunks=n_chunks if n_chunks is not None else max_hamming + 1,
+        chunk_max_docs=chunk_max_docs,
+    )

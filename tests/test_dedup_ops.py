@@ -1981,3 +1981,76 @@ def test_keyphrase_counts_carving_and_counts(spark):
         textstats.keyphrase_counts(df, min_words=3, max_words=2)
     with _pt.raises(ValueError):
         textstats.keyphrase_counts(df, stopwords=[])
+
+
+def test_srp_signature_and_pairs(spark):
+    """SRP sign sketch: scale-invariance (echo vectors sign-identical),
+    pigeonhole recall vs a brute-force hamming oracle, the angle/pi
+    estimator property, and the n_chunks=1 full-width mask edge."""
+    import math
+
+    import numpy as np
+
+    from intertext_spark.operators.dedup import srp_dup_pairs, srp_signature
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(30, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += [(i + 1000, [float(3 * x) for x in v]) for i in range(8)
+             for v in [vecs[i]]]
+    rows += [(5000, None), (5001, [1.0] * 5)]  # dropped: null / ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sigs = {r["vec_id"]: r["simhash"] for r in srp_signature(df, 16).collect()}
+    assert 5000 not in sigs and 5001 not in sigs
+    assert all(s >= 0 for s in sigs.values())  # bit 63 clear
+    assert all(sigs[i] == sigs[i + 1000] for i in range(8))
+
+    # python replay of the sketch from the same md5 matrix
+    from intertext_spark.operators.dedup import jl_projection_matrix
+
+    mat = jl_projection_matrix(16, 63, seed=1)
+    for vid in (0, 3, 17):
+        want = 0
+        for j in range(63):
+            p = 0.0
+            for a, b in zip(vecs[vid], mat[j]):
+                p += a * b
+            if p >= 0:
+                want |= 1 << j
+        assert sigs[vid] == want, vid
+
+    # brute-force recall: banded pairs == all pairs within max_hamming
+    for mh, nc in ((0, 1), (4, None), (8, None)):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in srp_dup_pairs(
+                df, 16, max_hamming=mh,
+                **({} if nc is None else {"n_chunks": nc})
+            ).collect()
+        }
+        ids = sorted(sigs)
+        want = {
+            (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+            for ai, a in enumerate(ids)
+            for b in ids[ai + 1:]
+            if bin(sigs[a] ^ sigs[b]).count("1") <= mh
+        }
+        assert got == want, (mh, nc)
+
+    # estimator: mean |hamming/63 - angle/pi| small over random pairs
+    errs = []
+    for a in range(8):
+        for b in range(a + 1, 8):
+            cos = float(
+                np.dot(vecs[a], vecs[b])
+                / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+            )
+            ang = math.acos(max(-1.0, min(1.0, cos)))
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            errs.append(abs(ham / 63 - ang / math.pi))
+    assert sum(errs) / len(errs) < 0.12
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        srp_signature(df, 16, n_bits=64)

@@ -1641,6 +1641,23 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.dedup import srp_dup_pairs as _srp
+
+    record(
+        "srp_dup_pairs",
+        _srp(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            dim=64, max_hamming=8,
+        ),
+        [
+            ("sign sketch is in-row folds + a shiftleft/OR tree — no"
+             " Python anywhere", lambda p: "Python" not in p),
+            ("chunk join is a pure equi-join, no cartesian",
+             lambda p: "Cartesian" not in p and "NestedLoop" not in p),
+            ("no window", lambda p: "Window" not in p),
+        ],
+    )
+
     from intertext_spark.curate import validate_corpus as _vcorp
 
     record(
