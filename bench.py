@@ -249,6 +249,18 @@ def run_suite(spark, sf_dir: str) -> dict:
         # shard_manifest: one map-side-combined groupBy(shard_id) with
         # md5 content keys — export-integrity throughput
         "shard_manifest",
+        # keyphrase_counts: in-row RAKE carving + RLE + one
+        # map-side-combined phrase agg + TakeOrdered — exploration cost
+        "keyphrase_counts",
+        # srp_dup_pairs: the no-training embedding dedup tier (in-row
+        # sign sketch + 9-chunk pigeonhole Hamming join)
+        "srp_dup_pairs",
+        # conv_dedup: overlap pairs -> string-node CC -> longest keeper
+        # — the end-to-end conversation-dedup verdict
+        "conv_dedup",
+        # corpus_diff: one full-outer id join + changed-rows-only
+        # in-row Jaccard — snapshot-refresh accounting throughput
+        "corpus_diff",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
