@@ -1966,6 +1966,32 @@ def _conv_overlap_pairs_q(spark, sf_dir):
     )
 
 
+def _concentration_q(spark, sf_dir):
+    """Char-mass concentration over sources (weighted mode hot).  All
+    masses are exact bigints; sum(m^2) and sum(rank*m) are exact
+    decimal sums cast to double at the end, so DuckDB's hugeint replay
+    produces the identical doubles."""
+    from intertext_spark.operators.quantiles import concentration
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.length("text").alias("nc")
+    )
+    return concentration(docs, "source", weight_col="nc")
+
+
+def _ks_stat_q(spark, sf_dir):
+    """Exact two-sample KS over the en-vs-de doc-length distributions
+    (ties hot: lengths repeat across docs).  DuckDB replays the
+    distinct-value collapse, the ECDF prefix sums, and the
+    (max d, min v) selection."""
+    from intertext_spark.operators.quantiles import ks_stat
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", F.length("text").alias("nc")
+    )
+    return ks_stat(docs, "nc", "lang", "en", "de")
+
+
 def _validate_corpus_q(spark, sf_dir):
     """Corpus integrity report over a deliberately-damaged snapshot:
     every defect class planted by doc_id residue (null ids, duplicated
@@ -3095,6 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["conv_dedup"] = _conv_dedup_q
     q["keyphrase_counts"] = _keyphrase_counts_q
     q["validate_corpus"] = _validate_corpus_q
+    q["concentration"] = _concentration_q
+    q["ks_stat"] = _ks_stat_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
     q["outlier_flags"] = _outlier_flags_q
@@ -5904,6 +5932,60 @@ deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
 r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
 {','.join(_rounds)}
 select node, cast(r as double) / {_pr_scale} as rank from {_prev}
+"""
+    # concentration: replay the group collapse, the (mass, group) rank,
+    # and the exact-integer-sum formulas (hugeint == decimal(38,0)).
+    out["concentration"] = """
+with g as (
+  select source as g, cast(sum(length(text)) as bigint) as m
+  from documents group by source
+),
+r as (
+  select m,
+         cast(row_number() over (order by m asc, g asc) as bigint) as rk
+  from g
+)
+select cast(count(*) as bigint) as n_groups,
+       cast(sum(m) as bigint) as total_mass,
+       cast(max(m) as double) / cast(sum(m) as double) as top_share,
+       cast(sum(cast(m as hugeint) * m) as double)
+         / (cast(sum(m) as double) * cast(sum(m) as double)) as hhi,
+       (2.0 * cast(sum(cast(rk as hugeint) * m) as double))
+         / (cast(count(*) as double) * cast(sum(m) as double))
+         - cast(count(*) + 1 as double) / cast(count(*) as double) as gini
+from r
+"""
+    # ks_stat: replay the distinct-value collapse, ECDF prefix sums,
+    # and the (max d, min v) pick via one ranked window.
+    out["ks_stat"] = """
+with vals as (
+  select v, cast(sum(is_a) as bigint) as ca,
+         cast(sum(1 - is_a) as bigint) as cb
+  from (
+    select length(text) as v,
+           case when lang = 'en' then 1 else 0 end as is_a
+    from documents
+    where lang in ('en', 'de') and text is not null
+  ) group by v
+),
+cum as (
+  select v,
+         cast(sum(ca) over w as bigint) as cum_a,
+         cast(sum(cb) over w as bigint) as cum_b
+  from vals
+  window w as (order by v rows between unbounded preceding and current row)
+),
+tot as (select max(cum_a) as n_a, max(cum_b) as n_b from cum),
+scored as (
+  select v, n_a, n_b,
+         abs(cast(cum_a as double) / n_a
+             - cast(cum_b as double) / n_b) as d
+  from cum, tot
+)
+select cast(n_a as bigint) as n_a, cast(n_b as bigint) as n_b,
+       d as ks_d, v as ks_at
+from scored
+qualify row_number() over (order by d desc, v asc) = 1
 """
     # validate_corpus: replay the damage plant + the per-source
     # conditional sums; dup ids = n_docs - nulls - distinct non-null.

@@ -434,3 +434,136 @@ def histogram(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+def concentration(
+    df: DataFrame,
+    group_col: str,
+    weight_col: "str | None" = None,
+) -> DataFrame:
+    """Corpus concentration profile over a categorical axis (source,
+    domain, language, shard): -> ONE row (n_groups, total_mass,
+    top_share, hhi, gini).
+
+      top_share  largest group's share of total mass
+      hhi        Herfindahl-Hirschman index, sum(share^2) — the
+                 contamination-risk number (1/hhi = effective number
+                 of independent sources)
+      gini       Gini coefficient over group masses (0 = perfectly
+                 even, -> 1 = one group holds everything), computed
+                 with the exact rank formula
+                 gini = (2 * sum(rank_i * m_i)) / (n * sum(m)) - (n+1)/n
+                 over masses sorted ascending (ties broken by group for
+                 a total order, which leaves the sum invariant since
+                 tied masses commute)
+
+    The diversity gate an exporter checks before shipping a mix: a cap
+    or mixing stage that silently funneled mass into one domain shows
+    up as hhi/top_share jumps.  ``weight_col`` (e.g. n_chars/n_tokens)
+    weighs mass; default is row counts.
+
+    Scale shape: ONE map-side-combined groupBy(group) collapses the
+    corpus to |groups| rows; everything after (rank window, the three
+    aggregates) runs on the group DIMENSION, never the data.  All
+    masses are exact bigints; shares/hhi/gini are a bounded number of
+    IEEE ops over them — engine-replayable.  No Python, no data-sized
+    window."""
+    mass = (
+        F.sum(F.col(weight_col)).cast("long")
+        if weight_col is not None
+        else F.count("*").cast("long")
+    )
+    groups = df.groupBy(F.col(group_col).alias("g")).agg(mass.alias("m"))
+    w = Window.orderBy(F.asc("m"), F.asc("g"))
+    ranked = groups.select(
+        "m", F.row_number().over(w).cast("long").alias("rk")
+    )
+    # sum(m^2) and sum(rank*m) are EXACT DECIMAL sums cast to double
+    # only at the end: a double sum is fold-order-sensitive across
+    # partitions, and m^2 overflows a long once a group holds > ~3e9
+    # mass — decimal(38,0) is exact to 10^38 and both engines round the
+    # final integer to double identically
+    dec = "decimal(38,0)"
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("m").cast("long").alias("total_mass"),
+        (F.max("m").cast("double") / F.sum("m").cast("double")).alias(
+            "top_share"
+        ),
+        (
+            F.sum(F.col("m").cast(dec) * F.col("m")).cast("double")
+            / (F.sum("m").cast("double") * F.sum("m").cast("double"))
+        ).alias("hhi"),
+        (
+            (
+                F.lit(2.0)
+                * F.sum(F.col("rk").cast(dec) * F.col("m")).cast("double")
+            )
+            / (F.count("*").cast("double") * F.sum("m").cast("double"))
+            - (F.count("*") + 1).cast("double") / F.count("*").cast("double")
+        ).alias("gini"),
+    )
+
+
+def ks_stat(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    side_a,
+    side_b,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic: D = max over the
+    observed support of |ECDF_a(v) - ECDF_b(v)| between the rows where
+    ``side_col == side_a`` and those where ``side_col == side_b`` ->
+    ONE row (n_a, n_b, ks_d, ks_at — the smallest value attaining the
+    max).  The distribution-shift detector that needs NO binning
+    choices (the complement of drift_report's PSI, which needs bin
+    edges): a new scrape whose length/quality/score distribution moved
+    shows a D jump regardless of where the movement happened.
+
+    Scale shape: the exact_quantiles discipline — one map-side-combined
+    groupBy(value, side) collapses the data to its distinct values per
+    side; the ECDF prefix sums and the max run over DISTINCT VALUES
+    only (one window + one aggregate on the value dimension).  All
+    counts exact bigints; the two ECDF divisions are single IEEE ops —
+    engine-replayable.  NULL values are ignored (SQL aggregate
+    semantics); raises on n_a or n_b == 0 at evaluation time via a
+    guarded division (NULL result rather than a silent 0)."""
+    vals = (
+        df.where(F.col(side_col).isin([side_a, side_b]))
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(value_col).alias("v"),
+            F.when(F.col(side_col) == side_a, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is_a").cast("long").alias("ca"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.select(
+        "v",
+        F.sum("ca").over(w).cast("long").alias("cum_a"),
+        F.sum("cb").over(w).cast("long").alias("cum_b"),
+    )
+    tot = cum.agg(
+        F.max("cum_a").cast("long").alias("n_a"),
+        F.max("cum_b").cast("long").alias("n_b"),
+    )
+    diff = (
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "n_a", "n_b", F.abs(diff).alias("d")
+    )
+    return scored.groupBy("n_a", "n_b").agg(
+        F.max("d").alias("ks_d"),
+        F.min_by("v", F.struct((-F.col("d")).alias("nd"), F.col("v"))).alias(
+            "ks_at"
+        ),
+    )

@@ -275,3 +275,72 @@ def test_histogram_bins_edges_and_degenerate(spark):
     assert sum(n for _, n in g) == 103 and len(g) == 2
     with pytest.raises(ValueError):
         histogram(df, "v", ["g"], n_bins=0)
+
+
+def test_concentration_exact_and_weighted(spark):
+    from intertext_spark.operators.quantiles import concentration
+
+    df = spark.createDataFrame(
+        [("a", 10)] * 5 + [("b", 1)] * 3 + [("c", 1)] * 2, "g string, w int"
+    )
+    [r] = concentration(df, "g").collect()
+    # counts 5/3/2: shares .5/.3/.2
+    assert (r["n_groups"], r["total_mass"], r["top_share"]) == (3, 10, 0.5)
+    assert r["hhi"] == (25 + 9 + 4) / 100.0
+    # gini over sorted masses [2,3,5], ranks 1..3:
+    # 2*(1*2+2*3+3*5)/(3*10) - 4/3
+    assert abs(r["gini"] - (2 * 23 / 30 - 4 / 3)) < 1e-15
+    # weighted: masses 50/3/2
+    [w] = concentration(df, "g", weight_col="w").collect()
+    assert w["total_mass"] == 55 and w["top_share"] == 50 / 55
+    # uniform -> gini 0, hhi 1/n
+    u = spark.createDataFrame([("x",), ("y",), ("z",), ("q",)], "g string")
+    [g0] = concentration(u, "g").collect()
+    assert g0["gini"] == 0.0 and g0["hhi"] == 0.25
+    # single group -> top_share 1, hhi 1, gini 0
+    [g1] = concentration(u.where("g = 'x'"), "g").collect()
+    assert (g1["top_share"], g1["hhi"], g1["gini"]) == (1.0, 1.0, 0.0)
+    # layout invariance (exact decimal sums)
+    [r2] = concentration(df.repartition(7), "g").collect()
+    assert tuple(r2) == tuple(r)
+
+
+def test_ks_stat_known_and_random(spark):
+    import random
+
+    from intertext_spark.operators.quantiles import ks_stat
+
+    # uniform 0..9 vs the same shifted by 3 -> D = 3/10 at v = 3
+    rows = [("x", float(i)) for i in range(10)]
+    rows += [("y", float(i) + 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "s string, v double")
+    [r] = ks_stat(df, "v", "s", "x", "y").collect()
+    assert (r["n_a"], r["n_b"]) == (10, 10)
+    assert abs(r["ks_d"] - 0.3) < 1e-12 and r["ks_at"] == 3.0
+    # identical samples -> D = 0
+    same = spark.createDataFrame(
+        [("x", float(i % 5)) for i in range(20)]
+        + [("y", float(i % 5)) for i in range(20)],
+        "s string, v double",
+    )
+    [r0] = ks_stat(same, "v", "s", "x", "y").collect()
+    assert r0["ks_d"] == 0.0
+    # randomized vs a python ECDF oracle (ties + unequal sizes + NULLs)
+    rng = random.Random(23)
+    a = [rng.randint(0, 15) for _ in range(37)]
+    b = [rng.randint(3, 20) for _ in range(53)]
+    rows = [("x", float(v)) for v in a] + [("y", float(v)) for v in b]
+    rows += [("x", None), ("z", 99.0)]  # ignored: null value, other side
+    df2 = spark.createDataFrame(rows, "s string, v double")
+    [g] = ks_stat(df2, "v", "s", "x", "y").collect()
+    support = sorted(set(a) | set(b))
+    best, at = -1.0, None
+    for v in support:
+        d = abs(
+            sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for y in b if y <= v) / len(b)
+        )
+        if d > best:
+            best, at = d, v
+    assert (g["n_a"], g["n_b"]) == (37, 53)
+    assert abs(g["ks_d"] - best) < 1e-12 and g["ks_at"] == float(at)

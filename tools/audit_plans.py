@@ -1641,6 +1641,28 @@ def main():
         ],
     )
 
+    from intertext_spark.operators.quantiles import (
+        concentration as _conc,
+        ks_stat as _ks,
+    )
+
+    record(
+        "concentration", _conc(docs_tbl, "source", weight_col="n_chars"),
+        [
+            ("corpus collapses to |groups| rows map-side before any"
+             " window/agg", lambda p: "partial_sum" in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+    record(
+        "ks_stat", _ks(docs_tbl, "n_chars", "lang", "en", "de"),
+        [
+            ("data collapses to distinct values map-side before the"
+             " ECDF window", lambda p: "partial_sum" in p),
+            ("no Python", lambda p: "Python" not in p),
+        ],
+    )
+
     from intertext_spark.operators.dedup import srp_dup_pairs as _srp
 
     record(
