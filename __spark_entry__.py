@@ -1966,6 +1966,21 @@ def _conv_overlap_pairs_q(spark, sf_dir):
     )
 
 
+def _temperature_allocation_q(spark, sf_dir):
+    """mC4-style temperature allocation of a 1M-token budget across
+    sources (alpha 0.3, char-weighted).  pow rides on the share (<= 1)
+    and is quantized at 1e6 (the soft_dedup convention); everything
+    after is exact long math DuckDB replays with hugeint."""
+    from intertext_spark.operators.sampling import temperature_allocation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", F.length("text").alias("nc")
+    )
+    return temperature_allocation(
+        docs, budget=1_000_000, alpha=0.3, weight_col="nc"
+    )
+
+
 def _concentration_q(spark, sf_dir):
     """Char-mass concentration over sources (weighted mode hot).  All
     masses are exact bigints; sum(m^2) and sum(rank*m) are exact
@@ -3122,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["keyphrase_counts"] = _keyphrase_counts_q
     q["validate_corpus"] = _validate_corpus_q
     q["concentration"] = _concentration_q
+    q["temperature_allocation"] = _temperature_allocation_q
     q["ks_stat"] = _ks_stat_q
     q["rolling_stats"] = _rolling_stats_q
     q["retention_cohorts"] = _retention_cohorts_q
@@ -5932,6 +5948,33 @@ deg as (select src, cast(count(*) as bigint) as deg from edges group by 1),
 r0 as (select node, cast({_pr_scale} as bigint) // ns.n as r from nodes, ns),
 {','.join(_rounds)}
 select node, cast(r as double) / {_pr_scale} as rank from {_prev}
+"""
+    # temperature_allocation: replay group masses -> quantized
+    # share^alpha weights -> exact integer budget split (hugeint).
+    out["temperature_allocation"] = """
+with g as (
+  select source, cast(sum(length(text)) as bigint) as n_units
+  from documents group by source
+),
+t as (select cast(sum(n_units) as bigint) as N from g),
+w as (
+  select source, n_units,
+         cast(floor(pow(cast(n_units as double) / N, 0.3) * 1000000
+                    + 0.5) as bigint) as q
+  from g, t
+),
+s as (select cast(sum(q) as bigint) as qsum from w)
+select source, n_units,
+       cast(case when qsum > 0
+                 then (cast(1000000 as hugeint) * q) // qsum
+                 else 0 end as bigint) as alloc,
+       case when n_units > 0
+            then cast((case when qsum > 0
+                            then (cast(1000000 as hugeint) * q) // qsum
+                            else 0 end) as double)
+                 / cast(n_units as double)
+            else 0.0 end as epochs
+from w, s
 """
     # concentration: replay the group collapse, the (mass, group) rank,
     # and the exact-integer-sum formulas (hugeint == decimal(38,0)).

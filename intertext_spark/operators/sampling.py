@@ -699,3 +699,75 @@ def stratified_sample(
         .where(F.col("rank") <= n_per_group)
         .select(id_col, group_col, "rank")
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    budget: int,
+    alpha: float = 0.3,
+    key_col: str = "source",
+    weight_col: "str | None" = None,
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled source allocation (the mBERT/mC4 exponentiated
+    smoothing rule temperature sampling uses, alpha = 1/T): source i
+    gets budget share proportional to (n_i / N) ** alpha — alpha < 1
+    up-samples low-resource sources, alpha = 1 is proportional.  The
+    historical counterpart to unimax_allocation (same output shape:
+    (<key_col>, n_units, alloc, epochs)), still the standard for
+    multilingual mixes where a hard epoch cap is not wanted.
+
+    Integer discipline: the only non-replayable op, pow, is applied to
+    the SHARE (n_i / N, always <= 1, so its ulp error is absolute
+    ~1e-16) and immediately quantized to ``quantize_digits`` digits —
+    the soft_dedup convention — giving integer weights q_i <= 10^d;
+    alloc_i = budget * q_i // sum(q) is exact long math (validated:
+    budget * 10^d must fit a signed long), so allocations are
+    bit-identical on any engine or layout.  sum(alloc) <= budget with
+    shortfall < n_sources; a source whose share^alpha quantizes to 0
+    gets nothing (raise ``quantize_digits`` if that matters).
+
+    Scale shape: ONE map-side-combined groupBy(key) to |sources| rows,
+    then two 1-row broadcasts (N, sum q) — no driver collect, no
+    data-sized anything after the first agg."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0: {budget}")
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1]: {alpha}")
+    scale = 10 ** quantize_digits
+    if budget * scale >= (1 << 63):
+        raise ValueError(
+            f"budget * 10^{quantize_digits} must fit a signed long"
+        )
+    unit = F.count("*") if weight_col is None else F.sum(weight_col)
+    groups = df.groupBy(F.col(key_col).alias(key_col)).agg(
+        unit.cast("long").alias("n_units")
+    )
+    tot = F.broadcast(groups.agg(F.sum("n_units").cast("long").alias("N")))
+    q = F.floor(
+        F.pow(F.col("n_units").cast("double") / F.col("N"), F.lit(alpha))
+        * scale
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = groups.crossJoin(tot).select(
+        key_col, "n_units", q.alias("q")
+    )
+    qsum = F.broadcast(weighted.agg(F.sum("q").cast("long").alias("qsum")))
+    return (
+        weighted.crossJoin(qsum)
+        .select(
+            key_col,
+            "n_units",
+            F.when(F.col("qsum") > 0, F.expr(f"({budget} * q) div qsum"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("alloc"),
+        )
+        .withColumn(
+            "epochs",
+            F.when(
+                F.col("n_units") > 0,
+                F.col("alloc").cast("double") / F.col("n_units").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

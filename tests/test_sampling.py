@@ -662,3 +662,44 @@ def test_stratified_sample_quota_and_python_oracle(spark):
 
     with pytest.raises(ValueError):
         sampling.stratified_sample(df, 0)
+
+
+def test_temperature_allocation_properties(spark):
+    import math
+
+    from intertext_spark.operators.sampling import temperature_allocation
+
+    df = spark.createDataFrame(
+        [("big",)] * 90 + [("small",)] * 10, "source string"
+    )
+    # alpha = 1: exactly proportional
+    got1 = {r["source"]: r for r in temperature_allocation(df, 1000, alpha=1.0).collect()}
+    assert got1["big"]["alloc"] == 900 and got1["small"]["alloc"] == 100
+    # alpha < 1 up-samples the small source; python replay is exact
+    got = {r["source"]: r for r in temperature_allocation(df, 1000, alpha=0.3).collect()}
+    q = {k: math.floor((n / 100) ** 0.3 * 10**6 + 0.5)
+         for k, n in (("big", 90), ("small", 10))}
+    Q = sum(q.values())
+    for k in ("big", "small"):
+        assert got[k]["alloc"] == 1000 * q[k] // Q, k
+        assert got[k]["epochs"] == got[k]["alloc"] / got[k]["n_units"]
+    assert got["small"]["epochs"] > got1["small"]["epochs"]
+    # conservation: sum(alloc) <= budget, shortfall < n_sources
+    s = sum(r["alloc"] for r in got.values())
+    assert 1000 - len(got) < s <= 1000
+    # weighted mode + layout invariance
+    w = spark.createDataFrame(
+        [("a", 7), ("a", 3), ("b", 90)], "source string, n int"
+    )
+    r1 = sorted(tuple(r) for r in temperature_allocation(w, 500, alpha=0.5, weight_col="n").collect())
+    r2 = sorted(tuple(r) for r in temperature_allocation(w.repartition(5), 500, alpha=0.5, weight_col="n").collect())
+    assert r1 == r2
+    assert {t[0]: t[1] for t in r1} == {"a": 10, "b": 90}
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        temperature_allocation(df, -1)
+    with _pt.raises(ValueError):
+        temperature_allocation(df, 10, alpha=1.5)
+    with _pt.raises(ValueError):
+        temperature_allocation(df, 10**13, quantize_digits=6)
