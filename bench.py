@@ -266,6 +266,20 @@ def run_suite(spark, sf_dir: str) -> dict:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # srp arrow path: the PRODUCTION signing throughput (one numpy
+    # matmul + bit-pack per Arrow batch; the fold path the gate row
+    # measures is the interpreted cross-engine parity shape, ~1000x
+    # slower per vector — see dedup.srp_signature)
+    from intertext_spark.operators.ckpt import release_checkpoint
+    from intertext_spark.operators.dedup import srp_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t0 = time.time()
+    srp_out = srp_dup_pairs(emb, dim=64, max_hamming=8, method="arrow")
+    srp_out.write.format("noop").mode("overwrite").save()
+    timings["srp_dup_pairs_arrow"] = round(time.time() - t0, 3)
+    release_checkpoint(srp_out)
+
     dt, n_turns, n_matches = _bench_pipeline(spark, sf_dir)
     timings["pipeline_matches"] = round(dt, 3)
     return {

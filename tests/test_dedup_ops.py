@@ -2054,3 +2054,39 @@ def test_srp_signature_and_pairs(spark):
 
     with _pt.raises(ValueError):
         srp_signature(df, 16, n_bits=64)
+
+
+def test_srp_arrow_method_and_cache_release(spark):
+    """Arrow signing == fold signing bit-for-bit on real-shaped vectors;
+    srp_dup_pairs materializes sigs ONCE (checkpoint) and the returned
+    frame releases to baseline via release_checkpoint."""
+    import numpy as np
+
+    from conftest import cached_rdd_ids
+    from intertext_spark.operators.ckpt import release_checkpoint
+    from intertext_spark.operators.dedup import srp_dup_pairs, srp_signature
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 24))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    fold = {r["vec_id"]: r["simhash"] for r in srp_signature(df, 24).collect()}
+    arrow = {
+        r["vec_id"]: r["simhash"]
+        for r in srp_signature(df, 24, method="arrow").collect()
+    }
+    assert fold == arrow
+    baseline = cached_rdd_ids(spark)
+    out = srp_dup_pairs(df, 24, max_hamming=8, method="arrow")
+    a_pairs = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in out.collect()}
+    release_checkpoint(out)
+    assert cached_rdd_ids(spark) - baseline == set()
+    out2 = srp_dup_pairs(df, 24, max_hamming=8)
+    f_pairs = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in out2.collect()}
+    release_checkpoint(out2)
+    assert a_pairs == f_pairs
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        srp_signature(df, 24, method="nope")
