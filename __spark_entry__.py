@@ -2693,6 +2693,43 @@ def _rrf_hybrid_q(spark, sf_dir):
     return rrf_fuse([a, b], k=10)
 
 
+def _retrieval_eval_q(spark, sf_dir):
+    """Ranker-vs-ranker evaluation over the shared BM25 query set: the
+    coverage ranker's top-10 scored against BM25's top-10 as the
+    relevant set (the ANN-recall measurement shape: candidate ranking
+    vs ground truth).  The DCG gains / ideal-DCG prefix sums are
+    quantized literal arrays summed as bigints; DuckDB replays both
+    rankers (the rrf_hybrid CTEs verbatim) and the identical metric
+    arithmetic."""
+    from intertext_spark.operators.textstats import bm25_topk, retrieval_eval
+
+    docs = _docs(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id long, query_text string"
+    )
+    truth = bm25_topk(docs, qdf, k=10).select("query_id", "doc_id")
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    qws = F.filter(
+        F.split("query_text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != ""
+    )
+    qt = qdf.select("query_id", F.explode(qws).alias("term")).distinct()
+    dt = docs.select("doc_id", F.explode(ws).alias("term")).distinct()
+    cov = (
+        dt.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").cast("long").alias("cov"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("query_id").orderBy(F.desc("cov"), F.asc("doc_id"))
+    results = (
+        cov.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "rank")
+    )
+    return retrieval_eval(results, truth, k=10)
+
+
 def _pagerank_q(spark, sf_dir):
     """3-round PageRank over the customer->order bipartite graph
     (orders are dangling nodes, so the uniform-redistribution path is
@@ -3129,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
+    q["retrieval_eval"] = _retrieval_eval_q
     q["pagerank"] = _pagerank_q
     q["triangle_counts"] = _triangle_counts_q
     q["corpus_diff"] = _corpus_diff_q
@@ -5912,6 +5950,80 @@ r as (
 )
 select query_id, doc_id, score, cast(rank as bigint) as rank
 from r where rank <= 10
+"""
+    # retrieval_eval: both rankers replayed (the rrf_hybrid CTEs), then
+    # the identical quantized metric arithmetic.  The DCG gain / ideal-
+    # DCG literals come from retrieval_gains — the SAME table the Spark
+    # operator binds, so both engines sum identical bigints.
+    from intertext_spark.operators.textstats import (  # noqa: E402
+        retrieval_gains as _rg,
+    )
+
+    _re_gains, _re_cumg = _rg(10, 10 ** 9)
+    _re_gains_sql = "[" + ",".join(str(g) for g in _re_gains) + "]"
+    _re_cumg_sql = "[" + ",".join(str(c) for c in _re_cumg) + "]"
+    out["retrieval_eval"] = f"""
+with a as ({_bm25_sql}),
+qv(query_id, query_text) as (values (1, 'spark join window'),
+   (2, 'hash merge sort order'), (3, 'customer line value'),
+   (4, 'stream batch vector data')),
+qt as (
+  select distinct query_id, unnest(list_filter(
+    regexp_split_to_array(query_text, '\\s+'), x -> x != '')) as term
+  from qv
+),
+dt as (
+  select distinct doc_id, unnest(list_filter(
+    regexp_split_to_array(text, '\\s+'), x -> x != '')) as term
+  from documents
+),
+cov as (
+  select qt.query_id, dt.doc_id, count(*) as cov
+  from dt join qt using(term)
+  group by 1, 2
+),
+res as (
+  select query_id, doc_id, rank from (
+    select query_id, doc_id,
+           row_number() over (partition by query_id
+                              order by cov desc, doc_id) as rank
+    from cov
+  ) where rank <= 10
+),
+tru as (select distinct query_id, doc_id from a),
+tcnt as (select query_id, cast(count(*) as bigint) as n_relevant
+         from tru group by 1),
+rcnt as (select query_id, cast(count(*) as bigint) as n_retrieved
+         from res group by 1),
+hits as (
+  select res.query_id, cast(count(*) as bigint) as n_hits,
+         cast(min(res.rank) as bigint) as first_hit,
+         cast(sum(({_re_gains_sql})[cast(res.rank as int)]) as bigint)
+           as dcg_q
+  from res join tru on res.query_id = tru.query_id
+                   and res.doc_id = tru.doc_id
+  group by 1
+)
+select t.query_id, t.n_relevant,
+       coalesce(r.n_retrieved, 0) as n_retrieved,
+       coalesce(h.n_hits, 0) as n_hits,
+       cast(coalesce(h.n_hits, 0) as double) / 10.0 as precision_at_k,
+       case when t.n_relevant > 0
+            then cast(coalesce(h.n_hits, 0) as double)
+                 / cast(t.n_relevant as double)
+            else 0.0 end as recall_at_k,
+       case when h.first_hit is not null
+            then cast(floor(1000000000 / cast(h.first_hit as double)
+                            + 0.5) as double) / 1000000000.0
+            else 0.0 end as mrr,
+       case when t.n_relevant > 0
+            then cast(coalesce(h.dcg_q, 0) as double)
+                 / cast(({_re_cumg_sql})[cast(least(t.n_relevant, 10)
+                                              as int)] as double)
+            else 0.0 end as ndcg_at_k
+from tcnt t
+left join rcnt r on t.query_id = r.query_id
+left join hits h on t.query_id = h.query_id
 """
     # pagerank: DuckDB replays the 3 integer rounds (CTE chain built by
     # the same loop that sets the round count — one source of truth).

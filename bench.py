@@ -261,6 +261,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # corpus_diff: one full-outer id join + changed-rows-only
         # in-row Jaccard — snapshot-refresh accounting throughput
         "corpus_diff",
+        # retrieval_eval: two full rankers + the query-dimension metric
+        # layer (recall/MRR/nDCG) — evaluation-harness cost
+        "retrieval_eval",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

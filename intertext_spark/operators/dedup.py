@@ -1892,7 +1892,9 @@ def random_project(
 
         @F.pandas_udf(T.ArrayType(T.DoubleType()))
         def _proj(s: pd.Series) -> pd.Series:
-            x = np.asarray(list(s), dtype=np.float64)  # batch x dim
+            # reshape pins batch x dim even for a zero-row batch, where
+            # np.asarray([]) would collapse to shape (0,) and break @
+            x = np.asarray(list(s), dtype=np.float64).reshape(len(s), dim)
             y = x @ mat_t
             return pd.Series(list(y))
 
@@ -1962,7 +1964,9 @@ def srp_signature(
 
         @F.pandas_udf(T.LongType())
         def _sig(s: pd.Series) -> pd.Series:
-            x = np.asarray(list(s), dtype=np.float64)  # batch x dim
+            # reshape pins batch x dim even for a zero-row batch (the
+            # random_project arrow-path guard)
+            x = np.asarray(list(s), dtype=np.float64).reshape(len(s), dim)
             bits = (x @ mat_t) >= 0.0  # batch x n_bits
             packed = (bits.astype(np.uint64) * weights).sum(axis=1)
             return pd.Series(packed.astype(np.int64))

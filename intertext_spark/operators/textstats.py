@@ -2151,6 +2151,136 @@ def rrf_fuse(
     )
 
 
+def retrieval_gains(k: int, scale: int) -> "tuple[list[int], list[int]]":
+    """Quantized DCG gain per rank (scale / log2(r+1), floor-round-
+    half-up) and its prefix sums (the ideal-DCG table) — the ONE source
+    of truth for :func:`retrieval_eval` and its external-engine twins,
+    so both engines sum the identical bigint literals."""
+    import math
+
+    gains = [
+        int(math.floor(scale / math.log2(r + 1) + 0.5))
+        for r in range(1, k + 1)
+    ]
+    cumg, t = [], 0
+    for g in gains:
+        t += g
+        cumg.append(t)
+    return gains, cumg
+
+
+def retrieval_eval(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    quantize_digits: int = 9,
+) -> DataFrame:
+    """Ranked-retrieval quality metrics per query — the evaluation
+    harness for every ranker in the repo (bm25_topk, the ANN family,
+    rrf_fuse): given a candidate ranking and a ground-truth relevant
+    set, emit (query_id, n_relevant, n_retrieved, n_hits,
+    precision_at_k, recall_at_k, mrr, ndcg_at_k).  This is how an ANN
+    index's recall@k against brute-force truth, or a fused ranker
+    against human labels, gets measured before anything ships.
+
+    Semantics: ``truth`` rows define the (binary) relevant set per
+    query — duplicates collapse; a ``rank`` column on truth is ignored.
+    ``results`` must carry unique 1-based ranks per query; rows with
+    rank > k are ignored.  The output spine is the TRUTH query set
+    (queries with no results score zeros; result-only queries have no
+    ground truth and are dropped — evaluation is undefined there).
+    mrr = 1/rank of the first relevant hit; ndcg uses binary gains
+    1/log2(rank+1) with the ideal DCG from min(n_relevant, k) perfect
+    ranks.
+
+    Cross-engine determinism: the per-rank DCG gains and the ideal-DCG
+    prefix sums are PRECOMPUTED literal arrays quantized to
+    ``quantize_digits`` (scale/log2(r+1), round-half-up) and summed as
+    exact bigints; mrr is floor(scale/rank + 0.5)/scale; every ratio is
+    one final int/int division — so an external engine replaying the
+    same literals produces bit-identical doubles regardless of layout.
+
+    Scale shape: every frame here is ranked-list-sized (|Q| x k) or
+    query-dimension-sized (|Q|) — the corpus never appears.  One
+    (query, doc) equi-join for hits, three query-keyed aggregations,
+    two query-keyed joins; no windows, no Python."""
+    scale = 10 ** quantize_digits
+    gains, cumg = retrieval_gains(k, scale)
+    gains_lit = F.array(*[F.lit(g).cast("long") for g in gains])
+    cumg_lit = F.array(*[F.lit(c).cast("long") for c in cumg])
+
+    res = results.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).where(F.col("rank") <= k)
+    tru = truth.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+    ).distinct()
+
+    tcnt = tru.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_relevant")
+    )
+    rcnt = res.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("n_retrieved")
+    )
+    hits = (
+        res.join(tru, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.min("rank").alias("first_hit"),
+            F.sum(F.element_at(gains_lit, F.col("rank").cast("int")))
+            .cast("long")
+            .alias("dcg_q"),
+        )
+    )
+    base = (
+        tcnt.join(rcnt, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .na.fill({"n_retrieved": 0, "n_hits": 0, "dcg_q": 0})
+    )
+    idcg = F.element_at(
+        cumg_lit, F.least(F.col("n_relevant"), F.lit(k)).cast("int")
+    )
+    return base.select(
+        "query_id",
+        "n_relevant",
+        "n_retrieved",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(k))).alias(
+            "precision_at_k"
+        ),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.col("n_hits").cast("double")
+            / F.col("n_relevant").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall_at_k"),
+        (
+            F.when(
+                F.col("first_hit").isNotNull(),
+                F.floor(
+                    F.lit(scale) / F.col("first_hit").cast("double")
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(float(scale)),
+            ).otherwise(F.lit(0.0))
+        ).alias("mrr"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.col("dcg_q").cast("double") / idcg.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg_at_k"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_words: int = 200,

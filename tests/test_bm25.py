@@ -124,3 +124,92 @@ def test_rrf_fuse_three_lists_and_k_cut(spark):
     assert len(rows) == 2
     assert rows[0]["doc_id"] == 6  # ranks (2,1,2) beat (1,3,3) and (3,2,1)
     plan = rows is not None
+
+
+def _eval_rows(spark, results, truth, k=10):
+    from intertext_spark.operators.textstats import retrieval_eval
+
+    r = spark.createDataFrame(
+        results, "query_id long, doc_id long, rank long"
+    )
+    t = spark.createDataFrame(truth, "query_id long, doc_id long")
+    return {
+        row["query_id"]: row.asDict()
+        for row in retrieval_eval(r, t, k=k).collect()
+    }
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """q1: ranks 1..4 over docs 10..13, relevant {11, 13, 99}: hits at
+    ranks 2 and 4, first hit rank 2, |rel|=3."""
+    import math
+
+    got = _eval_rows(
+        spark,
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)],
+        [(1, 11), (1, 13), (1, 99)],
+        k=10,
+    )[1]
+    S = 10**9
+    g = [math.floor(S / math.log2(r + 1) + 0.5) for r in range(1, 11)]
+    assert got["n_relevant"] == 3
+    assert got["n_retrieved"] == 4
+    assert got["n_hits"] == 2
+    assert got["precision_at_k"] == 2 / 10.0
+    assert got["recall_at_k"] == 2 / 3
+    assert got["mrr"] == math.floor(S / 2 + 0.5) / S
+    assert got["ndcg_at_k"] == (g[1] + g[3]) / (g[0] + g[1] + g[2])
+
+
+def test_retrieval_eval_perfect_and_zero(spark):
+    got = _eval_rows(
+        spark,
+        # q1 ranks its 3 relevant docs 1-2-3: perfect.  q2 retrieves
+        # nothing relevant.  q3 has truth but no results at all.
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 50, 1), (2, 51, 2)],
+        [(1, 10), (1, 11), (1, 12), (2, 77), (3, 88)],
+        k=5,
+    )
+    assert got[1]["recall_at_k"] == 1.0
+    assert got[1]["mrr"] == 1.0
+    assert got[1]["ndcg_at_k"] == 1.0
+    assert got[2]["n_hits"] == 0
+    assert (got[2]["mrr"], got[2]["ndcg_at_k"]) == (0.0, 0.0)
+    assert got[3] == {
+        "query_id": 3, "n_relevant": 1, "n_retrieved": 0, "n_hits": 0,
+        "precision_at_k": 0.0, "recall_at_k": 0.0, "mrr": 0.0,
+        "ndcg_at_k": 0.0,
+    }
+
+
+def test_retrieval_eval_truth_spine_and_rank_cap(spark):
+    """Result-only queries drop (no ground truth); results past rank k
+    are invisible; n_relevant > k caps the ideal DCG at k terms."""
+    import math
+
+    got = _eval_rows(
+        spark,
+        [(1, d, d + 1) for d in range(6)] + [(9, 1, 1)],
+        [(1, d) for d in range(8)],
+        k=3,
+    )
+    assert set(got) == {1}  # query 9 has no truth -> dropped
+    r = got[1]
+    assert r["n_retrieved"] == 3  # ranks 1..3 of the 6 result rows
+    assert r["n_hits"] == 3
+    assert r["recall_at_k"] == 3 / 8
+    S = 10**9
+    g = [math.floor(S / math.log2(x + 1) + 0.5) for x in range(1, 4)]
+    assert r["ndcg_at_k"] == sum(g) / sum(g)  # ideal capped at k=3
+
+
+def test_retrieval_eval_truth_duplicates_collapse(spark):
+    got = _eval_rows(
+        spark,
+        [(1, 10, 1)],
+        [(1, 10), (1, 10), (1, 11), (1, 11)],
+        k=5,
+    )[1]
+    assert got["n_relevant"] == 2
+    assert got["n_hits"] == 1
+    assert got["recall_at_k"] == 0.5

@@ -1727,6 +1727,22 @@ def main():
         ],
     )
 
+    record(
+        "retrieval_eval", e.queries()["retrieval_eval"](spark, sf_dir),
+        [
+            ("no cartesian product anywhere (rankers + metric joins)",
+             lambda p: "CartesianProduct" not in p),
+            ("metric layer is join+agg only: no window beyond the"
+             " rankers' own per-query rank windows",
+             lambda p: p.count("windowspecdefinition")
+             == p.count("windowspecdefinition(query_id")),
+            ("hit/metric aggregations partial-aggregate map-side",
+             lambda p: "partial_count" in p or "partial_sum" in p),
+            ("no Python execution stage",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
     spark.stop()
     failed = [c for c in checks if not c[2]]
     print(f"\n{len(checks) - len(failed)}/{len(checks)} plan assertions hold; "
