@@ -1220,6 +1220,18 @@ def _funnel_q(spark, sf_dir):
     )
 
 
+def _event_sequences_q(spark, sf_dir):
+    """Top-50 3-step event sequences over the full events table —
+    the discovery complement to the funnel gate.  event_id breaks ts
+    ties (layout-proof order), the top-50 cut ties on the joined
+    sequence string; DuckDB replays the lead windows, the
+    completeness filter, and the identical ordered cut."""
+    from intertext_spark.operators.temporal import event_sequences
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
+
+
 def _random_project_q(spark, sf_dir):
     """Sparse JL projection 64 -> 8 dims: the matrix is md5-derived
     (engine-independent), the per-dim dot product is a sequential
@@ -3163,6 +3175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["drift_report"] = _drift_report_q
     q["asof_join"] = _asof_join_q
     q["funnel"] = _funnel_q
+    q["event_sequences"] = _event_sequences_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -5825,6 +5838,31 @@ select user_id,
        epoch_us(min(t0)) as t0_us, epoch_us(min(t1)) as t1_us,
        epoch_us(min(t2)) as t2_us, epoch_us(min(t3)) as t3_us
 from s3 group by user_id, t0, t1, t2, t3
+"""
+    # event_sequences: replay the lead windows (ts ties broken by
+    # event_id), the all-non-null completeness filter, and the ordered
+    # top-50 cut tie-broken on the \x1f-joined sequence string.
+    out["event_sequences"] = """
+with e as (
+  select user_id, event_type, ts, event_id from events
+  where ts is not null and event_type is not null
+),
+s as (
+  select user_id,
+         [event_type,
+          lead(event_type, 1) over w,
+          lead(event_type, 2) over w] as seq
+  from e
+  window w as (partition by user_id order by ts, event_id)
+),
+f as (select * from s
+      where seq[2] is not null and seq[3] is not null),
+g as (select seq, cast(count(*) as bigint) as n_occurrences,
+             cast(count(distinct user_id) as bigint) as n_keys
+      from f group by seq)
+select seq, n_occurrences, n_keys from g
+order by n_occurrences desc, array_to_string(seq, chr(31))
+limit 50
 """
     # random_project: the md5-derived JL matrix is rendered as a list
     # literal (same floats, shortest-roundtrip repr) and the per-dim

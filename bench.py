@@ -264,6 +264,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # retrieval_eval: two full rankers + the query-dimension metric
         # layer (recall/MRR/nDCG) — evaluation-harness cost
         "retrieval_eval",
+        # event_sequences: one key-window exchange (k-1 leads) + one
+        # map-side-combined seq groupBy + TakeOrdered — path mining
+        "event_sequences",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

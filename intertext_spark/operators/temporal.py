@@ -329,3 +329,64 @@ def interval_join(
             *[F.col("__r")[c].alias(f"{c}{suffix}") for c in rcols],
         )
     )
+
+
+def event_sequences(
+    df: DataFrame,
+    k: int = 3,
+    top_n: int = 100,
+    key_cols: "list[str] | None" = None,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Frequent consecutive event sequences — the DISCOVERY complement
+    to :func:`funnel`: funnel measures a sequence you name; this mines
+    which k-step sequences actually dominate the telemetry ("which
+    3-step paths precede an error", "what do stuck agents do on loop").
+    -> (seq array<string>, n_occurrences, n_keys) for the ``top_n``
+    most frequent length-``k`` consecutive sequences, ordered by count
+    desc then sequence asc.
+
+    Determinism: per-key event order is (ts, tie_col) — pass a unique
+    ``tie_col`` (an event id) whenever timestamps can collide, or
+    equal-ts events make the sequence layout-dependent.  The final
+    ordering ties on the '\\x1f'-joined sequence string, so the top-n
+    cut is identical on any engine or layout.
+
+    Scale shape: ONE key exchange — the k-1 ``lead`` columns all ride
+    the same window partitioning; then one map-side-combined
+    groupBy(seq) (n_keys via the two-phase distinct agg) and a top-n
+    heap (TakeOrdered), never a global sort of the sequence table.
+    Monster keys hit the same single-task caveat as any ordered per-key
+    operator (see asof_join)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    key_cols = list(key_cols or ["user_id"])
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tie_col).asc()] if tie_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(type_col).isNotNull()
+    )
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, k)
+    ]
+    seqd = base.select(
+        *key_cols, F.array(*steps).alias("seq")
+    ).where(
+        ~F.array_contains(F.transform("seq", lambda x: x.isNull()), True)
+    )
+    return (
+        seqd.groupBy("seq")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.count_distinct(*key_cols).cast("long").alias("n_keys"),
+        )
+        .orderBy(
+            F.desc("n_occurrences"),
+            F.asc(F.concat_ws("\x1f", "seq")),
+        )
+        .limit(top_n)
+    )

@@ -283,3 +283,102 @@ def test_interval_join_brute_force_and_bucket_invariance(spark):
     )
     rows = interval_join(l2, r2, ["k"], bucket_size=5).collect()
     assert [(r["lid"], r["rid_r"]) for r in rows] == [(1, 7)]
+
+
+def test_event_sequences_brute_force(spark):
+    """Randomized streams vs a python sliding-window oracle, ts ties
+    broken by the tie column."""
+    import random
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from intertext_spark.operators.temporal import event_sequences
+
+    rng = random.Random(7)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(12):
+        for _ in range(rng.randint(0, 25)):
+            # coarse timestamps force ties WITHIN a user stream
+            ts = t0 + timedelta(seconds=rng.randint(0, 10))
+            rows.append((u, ts, rng.choice("abcd"), eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    k = 3
+    got = [
+        (tuple(r["seq"]), r["n_occurrences"], r["n_keys"])
+        for r in event_sequences(
+            df, k=k, top_n=1000, tie_col="event_id"
+        ).collect()
+    ]
+
+    per_user = {}
+    for u, ts, et, e in rows:
+        per_user.setdefault(u, []).append((ts, e, et))
+    occ, keys = Counter(), {}
+    for u, evs in per_user.items():
+        evs.sort()
+        stream = [et for _, _, et in evs]
+        for i in range(len(stream) - k + 1):
+            s = tuple(stream[i : i + k])
+            occ[s] += 1
+            keys.setdefault(s, set()).add(u)
+    want = sorted(
+        ((s, n, len(keys[s])) for s, n in occ.items()),
+        key=lambda x: (-x[1], "\x1f".join(x[0])),
+    )
+    assert got == want
+
+
+def test_event_sequences_top_n_tie_cut_and_k1(spark):
+    from datetime import datetime, timedelta
+
+    from intertext_spark.operators.temporal import event_sequences
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + timedelta(seconds=i), et, i)
+        for i, et in enumerate(["b", "x", "b", "x", "a", "y", "a", "y"])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    # k=2 sequences: bx x2, xb, xa, ay x2, ya — top_3 must take the two
+    # count-2 seqs then the string-smallest count-1 seq ([x,a] < [x,b]... no:
+    # ties at count 1 are ax? compute: pairs: (b,x),(x,b),(b,x),(x,a),(a,y),(y,a),(a,y)
+    got = [
+        tuple(r["seq"])
+        for r in event_sequences(df, k=2, top_n=3).collect()
+    ]
+    assert got == [("a", "y"), ("b", "x"), ("x", "a")]
+    # k=1 degenerates to event counts
+    got1 = {
+        tuple(r["seq"]): r["n_occurrences"]
+        for r in event_sequences(df, k=1, top_n=10).collect()
+    }
+    assert got1 == {("a",): 2, ("b",): 2, ("x",): 2, ("y",): 2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        event_sequences(df, k=0)
+
+
+def test_event_sequences_never_crosses_keys(spark):
+    from datetime import datetime, timedelta
+
+    from intertext_spark.operators.temporal import event_sequences
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, t0, "a", 0), (1, t0 + timedelta(seconds=1), "b", 1),
+        (2, t0 + timedelta(seconds=2), "c", 2),
+        (2, t0 + timedelta(seconds=3), "d", 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {tuple(r["seq"]) for r in event_sequences(df, k=2).collect()}
+    assert got == {("a", "b"), ("c", "d")}  # never (b, c)

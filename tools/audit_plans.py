@@ -1728,6 +1728,19 @@ def main():
     )
 
     record(
+        "event_sequences", e.queries()["event_sequences"](spark, sf_dir),
+        [
+            ("exactly two exchanges: the key window + the seq groupBy",
+             lambda p: len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 2),
+            ("top-n cut is a TakeOrdered heap, not a global sort",
+             lambda p: "TakeOrdered" in p),
+            ("no join, no Python",
+             lambda p: "Join" not in p
+             and not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
+    record(
         "retrieval_eval", e.queries()["retrieval_eval"](spark, sf_dir),
         [
             ("no cartesian product anywhere (rankers + metric joins)",
