@@ -653,6 +653,22 @@ def _edit_sim_pairs_q(spark, sf_dir):
     return verify_edit(pairs, docs, threshold=0.3)
 
 
+def _rouge_pairs_q(spark, sf_dir):
+    """Multiset ROUGE-2 verification (verify_rouge) over the
+    deterministic adjacent-id candidate set — the 31-word gate
+    vocabulary repeats bigrams heavily, so multiset counting visibly
+    diverges from set Jaccard here.  All counts are exact bigints; the
+    oracle recomputes gram multiplicities INDEPENDENTLY in DuckDB
+    (unnest + group-by, no RLE) and replays the three ratios."""
+    from intertext_spark.operators.dedup import verify_rouge
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    )
+    return verify_rouge(pairs, docs, n=2)
+
+
 def _paragraph_dedup_q(spark, sf_dir):
     """Dolma-style keep-first paragraph dedup over the corpus re-lined
     into 5-word paragraphs (the 31-word gate vocabulary guarantees
@@ -3176,6 +3192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["asof_join"] = _asof_join_q
     q["funnel"] = _funnel_q
     q["event_sequences"] = _event_sequences_q
+    q["rouge_pairs"] = _rouge_pairs_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -5070,6 +5087,54 @@ select doc_a, doc_b, edit_dist,
 from p
 where (case when mx = 0 then 1.0
             else 1.0 - edit_dist / cast(mx as double) end) >= 0.3
+"""
+    # rouge_pairs: multiset ROUGE-2 recomputed INDEPENDENTLY — unnest
+    # the bigram stream, count multiplicities with a plain group-by,
+    # overlap = sum(least) over the matched-gram join, then the three
+    # int/int ratio divisions Spark applies.
+    out["rouge_pairs"] = """
+with d as (
+  select doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x != '') as ws
+  from documents where text is not null
+),
+g as (
+  select doc_id, ws[i] || ' ' || ws[i + 1] as gram
+  from d, unnest(generate_series(1, len(ws) - 1)) as t(i)
+  where len(ws) >= 2
+),
+gc as (select doc_id, gram, cast(count(*) as bigint) as cnt
+       from g group by 1, 2),
+tot as (select doc_id,
+               cast(greatest(len(ws) - 1, 0) as bigint) as n_grams
+        from d),
+p as (select doc_id as doc_a, doc_id + 1 as doc_b from documents),
+ov as (
+  select a.doc_a, a.doc_b,
+         cast(sum(least(ga.cnt, gb.cnt)) as bigint) as overlap
+  from p a
+  join gc ga on ga.doc_id = a.doc_a
+  join gc gb on gb.doc_id = a.doc_b and gb.gram = ga.gram
+  group by 1, 2
+)
+select p.doc_a, p.doc_b,
+       ta.n_grams as n_grams_a, tb.n_grams as n_grams_b,
+       coalesce(ov.overlap, 0) as overlap,
+       case when ta.n_grams > 0
+            then cast(coalesce(ov.overlap, 0) as double)
+                 / cast(ta.n_grams as double) else 0.0 end as rouge_p,
+       case when tb.n_grams > 0
+            then cast(coalesce(ov.overlap, 0) as double)
+                 / cast(tb.n_grams as double) else 0.0 end as rouge_r,
+       case when ta.n_grams + tb.n_grams > 0
+            then 2.0 * cast(coalesce(ov.overlap, 0) as double)
+                 / cast(ta.n_grams + tb.n_grams as double)
+            else 0.0 end as rouge_f
+from p
+join tot ta on ta.doc_id = p.doc_a
+join tot tb on tb.doc_id = p.doc_b
+left join ov on ov.doc_a = p.doc_a and ov.doc_b = p.doc_b
 """
     # paragraph_dedup: DuckDB replants the identical 5-word lines and
     # replays the keep-first rule (row_number over paragraph ordered by

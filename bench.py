@@ -267,6 +267,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # event_sequences: one key-window exchange (k-1 leads) + one
         # map-side-combined seq groupBy + TakeOrdered — path mining
         "event_sequences",
+        # rouge_pairs: counted-gram equi-joins + integer overlap sums —
+        # the multiset pair-verification tier next to jaccard/edit
+        "rouge_pairs",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

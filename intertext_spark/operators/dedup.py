@@ -809,6 +809,133 @@ _SIMHASH_SCHEMA = T.StructType(
 )
 
 
+def verify_rouge(
+    pairs: DataFrame,
+    df: DataFrame,
+    n: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact MULTISET word-n-gram overlap (ROUGE-N) verification of
+    candidate pairs -> (doc_a, doc_b, n_grams_a, n_grams_b, overlap,
+    rouge_p, rouge_r, rouge_f) filtered to rouge_f >= threshold.
+    doc_a is the candidate, doc_b the reference: rouge_r =
+    overlap/|reference grams| is the classic ROUGE-N recall, rouge_p
+    the precision, rouge_f their harmonic mean.  The third verifier
+    next to :func:`verify_jaccard` (SET shingles — repetition-blind)
+    and :func:`verify_edit` (character DP): multiset counting catches
+    the near-dup mode where one doc repeats the other's content many
+    times (boilerplate amplification), which set Jaccard dilutes and
+    edit distance penalizes quadratically.
+
+    Scale shape: all JVM, no HOF folds (the gopher_repetition
+    CodegenFallback lesson — a per-pair in-row multiset merge would
+    interpret-eval; counted gram JOINS stay in codegen).  Member docs
+    are semi-joined to the pair ids BEFORE gram extraction (the
+    dedup_against lesson), gram counts are ONE map-side-combined
+    (doc, gram) groupBy, overlap = sum(least(ca, cb)) rides a
+    (doc_b, gram) equi-join of the a-side attached grams — every join
+    equi, every aggregate integer, the two final ratios one division
+    each.  Pairs whose doc is absent from ``df`` (or NULL text) drop —
+    no evidence either way (the verify_edit convention); present docs
+    shorter than n words score 0.0 via the left-join fill."""
+    from .windows import WS
+
+    p = pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+    members = (
+        p.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(p.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
+    ng = F.size(words) - (n - 1)
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias(text_col),
+        )
+        .join(members, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            # sequence(1, n<1) descends — guard short docs explicitly
+            F.when(
+                ng >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), ng),
+                    lambda i: F.array_join(
+                        F.slice(words, i.cast("int"), n), " "
+                    ),
+                ),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("__grams"),
+        )
+    )
+    tot = base.select(
+        "doc_id", F.size("__grams").cast("long").alias("n_grams")
+    )
+    gr = (
+        base.select("doc_id", F.explode("__grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ga = p.join(
+        gr.select(
+            F.col("doc_id").alias("doc_a"), "gram",
+            F.col("cnt").alias("ca"),
+        ),
+        "doc_a",
+    )
+    gb = gr.select(
+        F.col("doc_id").alias("doc_b"), "gram", F.col("cnt").alias("cb")
+    )
+    ov = (
+        ga.join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("long").alias("overlap"))
+    )
+    out = (
+        p.join(
+            tot.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_grams").alias("n_grams_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            tot.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_grams").alias("n_grams_b"),
+            ),
+            "doc_b",
+        )
+        .join(ov, ["doc_a", "doc_b"], "left")
+        .na.fill({"overlap": 0})
+    )
+    prec = F.when(
+        F.col("n_grams_a") > 0,
+        F.col("overlap").cast("double") / F.col("n_grams_a").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_grams_b") > 0,
+        F.col("overlap").cast("double") / F.col("n_grams_b").cast("double"),
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (F.col("n_grams_a") + F.col("n_grams_b")) > 0,
+        F.lit(2.0) * F.col("overlap").cast("double")
+        / (F.col("n_grams_a") + F.col("n_grams_b")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_a", "doc_b", "n_grams_a", "n_grams_b", "overlap",
+        prec.alias("rouge_p"), rec.alias("rouge_r"), f1.alias("rouge_f"),
+    ).where(f1 >= threshold)
+
+
 def doc_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, simhash) 64-bit signatures (numpy, Arrow-batched,
     whole-batch vectorized — equals per-doc simhash64(hash64_strings(...)),

@@ -2090,3 +2090,90 @@ def test_srp_arrow_method_and_cache_release(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         srp_signature(df, 24, method="nope")
+
+
+def test_verify_rouge_matches_python_multiset_oracle(spark):
+    """Randomized repetitive-vocab corpus vs a Counter-based ROUGE-N
+    oracle (multiset min-counts), n in {1, 2, 3}."""
+    import random
+    from collections import Counter
+
+    from intertext_spark.operators.dedup import verify_rouge
+
+    rng = random.Random(11)
+    docs = [
+        (d, " ".join(rng.choice("abc") for _ in range(rng.randint(0, 12))))
+        for d in range(20)
+    ]
+    pair_rows = [(a, b) for a in range(20) for b in range(20)
+                 if a != b and rng.random() < 0.15]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    pdf = spark.createDataFrame(pair_rows, "doc_a long, doc_b long")
+
+    def grams(text, n):
+        ws = text.split()
+        return Counter(
+            tuple(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+
+    for n in (1, 2, 3):
+        got = {
+            (r["doc_a"], r["doc_b"]): (
+                r["n_grams_a"], r["n_grams_b"], r["overlap"],
+                r["rouge_p"], r["rouge_r"], r["rouge_f"],
+            )
+            for r in verify_rouge(pdf, ddf, n=n).collect()
+        }
+        want = {}
+        for a, b in pair_rows:
+            ca, cb = grams(docs[a][1], n), grams(docs[b][1], n)
+            na, nb = sum(ca.values()), sum(cb.values())
+            ov = sum(min(c, cb[g]) for g, c in ca.items() if g in cb)
+            want[(a, b)] = (
+                na, nb, ov,
+                ov / na if na else 0.0,
+                ov / nb if nb else 0.0,
+                2.0 * ov / (na + nb) if na + nb else 0.0,
+            )
+        assert got == want, f"n={n}"
+
+
+def test_verify_rouge_repetition_vs_set_jaccard(spark):
+    """The mode this verifier exists for: b repeats a's content 5x.
+    Set shingles say the docs are identical (jaccard 1.0); multiset
+    ROUGE-2 precision stays 1.0 but recall exposes the amplification."""
+    from intertext_spark.operators.dedup import verify_jaccard, verify_rouge
+
+    a_text = "x y z w x y"
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, " ".join([a_text] * 5))],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    j = verify_jaccard(pairs, docs, shingle_words=2, threshold=0.0).collect()[0]
+    assert j["jaccard"] < 1.0  # the seam bigrams differ slightly...
+    r = verify_rouge(pairs, docs, n=2).collect()[0]
+    # every a-bigram occurs in b at >= its a-multiplicity
+    assert r["rouge_p"] == 1.0
+    # but b has ~5x the gram mass: recall ~ 1/5
+    assert r["rouge_r"] < 0.25
+    assert r["rouge_f"] == 2 * 5 / (5 + 29)  # f1 of p=1, r=5/29
+
+
+def test_verify_rouge_null_short_and_threshold(spark):
+    from intertext_spark.operators.dedup import verify_rouge
+
+    docs = spark.createDataFrame(
+        [(1, "p q r"), (2, None), (3, "p"), (4, "p q r")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r for r in
+           verify_rouge(pairs, docs, n=2).collect()}
+    assert set(got) == {(1, 3), (1, 4)}  # NULL-text pair dropped
+    assert got[(1, 3)]["n_grams_b"] == 0 and got[(1, 3)]["rouge_f"] == 0.0
+    assert got[(1, 4)]["rouge_f"] == 1.0
+    kept = verify_rouge(pairs, docs, n=2, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in kept] == [(1, 4)]

@@ -1728,6 +1728,21 @@ def main():
     )
 
     record(
+        "rouge_pairs", e.queries()["rouge_pairs"](spark, sf_dir),
+        [
+            ("no cartesian / nested-loop join (all gram joins equi)",
+             lambda p: "Cartesian" not in p
+             and "BroadcastNestedLoop" not in p),
+            ("gram multiplicities partial-aggregate map-side",
+             lambda p: "partial_count" in p),
+            ("no window, no Python (counted gram joins, never an"
+             " in-row multiset HOF fold)",
+             lambda p: "windowspecdefinition" not in p
+             and not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
+    record(
         "event_sequences", e.queries()["event_sequences"](spark, sf_dir),
         [
             ("exactly two exchanges: the key window + the seq groupBy",
