@@ -1248,6 +1248,19 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _kcenter_coreset_q(spark, sf_dir):
+    """Greedy k-center coreset (k=8) over the embeddings table, fold
+    method: every squared-L2 distance is the in-row sequential IEEE
+    fold, the seed is the min id, each round's argmax ties to the min
+    id — so DuckDB replays the ENTIRE greedy trajectory with a
+    generated 8-round CTE chain, bit-exactly (the pagerank same-loop
+    idiom: one python loop emits both engines' rounds)."""
+    from intertext_spark.operators.sampling import kcenter_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_select(emb, k=8, dim=64)
+
+
 def _random_project_q(spark, sf_dir):
     """Sparse JL projection 64 -> 8 dims: the matrix is md5-derived
     (engine-independent), the per-dim dot product is a sequential
@@ -3193,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["funnel"] = _funnel_q
     q["event_sequences"] = _event_sequences_q
     q["rouge_pairs"] = _rouge_pairs_q
+    q["kcenter_coreset"] = _kcenter_coreset_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -5929,6 +5943,53 @@ select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
 """
+    # kcenter_coreset: replay the full greedy trajectory — seed = min
+    # id, then per round the argmax-min-dist pick (ties to min id) and
+    # the running-min update, distances as the same sequential fold
+    # (0.0-init == no-init: squared terms are non-negative, so
+    # 0.0 + t1 is bit-exact t1).  One python loop emits the rounds.
+    _kc_k = 8
+
+    def _kc_dist(a: str, b: str) -> str:
+        return (
+            "list_reduce(list_transform(generate_series(1, 64),"
+            f" i -> ({a}[cast(i as int)] - {b}[cast(i as int)])"
+            f" * ({a}[cast(i as int)] - {b}[cast(i as int)])),"
+            " (x, y) -> x + y)"
+        )
+
+    _kc_ctes = [
+        """e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as ed
+  from embeddings where embedding is not null and len(embedding) = 64
+)""",
+        "c0 as (select vec_id, ed from e order by vec_id limit 1)",
+        f"""d0 as (select e.vec_id, e.ed, {_kc_dist('e.ed', 'c0.ed')} as md
+       from e, c0)""",
+    ]
+    for _i in range(1, _kc_k):
+        _prev = f"d{_i - 1}"
+        _kc_ctes.append(
+            f"""c{_i} as (select vec_id, ed, md from {_prev}
+        where md > 0 order by md desc, vec_id limit 1)"""
+        )
+        if _i < _kc_k - 1:
+            _kc_ctes.append(
+                f"""d{_i} as (select {_prev}.vec_id, {_prev}.ed,
+        least({_prev}.md, {_kc_dist(f'{_prev}.ed', f'c{_i}.ed')}) as md
+        from {_prev}, c{_i})"""
+            )
+    _kc_sel = [
+        "select cast(0 as bigint) as rank, vec_id,"
+        " cast(null as double) as dist from c0"
+    ] + [
+        f"select cast({_i} as bigint), vec_id, md from c{_i}"
+        for _i in range(1, _kc_k)
+    ]
+    out["kcenter_coreset"] = (
+        "with " + ",\n".join(_kc_ctes) + "\n"
+        + "\nunion all ".join(_kc_sel)
+    )
     # random_project: the md5-derived JL matrix is rendered as a list
     # literal (same floats, shortest-roundtrip repr) and the per-dim
     # fold replayed with list_reduce — raw doubles, bit-exact.

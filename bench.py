@@ -270,6 +270,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # rouge_pairs: counted-gram equi-joins + integer overlap sums —
         # the multiset pair-verification tier next to jaccard/edit
         "rouge_pairs",
+        # kcenter_coreset: 8 greedy farthest-point rounds (narrow scan +
+        # 1-row TakeOrdered each) on the cross-engine fold path
+        "kcenter_coreset",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

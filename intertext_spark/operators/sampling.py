@@ -9,7 +9,9 @@ JVM-side — windows and hash arithmetic, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def source_cap(
@@ -770,4 +772,114 @@ def temperature_allocation(
                 F.col("alloc").cast("double") / F.col("n_units").cast("double"),
             ).otherwise(F.lit(0.0)),
         )
+    )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "fold",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over an
+    embedding column — the diversity-sampling move for training-data
+    curation (Sener & Savarese ICLR'18: pick the doc farthest from
+    everything already picked, k times): the selected set 2-approximates
+    the optimal covering radius, so a small coreset spans the embedding
+    space instead of oversampling its dense modes (the opposite failure
+    of random sampling).  -> (rank, vec_id, dist): selection order,
+    picked id, and squared-L2 distance to the nearest EARLIER center at
+    selection time (NULL for the rank-0 seed; the rank-i dist is the
+    covering radius of the first i centers — the coreset quality curve
+    for free).  Normalize embeddings upstream for cosine geometry.
+
+    Determinism: the seed is the smallest id; each round picks
+    max(min-dist) with ties to the smallest id.  ``method='fold'``
+    computes squared-L2 as the in-row sequential IEEE fold
+    (zip_with -> aggregate, center as literals) — bit-replayable by an
+    external engine, but interpreted eval (CodegenFallback) per vector;
+    ``method='arrow'`` is one numpy row-batch op per round (the
+    production path; last-ulp summation differences could flip an
+    EXACT-tie selection, probability ~0 on real embeddings).  Rows with
+    NULL or ragged (!= dim) embeddings are dropped (the ivf_train
+    guard).
+
+    Scale shape: k passes over the corpus, each a NARROW map (distance
+    to ONE new broadcast-literal center updating a running min) + a
+    1-row TakeOrdered — no shuffles, no joins; per-round state is
+    localCheckpointed and the superseded round released deterministically
+    (the pagerank lifecycle), so lineage stays O(1) and nothing leaks.
+    Driver holds only k (id, vector) pairs.  For k beyond ~10^2, run on
+    a deterministic_sample and assign the rest by nearest center
+    (the standard coreset hybrid)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if method not in ("fold", "arrow"):
+        raise ValueError(f"unknown method {method!r}")
+    from .ckpt import local_ckpt_tracked, release_rdd_ids
+
+    spark = df.sparkSession
+    base = (
+        df.where(F.col(emb_col).isNotNull() & (F.size(emb_col) == dim))
+        .select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            F.col(emb_col).cast("array<double>").alias("ed"),
+        )
+    )
+
+    def dist_to(center_vals):
+        if method == "arrow":
+            c = np.asarray(center_vals, dtype=np.float64)
+
+            @F.pandas_udf(T.DoubleType())
+            def _d(s: pd.Series) -> pd.Series:
+                x = np.asarray(list(s), dtype=np.float64).reshape(
+                    len(s), dim
+                )
+                return pd.Series(((x - c) ** 2).sum(axis=1))
+
+            return _d(F.col("ed"))
+        c = F.array(*[F.lit(float(v)) for v in center_vals])
+        return F.aggregate(
+            F.zip_with(F.col("ed"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    seed_rows = base.orderBy(F.asc("vec_id")).limit(1).collect()
+    if not seed_rows:
+        return spark.createDataFrame(
+            [], "rank long, vec_id long, dist double"
+        )
+    seed = seed_rows[0]
+    picked = [(0, int(seed["vec_id"]), None)]
+    state, ids = local_ckpt_tracked(
+        base.select("vec_id", "ed", dist_to(seed["ed"]).alias("md"))
+    )
+    for r in range(1, k):
+        cand = (
+            state.where(F.col("md") > 0)
+            .orderBy(F.desc("md"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break  # fewer than k distinct points
+        c = cand[0]
+        picked.append((r, int(c["vec_id"]), float(c["md"])))
+        if r < k - 1:
+            nxt, nids = local_ckpt_tracked(
+                state.select(
+                    "vec_id",
+                    "ed",
+                    F.least(F.col("md"), dist_to(c["ed"])).alias("md"),
+                )
+            )
+            release_rdd_ids(spark, ids)
+            state, ids = nxt, nids
+    release_rdd_ids(spark, ids)
+    return spark.createDataFrame(
+        picked, "rank long, vec_id long, dist double"
     )

@@ -703,3 +703,92 @@ def test_temperature_allocation_properties(spark):
         temperature_allocation(df, 10, alpha=1.5)
     with _pt.raises(ValueError):
         temperature_allocation(df, 10**13, quantize_digits=6)
+
+
+def _kc_oracle(pts, k):
+    """Greedy k-center python replay with sequential-fold distances."""
+    def d2(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    sel = [(0, min(pts), None)]
+    md = {i: d2(v, pts[min(pts)]) for i, v in pts.items()}
+    for r in range(1, k):
+        live = [(m, i) for i, m in md.items() if m > 0]
+        if not live:
+            break
+        best = max(live, key=lambda t: (t[0], -t[1]))
+        sel.append((r, best[1], best[0]))
+        for i, v in pts.items():
+            md[i] = min(md[i], d2(v, pts[best[1]]))
+    return sel
+
+
+def test_kcenter_matches_python_greedy_and_radius_decreases(spark):
+    import random
+
+    from intertext_spark.operators.sampling import kcenter_select
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["rank"], r["vec_id"], r["dist"])
+        for r in kcenter_select(df, k=7, dim=8).orderBy("rank").collect()
+    ]
+    assert got == _kc_oracle(dict(rows), 7)
+    radii = [d for _, _, d in got[1:]]
+    assert radii == sorted(radii, reverse=True)  # covering radius shrinks
+
+
+def test_kcenter_duplicates_ragged_and_early_stop(spark):
+    from intertext_spark.operators.sampling import kcenter_select
+
+    rows = [
+        (1, [0.0, 0.0]), (2, [0.0, 0.0]),  # duplicate of the seed
+        (3, [1.0, 0.0]), (4, [1.0, 0.0]),  # duplicate pair
+        (5, [0.0, 3.0]),
+        (6, None), (7, [1.0, 2.0, 3.0]),   # null / ragged: dropped
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["rank"], r["vec_id"], r["dist"])
+        for r in kcenter_select(df, k=10, dim=2).orderBy("rank").collect()
+    ]
+    # 3 distinct locations -> stops at 3 despite k=10; duplicates of a
+    # chosen center (md=0) are never picked
+    assert got == [(0, 1, None), (1, 5, 9.0), (2, 3, 1.0)]
+
+
+def test_kcenter_arrow_equals_fold_and_cache_baseline(spark):
+    from intertext_spark.operators.sampling import kcenter_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    fold = [
+        (r["rank"], r["vec_id"])
+        for r in kcenter_select(emb, k=5, dim=64).orderBy("rank").collect()
+    ]
+    arrow = [
+        (r["rank"], r["vec_id"])
+        for r in kcenter_select(emb, k=5, dim=64, method="arrow")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert fold == arrow
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kcenter_select(emb, k=0, dim=64)
+    with _pt.raises(ValueError):
+        kcenter_select(emb, k=2, dim=64, method="nope")
+    empty = kcenter_select(
+        emb.where("vec_id < 0"), k=3, dim=64
+    ).collect()
+    assert empty == []
