@@ -1248,6 +1248,24 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _compaction_plan_q(spark, sf_dir):
+    """Binpack compaction planning over a files table derived from
+    documents (source = the table partition, n_chars = file bytes,
+    target 5 KB).  The distributed prefix sum is all-integer and the
+    group id one integer division, so DuckDB's plain window-sum replay
+    is value-exact."""
+    from intertext_spark.curate import compaction_plan
+
+    files = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source",
+        F.col("doc_id").alias("file_path"),
+        F.col("n_chars").alias("size_bytes"),
+    )
+    return compaction_plan(
+        files, 5000, partition_cols=["source"], file_col="file_path"
+    )
+
+
 def _kcenter_coreset_q(spark, sf_dir):
     """Greedy k-center coreset (k=8) over the embeddings table, fold
     method: every squared-L2 distance is the in-row sequential IEEE
@@ -3207,6 +3225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["event_sequences"] = _event_sequences_q
     q["rouge_pairs"] = _rouge_pairs_q
     q["kcenter_coreset"] = _kcenter_coreset_q
+    q["compaction_plan"] = _compaction_plan_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -5942,6 +5961,20 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # compaction_plan: the exclusive running byte total per source (a
+    # plain window sum — DuckDB needs no distributed prefix-sum
+    # machinery) and the identical integer division.
+    out["compaction_plan"] = """
+with f as (select source, doc_id as file_path,
+                  cast(n_chars as bigint) as size_bytes from documents),
+r as (select *, sum(size_bytes) over (partition by source
+        order by file_path
+        rows between unbounded preceding and current row) as run from f)
+select source, file_path, size_bytes,
+       cast(run - size_bytes as bigint) as cum_before,
+       cast((run - size_bytes) // 5000 as bigint) as group_id
+from r
 """
     # kcenter_coreset: replay the full greedy trajectory — seed = min
     # id, then per round the argmax-min-dist pick (ties to min id) and

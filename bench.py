@@ -273,6 +273,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # kcenter_coreset: 8 greedy farthest-point rounds (narrow scan +
         # 1-row TakeOrdered each) on the cross-engine fold path
         "kcenter_coreset",
+        # compaction_plan: the metadata-plane distributed prefix sum +
+        # broadcast offsets — table-maintenance planning cost
+        "compaction_plan",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

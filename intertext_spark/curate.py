@@ -706,3 +706,115 @@ def validate_corpus(
         + F.col("n_repl_chars") + F.col("n_oversize")
     )
     return out.withColumn("valid", defect == 0)
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    partition_cols: "list[str] | None" = None,
+    file_col: str = "file_path",
+    size_col: str = "size_bytes",
+) -> DataFrame:
+    """Small-file compaction planning — the Iceberg
+    ``rewrite_data_files`` / OPTIMIZE binpack move as a pure query:
+    assign every data file to a merge group of ~``target_bytes``, so a
+    writer can rewrite each group as one right-sized file.  Streaming
+    ingestion (dedupstream's per-batch appends, any micro-batch sink)
+    accretes thousands of small files per partition; compaction is the
+    table-maintenance pass that keeps scan planning and open-file costs
+    flat.  -> partition_cols + (file_col, size_bytes, cum_before,
+    group_id): files are packed FIRST-FIT in ``file_col`` order within
+    each partition — group_id = cum_before div target_bytes, where
+    cum_before is the exclusive running byte total — so groups are
+    contiguous runs of ~target size (a file straddling a boundary joins
+    the group it starts in; a file >= target gets the tail of one group
+    to itself).  ``file_col`` must be unique within a partition (it is
+    the packing order).
+
+    Determinism: all-integer prefix sums + one integer division —
+    identical plan on any engine or layout.
+
+    Scale shape: the files table is the METADATA plane (10^6-10^8 rows
+    at 100 TB, not the data plane), but the plan still never funnels it
+    through one reducer: rank-within-partition is the distributed
+    prefix-sum pattern (range partition by (partition, file), per-task
+    running sums, ONE per-(task, partition)-run totals collect —
+    bounded by n_tasks + n_partitions rows — cumulative offsets
+    broadcast back).  The intermediate is localCheckpoint-frozen
+    (RangePartitioner samples bounds per execution — the totals collect
+    and the downstream join must read the SAME partitioning; the
+    assign_file_ids lesson); the returned frame carries
+    ``_ckpt_rdd_ids`` for ckpt.release_checkpoint.  Negative sizes
+    raise loudly (a corrupt manifest must not silently skew packing);
+    NULL sizes pack as 0."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive: {target_bytes}")
+    from .operators.ckpt import local_ckpt_tracked
+
+    pcols = list(partition_cols or [])
+    spark = files.sparkSession
+    sz = F.coalesce(F.col(size_col).cast("long"), F.lit(0))
+    base = files.select(
+        *pcols,
+        F.col(file_col),
+        F.when(sz >= 0, sz)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"compaction_plan: negative {size_col} for "),
+                    F.col(file_col).cast("string"),
+                )
+            )
+        )
+        .alias("__sz"),
+    )
+    n_part = max(1, min(200, spark.sparkContext.defaultParallelism))
+    run_w = (
+        Window.partitionBy("pid", *pcols)
+        .orderBy(file_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    parted, ids = local_ckpt_tracked(
+        base.repartitionByRange(n_part, *pcols, file_col)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("run", F.sum("__sz").over(run_w))
+    )
+    totals = (
+        parted.groupBy("pid", *pcols)
+        .agg(F.max("run").alias("t"))
+        .collect()
+    )
+    if not totals:
+        id_ddl = files.schema[file_col].dataType.simpleString()
+        pddl = "".join(
+            f"{c} {files.schema[c].dataType.simpleString()}, " for c in pcols
+        )
+        return spark.createDataFrame(
+            [],
+            f"{pddl}{file_col} {id_ddl}, {size_col} bigint,"
+            " cum_before bigint, group_id bigint",
+        )
+    acc: dict = {}
+    offsets = []
+    key = lambda r: tuple(r[c] for c in pcols)  # noqa: E731
+    for r in sorted(
+        totals, key=lambda r: (tuple(str(r[c]) for c in pcols), r["pid"])
+    ):
+        offsets.append((r["pid"], *key(r), acc.get(key(r), 0)))
+        acc[key(r)] = acc.get(key(r), 0) + r["t"]
+    off_df = spark.createDataFrame(offsets, ["pid", *pcols, "off"])
+    cum_before = (F.col("off") + F.col("run") - F.col("__sz")).cast("long")
+    out = (
+        parted.join(F.broadcast(off_df), ["pid", *pcols])
+        .select(
+            *pcols,
+            F.col(file_col),
+            F.col("__sz").alias(size_col),
+            cum_before.alias("cum_before"),
+            F.expr(f"(off + run - __sz) div {int(target_bytes)}")
+            .cast("long")
+            .alias("group_id"),
+        )
+    )
+    out._ckpt_rdd_ids = ids
+    return out

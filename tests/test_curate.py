@@ -485,3 +485,92 @@ def test_validate_corpus_rules_and_modes(spark):
     )
     [n] = validate_corpus(nl).collect()
     assert n["n_control_chars"] == 0 and n["valid"]
+
+
+def test_compaction_plan_python_oracle_and_properties(spark):
+    import random
+    from collections import defaultdict
+
+    from intertext_spark.curate import compaction_plan
+    from intertext_spark.operators.ckpt import release_checkpoint
+
+    rng = random.Random(3)
+    rows = [
+        (f"p{i % 3}", f"f{i:04d}", rng.randint(0, 4000)) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "part string, file_path string, size_bytes long"
+    )
+    T = 10_000
+    out = compaction_plan(df, T, partition_cols=["part"])
+    got = sorted(
+        (r["part"], r["file_path"], r["size_bytes"], r["cum_before"],
+         r["group_id"])
+        for r in out.collect()
+    )
+    release_checkpoint(out)
+
+    want, cum = [], defaultdict(int)
+    for p, f, s in sorted(rows):
+        want.append((p, f, s, cum[p], cum[p] // T))
+        cum[p] += s
+    assert got == want
+
+    # every group except a partition's last closes PAST the boundary
+    last_in_group, max_group = {}, defaultdict(int)
+    for p, f, s, cb, g in got:
+        last_in_group[(p, g)] = max(
+            last_in_group.get((p, g), 0), cb + s
+        )
+        max_group[p] = max(max_group[p], g)
+    for (p, g), end in last_in_group.items():
+        if g < max_group[p]:
+            assert end >= (g + 1) * T
+
+
+def test_compaction_plan_layout_invariance_and_edges(spark):
+    import pytest as _pt
+
+    from intertext_spark.curate import compaction_plan
+    from intertext_spark.operators.ckpt import release_checkpoint
+
+    rows = [("a", f"f{i}", (i * 37) % 500) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "part string, file_path string, size_bytes long"
+    )
+    outs = []
+    for n in (1, 7):
+        out = compaction_plan(
+            df.repartition(n), 1000, partition_cols=["part"]
+        )
+        outs.append(sorted(map(tuple, out.collect())))
+        release_checkpoint(out)
+    assert outs[0] == outs[1]
+
+    # null size packs as 0; negative raises loudly
+    nulled = spark.createDataFrame(
+        [("a", "x", None), ("a", "y", 10)],
+        "part string, file_path string, size_bytes long",
+    )
+    out = compaction_plan(nulled, 100, partition_cols=["part"])
+    got = {r["file_path"]: (r["size_bytes"], r["cum_before"])
+           for r in out.collect()}
+    release_checkpoint(out)
+    assert got == {"x": (0, 0), "y": (10, 0)}
+
+    bad = spark.createDataFrame(
+        [("a", "x", -5)], "part string, file_path string, size_bytes long"
+    )
+    with _pt.raises(Exception, match="negative size_bytes"):
+        compaction_plan(bad, 100, partition_cols=["part"]).collect()
+
+    with _pt.raises(ValueError):
+        compaction_plan(df, 0)
+
+    empty = compaction_plan(
+        df.where("size_bytes < 0"), 100, partition_cols=["part"]
+    )
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == [
+        "part", "file_path", "size_bytes", "cum_before", "group_id"
+    ]

@@ -1727,6 +1727,25 @@ def main():
         ],
     )
 
+    _cmp = e.queries()["compaction_plan"](spark, sf_dir)
+    record(
+        "compaction_plan", _cmp,
+        [
+            ("the only join is the broadcast of the tiny offsets table",
+             lambda p: "BroadcastHashJoin" in p
+             and "SortMergeJoin" not in p
+             and "ShuffledHashJoin" not in p
+             and "Cartesian" not in p),
+            ("prefix sums read the FROZEN checkpoint (no re-exchange of"
+             " the ranged partitioning)",
+             lambda p: "Scan ExistingRDD" in p),
+            ("no Python execution stage",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+    from intertext_spark.operators.ckpt import release_checkpoint as _rc
+    _rc(_cmp)
+
     record(
         "rouge_pairs", e.queries()["rouge_pairs"](spark, sf_dir),
         [
