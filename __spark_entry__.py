@@ -1248,6 +1248,17 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _oov_stats_q(spark, sf_dir):
+    """Per-doc OOV profile vs the corpus top-20 vocabulary (the 31-word
+    gate vocabulary leaves ~1/3 of tokens OOV — both branches hot).
+    Vocabulary derivation (count desc, word asc, V-cut) and the
+    per-doc int ratios replay exactly in DuckDB."""
+    from intertext_spark.operators.textstats import build_vocab, oov_stats
+
+    docs = _docs(spark, sf_dir)
+    return oov_stats(docs, build_vocab(docs, 20))
+
+
 def _compaction_plan_q(spark, sf_dir):
     """Binpack compaction planning over a files table derived from
     documents (source = the table partition, n_chars = file bytes,
@@ -3226,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rouge_pairs"] = _rouge_pairs_q
     q["kcenter_coreset"] = _kcenter_coreset_q
     q["compaction_plan"] = _compaction_plan_q
+    q["oov_stats"] = _oov_stats_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -5961,6 +5973,38 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # oov_stats: re-derive the top-20 vocabulary (count desc, word asc)
+    # and replay the left-join coverage counts; empty docs resurrect
+    # via the documents spine (Spark's explode_outer analog).
+    out["oov_stats"] = """
+with w as (
+  select doc_id, unnest(list_filter(
+    regexp_split_to_array(text, '\\s+'), x -> x != '')) as word
+  from documents
+),
+vc as (select word, count(*) as cnt from w group by 1),
+v as (select word from vc order by cnt desc, word limit 20),
+j as (select w.doc_id, w.word, (v.word is not null) as inv
+      from w left join v using(word)),
+a as (
+  select doc_id, cast(count(*) as bigint) as n_tokens,
+         cast(sum(case when not inv then 1 else 0 end) as bigint)
+           as n_oov,
+         cast(count(distinct word) as bigint) as n_unique,
+         cast(count(distinct case when not inv then word end) as bigint)
+           as n_unique_oov
+  from j group by 1
+)
+select d.doc_id,
+       coalesce(a.n_tokens, 0) as n_tokens,
+       coalesce(a.n_oov, 0) as n_oov,
+       case when coalesce(a.n_tokens, 0) > 0
+            then cast(a.n_oov as double) / cast(a.n_tokens as double)
+            else 0.0 end as oov_rate,
+       coalesce(a.n_unique, 0) as n_unique,
+       coalesce(a.n_unique_oov, 0) as n_unique_oov
+from documents d left join a using(doc_id)
 """
     # compaction_plan: the exclusive running byte total per source (a
     # plain window sum — DuckDB needs no distributed prefix-sum

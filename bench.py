@@ -276,6 +276,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # compaction_plan: the metadata-plane distributed prefix sum +
         # broadcast offsets — table-maintenance planning cost
         "compaction_plan",
+        # oov_stats: vocab derivation (one word groupBy + TakeOrdered)
+        # + broadcast membership + one doc groupBy — tokenizer QA cost
+        "oov_stats",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -2651,3 +2651,90 @@ def keyphrase_counts(
         .orderBy(F.desc("n_occurrences"), F.asc("phrase"))
         .limit(k)
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus top-``vocab_size`` word vocabulary -> (word, cnt, rank),
+    rank 1..V by count desc with ties to the lexicographically smaller
+    word — a total order, so the vocabulary is identical on any engine
+    or layout.  Scale shape: ONE map-side-combined groupBy(word) over
+    the token stream + a TakeOrdered heap for the V cut (the
+    vocabulary is model-sized; the corpus never sorts)."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1: {vocab_size}")
+    words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
+    counts = (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        counts.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(vocab_size)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+            .cast("long"),
+        )
+    )
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "word",
+) -> DataFrame:
+    """Per-document vocabulary coverage vs a reference vocabulary — the
+    tokenizer/corpus-drift QA a curator runs before pointing a trained
+    tokenizer (or an LM with a fixed embedding table) at a new corpus:
+    a rising OOV rate means the vocabulary no longer fits the data.
+    -> (doc_id, n_tokens, n_oov, oov_rate, n_unique, n_unique_oov);
+    empty/whitespace-only docs emit n_tokens 0 / oov_rate 0.0.
+
+    Scale shape: the token stream is a zero-shuffle explode; vocabulary
+    membership is ONE broadcast left join (the vocab is model-sized BY
+    DEFINITION — if it were corpus-sized it would not be a vocabulary);
+    the per-doc collapse is ONE map-side-combined groupBy(doc).  The
+    rates are int/int divisions — externally replayable."""
+    words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
+    voc = vocab.select(
+        F.col(vocab_col).alias("word"), F.lit(1).alias("__in_v")
+    ).distinct()
+    toks = df.select(
+        F.col(id_col), F.explode_outer(words).alias("word")
+    ).join(F.broadcast(voc), "word", "left")
+    agg = toks.groupBy(id_col).agg(
+        F.count("word").cast("long").alias("n_tokens"),
+        F.sum(
+            F.when(F.col("word").isNotNull() & F.col("__in_v").isNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_oov"),
+        F.count_distinct("word").cast("long").alias("n_unique"),
+        F.count_distinct(
+            F.when(F.col("__in_v").isNull(), F.col("word"))
+        )
+        .cast("long")
+        .alias("n_unique_oov"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+        "n_unique",
+        "n_unique_oov",
+    )

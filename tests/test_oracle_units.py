@@ -187,3 +187,52 @@ def test_plan_lsh_bands_scurve_planner():
         hsh.plan_lsh_bands(0.0, 128)
     with pytest.raises(ValueError):
         hsh.plan_lsh_bands(0.5, 1)
+
+
+def test_build_vocab_and_oov_stats(spark):
+    """Hand corpus: vocab cut ties on the lexicographically smaller
+    word; empty and all-OOV docs hit both degenerate branches."""
+    from intertext_spark.operators.textstats import build_vocab, oov_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b b c"),       # a:2 b:2 c:1
+            (2, "z z q"),           # z:2 q:1
+            (3, ""),                # empty
+            (4, "a c q x"),
+        ],
+        "doc_id long, text string",
+    )
+    voc = build_vocab(docs, 3)
+    got_v = [(r["word"], r["cnt"], r["rank"]) for r in voc.orderBy("rank").collect()]
+    # counts: a2 b2 z2 c1? wait c:2? c appears doc1 once + doc4 once = 2
+    # a: doc1 2 + doc4 1 = 3; b: 2; c: 2; z: 2; q: 2; x: 1
+    assert got_v == [("a", 3, 1), ("b", 2, 2), ("c", 2, 3)]  # b < c < q < z tie cut
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_rate"],
+                      r["n_unique"], r["n_unique_oov"])
+        for r in oov_stats(docs, voc).collect()
+    }
+    assert got[1] == (5, 0, 0.0, 3, 0)
+    assert got[2] == (3, 3, 1.0, 2, 2)          # all OOV
+    assert got[3] == (0, 0, 0.0, 0, 0)          # empty doc survives
+    assert got[4] == (4, 2, 0.5, 4, 2)          # q, x OOV
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        build_vocab(docs, 0)
+
+
+def test_oov_stats_external_vocab_and_dup_vocab_rows(spark):
+    from intertext_spark.operators.textstats import oov_stats
+
+    docs = spark.createDataFrame(
+        [(1, "u v u w")], "doc_id long, text string"
+    )
+    voc = spark.createDataFrame(
+        [("u",), ("u",), ("v",)], "word string"
+    )  # duplicate vocab rows must not double-count tokens
+    got = oov_stats(docs, voc).collect()[0]
+    assert (got["n_tokens"], got["n_oov"], got["n_unique_oov"]) == (4, 1, 1)

@@ -1727,6 +1727,23 @@ def main():
         ],
     )
 
+    record(
+        "oov_stats", e.queries()["oov_stats"](spark, sf_dir),
+        [
+            ("vocabulary membership is a broadcast join (never a"
+             " shuffle of the token stream)",
+             lambda p: "BroadcastHashJoin" in p
+             and "SortMergeJoin" not in p
+             and "ShuffledHashJoin" not in p),
+            ("vocabulary cut is a TakeOrdered heap",
+             lambda p: "TakeOrdered" in p),
+            ("per-doc collapse partial-aggregates map-side",
+             lambda p: "partial_count" in p or "partial_sum" in p),
+            ("no Python execution stage",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
     _cmp = e.queries()["compaction_plan"](spark, sf_dir)
     record(
         "compaction_plan", _cmp,
