@@ -1248,6 +1248,22 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _bootstrap_means_q(spark, sf_dir):
+    """30 Poisson-bootstrap replicate means of mean doc length, on the
+    md5 hash-bridge (rep folded into the hashed string — the dsir
+    seeding idiom).  Weights are integer threshold comparisons against
+    the shared poisson_thresholds table; sums exact decimal; DuckDB
+    replays every weight and both divisions bit-exactly."""
+    from intertext_spark.operators.quantiles import bootstrap_means
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bridge = lambda r: F.expr(  # noqa: E731
+        "cast(conv(substring(md5(concat(cast(doc_id as string),"
+        f" ':', '{r}')),1,15),16,10) as bigint)"
+    )
+    return bootstrap_means(docs, "n_chars", B=30, hash_expr=bridge)
+
+
 def _oov_stats_q(spark, sf_dir):
     """Per-doc OOV profile vs the corpus top-20 vocabulary (the 31-word
     gate vocabulary leaves ~1/3 of tokens OOV — both branches hot).
@@ -3238,6 +3254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["kcenter_coreset"] = _kcenter_coreset_q
     q["compaction_plan"] = _compaction_plan_q
     q["oov_stats"] = _oov_stats_q
+    q["bootstrap_means"] = _bootstrap_means_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -5973,6 +5990,39 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # bootstrap_means: replay every replicate weight (integer threshold
+    # comparisons against the SHARED poisson_thresholds literals), the
+    # exact decimal sums, and the same two-division mean chain.
+    from intertext_spark.operators.quantiles import (  # noqa: E402
+        poisson_thresholds as _pt,
+    )
+
+    _bs_w = " + ".join(
+        f"(case when u >= {t} then 1 else 0 end)" for t in _pt()
+    )
+    out["bootstrap_means"] = f"""
+with reps as (select unnest(generate_series(0, 29)) as rep),
+d as (
+  select doc_id,
+         cast(floor(n_chars * 1000000.0 + 0.5) as bigint) as x
+  from documents where n_chars is not null
+),
+u as (
+  select reps.rep, d.x,
+         ('0x' || substring(md5(cast(d.doc_id as varchar) || ':'
+                                || cast(reps.rep as varchar)), 1, 15)
+         )::BIGINT % 16777216 as u
+  from d, reps
+),
+w as (select rep, x, cast({_bs_w} as bigint) as w from u)
+select cast(rep as bigint) as rep,
+       cast(coalesce(sum(w), 0) as bigint) as n_eff,
+       case when sum(w) > 0
+            then cast(sum(cast(w as hugeint) * x) as double)
+                 / 1000000.0 / cast(sum(w) as double)
+            end as mean
+from w group by rep
 """
     # oov_stats: re-derive the top-20 vocabulary (count desc, word asc)
     # and replay the left-join coverage counts; empty docs resurrect

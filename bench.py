@@ -279,6 +279,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # oov_stats: vocab derivation (one word groupBy + TakeOrdered)
         # + broadcast membership + one doc groupBy — tokenizer QA cost
         "oov_stats",
+        # bootstrap_means: 60 replicate aggregates in ONE corpus pass —
+        # uncertainty quantification cost
+        "bootstrap_means",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

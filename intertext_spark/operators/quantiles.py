@@ -567,3 +567,103 @@ def ks_stat(
             "ks_at"
         ),
     )
+
+
+def poisson_thresholds(
+    den: int = 1 << 24, max_w: int = 8, lam: float = 1.0
+) -> "list[int]":
+    """Integer CDF thresholds T_j = round(F_Poisson(j; lam) * den) for
+    j in 0..max_w-1 — the ONE source of truth for
+    :func:`bootstrap_means` and its external-engine twins: a uniform
+    integer u in [0, den) maps to weight w = #{j : u >= T_j}, so
+    P(w = k) matches the Poisson pmf to 1/den and the mapping is an
+    all-integer comparison chain identical on every engine."""
+    import math
+
+    pmf, cdf, acc = math.exp(-lam), 0.0, []
+    for j in range(max_w):
+        cdf += pmf
+        acc.append(min(int(math.floor(cdf * den + 0.5)), den))
+        pmf *= lam / (j + 1)
+    return acc
+
+
+def bootstrap_means(
+    df: DataFrame,
+    value_col: str,
+    B: int = 50,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    quantize_digits: int = 6,
+    hash_expr=None,
+    max_w: int = 8,
+    den: int = 1 << 24,
+) -> DataFrame:
+    """Poisson-bootstrap replicate means of a corpus metric — the
+    uncertainty quantification a curator needs before acting on a
+    difference ("did mean quality really move after the new filter, or
+    is that noise?"): B independent resampled means whose spread IS the
+    sampling distribution; compose with :func:`exact_quantiles` for the
+    percentile CI.  -> (rep, n_eff, mean) with one row per replicate.
+    The Poisson(1) approximation to multinomial resampling (Chamandy et
+    al., Google 2012 "Estimating Uncertainty for Massive Data Streams")
+    is what makes the bootstrap single-pass and join-free.
+
+    Determinism: each row's replicate weight is w = #{j : u >= T_j}
+    where u = pmod(hash(id, seed, rep), den) and T_j are the INTEGER
+    Poisson-CDF thresholds of :func:`poisson_thresholds` — no float
+    comparisons, so the weights (hence every mean, a ratio of exact
+    sums) are identical on any engine, layout, or cluster size.
+    Weights truncate at ``max_w`` (P(X > 8) ~ 1e-6 at lam=1).  Values
+    are quantized to ``quantize_digits`` and summed as exact
+    decimal(38,0) (the concentration idiom — a double sum is
+    fold-order-sensitive); NULL values drop.  |value| must stay below
+    ~9.2e18 / 10^quantize_digits or the scaled long overflows.
+
+    Scale shape: ONE corpus pass — all 2B replicate aggregates ride a
+    single map-side-combined global aggregation (no explode: a B-way
+    row blowup through the shuffle is the wrong plan at 10^12 rows);
+    the B-row unpivot is a stack over the one aggregated row.  The
+    gate default B=30 keeps codegen comfortable; for B in the hundreds
+    split into chunks of ~64 and union."""
+    if B < 1:
+        raise ValueError(f"B must be >= 1: {B}")
+    scale = 10 ** quantize_digits
+    T = poisson_thresholds(den=den, max_w=max_w)
+    if hash_expr is None:
+        hash_expr = lambda r: F.xxhash64(  # noqa: E731
+            F.col(id_col), F.lit(seed), F.lit(r)
+        )
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(id_col), x.alias("__x")
+    )
+    aggs = []
+    for r in range(B):
+        u = F.pmod(hash_expr(r), F.lit(den))
+        w = sum(
+            ((u >= F.lit(t)).cast("int") for t in T), F.lit(0)
+        ).cast("long")
+        aggs.append(
+            F.sum((w * F.col("__x")).cast("decimal(38,0)")).alias(f"__s{r}")
+        )
+        aggs.append(F.sum(w).cast("long").alias(f"__c{r}"))
+    wide = base.agg(*aggs)
+    stack_args = ", ".join(
+        f"{r}, __s{r}, __c{r}" for r in range(B)
+    )
+    tall = wide.select(
+        F.expr(f"stack({B}, {stack_args}) as (rep, __s, __c)")
+    )
+    return tall.select(
+        F.col("rep").cast("long").alias("rep"),
+        F.coalesce(F.col("__c"), F.lit(0)).cast("long").alias("n_eff"),
+        F.when(
+            F.col("__c") > 0,
+            F.col("__s").cast("double")
+            / F.lit(float(scale))
+            / F.col("__c").cast("double"),
+        ).alias("mean"),
+    )

@@ -344,3 +344,77 @@ def test_ks_stat_known_and_random(spark):
             best, at = d, v
     assert (g["n_a"], g["n_b"]) == (37, 53)
     assert abs(g["ks_d"] - best) < 1e-12 and g["ks_at"] == float(at)
+
+
+def test_bootstrap_means_python_replay_and_poisson_mass(spark):
+    import hashlib
+    import math
+
+    from intertext_spark.operators.quantiles import (
+        bootstrap_means,
+        poisson_thresholds,
+    )
+
+    import pyspark.sql.functions as F
+
+    rows = [(i, float((i * 13) % 97)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, v double")
+    bridge = lambda r: F.expr(  # noqa: E731
+        "cast(conv(substring(md5(concat(cast(doc_id as string),"
+        f" ':', '{r}')),1,15),16,10) as bigint)"
+    )
+    got = sorted(
+        (r["rep"], r["n_eff"], r["mean"])
+        for r in bootstrap_means(df, "v", B=5, hash_expr=bridge).collect()
+    )
+    T, den = poisson_thresholds(), 1 << 24
+    want = []
+    for rep in range(5):
+        s = c = 0
+        for i, v in rows:
+            u = int(
+                hashlib.md5(f"{i}:{rep}".encode()).hexdigest()[:15], 16
+            ) % den
+            w = sum(1 for t in T if u >= t)
+            s += w * int(math.floor(v * 1e6 + 0.5))
+            c += w
+        want.append((rep, c, (float(s) / 1e6) / float(c)))
+    assert got == want
+    # mean replicate weight is ~Poisson(1): n_eff within 5 sigma of n
+    for _, c, _m in got:
+        assert abs(c - 300) < 5 * math.sqrt(300)
+
+
+def test_bootstrap_means_ci_composition_and_edges(spark):
+    import pytest as _pt
+
+    from intertext_spark.operators.quantiles import (
+        bootstrap_means,
+        exact_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(100 + (i % 21))) for i in range(500)]
+        + [(900, None)],  # NULL drops
+        "doc_id long, v double",
+    )
+    reps = bootstrap_means(df, "v", B=40, seed=7)
+    q = exact_quantiles(reps, "mean", qs=[0.025, 0.975])
+    lo, hi = sorted(r["value"] for r in q.collect())
+    true_mean = sum(100 + (i % 21) for i in range(500)) / 500
+    assert lo <= true_mean <= hi
+    assert hi - lo < 3.0  # tight at n=500, sd~6
+
+    # layout invariance
+    a = sorted(map(tuple, bootstrap_means(df, "v", B=3, seed=1).collect()))
+    b = sorted(map(tuple, bootstrap_means(
+        df.repartition(13), "v", B=3, seed=1).collect()))
+    assert a == b
+
+    # empty input: B rows, n_eff 0, NULL means
+    empty = bootstrap_means(df.where("v < 0"), "v", B=4).collect()
+    assert sorted((r["rep"], r["n_eff"], r["mean"]) for r in empty) == [
+        (r, 0, None) for r in range(4)
+    ]
+    with _pt.raises(ValueError):
+        bootstrap_means(df, "v", B=0)

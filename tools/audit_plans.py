@@ -1728,6 +1728,27 @@ def main():
     )
 
     record(
+        "bootstrap_means", e.queries()["bootstrap_means"](spark, sf_dir),
+        [
+            ("ONE corpus pass: all 2B replicate aggregates"
+             " partial-aggregate map-side into a single global agg",
+             lambda p: "partial_sum" in p
+             and len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 1),
+            ("no explode of the corpus (the stack Generate node sits"
+             " AFTER the aggregation in dataflow order)",
+             lambda p: (lambda g, h: not g or (h and min(g) > min(h)))(
+                 [int(m) for m in _re.findall(r"^\((\d+)\) Generate",
+                                              p, _re.M)],
+                 [int(m) for m in _re.findall(r"^\((\d+)\) HashAggregate",
+                                              p, _re.M)])),
+            ("no join, no window, no Python",
+             lambda p: "Join" not in p
+             and "windowspecdefinition" not in p
+             and not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
+    record(
         "oov_stats", e.queries()["oov_stats"](spark, sf_dir),
         [
             ("vocabulary membership is a broadcast join (never a"
