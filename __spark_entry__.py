@@ -1248,6 +1248,17 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _ab_stats_q(spark, sf_dir):
+    """Welch two-sample comparison of doc length between the en and de
+    cohorts.  Quantized values, exact decimal moments, then the fixed
+    IEEE division chain + one correctly-rounded sqrt — DuckDB's
+    hugeint replay is bit-exact."""
+    from intertext_spark.operators.quantiles import ab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ab_stats(docs, "lang", "n_chars", "en", "de")
+
+
 def _bootstrap_means_q(spark, sf_dir):
     """30 Poisson-bootstrap replicate means of mean doc length, on the
     md5 hash-bridge (rep folded into the hashed string — the dsir
@@ -3255,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["compaction_plan"] = _compaction_plan_q
     q["oov_stats"] = _oov_stats_q
     q["bootstrap_means"] = _bootstrap_means_q
+    q["ab_stats"] = _ab_stats_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -5990,6 +6002,53 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # ab_stats: replay the quantized exact moments (hugeint) and the
+    # identical Welch chain (divisions + one sqrt, both correctly
+    # rounded) — bit-exact doubles.
+    out["ab_stats"] = """
+with b as (
+  select lang = 'en' as a,
+         cast(floor(n_chars * 1000000.0 + 0.5) as bigint) as x
+  from documents
+  where n_chars is not null and lang in ('en', 'de')
+),
+m as (
+  select cast(sum(case when a then 1 else 0 end) as bigint) as na,
+         cast(sum(case when not a then 1 else 0 end) as bigint) as nb,
+         sum(case when a then cast(x as hugeint) else 0 end) as sa,
+         sum(case when not a then cast(x as hugeint) else 0 end) as sb,
+         sum(case when a then cast(x as hugeint) * x else 0 end) as qa,
+         sum(case when not a then cast(x as hugeint) * x else 0 end) as qb
+  from b
+),
+s as (
+  select na, nb,
+         cast(sa as double) / 1000000.0 / cast(na as double) as ma,
+         cast(sb as double) / 1000000.0 / cast(nb as double) as mb,
+         (cast(qa as double) - cast(sa as double) * cast(sa as double)
+            / cast(na as double))
+           / (cast(na as double) - 1.0) / 1000000.0 / 1000000.0 as va,
+         (cast(qb as double) - cast(sb as double) * cast(sb as double)
+            / cast(nb as double))
+           / (cast(nb as double) - 1.0) / 1000000.0 / 1000000.0 as vb
+  from m
+),
+z as (
+  select na, nb, ma, mb,
+         sqrt(va / cast(na as double) + vb / cast(nb as double)) as se
+  from s
+)
+select na, nb,
+       case when na > 0 then ma end as mean_a,
+       case when nb > 0 then mb end as mean_b,
+       case when na > 0 and nb > 0 then ma - mb end as diff,
+       case when na >= 2 and nb >= 2 then se end as se,
+       case when na >= 2 and nb >= 2 and se > 0
+            then (ma - mb) / se end as z,
+       case when na >= 2 and nb >= 2 and se > 0
+            then abs((ma - mb) / se) > 1.96 end as significant
+from z
 """
     # bootstrap_means: replay every replicate weight (integer threshold
     # comparisons against the SHARED poisson_thresholds literals), the

@@ -282,6 +282,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # bootstrap_means: 60 replicate aggregates in ONE corpus pass —
         # uncertainty quantification cost
         "bootstrap_means",
+        # ab_stats: one exact-moment aggregation + the Welch chain —
+        # cohort-comparison cost
+        "ab_stats",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

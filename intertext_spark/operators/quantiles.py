@@ -667,3 +667,81 @@ def bootstrap_means(
             / F.col("__c").cast("double"),
         ).alias("mean"),
     )
+
+
+def ab_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Welch comparison of a metric between two cohorts —
+    the parametric fast path next to :func:`ks_stat` (distribution-free
+    shape drift) and :func:`bootstrap_means` (resampled CIs): "did mean
+    quality move between last week's snapshot and this one / between
+    filter A and filter B?".  -> ONE row (n_a, n_b, mean_a, mean_b,
+    diff, se, z, significant) where z = diff / sqrt(va/na + vb/nb)
+    (Welch — no equal-variance assumption) and significant = |z| >
+    1.96 (~95% two-sided).  NULL values drop; a cohort with n < 2 or
+    zero variance in both cohorts emits NULL z.
+
+    Determinism: values are quantized to ``quantize_digits`` and both
+    moments accumulate as EXACT decimal(38,0) sums (the concentration
+    idiom); every derived stat is then a fixed chain of IEEE
+    divisions + one correctly-rounded sqrt (the audio_features
+    precedent) — bit-identical on any engine or layout.
+
+    Scale shape: ONE map-side-combined aggregation over the filtered
+    corpus — no joins, windows, or Python."""
+    scale = 10 ** quantize_digits
+    x = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    in_a = F.col(group_col) == F.lit(group_a)
+    base = df.where(
+        F.col(value_col).isNotNull()
+        & (in_a | (F.col(group_col) == F.lit(group_b)))
+    ).select(in_a.alias("__a"), x.alias("__x"))
+    agg = base.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("__a"), F.col("__x")).otherwise(0).cast(
+            "decimal(38,0)")).alias("sa"),
+        F.sum(F.when(~F.col("__a"), F.col("__x")).otherwise(0).cast(
+            "decimal(38,0)")).alias("sb"),
+        F.sum(F.when(F.col("__a"), F.col("__x") * F.col("__x"))
+              .otherwise(0).cast("decimal(38,0)")).alias("qa"),
+        F.sum(F.when(~F.col("__a"), F.col("__x") * F.col("__x"))
+              .otherwise(0).cast("decimal(38,0)")).alias("qb"),
+    )
+    S = F.lit(float(scale))
+    ma = F.col("sa").cast("double") / S / F.col("na").cast("double")
+    mb = F.col("sb").cast("double") / S / F.col("nb").cast("double")
+
+    def var(q, s, n):
+        # unbiased: (sumsq - sum^2/n) / (n-1), in quantized units^2
+        num = F.col(q).cast("double") - (
+            F.col(s).cast("double") * F.col(s).cast("double")
+            / F.col(n).cast("double")
+        )
+        return num / (F.col(n).cast("double") - F.lit(1.0)) / S / S
+
+    va, vb = var("qa", "sa", "na"), var("qb", "sb", "nb")
+    se = F.sqrt(va / F.col("na").cast("double")
+                + vb / F.col("nb").cast("double"))
+    z = F.when(
+        (F.col("na") >= 2) & (F.col("nb") >= 2) & (se > 0),
+        (ma - mb) / se,
+    )
+    return agg.select(
+        "na",
+        "nb",
+        F.when(F.col("na") > 0, ma).alias("mean_a"),
+        F.when(F.col("nb") > 0, mb).alias("mean_b"),
+        F.when((F.col("na") > 0) & (F.col("nb") > 0), ma - mb).alias("diff"),
+        F.when((F.col("na") >= 2) & (F.col("nb") >= 2), se).alias("se"),
+        z.alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -418,3 +418,55 @@ def test_bootstrap_means_ci_composition_and_edges(spark):
     ]
     with _pt.raises(ValueError):
         bootstrap_means(df, "v", B=0)
+
+
+def test_ab_stats_python_replay_and_significance(spark):
+    import math
+
+    from intertext_spark.operators.quantiles import ab_stats
+
+    # planted: cohort A ~ N-ish around 100, cohort B shifted +8 —
+    # deterministic values, clearly significant at these sizes
+    rows = [("A", float(90 + (i * 7) % 21)) for i in range(200)] + [
+        ("B", float(98 + (i * 7) % 21)) for i in range(180)
+    ] + [("C", 5.0), ("A", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ab_stats(df, "g", "v", "A", "B").collect()[0]
+
+    S = 10**6
+    a = [int(math.floor(v * S + 0.5)) for g, v in rows
+         if g == "A" and v is not None]
+    b = [int(math.floor(v * S + 0.5)) for g, v in rows if g == "B"]
+    na, nb = len(a), len(b)
+    ma, mb = float(sum(a)) / S / na, float(sum(b)) / S / nb
+    va = (float(sum(x * x for x in a))
+          - float(sum(a)) * float(sum(a)) / na) / (na - 1) / S / S
+    vb = (float(sum(x * x for x in b))
+          - float(sum(b)) * float(sum(b)) / nb) / (nb - 1) / S / S
+    se = math.sqrt(va / na + vb / nb)
+    assert (r["na"], r["nb"]) == (200, 180)  # C and NULL excluded
+    assert (r["mean_a"], r["mean_b"], r["se"]) == (ma, mb, se)
+    assert r["z"] == (ma - mb) / se
+    assert r["significant"] is True and r["z"] < -1.96
+
+
+def test_ab_stats_degenerate_cohorts(spark):
+    from intertext_spark.operators.quantiles import ab_stats
+
+    # n_b = 1: z undefined; constant values: se = 0 -> z NULL
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 9.0)], "g string, v double"
+    )
+    r = ab_stats(df, "g", "v", "A", "B").collect()[0]
+    assert (r["na"], r["nb"]) == (2, 1)
+    assert r["mean_b"] == 9.0 and r["z"] is None and r["significant"] is None
+
+    const = spark.createDataFrame(
+        [("A", 5.0)] * 3 + [("B", 5.0)] * 3, "g string, v double"
+    )
+    r2 = ab_stats(const, "g", "v", "A", "B").collect()[0]
+    assert r2["se"] == 0.0 and r2["z"] is None
+
+    # missing cohort entirely
+    r3 = ab_stats(df.where("g = 'A'"), "g", "v", "A", "B").collect()[0]
+    assert (r3["nb"], r3["mean_b"], r3["diff"]) == (0, None, None)

@@ -1728,6 +1728,19 @@ def main():
     )
 
     record(
+        "ab_stats", e.queries()["ab_stats"](spark, sf_dir),
+        [
+            ("ONE map-side-combined global aggregation",
+             lambda p: "partial_sum" in p
+             and len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 1),
+            ("no join, no window, no Python",
+             lambda p: "Join" not in p
+             and "windowspecdefinition" not in p
+             and not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
+    record(
         "bootstrap_means", e.queries()["bootstrap_means"](spark, sf_dir),
         [
             ("ONE corpus pass: all 2B replicate aggregates"
