@@ -1248,6 +1248,22 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _cluster_silhouette_q(spark, sf_dir):
+    """Silhouette QA with the first four embeddings as centroids (both
+    engines take the SAME centroids from the data — no literal
+    bridge): fold distances + correctly-rounded sqrt + quantized
+    per-row silhouettes, so DuckDB replays assignment, both nearest
+    distances, and the cluster means bit-exactly."""
+    from intertext_spark.operators.dedup import cluster_silhouette
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.where("vec_id < 4").orderBy("vec_id").collect()
+    ]
+    return cluster_silhouette(emb, cents)
+
+
 def _ab_stats_q(spark, sf_dir):
     """Welch two-sample comparison of doc length between the en and de
     cohorts.  Quantized values, exact decimal moments, then the fixed
@@ -3267,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["oov_stats"] = _oov_stats_q
     q["bootstrap_means"] = _bootstrap_means_q
     q["ab_stats"] = _ab_stats_q
+    q["cluster_silhouette"] = _cluster_silhouette_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -6002,6 +6019,44 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # cluster_silhouette: both engines take the first four embeddings
+    # as centroids FROM THE DATA, replay the fold+sqrt distances, the
+    # (d, cid)-ranked assignment, and the quantized cluster means.
+    out["cluster_silhouette"] = """
+with e as (
+  select vec_id, list_transform(embedding, x -> cast(x as double)) as ed
+  from embeddings where embedding is not null and len(embedding) = 64
+),
+c as (select vec_id as cid, ed as ce from e where vec_id < 4),
+d as (
+  select e.vec_id, c.cid,
+         sqrt(list_reduce(list_transform(generate_series(1, 64),
+           i -> (e.ed[cast(i as int)] - c.ce[cast(i as int)])
+              * (e.ed[cast(i as int)] - c.ce[cast(i as int)])),
+           (x, y) -> x + y)) as d
+  from e, c
+),
+r as (select vec_id, cid, d,
+             row_number() over (partition by vec_id
+                                order by d, cid) as rk
+      from d),
+ab as (select vec_id,
+              min(case when rk = 1 then cid end) as cluster,
+              min(case when rk = 1 then d end) as a,
+              min(case when rk = 2 then d end) as b
+       from r group by 1),
+q as (select cluster,
+             cast(floor((case when greatest(a, b) > 0
+                              then (b - a) / greatest(a, b)
+                              else 0.0 end) * 1000000 + 0.5) as bigint)
+               as sq
+      from ab)
+select cast(cluster as bigint) as cluster,
+       cast(count(*) as bigint) as n,
+       cast(sum(sq) as double) / 1000000.0 / cast(count(*) as double)
+         as mean_silhouette
+from q group by cluster
 """
     # ab_stats: replay the quantized exact moments (hugeint) and the
     # identical Welch chain (divisions + one sqrt, both correctly

@@ -285,6 +285,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # ab_stats: one exact-moment aggregation + the Welch chain —
         # cohort-comparison cost
         "ab_stats",
+        # cluster_silhouette: per-vector centroid distances (fold gate
+        # path) + one tiny groupBy — clustering-QA cost
+        "cluster_silhouette",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -2161,3 +2161,124 @@ def srp_dup_pairs(
     )
     out._ckpt_rdd_ids = sig_ids
     return out
+
+
+def cluster_silhouette(
+    df: DataFrame,
+    centroids: "list[list[float]]",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "fold",
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Simplified silhouette QA for centroid-based clusterings
+    (ivf_train lists, semdedup clusters, kcenter centers): per cluster,
+    how cleanly separated its members are — s = (b - a) / max(a, b)
+    with a = L2 distance to the NEAREST centroid (the assignment) and
+    b = distance to the second-nearest (Rousseeuw 1987's medoid
+    simplification: centroid distances instead of all-pairs, which is
+    the only formulation that scales).  -> (cluster, n, mean_silhouette)
+    per cluster: ~1 = tight and separated, ~0 = boundary-dwelling (the
+    semdedup epsilon-tuning signal), negative never occurs here since a
+    is the minimum by construction.  Run it after ivf_train to see
+    which lists are real structure vs arbitrary space partitions.
+
+    Determinism: assignment ties break to the smallest centroid index;
+    per-row silhouettes are quantized to ``quantize_digits`` and summed
+    as exact bigints (mean = two divisions), so results are identical
+    on any engine/layout.  ``method='fold'``: distances as in-row
+    sequential IEEE folds + correctly-rounded sqrt — externally
+    replayable, but interpreted eval per vector (oracle-scale);
+    ``method='arrow'``: one numpy batch per Arrow chunk (production).
+    Rows with NULL/ragged embeddings drop (the ivf_train guard).
+
+    Scale shape: centroids ride the plan as literals (model-sized BY
+    DEFINITION); the only exchange is the |clusters|-row groupBy —
+    map-side combined, no joins/windows."""
+    n_c = len(centroids)
+    if n_c < 2:
+        raise ValueError(f"need >= 2 centroids, got {n_c}")
+    dim = len(centroids[0])
+    if any(len(c) != dim for c in centroids):
+        raise ValueError("ragged centroid list")
+    if method not in ("fold", "arrow"):
+        raise ValueError(f"unknown method {method!r}")
+    scale = 10 ** quantize_digits
+    base = df.where(
+        F.col(emb_col).isNotNull() & (F.size(emb_col) == dim)
+    ).select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("ed"),
+    )
+    if method == "arrow":
+        C = np.asarray(centroids, dtype=np.float64)  # n_c x dim
+
+        @F.pandas_udf("cluster long, sq long")
+        def _sil(s: pd.Series) -> pd.DataFrame:
+            x = np.asarray(list(s), dtype=np.float64).reshape(len(s), dim)
+            # squared L2 to every centroid, then sqrt
+            d2 = ((x[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d = np.sqrt(d2)
+            assigned = d.argmin(axis=1)  # first occurrence = smallest idx
+            part = np.sort(d, axis=1)
+            a, b = part[:, 0], part[:, 1]
+            mx = np.maximum(a, b)
+            sil = np.where(mx > 0, (b - a) / mx, 0.0)
+            sq = np.floor(sil * scale + 0.5).astype(np.int64)
+            return pd.DataFrame(
+                {"cluster": assigned.astype(np.int64), "sq": sq}
+            )
+
+        rows = base.select(_sil(F.col("ed")).alias("__s")).select(
+            F.col("__s.cluster").alias("cluster"),
+            F.col("__s.sq").alias("sq"),
+        )
+    else:
+        dists = []
+        for c in centroids:
+            arr = F.array(*[F.lit(float(v)) for v in c])
+            dists.append(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("ed"), arr, lambda a, b: (a - b) * (a - b)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                )
+            )
+        darr = F.array(*dists)
+        assigned = F.array_min(
+            F.array(
+                *[
+                    F.struct(d.alias("d"), F.lit(i).cast("long").alias("i"))
+                    for i, d in enumerate(dists)
+                ]
+            )
+        )["i"]
+        srt = F.array_sort(darr)
+        a, b = srt[0], srt[1]
+        sil = F.when(
+            F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+        ).otherwise(F.lit(0.0))
+        rows = base.select(
+            assigned.alias("cluster"),
+            F.floor(sil * scale + F.lit(0.5)).cast("long").alias("sq"),
+        )
+    return (
+        rows.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("sq").cast("long").alias("__ssum"),
+        )
+        .select(
+            "cluster",
+            "n",
+            (
+                F.col("__ssum").cast("double")
+                / F.lit(float(scale))
+                / F.col("n").cast("double")
+            ).alias("mean_silhouette"),
+        )
+    )

@@ -2177,3 +2177,75 @@ def test_verify_rouge_null_short_and_threshold(spark):
     assert got[(1, 4)]["rouge_f"] == 1.0
     kept = verify_rouge(pairs, docs, n=2, threshold=0.5).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in kept] == [(1, 4)]
+
+
+def test_cluster_silhouette_planted_geometry(spark):
+    """Two tight separated blobs -> silhouette near 1; a boundary
+    point scores ~0; arrow == fold; validation raises."""
+    import pytest as _pt
+
+    from intertext_spark.operators.dedup import cluster_silhouette
+
+    c0, c1 = [0.0, 0.0], [10.0, 0.0]
+    pts = (
+        [(i, [0.0 + 0.1 * (i % 3), 0.1]) for i in range(6)]         # blob 0
+        + [(10 + i, [10.0 - 0.1 * (i % 3), -0.1]) for i in range(6)]  # blob 1
+        + [(99, [5.0, 0.0])]                                          # boundary
+        + [(100, None), (101, [1.0])]                                 # dropped
+    )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = {
+        r["cluster"]: (r["n"], r["mean_silhouette"])
+        for r in cluster_silhouette(df, [c0, c1]).collect()
+    }
+    # boundary point 99 ties exactly -> assigned cluster 0 (smallest
+    # index), silhouette 0
+    assert got[0][0] == 7 and got[1][0] == 6
+    assert got[1][1] > 0.9
+    assert got[0][1] < got[1][1]  # dragged down by the boundary point
+
+    arrow = {
+        r["cluster"]: (r["n"], r["mean_silhouette"])
+        for r in cluster_silhouette(df, [c0, c1], method="arrow").collect()
+    }
+    assert arrow == got
+
+    with _pt.raises(ValueError):
+        cluster_silhouette(df, [c0])
+    with _pt.raises(ValueError):
+        cluster_silhouette(df, [c0, [1.0]])
+    with _pt.raises(ValueError):
+        cluster_silhouette(df, [c0, c1], method="nope")
+
+
+def test_cluster_silhouette_python_replay(spark):
+    import math
+    import random
+
+    from intertext_spark.operators.dedup import cluster_silhouette
+
+    rng = random.Random(13)
+    pts = [(i, [rng.uniform(-1, 1) for _ in range(5)]) for i in range(40)]
+    cents = [pts[0][1], pts[1][1], pts[2][1]]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    got = sorted(
+        map(tuple, cluster_silhouette(df, cents).collect())
+    )
+    agg = {}
+    for _vid, v in pts:
+        ds = []
+        for c in cents:
+            acc = 0.0
+            for x, y in zip(v, c):
+                acc = acc + (x - y) * (x - y)
+            ds.append(math.sqrt(acc))
+        assigned = min(range(3), key=lambda i: (ds[i], i))
+        a2 = sorted(ds)
+        mx = max(a2[0], a2[1])
+        s = (a2[1] - a2[0]) / mx if mx > 0 else 0.0
+        n, t = agg.get(assigned, (0, 0))
+        agg[assigned] = (n + 1, t + int(math.floor(s * 1e6 + 0.5)))
+    want = sorted(
+        (c, n, float(t) / 1e6 / float(n)) for c, (n, t) in agg.items()
+    )
+    assert got == want

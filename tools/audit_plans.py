@@ -1728,6 +1728,21 @@ def main():
     )
 
     record(
+        "cluster_silhouette",
+        e.queries()["cluster_silhouette"](spark, sf_dir),
+        [
+            ("centroids are plan literals: NO join anywhere",
+             lambda p: "Join" not in p),
+            ("the only exchange is the |clusters|-row groupBy"
+             " (map-side combined)",
+             lambda p: "partial_count" in p
+             and len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 1),
+            ("fold path stays JVM (no Python stage)",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
+    record(
         "ab_stats", e.queries()["ab_stats"](spark, sf_dir),
         [
             ("ONE map-side-combined global aggregation",
