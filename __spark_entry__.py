@@ -1248,6 +1248,37 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _dedup_eval_q(spark, sf_dir):
+    """Pair-set evaluation composed from two verifiers on the same
+    {(i,i+1), (i,i+2)} candidate set: multiset ROUGE-2 (f >= 0.08) as
+    the detector under test, SET bigram Jaccard (>= 0.3) as truth —
+    the counts quantify where multiset counting diverges from set
+    semantics on the repetitive gate corpus.  DuckDB replays both
+    verifiers and the full-outer confusion counts."""
+    from intertext_spark.operators.dedup import (
+        dedup_eval,
+        verify_jaccard,
+        verify_rouge,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        F.col("doc_id").alias("doc_a"), (F.col("doc_id") + 1).alias("doc_b")
+    ).unionByName(
+        docs.select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 2).alias("doc_b"),
+        )
+    )
+    pred = verify_rouge(pairs, docs, n=2, threshold=0.08).select(
+        "doc_a", "doc_b"
+    )
+    truth = verify_jaccard(
+        pairs, docs, shingle_words=2, threshold=0.05
+    ).select("doc_a", "doc_b")
+    return dedup_eval(pred, truth)
+
+
 def _cluster_silhouette_q(spark, sf_dir):
     """Silhouette QA with the first four embeddings as centroids (both
     engines take the SAME centroids from the data — no literal
@@ -3284,6 +3315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bootstrap_means"] = _bootstrap_means_q
     q["ab_stats"] = _ab_stats_q
     q["cluster_silhouette"] = _cluster_silhouette_q
+    q["dedup_eval"] = _dedup_eval_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -6019,6 +6051,95 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # dedup_eval: replay both verifiers on the two-ring pair set (the
+    # rouge_pairs gram machinery + a distinct-gram set-Jaccard branch)
+    # and the full-outer confusion counts + ratio divisions.
+    out["dedup_eval"] = """
+with d as (
+  select doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x != '') as ws
+  from documents where text is not null
+),
+g as (
+  select doc_id, ws[i] || ' ' || ws[i + 1] as gram
+  from d, unnest(generate_series(1, len(ws) - 1)) as t(i)
+  where len(ws) >= 2
+),
+gc as (select doc_id, gram, cast(count(*) as bigint) as cnt
+       from g group by 1, 2),
+mt as (select doc_id, cast(greatest(len(ws) - 1, 0) as bigint) as n_grams
+       from d),
+gs as (select distinct doc_id, gram from g),
+st as (select doc_id, cast(count(*) as bigint) as n_set
+       from gs group by 1),
+p as (
+  select doc_id as a, doc_id + 1 as b from documents
+  union all
+  select doc_id, doc_id + 2 from documents
+),
+ovm as (
+  select p.a, p.b, cast(sum(least(ga.cnt, gb.cnt)) as bigint) as ov
+  from p join gc ga on ga.doc_id = p.a
+        join gc gb on gb.doc_id = p.b and gb.gram = ga.gram
+  group by 1, 2
+),
+pred as (
+  select distinct p.a, p.b
+  from p
+  join mt ta on ta.doc_id = p.a
+  join mt tb on tb.doc_id = p.b
+  left join ovm on ovm.a = p.a and ovm.b = p.b
+  where ta.n_grams + tb.n_grams > 0
+    and 2.0 * cast(coalesce(ovm.ov, 0) as double)
+        / cast(ta.n_grams + tb.n_grams as double) >= 0.08
+),
+ovs as (
+  select p.a, p.b, cast(count(*) as bigint) as inter
+  from p join gs ga on ga.doc_id = p.a
+        join gs gb on gb.doc_id = p.b and gb.gram = ga.gram
+  group by 1, 2
+),
+tru as (
+  select distinct p.a, p.b
+  from p
+  join st sa on sa.doc_id = p.a
+  join st sb on sb.doc_id = p.b
+  left join ovs on ovs.a = p.a and ovs.b = p.b
+  where cast(coalesce(ovs.inter, 0) as double)
+        / cast(sa.n_set + sb.n_set - coalesce(ovs.inter, 0) as double)
+        >= 0.05
+),
+f as (
+  select coalesce(pred.a, tru.a) as a,
+         pred.a is not null as inp, tru.a is not null as intr
+  from pred full outer join tru
+    on pred.a = tru.a and pred.b = tru.b
+),
+c as (
+  select cast(coalesce(sum(case when inp then 1 else 0 end), 0)
+              as bigint) as n_pred,
+         cast(coalesce(sum(case when intr then 1 else 0 end), 0)
+              as bigint) as n_truth,
+         cast(coalesce(sum(case when inp and intr then 1 else 0 end), 0)
+              as bigint) as tp,
+         cast(coalesce(sum(case when inp and not intr then 1 else 0 end),
+                       0) as bigint) as fp,
+         cast(coalesce(sum(case when intr and not inp then 1 else 0 end),
+                       0) as bigint) as fn
+  from f
+)
+select n_pred, n_truth, tp, fp, fn,
+       case when n_pred > 0
+            then cast(tp as double) / cast(n_pred as double) end
+         as precision,
+       case when n_truth > 0
+            then cast(tp as double) / cast(n_truth as double) end
+         as recall,
+       case when n_pred + n_truth > 0
+            then 2.0 * cast(tp as double)
+                 / cast(n_pred + n_truth as double) end as f1
+from c
 """
     # cluster_silhouette: both engines take the first four embeddings
     # as centroids FROM THE DATA, replay the fold+sqrt distances, the

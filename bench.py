@@ -288,6 +288,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # cluster_silhouette: per-vector centroid distances (fold gate
         # path) + one tiny groupBy — clustering-QA cost
         "cluster_silhouette",
+        # dedup_eval: two verifiers + the full-outer confusion counts —
+        # detector-vs-truth evaluation cost
+        "dedup_eval",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -2282,3 +2282,75 @@ def cluster_silhouette(
             ).alias("mean_silhouette"),
         )
     )
+
+
+def dedup_eval(
+    pred: DataFrame,
+    truth: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+) -> DataFrame:
+    """Pair-set evaluation of a dedup method against ground truth — the
+    harness that justifies every sketch tier in this repo: run a cheap
+    detector (SRP / simhash / bands-only) and an exact one (brute-force
+    Jaccard, verify_edit) on the same corpus slice, and this reports
+    how much recall the cheap tier buys per candidate.  -> ONE row
+    (n_pred, n_truth, tp, fp, fn, precision, recall, f1).  Pairs are
+    canonicalized (unordered, a != b) and deduplicated on both sides,
+    so orientation and multiplicity never skew the counts.
+
+    Determinism: exact integer counts + three final divisions.
+
+    Scale shape: two map-side-combined distincts + ONE (a, b) full
+    outer equi-join + a global count aggregation — pair-table-sized
+    throughout, never corpus-sized."""
+    def canon(df):
+        a, b = F.col(id_a), F.col(id_b)
+        return (
+            df.where(a != b)
+            .select(
+                F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+            )
+            .distinct()
+        )
+
+    p = canon(pred).withColumn("__p", F.lit(1))
+    t = canon(truth).withColumn("__t", F.lit(1))
+    j = p.join(t, ["a", "b"], "full_outer")
+    # coalesce(sum, 0): an EMPTY joined table (both sides empty) must
+    # report zero counts, not NULLs
+    agg = j.agg(
+        F.coalesce(F.sum(F.coalesce(F.col("__p"), F.lit(0))), F.lit(0))
+        .cast("long").alias("n_pred"),
+        F.coalesce(F.sum(F.coalesce(F.col("__t"), F.lit(0))), F.lit(0))
+        .cast("long").alias("n_truth"),
+        F.coalesce(F.sum(
+            F.when(F.col("__p").isNotNull() & F.col("__t").isNotNull(), 1)
+            .otherwise(0)
+        ), F.lit(0)).cast("long").alias("tp"),
+        F.coalesce(F.sum(
+            F.when(F.col("__p").isNotNull() & F.col("__t").isNull(), 1)
+            .otherwise(0)
+        ), F.lit(0)).cast("long").alias("fp"),
+        F.coalesce(F.sum(
+            F.when(F.col("__p").isNull() & F.col("__t").isNotNull(), 1)
+            .otherwise(0)
+        ), F.lit(0)).cast("long").alias("fn"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("tp").cast("double") / F.col("n_pred").cast("double"),
+    )
+    rec = F.when(
+        F.col("n_truth") > 0,
+        F.col("tp").cast("double") / F.col("n_truth").cast("double"),
+    )
+    f1 = F.when(
+        (F.col("n_pred") + F.col("n_truth")) > 0,
+        F.lit(2.0) * F.col("tp").cast("double")
+        / (F.col("n_pred") + F.col("n_truth")).cast("double"),
+    )
+    return agg.select(
+        "n_pred", "n_truth", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )

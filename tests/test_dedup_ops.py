@@ -2249,3 +2249,50 @@ def test_cluster_silhouette_python_replay(spark):
         (c, n, float(t) / 1e6 / float(n)) for c, (n, t) in agg.items()
     )
     assert got == want
+
+
+def test_dedup_eval_hand_confusion_and_canonicalization(spark):
+    from intertext_spark.operators.dedup import dedup_eval
+
+    pred = spark.createDataFrame(
+        # (2,1) reversed + duplicated -> one canonical (1,2); (3,3)
+        # self-pair dropped; (4,5) fp
+        [(2, 1), (1, 2), (3, 3), (4, 5), (6, 7)],
+        "doc_a long, doc_b long",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (6, 7), (8, 9)], "doc_a long, doc_b long"
+    )
+    r = dedup_eval(pred, truth).collect()[0]
+    assert (r["n_pred"], r["n_truth"]) == (3, 3)
+    assert (r["tp"], r["fp"], r["fn"]) == (2, 1, 1)
+    assert r["precision"] == 2 / 3 and r["recall"] == 2 / 3
+    assert r["f1"] == 4 / 6
+
+
+def test_dedup_eval_disjoint_and_empty_sides(spark):
+    from intertext_spark.operators.dedup import dedup_eval
+
+    a = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    b = spark.createDataFrame([(3, 4)], "doc_a long, doc_b long")
+    r = dedup_eval(a, b).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"]) == (0, 1, 1)
+    assert r["precision"] == 0.0 and r["f1"] == 0.0
+
+    r2 = dedup_eval(a.where("doc_a < 0"), b).collect()[0]
+    assert (r2["n_pred"], r2["precision"], r2["recall"]) == (0, None, 0.0)
+    r3 = dedup_eval(
+        a.where("doc_a < 0"), b.where("doc_a < 0")
+    ).collect()[0]
+    assert (r3["n_pred"], r3["n_truth"], r3["f1"]) == (0, 0, None)
+
+
+def test_dedup_eval_gate_is_not_vacuous(spark):
+    """The anti-vacuity rule (the html_text lesson): the gate row must
+    exercise tp, fp AND the ratio branches — an empty pred/truth pair
+    would value-match any equally-empty twin."""
+    import __spark_entry__ as e
+
+    r = e.queries()["dedup_eval"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["tp"] > 0 and r["fp"] > 0
+    assert 0.0 < r["precision"] < 1.0

@@ -1728,6 +1728,19 @@ def main():
     )
 
     record(
+        "dedup_eval", e.queries()["dedup_eval"](spark, sf_dir),
+        [
+            ("no cartesian / nested-loop join anywhere",
+             lambda p: "Cartesian" not in p
+             and "BroadcastNestedLoop" not in p),
+            ("confusion counts partial-aggregate map-side",
+             lambda p: "partial_sum" in p or "partial_count" in p),
+            ("no Python execution stage",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
+    record(
         "cluster_silhouette",
         e.queries()["cluster_silhouette"](spark, sf_dir),
         [
