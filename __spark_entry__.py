@@ -1248,6 +1248,21 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _label_propagation_q(spark, sf_dir):
+    """3-round synchronous LPA over the customer->order bipartite graph
+    (the pagerank gate's edges).  Min-label tie-breaks make the
+    synchronous schedule fully deterministic; DuckDB replays the
+    identical rounds via a generated CTE chain (the pagerank same-loop
+    idiom)."""
+    from intertext_spark.operators.graph import label_propagation
+
+    edges = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.lit(1_000_000_000) + F.col("o_orderkey")).cast("long").alias("dst"),
+    )
+    return label_propagation(edges, n_iter=3)
+
+
 def _dedup_eval_q(spark, sf_dir):
     """Pair-set evaluation composed from two verifiers on the same
     {(i,i+1), (i,i+2)} candidate set: multiset ROUGE-2 (f >= 0.08) as
@@ -3316,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ab_stats"] = _ab_stats_q
     q["cluster_silhouette"] = _cluster_silhouette_q
     q["dedup_eval"] = _dedup_eval_q
+    q["label_propagation"] = _label_propagation_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -6052,6 +6068,41 @@ select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
 """
+    # label_propagation: replay the synchronous rounds (mode with
+    # count-desc/label-asc tie-break) via a generated CTE chain — the
+    # SAME loop constant drives both engines' round count.
+    _lpa_rounds = 3
+    _lpa_ctes = [
+        """edges as (
+  select cast(o_custkey as bigint) as src,
+         1000000000 + cast(o_orderkey as bigint) as dst
+  from orders
+)""",
+        """und as (
+  select distinct a, b from (
+    select src as a, dst as b from edges
+    union all
+    select dst, src from edges
+  ) where a is not null and b is not null and a != b
+)""",
+        "l0 as (select distinct a as node, a as label from und)",
+    ]
+    for _i in range(1, _lpa_rounds + 1):
+        _lpa_ctes.append(
+            f"""r{_i} as (
+  select node, label from (
+    select u.a as node, l.label,
+           row_number() over (partition by u.a
+                              order by count(*) desc, l.label) as rk
+    from und u join {'l0' if _i == 1 else f'r{_i - 1}'} l on u.b = l.node
+    group by u.a, l.label
+  ) where rk = 1
+)"""
+        )
+    out["label_propagation"] = (
+        "with " + ",\n".join(_lpa_ctes)
+        + f"\nselect node, label from r{_lpa_rounds}"
+    )
     # dedup_eval: replay both verifiers on the two-ring pair set (the
     # rouge_pairs gram machinery + a distinct-gram set-Jaccard branch)
     # and the full-outer confusion counts + ratio divisions.

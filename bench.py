@@ -291,6 +291,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # dedup_eval: two verifiers + the full-outer confusion counts —
         # detector-vs-truth evaluation cost
         "dedup_eval",
+        # label_propagation: 3 synchronous rounds (join + two aggs each)
+        # — community-detection cost over the bipartite graph
+        "label_propagation",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -421,3 +421,84 @@ def pagerank(
     release_rdd_ids(spark, nstats_ids)
     out._ckpt_rdd_ids = ranks_ids
     return out
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list -> (node, label): community detection for the
+    match graph — where connected_components answers "what touches
+    what" (one chained near-dup fuses two clusters), LPA's
+    most-frequent-neighbor-label rule finds the DENSE cores inside a
+    component, splitting the giant blob that chained boilerplate builds
+    (the triangle_counts clique-vs-chain QA, as an assignment instead
+    of a score).  Works on long or string node ids (min/mode are
+    type-agnostic — the conv_dedup lesson).
+
+    Determinism: initial label = own id; each round every node adopts
+    the most frequent neighbor label with ties to the SMALLEST label —
+    a total order, so the synchronous schedule + fixed ``n_iter``
+    yields the identical labeling on any engine, layout, or cluster
+    size (asynchronous/randomized LPA, the common formulation, is
+    neither replayable nor layout-stable — useless under this repo's
+    gate).  Bipartite subgraphs can oscillate under synchronous
+    updates; fixed n_iter bounds that by construction (label the
+    oscillation phase via n_iter parity, or raise n_iter on real
+    community graphs where oscillation damps out).
+
+    Scale shape: per round ONE neighbor-keyed join (labels onto the
+    doubled edge list) + one map-side-combined (node, label) count +
+    one node-keyed min-struct collapse; superseded rounds released
+    deterministically (the pagerank/ckpt lifecycle).  The returned
+    frame carries ``_ckpt_rdd_ids`` for ckpt.release_checkpoint.
+    Hot nodes partial-aggregate; a boilerplate hub's fan-out is data
+    parallelism, not a reducer funnel."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1: {n_iter}")
+    from .ckpt import local_ckpt_tracked, release_rdd_ids
+
+    spark = edges.sparkSession
+    und = (
+        edges.select(
+            F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .unionByName(
+            edges.select(
+                F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+            ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und, und_ids = local_ckpt_tracked(und)
+    labels, lbl_ids = local_ckpt_tracked(
+        und.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+    )
+    for _ in range(n_iter):
+        nbr = und.join(
+            labels.select(
+                F.col("node").alias("b"), F.col("label").alias("nl")
+            ),
+            "b",
+        )
+        counts = nbr.groupBy(F.col("a").alias("node"), "nl").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        new = counts.groupBy("node").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("nl").alias("l")))[
+                "l"
+            ].alias("label")
+        )
+        new, new_ids = local_ckpt_tracked(new)
+        release_rdd_ids(spark, lbl_ids)
+        labels, lbl_ids = new, new_ids
+    release_rdd_ids(spark, und_ids)
+    labels._ckpt_rdd_ids = lbl_ids
+    return labels

@@ -253,3 +253,73 @@ def test_triangle_counts_known_and_random(spark):
     assert again == {
         k: (v["deg"], v["n_tri"], v["clustering"]) for k, v in got2.items()
     }
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two 4-cliques joined by one bridge: CC fuses them into one
+    component; LPA keeps two communities — the dense-core-vs-chained
+    distinction this operator exists for.  Exact python replay of the
+    synchronous schedule; cache returns to baseline; string ids work."""
+    import collections
+
+    from intertext_spark.operators.ckpt import release_checkpoint
+    from intertext_spark.operators.graph import label_propagation
+
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    raw = cl1 + cl2 + [(3, 10)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    base = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = label_propagation(edges, n_iter=5)
+    got = sorted((r["node"], r["label"]) for r in out.collect())
+    release_checkpoint(out)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == base
+
+    und = set()
+    for a, b in raw:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({a for a, _ in und})
+    lbl = {n: n for n in nodes}
+    for _ in range(5):
+        new = {}
+        for n in nodes:
+            c = collections.Counter(lbl[b] for a, b in und if a == n)
+            new[n] = min(c, key=lambda x: (-c[x], x))
+        lbl = new
+    assert got == sorted(lbl.items())
+    assert {l for _, l in got} == {0, 10}  # two communities survive
+
+    # string node ids: min/mode are type-agnostic
+    sedges = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in raw], "src string, dst string"
+    )
+    sout = label_propagation(sedges, n_iter=5)
+    sgot = {r["node"]: r["label"] for r in sout.collect()}
+    release_checkpoint(sout)
+    assert sgot == {f"n{n}": f"n{l}" for n, l in lbl.items()}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        label_propagation(edges, n_iter=0)
+
+
+def test_label_propagation_self_loops_nulls_and_oscillation(spark):
+    from intertext_spark.operators.ckpt import release_checkpoint
+    from intertext_spark.operators.graph import label_propagation
+
+    # self loop + null endpoints dropped; a 2-node path oscillates
+    # synchronously: after odd rounds both carry the partner's start
+    # label swapped; min-tie rules make it exact
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 1), (None, 2), (3, None)], "src long, dst long"
+    )
+    out1 = label_propagation(edges, n_iter=1)
+    got1 = sorted((r["node"], r["label"]) for r in out1.collect())
+    release_checkpoint(out1)
+    assert got1 == [(1, 2), (2, 1)]  # swapped once
+    out2 = label_propagation(edges, n_iter=2)
+    got2 = sorted((r["node"], r["label"]) for r in out2.collect())
+    release_checkpoint(out2)
+    assert got2 == [(1, 1), (2, 2)]  # swapped back

@@ -1727,6 +1727,22 @@ def main():
         ],
     )
 
+    _lpa = e.queries()["label_propagation"](spark, sf_dir)
+    record(
+        "label_propagation", _lpa,
+        [
+            ("reads the FROZEN final-round checkpoint (rounds released,"
+             " lineage flat)",
+             lambda p: "Scan ExistingRDD" in p),
+            ("no Python execution stage",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+    _rc2 = __import__(
+        "intertext_spark.operators.ckpt", fromlist=["release_checkpoint"]
+    ).release_checkpoint
+    _rc2(_lpa)
+
     record(
         "dedup_eval", e.queries()["dedup_eval"](spark, sf_dir),
         [
