@@ -874,11 +874,12 @@ def verify_rouge(
             )
             .otherwise(F.array().cast("array<string>"))
             .alias("__grams"),
+            # totals straight from the word count: the tot branch then
+            # never materializes the gram transform (column pruning)
+            F.greatest(ng, F.lit(0)).cast("long").alias("n_grams"),
         )
     )
-    tot = base.select(
-        "doc_id", F.size("__grams").cast("long").alias("n_grams")
-    )
+    tot = base.select("doc_id", "n_grams")
     gr = (
         base.select("doc_id", F.explode("__grams").alias("gram"))
         .groupBy("doc_id", "gram")
