@@ -1248,6 +1248,26 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _burst_detect_q(spark, sf_dir):
+    """Hourly volume bursts per event type, 6-bucket trailing baseline,
+    z >= 2 flags (~44 bursts hot at sf0.001).  Integer trailing moments
+    + the exact ab_stats variance chain — DuckDB's window replay is
+    bit-exact."""
+    from intertext_spark.operators.temporal import burst_detect
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = burst_detect(ev, bucket="hour", trail=6, z_thresh=2.0)
+    # bucket as epoch micros (the funnel convention: tz-free bigints
+    # across engines)
+    return out.select(
+        "key",
+        F.unix_micros(F.col("bucket_ts").cast("timestamp")).alias(
+            "bucket_us"
+        ),
+        "n", "n_trail", "trail_mean", "z", "is_burst",
+    )
+
+
 def _label_propagation_q(spark, sf_dir):
     """3-round synchronous LPA over the customer->order bipartite graph
     (the pagerank gate's edges).  Min-label tie-breaks make the
@@ -3332,6 +3352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cluster_silhouette"] = _cluster_silhouette_q
     q["dedup_eval"] = _dedup_eval_q
     q["label_propagation"] = _label_propagation_q
+    q["burst_detect"] = _burst_detect_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -6067,6 +6088,41 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # burst_detect: replay the bucket counts, the integer trailing
+    # window sums, and the identical variance/sqrt/z chain.
+    out["burst_detect"] = """
+with c as (
+  select event_type as key, date_trunc('hour', ts) as bucket_ts,
+         cast(count(*) as bigint) as n
+  from events where ts is not null and event_type is not null
+  group by 1, 2
+),
+t as (
+  select key, bucket_ts, n,
+         cast(count(n) over w as bigint) as n_trail,
+         cast(sum(n) over w as bigint) as s,
+         cast(sum(n * n) over w as bigint) as q
+  from c
+  window w as (partition by key order by bucket_ts
+               rows between 6 preceding and 1 preceding)
+),
+z as (
+  select key, bucket_ts, n, n_trail,
+         cast(s as double) / cast(n_trail as double) as m,
+         sqrt((cast(q as double)
+               - cast(s as double) * cast(s as double)
+                 / cast(n_trail as double))
+              / (cast(n_trail as double) - 1.0)) as sd
+  from t
+)
+select key, epoch_us(bucket_ts) as bucket_us, n, n_trail,
+       case when n_trail > 0 then m end as trail_mean,
+       case when n_trail >= 2 and sd > 0
+            then (cast(n as double) - m) / sd end as z,
+       case when n_trail >= 2 and sd > 0
+            then ((cast(n as double) - m) / sd) >= 2.0 end as is_burst
+from z
 """
     # label_propagation: replay the synchronous rounds (mode with
     # count-desc/label-asc tie-break) via a generated CTE chain — the

@@ -294,6 +294,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # label_propagation: 3 synchronous rounds (join + two aggs each)
         # — community-detection cost over the bipartite graph
         "label_propagation",
+        # burst_detect: bucket groupBy + one trailing key window —
+        # telemetry spike-detection cost
+        "burst_detect",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

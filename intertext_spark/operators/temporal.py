@@ -390,3 +390,77 @@ def event_sequences(
         )
         .limit(top_n)
     )
+
+
+def burst_detect(
+    df: DataFrame,
+    bucket: str = "hour",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    trail: int = 24,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Volume-burst detection per key over time buckets — the telemetry
+    spike alarm ("error events 5 sigma over their trailing day", "one
+    tool suddenly dominating agent traffic"): for each (key, bucket)
+    the event count is scored against the TRAILING ``trail`` observed
+    buckets (current excluded), z = (n - mean) / sd.  -> (key,
+    bucket_ts, n, n_trail, trail_mean, z, is_burst).  Buckets with no
+    events do not exist here (sparse semantics — a silent key emits
+    nothing; pre-fill the bucket grid upstream if silence itself is the
+    signal).  The first buckets of a key (fewer than 2 trailing) and
+    zero-variance histories emit NULL z.
+
+    Determinism: bucket = date_trunc (epoch math); the trailing moments
+    are INTEGER window sums (n, n^2) over a rows-frame, variance via
+    the exact ab_stats chain — divisions + one correctly-rounded
+    sqrt — so every z is bit-identical on any engine or layout.
+
+    Scale shape: ONE map-side-combined (key, bucket) groupBy + ONE
+    key-ordered window carrying both integer sums on the same frame;
+    the window input is the BUCKET table (|keys| x |buckets|), not the
+    event stream."""
+    if trail < 2:
+        raise ValueError(f"trail must be >= 2: {trail}")
+    counts = (
+        df.where(F.col(ts_col).isNotNull() & F.col(key_col).isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(-trail, -1)
+    )
+    t = counts.select(
+        "key",
+        "bucket_ts",
+        "n",
+        F.count("n").over(w).cast("long").alias("n_trail"),
+        F.sum("n").over(w).cast("long").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("__q"),
+    )
+    nt = F.col("n_trail").cast("double")
+    mean = F.col("__s").cast("double") / nt
+    var = (
+        (F.col("__q").cast("double")
+         - F.col("__s").cast("double") * F.col("__s").cast("double") / nt)
+        / (nt - F.lit(1.0))
+    )
+    sd = F.sqrt(var)
+    z = F.when(
+        (F.col("n_trail") >= 2) & (sd > 0),
+        (F.col("n").cast("double") - mean) / sd,
+    )
+    return t.select(
+        "key",
+        "bucket_ts",
+        "n",
+        "n_trail",
+        F.when(F.col("n_trail") > 0, mean).alias("trail_mean"),
+        z.alias("z"),
+        F.when(z.isNotNull(), z >= F.lit(float(z_thresh))).alias("is_burst"),
+    )

@@ -382,3 +382,65 @@ def test_event_sequences_never_crosses_keys(spark):
     )
     got = {tuple(r["seq"]) for r in event_sequences(df, k=2).collect()}
     assert got == {("a", "b"), ("c", "d")}  # never (b, c)
+
+
+def test_burst_detect_python_replay_and_planted_spike(spark):
+    import math
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from intertext_spark.operators.temporal import burst_detect
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # steady 2-3/hour for 12 hours (alternating, so the baseline has
+    # nonzero variance), then a 20-event spike hour
+    for h in range(12):
+        mins = (5, 35) if h % 2 == 0 else (5, 25, 45)
+        rows += [("err", t0 + timedelta(hours=h, minutes=m)) for m in mins]
+    rows += [("err", t0 + timedelta(hours=12, minutes=m)) for m in range(20)]
+    # a second key with constant counts: zero variance -> NULL z
+    for h in range(8):
+        rows.append(("ok", t0 + timedelta(hours=h)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = {
+        (r["key"], r["bucket_ts"]): (
+            r["n"], r["n_trail"], r["trail_mean"], r["z"], r["is_burst"]
+        )
+        for r in burst_detect(df, trail=6, z_thresh=3.0).collect()
+    }
+    spike = got[("err", t0 + timedelta(hours=12))]
+    assert spike[0] == 20 and spike[4] is True
+    # steady hours are never bursts
+    for h in range(2, 12):
+        assert got[("err", t0 + timedelta(hours=h))][4] is False
+    # constant-count key: sd == 0 -> NULL z and NULL verdict
+    assert got[("ok", t0 + timedelta(hours=7))][3] is None
+
+    # exact python replay of every row
+    cnt = defaultdict(int)
+    for k, ts in rows:
+        cnt[(k, ts.replace(minute=0, second=0, microsecond=0))] += 1
+    per = defaultdict(list)
+    for (k, b), n in sorted(cnt.items()):
+        per[k].append((b, n))
+    for k, seq in per.items():
+        for i, (b, n) in enumerate(seq):
+            tr = [x for _, x in seq[max(0, i - 6):i]]
+            nt = len(tr)
+            mean = float(sum(tr)) / nt if nt else None
+            z = None
+            if nt >= 2:
+                s, q = sum(tr), sum(x * x for x in tr)
+                var = (float(q) - float(s) * float(s) / nt) / (nt - 1.0)
+                sd = math.sqrt(var)
+                if sd > 0:
+                    z = (float(n) - float(s) / nt) / sd
+            assert got[(k, b)] == (
+                n, nt, mean, z, (None if z is None else z >= 3.0)
+            )
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        burst_detect(df, trail=1)

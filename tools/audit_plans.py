@@ -1727,6 +1727,20 @@ def main():
         ],
     )
 
+    record(
+        "burst_detect", e.queries()["burst_detect"](spark, sf_dir),
+        [
+            ("exactly two exchanges: the bucket groupBy + the trailing"
+             " key window",
+             lambda p: len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 2),
+            ("bucket counts partial-aggregate before the window",
+             lambda p: "partial_count" in p),
+            ("no join, no Python",
+             lambda p: "Join" not in p
+             and not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
     _lpa = e.queries()["label_propagation"](spark, sf_dir)
     record(
         "label_propagation", _lpa,
