@@ -1248,6 +1248,22 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _corr_stats_q(spark, sf_dir):
+    """Exact Pearson r between doc chars and word count, per language
+    (correlated but NOT 1.0 — the anti-vacuity rule for correlation
+    gates).  Quantized exact moments -> hugeint replay bit-exact."""
+    from intertext_spark.operators.quantiles import corr_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("x"),
+        F.size(ws).cast("double").alias("y"),
+    )
+    return corr_stats(d, "x", "y", group_cols=["lang"])
+
+
 def _burst_detect_q(spark, sf_dir):
     """Hourly volume bursts per event type, 6-bucket trailing baseline,
     z >= 2 flags (~44 bursts hot at sf0.001).  Integer trailing moments
@@ -3353,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_eval"] = _dedup_eval_q
     q["label_propagation"] = _label_propagation_q
     q["burst_detect"] = _burst_detect_q
+    q["corr_stats"] = _corr_stats_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -6088,6 +6105,46 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # corr_stats: replay the quantized exact moments (hugeint) and the
+    # identical cov/var/r division+sqrt chain.
+    out["corr_stats"] = """
+with b as (
+  select lang,
+         cast(floor(cast(n_chars as double) * 1000000.0 + 0.5) as bigint)
+           as x,
+         cast(floor(cast(len(list_filter(
+                regexp_split_to_array(text, '\\s+'), w -> w != ''))
+              as double) * 1000000.0 + 0.5) as bigint) as y
+  from documents where n_chars is not null and text is not null
+),
+m as (
+  select lang, cast(count(*) as bigint) as n,
+         sum(cast(x as hugeint)) as sx, sum(cast(y as hugeint)) as sy,
+         sum(cast(x as hugeint) * x) as qx,
+         sum(cast(y as hugeint) * y) as qy,
+         sum(cast(x as hugeint) * y) as xy
+  from b group by lang
+),
+s as (
+  select lang, n,
+         cast(sx as double) / 1000000.0 / cast(n as double) as mean_x,
+         cast(sy as double) / 1000000.0 / cast(n as double) as mean_y,
+         (cast(xy as double) - cast(sx as double) * cast(sy as double)
+            / cast(n as double)) / (cast(n as double) - 1.0) as cov_q,
+         (cast(qx as double) - cast(sx as double) * cast(sx as double)
+            / cast(n as double)) / (cast(n as double) - 1.0) as varx_q,
+         (cast(qy as double) - cast(sy as double) * cast(sy as double)
+            / cast(n as double)) / (cast(n as double) - 1.0) as vary_q
+  from m
+)
+select lang, n, mean_x, mean_y,
+       case when n >= 2 then cov_q / 1000000.0 / 1000000.0 end as cov,
+       case when n >= 2 then varx_q / 1000000.0 / 1000000.0 end as var_x,
+       case when n >= 2 then vary_q / 1000000.0 / 1000000.0 end as var_y,
+       case when n >= 2 and varx_q > 0 and vary_q > 0
+            then cov_q / sqrt(varx_q) / sqrt(vary_q) end as r
+from s
 """
     # burst_detect: replay the bucket counts, the integer trailing
     # window sums, and the identical variance/sqrt/z chain.

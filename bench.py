@@ -297,6 +297,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # burst_detect: bucket groupBy + one trailing key window —
         # telemetry spike-detection cost
         "burst_detect",
+        # corr_stats: one five-moment aggregation per language —
+        # metric-correlation QA cost
+        "corr_stats",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -745,3 +745,73 @@ def ab_stats(
         z.alias("z"),
         F.when(z.isNotNull(), F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+def corr_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: "list[str] | None" = None,
+    quantize_digits: int = 6,
+) -> DataFrame:
+    """Exact Pearson correlation between two metrics, per group — the
+    metric-redundancy / signal-sanity gauge a curator runs across the
+    quality-score family ("is compression_ratio just doc length again?
+    does the classifier score track the heuristic it replaced?").
+    -> group_cols + (n, mean_x, mean_y, cov, var_x, var_y, r).  Rows
+    where either value is NULL drop; groups with n < 2 or a
+    zero-variance side emit NULL r (and NULL cov/var where undefined).
+
+    Determinism: both values are quantized to ``quantize_digits`` and
+    all five moments accumulate as EXACT decimal(38,0) sums (the
+    ab_stats idiom); every derived stat is a fixed chain of IEEE
+    divisions + one correctly-rounded sqrt per variance — bit-identical
+    on any engine or layout, unlike ``F.corr`` (a float accumulator
+    whose result depends on partition fold order AND differs between
+    engines).
+
+    Scale shape: ONE map-side-combined groupBy — no joins, windows, or
+    Python."""
+    scale = 10 ** quantize_digits
+    S = F.lit(float(scale))
+
+    def qz(c):
+        return F.floor(
+            F.col(c).cast("double") * S + F.lit(0.5)
+        ).cast("long")
+
+    gcols = list(group_cols or [])
+    base = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*gcols, qz(x_col).alias("__x"), qz(y_col).alias("__y"))
+    d38 = "decimal(38,0)"
+    agg = base.groupBy(*gcols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("__x").cast(d38)).alias("sx"),
+        F.sum(F.col("__y").cast(d38)).alias("sy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(d38)).alias("qx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(d38)).alias("qy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(d38)).alias("xy"),
+    )
+    nd = F.col("n").cast("double")
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    # all in quantized units; the unit factors cancel in r, and
+    # mean/cov/var divide them back out explicitly
+    cov_q = (dd("xy") - dd("sx") * dd("sy") / nd) / (nd - F.lit(1.0))
+    varx_q = (dd("qx") - dd("sx") * dd("sx") / nd) / (nd - F.lit(1.0))
+    vary_q = (dd("qy") - dd("sy") * dd("sy") / nd) / (nd - F.lit(1.0))
+    r = cov_q / F.sqrt(varx_q) / F.sqrt(vary_q)
+    two = F.col("n") >= 2
+    return agg.select(
+        *gcols,
+        "n",
+        (dd("sx") / S / nd).alias("mean_x"),
+        (dd("sy") / S / nd).alias("mean_y"),
+        F.when(two, cov_q / S / S).alias("cov"),
+        F.when(two, varx_q / S / S).alias("var_x"),
+        F.when(two, vary_q / S / S).alias("var_y"),
+        F.when(two & (varx_q > 0) & (vary_q > 0), r).alias("r"),
+    )

@@ -470,3 +470,63 @@ def test_ab_stats_degenerate_cohorts(spark):
     # missing cohort entirely
     r3 = ab_stats(df.where("g = 'A'"), "g", "v", "A", "B").collect()[0]
     assert (r3["nb"], r3["mean_b"], r3["diff"]) == (0, None, None)
+
+
+def test_corr_stats_python_replay_and_conventions(spark):
+    import math
+    import random
+
+    from intertext_spark.operators.quantiles import corr_stats
+
+    rng = random.Random(17)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(60):
+            x = rng.uniform(0, 100)
+            noise = rng.uniform(-10, 10)
+            rows.append((g, x, 2.0 * x + noise))
+    rows += [("a", None, 5.0), ("a", 3.0, None)]  # null rows drop
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in corr_stats(df, "x", "y", ["g"]).collect()}
+
+    S = 10**6
+    for g in ("a", "b"):
+        pts = [
+            (int(math.floor(x * S + 0.5)), int(math.floor(y * S + 0.5)))
+            for gg, x, y in rows
+            if gg == g and x is not None and y is not None
+        ]
+        n = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        qx = sum(p[0] * p[0] for p in pts)
+        qy = sum(p[1] * p[1] for p in pts)
+        xy = sum(p[0] * p[1] for p in pts)
+        nd = float(n)
+        cov = (float(xy) - float(sx) * float(sy) / nd) / (nd - 1.0)
+        vx = (float(qx) - float(sx) * float(sx) / nd) / (nd - 1.0)
+        vy = (float(qy) - float(sy) * float(sy) / nd) / (nd - 1.0)
+        r = got[g]
+        assert r["n"] == n
+        assert r["cov"] == cov / S / S and r["var_x"] == vx / S / S
+        assert r["r"] == cov / math.sqrt(vx) / math.sqrt(vy)
+        assert r["r"] > 0.95  # strong planted linear relation
+
+
+def test_corr_stats_degenerate_groups(spark):
+    from intertext_spark.operators.quantiles import corr_stats
+
+    df = spark.createDataFrame(
+        [("s", 1.0, 5.0),                 # singleton: n < 2
+         ("c", 2.0, 1.0), ("c", 2.0, 9.0),  # constant x: var_x = 0
+         ("p", 1.0, 3.0), ("p", 2.0, 5.0)],  # perfect line: r = 1
+        "g string, x double, y double",
+    )
+    got = {r["g"]: r for r in corr_stats(df, "x", "y", ["g"]).collect()}
+    assert got["s"]["n"] == 1 and got["s"]["cov"] is None and got["s"]["r"] is None
+    assert got["c"]["var_x"] == 0.0 and got["c"]["r"] is None
+    # perfect line: r = 1 to rounding (the division/sqrt chain is not
+    # algebraically simplified, so the last ulp can land above 1)
+    assert abs(got["p"]["r"] - 1.0) < 1e-12
+    # global mode (no group cols) returns one row
+    assert corr_stats(df, "x", "y").count() == 1

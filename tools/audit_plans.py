@@ -1728,6 +1728,19 @@ def main():
     )
 
     record(
+        "corr_stats", e.queries()["corr_stats"](spark, sf_dir),
+        [
+            ("ONE map-side-combined groupBy carrying all five moments",
+             lambda p: "partial_sum" in p
+             and len(_re.findall(r"^\(\d+\) Exchange", p, _re.M)) == 1),
+            ("no join, no window, no Python",
+             lambda p: "Join" not in p
+             and "windowspecdefinition" not in p
+             and not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
+    record(
         "burst_detect", e.queries()["burst_detect"](spark, sf_dir),
         [
             ("exactly two exchanges: the bucket groupBy + the trailing"
