@@ -2188,8 +2188,10 @@ def retrieval_eval(
 
     Semantics: ``truth`` rows define the (binary) relevant set per
     query — duplicates collapse; a ``rank`` column on truth is ignored.
-    ``results`` must carry unique 1-based ranks per query; rows with
-    rank > k are ignored.  The output spine is the TRUTH query set
+    ``results`` carries 1-based ranks per query; rows with rank > k
+    are ignored, and a doc listed at several ranks collapses to its
+    BEST rank (malformed rankers cannot double-count hits or inflate
+    DCG).  The output spine is the TRUTH query set
     (queries with no results score zeros; result-only queries have no
     ground truth and are dropped — evaluation is undefined there).
     mrr = 1/rank of the first relevant hit; ndcg uses binary gains
@@ -2212,11 +2214,18 @@ def retrieval_eval(
     gains_lit = F.array(*[F.lit(g).cast("long") for g in gains])
     cumg_lit = F.array(*[F.lit(c).cast("long") for c in cumg])
 
-    res = results.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(id_col).alias("doc_id"),
-        F.col(rank_col).cast("long").alias("rank"),
-    ).where(F.col("rank") <= k)
+    res = (
+        results.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= k)
+        # a doc listed at several ranks collapses to its BEST rank —
+        # malformed rankers must not double-count hits or inflate DCG
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank").alias("rank"))
+    )
     tru = truth.select(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("doc_id"),

@@ -213,3 +213,21 @@ def test_retrieval_eval_truth_duplicates_collapse(spark):
     assert got["n_relevant"] == 2
     assert got["n_hits"] == 1
     assert got["recall_at_k"] == 0.5
+
+
+def test_retrieval_eval_duplicate_result_docs_collapse(spark):
+    """A doc listed at ranks 1 AND 3 counts once, at its best rank."""
+    import math
+
+    got = _eval_rows(
+        spark,
+        [(1, 10, 1), (1, 10, 3), (1, 11, 2)],
+        [(1, 10)],
+        k=5,
+    )[1]
+    S = 10**9
+    assert got["n_retrieved"] == 2  # distinct docs, not rows
+    assert got["n_hits"] == 1
+    assert got["mrr"] == 1.0
+    g1 = math.floor(S / math.log2(2) + 0.5)
+    assert got["ndcg_at_k"] == g1 / g1  # hit at rank 1 only, once
