@@ -1248,6 +1248,19 @@ def _event_sequences_q(spark, sf_dir):
     return event_sequences(ev, k=3, top_n=50, tie_col="event_id")
 
 
+def _similar_docs_q(spark, sf_dir):
+    """More-like-this for query docs 0..4 over the mod-16 winnowed
+    fingerprints (the doc_fingerprints template rows, so BOTH engines
+    rebuild identical fps from their own dialect).  Exact-integer
+    scores + a total-order rank; DuckDB replays candidate expansion,
+    distinct-shared counts, containment, and the k-cut."""
+    from intertext_spark.operators.dedup import similar_docs
+
+    _register_views(spark, sf_dir)
+    fps = spark.sql(TEMPLATES["doc_fingerprints"](SPARK))
+    return similar_docs(fps, [0, 1, 2, 3, 4], k=5)
+
+
 def _corr_stats_q(spark, sf_dir):
     """Exact Pearson r between doc chars and word count, per language
     (correlated but NOT 1.0 — the anti-vacuity rule for correlation
@@ -3370,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["label_propagation"] = _label_propagation_q
     q["burst_detect"] = _burst_detect_q
     q["corr_stats"] = _corr_stats_q
+    q["similar_docs"] = _similar_docs_q
     q["random_project"] = _random_project_q
     q["srp_dup_pairs"] = _srp_dup_pairs_q
     q["rrf_hybrid"] = _rrf_hybrid_q
@@ -6105,6 +6119,39 @@ g as (select seq, cast(count(*) as bigint) as n_occurrences,
 select seq, n_occurrences, n_keys from g
 order by n_occurrences desc, array_to_string(seq, chr(31))
 limit 50
+"""
+    # similar_docs: rebuild the SAME fingerprints from the DuckDB
+    # dialect of the doc_fingerprints template, then replay candidate
+    # expansion, distinct-shared counts, containment, and the ranked
+    # k-cut with the identical total order.
+    _sd_fps = out["doc_fingerprints"].strip().rstrip(";")
+    out["similar_docs"] = f"""
+with f as ({_sd_fps}),
+qv as (select unnest([0, 1, 2, 3, 4]) as q),
+tot as (select doc_id, cast(count(*) as bigint) as n_fp
+        from f group by 1),
+qfp as (select f.doc_id as q, f.fp from f join qv on f.doc_id = qv.q),
+cand as (
+  select qfp.q, qfp.fp, f.doc_id
+  from qfp join f using(fp)
+  where f.doc_id != qfp.q
+),
+sc as (select q, doc_id, cast(count(distinct fp) as bigint) as n_shared
+       from cand group by 1, 2),
+o as (
+  select sc.q, sc.doc_id, sc.n_shared,
+         cast(sc.n_shared as double)
+           / cast(least(tq.n_fp, td.n_fp) as double) as containment
+  from sc
+  join tot tq on tq.doc_id = sc.q
+  join tot td on td.doc_id = sc.doc_id
+),
+r as (select *, row_number() over (partition by q
+        order by n_shared desc, containment desc, doc_id) as rank
+      from o)
+select q as query_id, doc_id, n_shared, containment,
+       cast(rank as bigint) as rank
+from r where rank <= 5
 """
     # corr_stats: replay the quantized exact moments (hugeint) and the
     # identical cov/var/r division+sqrt chain.

@@ -300,6 +300,9 @@ def run_suite(spark, sf_dir: str) -> dict:
         # corr_stats: one five-moment aggregation per language —
         # metric-correlation QA cost
         "corr_stats",
+        # similar_docs: broadcast-pruned fingerprint expansion + ranked
+        # k-cut — more-like-this exploration cost
+        "similar_docs",
     ]:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

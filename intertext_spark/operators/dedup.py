@@ -2355,3 +2355,102 @@ def dedup_eval(
         "n_pred", "n_truth", "tp", "fp", "fn",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
+
+
+def similar_docs(
+    fps: DataFrame,
+    query_ids,
+    k: int = 10,
+    fp_max_docs: "int | None" = None,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Query-directed "more like this" over local fingerprints: for
+    each query document, the top-``k`` corpus documents sharing the
+    most winnowed fingerprints (textstats.doc_fingerprints rows) — the
+    exploration move behind every dedup investigation ("SHOW me what
+    this doc near-duplicates") and the provenance probe for a flagged
+    training example.  -> (query_id, doc_id, n_shared, containment,
+    rank), rank 1..k per query by (n_shared desc, containment desc,
+    doc_id asc) — a total order; containment = n_shared /
+    least(|fp_q|, |fp_d|), an exact integer ratio.
+
+    ``query_ids``: a python list or a 1-column DataFrame.  The query
+    set is exploration-sized BY CONTRACT — its distinct fingerprint
+    keys are broadcast to prune the corpus (the dedup_against lesson:
+    only fp-colliding corpus rows are ever grouped); for corpus-scale
+    "all pairs" use fingerprint_dup_pairs instead.
+
+    Scale shape: corpus fps are SEMI-JOINED to the broadcast query-fp
+    keys before the member-set groupBy, so the heavy side is bounded by
+    query-relevant fingerprints; ``fp_max_docs`` drops
+    boilerplate-shared fingerprints (at web scale ALWAYS set it — a
+    license-header fp shared by 10^6 docs otherwise expands into every
+    query's candidate list); per-doc totals are one map-side-combined
+    groupBy.  Self-matches are excluded."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    spark = fps.sparkSession
+    f = fps.select(
+        F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp")
+    ).distinct()
+    if isinstance(query_ids, DataFrame):
+        qset = query_ids.select(
+            F.col(query_ids.columns[0]).alias("doc_id")
+        ).distinct()
+    else:
+        qset = spark.createDataFrame(
+            [(int(q),) for q in query_ids], "doc_id long"
+        )
+    totals = f.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fp")
+    )
+    qfp = f.join(F.broadcast(qset), "doc_id").select(
+        F.col("doc_id").alias("q"), "fp"
+    )
+    f_rel = f.join(
+        F.broadcast(qfp.select("fp").distinct()), "fp", "left_semi"
+    )
+    by_fp = f_rel.groupBy("fp").agg(
+        F.collect_set("doc_id").alias("ms")
+    )
+    if fp_max_docs is not None:
+        by_fp = by_fp.where(F.size("ms") <= fp_max_docs)
+    cand = (
+        qfp.join(by_fp, "fp")
+        .select("q", "fp", F.explode("ms").alias("doc_id"))
+        .where(F.col("doc_id") != F.col("q"))
+    )
+    scored = cand.groupBy("q", "doc_id").agg(
+        F.count_distinct("fp").cast("long").alias("n_shared")
+    )
+    out = (
+        scored.join(
+            totals.select(
+                F.col("doc_id").alias("q"), F.col("n_fp").alias("n_fp_q")
+            ),
+            "q",
+        )
+        .join(totals, "doc_id")
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double")
+            / F.least("n_fp_q", "n_fp").cast("double"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy(
+        F.desc("n_shared"), F.desc("containment"), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("q").alias("query_id"),
+            "doc_id",
+            "n_shared",
+            "containment",
+            "rank",
+        )
+    )

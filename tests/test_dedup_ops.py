@@ -2296,3 +2296,74 @@ def test_dedup_eval_gate_is_not_vacuous(spark):
     r = e.queries()["dedup_eval"](spark, "/root/testdata/sf0.001").collect()[0]
     assert r["tp"] > 0 and r["fp"] > 0
     assert 0.0 < r["precision"] < 1.0
+
+
+def test_similar_docs_python_oracle_and_cap(spark):
+    """Planted fingerprint table: python brute-force replay, dataframe
+    query input, fp_max_docs boilerplate cap, self-exclusion, k cut."""
+    from intertext_spark.operators.dedup import similar_docs
+
+    rows = []
+    # docs 1..3 share fps heavily; fp 999 is boilerplate on EVERY doc
+    fp_sets = {
+        1: {10, 11, 12, 999},
+        2: {10, 11, 999},
+        3: {10, 999},
+        4: {77, 999},
+        5: {88, 999},
+    }
+    for d, s in fp_sets.items():
+        rows += [(d, fp) for fp in s]
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+
+    def oracle(qs, cap, k):
+        want = []
+        for q in qs:
+            scores = []
+            for d, s in fp_sets.items():
+                if d == q:
+                    continue
+                shared = {
+                    fp for fp in (fp_sets[q] & s)
+                    if cap is None
+                    or sum(fp in ss for ss in fp_sets.values()) <= cap
+                }
+                if shared:
+                    c = len(shared) / min(len(fp_sets[q]), len(s))
+                    scores.append((d, len(shared), c))
+            scores.sort(key=lambda t: (-t[1], -t[2], t[0]))
+            want += [(q, d, n, c, i + 1)
+                     for i, (d, n, c) in enumerate(scores[:k])]
+        return sorted(want)
+
+    got = sorted(
+        map(tuple, similar_docs(fps, [1, 4], k=3).collect())
+    )
+    assert got == oracle([1, 4], None, 3)
+    # the boilerplate fp links EVERYTHING; capping it to <= 3 sharers
+    # removes those candidate edges
+    capped = sorted(
+        map(tuple, similar_docs(fps, [4], k=5, fp_max_docs=3).collect())
+    )
+    assert capped == oracle([4], 3, 5)
+    assert capped == []  # doc 4 only shares the boilerplate fp
+
+    # DataFrame query input equals list input
+    qdf = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    got_df = sorted(map(tuple, similar_docs(fps, qdf, k=3).collect()))
+    assert got_df == got
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        similar_docs(fps, [1], k=0)
+
+
+def test_similar_docs_never_returns_self_or_unrelated(spark):
+    from intertext_spark.operators.dedup import similar_docs
+
+    fps = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 6)], "doc_id long, fp long"
+    )
+    got = [tuple(r) for r in similar_docs(fps, [1], k=10).collect()]
+    assert got == [(1, 2, 1, 1.0, 1)]  # not itself, not doc 3

@@ -1728,6 +1728,22 @@ def main():
     )
 
     record(
+        "similar_docs", e.queries()["similar_docs"](spark, sf_dir),
+        [
+            ("query ids and query-fp keys broadcast (the corpus prune"
+             " joins are broadcast, not shuffled)",
+             lambda p: p.count("BroadcastHashJoin") >= 2
+             and "Cartesian" not in p),
+            ("shared counts partial-aggregate map-side",
+             lambda p: "partial_count" in p),
+            ("per-query rank window partitions on the query id",
+             lambda p: "windowspecdefinition(q" in p),
+            ("no Python execution stage",
+             lambda p: not _re.search(r"EvalPython|PythonUDF|InPandas", p)),
+        ],
+    )
+
+    record(
         "corr_stats", e.queries()["corr_stats"](spark, sf_dir),
         [
             ("ONE map-side-combined groupBy carrying all five moments",
