@@ -3406,7 +3406,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["concordance"] = _concordance_q
     q["percentile_rank"] = _percentile_rank_q
     q["split_sentences"] = _split_sentences_q
-    return q
+    # Registration order: the SURVEY §2 contract core (the text-reuse
+    # pipeline family + LSH core) goes FIRST so any driver-side sample
+    # that takes a prefix always covers the flagship rows — round 4's
+    # rotation left all pipeline_* rows driver-unchecked (VERDICT r4
+    # "Next round" #2).  Python dicts preserve insertion order.
+    contract_first = [
+        "pipeline_matches",
+        "pipeline_clusters",
+        "pipeline_groups",
+        "pipeline_matches_banished",
+        "pipeline_matches_only",
+        "pipeline_matches_excluded",
+        "pipeline_match_strings",
+        "pipeline_scatter_aggs",
+        "pipeline_windows",
+        "minhash_signatures",
+        "lsh_candidate_pairs",
+        "doc_windows",
+        "token_stats",
+        "word_counts",
+        "scatter_aggs",
+        "sort_index",
+        "xml_extract",
+        "xml_page_map",
+        "suffix_spans",
+        "transcript_roundtrip",
+        "sessionize",
+        "strip_diacritics",
+        "doc_fingerprints",
+    ]
+    ordered = {k: q[k] for k in contract_first if k in q}
+    ordered.update((k, v) for k, v in q.items() if k not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6923,7 +6955,9 @@ from agg
     # aggregate INDEPENDENTLY (unnest + count distinct, no RLE).
     from intertext_spark.operators.textstats import RAKE_STOPWORDS as _RSW
 
-    _sw_alt = "|".join(_RSW)
+    import re as _re_esc
+
+    _sw_alt = "|".join(_re_esc.escape(w) for w in _RSW)
     out["keyphrase_counts"] = f"""
 with carved as (
   select doc_id,

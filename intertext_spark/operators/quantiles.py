@@ -646,8 +646,10 @@ def bootstrap_means(
         w = sum(
             ((u >= F.lit(t)).cast("int") for t in T), F.lit(0)
         ).cast("long")
+        # the decimal cast must precede the multiply: a long*long
+        # product wraps silently once |x|*max_w exceeds 2^63
         aggs.append(
-            F.sum((w * F.col("__x")).cast("decimal(38,0)")).alias(f"__s{r}")
+            F.sum(F.col("__x").cast("decimal(38,0)") * w).alias(f"__s{r}")
         )
         aggs.append(F.sum(w).cast("long").alias(f"__c{r}"))
     wide = base.agg(*aggs)
@@ -711,10 +713,14 @@ def ab_stats(
             "decimal(38,0)")).alias("sa"),
         F.sum(F.when(~F.col("__a"), F.col("__x")).otherwise(0).cast(
             "decimal(38,0)")).alias("sb"),
-        F.sum(F.when(F.col("__a"), F.col("__x") * F.col("__x"))
-              .otherwise(0).cast("decimal(38,0)")).alias("qa"),
-        F.sum(F.when(~F.col("__a"), F.col("__x") * F.col("__x"))
-              .otherwise(0).cast("decimal(38,0)")).alias("qb"),
+        # x^2 must be computed IN decimal — long*long wraps at
+        # |x| ~ 3.0e9 quantized (value ~3035 at quantize_digits=6)
+        F.sum(F.when(F.col("__a"),
+                     F.col("__x").cast("decimal(38,0)") * F.col("__x"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("qa"),
+        F.sum(F.when(~F.col("__a"),
+                     F.col("__x").cast("decimal(38,0)") * F.col("__x"))
+              .otherwise(F.lit(0).cast("decimal(38,0)"))).alias("qb"),
     )
     S = F.lit(float(scale))
     ma = F.col("sa").cast("double") / S / F.col("na").cast("double")
@@ -789,9 +795,11 @@ def corr_stats(
         F.count("*").cast("long").alias("n"),
         F.sum(F.col("__x").cast(d38)).alias("sx"),
         F.sum(F.col("__y").cast(d38)).alias("sy"),
-        F.sum((F.col("__x") * F.col("__x")).cast(d38)).alias("qx"),
-        F.sum((F.col("__y") * F.col("__y")).cast(d38)).alias("qy"),
-        F.sum((F.col("__x") * F.col("__y")).cast(d38)).alias("xy"),
+        # one operand cast to decimal FIRST so the product itself runs
+        # in decimal(38,0) — long*long wraps at |x|*|y| > ~9.2e18
+        F.sum(F.col("__x").cast(d38) * F.col("__x")).alias("qx"),
+        F.sum(F.col("__y").cast(d38) * F.col("__y")).alias("qy"),
+        F.sum(F.col("__x").cast(d38) * F.col("__y")).alias("xy"),
     )
     nd = F.col("n").cast("double")
 

@@ -604,6 +604,7 @@ def unigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     quantize_digits: "int | None" = None,
+    max_model_rows: int = 5_000_000,
 ) -> DataFrame:
     """Unigram-LM cross-entropy quality filter (the CCNet-style
     perplexity proxy): score every document by the mean log-probability
@@ -627,9 +628,13 @@ def unigram_logprob(
     BROADCAST onto the exploded token stream (dsir precedent: the
     model table is the collect, never the data) and one groupBy(doc)
     reassembly.  Hot tokens cost nothing extra — the join is
-    broadcast, so there is no skewed shuffle key.  For a vocabulary
+    broadcast, so there is no skewed shuffle key.  The model collect is
+    GUARDED: a reference vocabulary above ``max_model_rows`` raises
+    before anything reaches the driver — pointing ``ref`` at the whole
+    100-TB corpus must fail fast, not OOM the driver.  For a vocabulary
     too big to collect+broadcast, cap it upstream (min-count prune —
-    rare tokens fold into OOV, which only strengthens the filter)."""
+    rare tokens fold into OOV, which only strengthens the filter) or
+    use dsir_weights' fixed-size hashed buckets."""
     import math
 
     words = _WORDS(text_col)
@@ -648,6 +653,15 @@ def unigram_logprob(
         F.sum("c").alias("n"), F.count("*").alias("v")
     ).collect()[0]
     n_total, vocab = (tot.n or 0), (tot.v or 0)
+    if vocab > max_model_rows:
+        counts.unpersist(blocking=True)
+        raise ValueError(
+            f"unigram_logprob: reference vocabulary has {vocab} rows, "
+            f"over max_model_rows={max_model_rows} — the model is "
+            "collected to the driver, so cap it upstream (min-count "
+            "prune; rare tokens fold into OOV) or use dsir_weights' "
+            "hashed buckets instead of raising this limit blindly"
+        )
     denom = n_total + alpha * (vocab + 1)
     lp_col = F.log((F.col("c") + F.lit(alpha)) / F.lit(denom))
     if quantize_digits is not None:
@@ -700,6 +714,7 @@ def bigram_logprob(
     text_col: str = "text",
     quantize_digits: "int | None" = None,
     min_count: int = 1,
+    max_model_rows: int = 5_000_000,
 ) -> DataFrame:
     """Interpolated bigram-LM cross-entropy quality filter — the
     distributed analog of CCNet's KenLM perplexity gate one order up
@@ -724,8 +739,9 @@ def bigram_logprob(
 
     Scale shape — deliberately split join strategies: the UNIGRAM model
     is V rows, collected and re-created driver-side exactly like
-    unigram_logprob, then BROADCAST onto the token stream (no shuffle,
-    immune to hot-token skew).  The BIGRAM table is unbounded (V² worst
+    unigram_logprob (same ``max_model_rows`` guard — an over-cap
+    vocabulary raises before the collect), then BROADCAST onto the
+    token stream (no shuffle, immune to hot-token skew).  The BIGRAM table is unbounded (V² worst
     case) so it is NEVER collected or broadcast-hinted: conditional
     probabilities are attached by a plain equi-join on (prev, cur) that
     Catalyst/AQE sizes at runtime — broadcast while it fits, sort-merge
@@ -746,6 +762,15 @@ def bigram_logprob(
     )
     tot = uni.agg(F.sum("c1").alias("n"), F.count("*").alias("v")).collect()[0]
     n_total, vocab = (tot.n or 0), (tot.v or 0)
+    if vocab > max_model_rows:
+        uni.unpersist(blocking=True)
+        raise ValueError(
+            f"bigram_logprob: reference vocabulary has {vocab} rows, "
+            f"over max_model_rows={max_model_rows} — the unigram model "
+            "is collected to the driver, so cap it upstream (min-count "
+            "prune) or use dsir_weights' hashed buckets instead of "
+            "raising this limit blindly"
+        )
     denom = n_total + alpha * (vocab + 1)
     # driver-side V-row unigram model: (token, c1, pu); pu is an IEEE
     # divide of exact integers, so python/duckdb/JVM all agree bit-for-bit
@@ -2220,7 +2245,10 @@ def retrieval_eval(
             F.col(id_col).alias("doc_id"),
             F.col(rank_col).cast("long").alias("rank"),
         )
-        .where(F.col("rank") <= k)
+        # rank >= 1 guard: rank 0 would make element_at throw and
+        # negative ranks would index the gains array from the END
+        # (Spark negative indexing), silently inflating DCG/MRR
+        .where((F.col("rank") >= 1) & (F.col("rank") <= k))
         # a doc listed at several ranks collapses to its BEST rank —
         # malformed rankers must not double-count hits or inflate DCG
         .groupBy("query_id", "doc_id")
@@ -2625,8 +2653,14 @@ def keyphrase_counts(
     carved = F.regexp_replace(
         low, r"[^\p{L}\p{N}\s]+", _PHRASE_SENT
     )
+    # escape each stopword — a caller-supplied token with a regex
+    # metacharacter ('c++', 'a.m') must carve as a literal, not alter
+    # or break the alternation
+    import re as _re
+
     carved = F.regexp_replace(
-        carved, r"\b(" + "|".join(sw) + r")\b", _PHRASE_SENT
+        carved, r"\b(" + "|".join(_re.escape(w) for w in sw) + r")\b",
+        _PHRASE_SENT,
     )
     norm = F.transform(
         F.split(carved, _PHRASE_SENT),
