@@ -82,11 +82,14 @@ def _bench_pipeline(spark, sf_dir: str):
 
 
 def _scaling_corpus_path() -> str:
-    """F4 scaling corpus (FIXTURES.md): planted-reuse transcripts with a
-    realistic vocabulary, big enough that 32 cores stay busy (the sf0.1
+    """F4-XL scaling corpus (FIXTURES.md): planted-reuse transcripts with
+    a realistic vocabulary, big enough that 32 cores stay busy (the sf0.1
     documents table is ~2.5 MB of text — fixed costs dominate it).
+    Round 5 grew it 4x (6k -> 24k convs, VERDICT r4 'Next round' #5) so
+    each scaling arm's timed region is MINUTES — the box's ±10%
+    single-shot wall variance then stops flirting with the 0.8 gate.
     Generated once, cached as parquet."""
-    path = "BENCH/scaling_corpus.parquet"
+    path = "BENCH/scaling_corpus_xl.parquet"
     if os.path.exists(path):
         return path
     from intertext_spark import corpus, schemas
@@ -98,16 +101,16 @@ def _scaling_corpus_path() -> str:
     # must dominate the one-box shuffle floor for the parallelism study to
     # measure compute scaling rather than shared-disk bandwidth.
     pc = corpus.planted_transcripts(
-        n_convs=6000,
+        n_convs=24000,
         vocab_size=20000,
-        n_verbatim_pairs=1200,
-        n_shifted_pairs=400,
-        n_noisy_per_level=150,
-        n_chains=100,
+        n_verbatim_pairs=4800,
+        n_shifted_pairs=1600,
+        n_noisy_per_level=600,
+        n_chains=400,
         boilerplate_frac=0.05,  # skew stressor: hot-band salted path exercised
-        n_junk_pairs=20,
-        n_short=50,
-        n_self_repeat=30,
+        n_junk_pairs=80,
+        n_short=200,
+        n_self_repeat=120,
     )
     spark.createDataFrame(pc.rows, schemas.TRANSCRIPTS).repartition(32).write.mode(
         "overwrite"
@@ -380,11 +383,15 @@ def main():
 
 ## Scaling study (the BASELINE.json N -> 4N criterion, sandbox proxy)
 
-Same job, same input, two parallelism levels.  Input: deterministic F4
-planted-reuse corpus ({results[n_hi]['n_turns']} turns, 6000 conversations,
-20k-word vocabulary, 30% hot-boilerplate skew stressor — FIXTURES.md §F4);
+Same job, same input, two parallelism levels.  Input: deterministic F4-XL
+planted-reuse corpus ({results[n_hi]['n_turns']} turns, 24000 conversations,
+20k-word vocabulary, 5% hot-boilerplate skew stressor — FIXTURES.md §F4);
 full pipeline at reference config (windows -> 256-perm minhash -> salted
 LSH banding -> difflib validation), {results[n_hi]['n_matches']} matches out.
+Best of {repeats} per arm, identically applied; single-shot walls on this
+box vary ±10% run-to-run (measured 263-322s for one identical job within
+a day at the old 6k-conv size — the 4x corpus makes each timed region
+minutes so that band is a small fraction of the wall).
 
 | parallelism | pipeline wall (s) | turns/sec |
 |---|---|---|

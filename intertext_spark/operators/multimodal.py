@@ -6,16 +6,17 @@ The perceptual-hash MATH is real: 32x32 area-mean resize -> orthonormal
 (the classic pHash construction), all pure numpy and bit-level tested
 against pinned vectors (tests/test_media_phash.py).  The bytes -> pixels
 DECODE is three-tier: a dependency-free parser for uncompressed PGM/BMP
-(real pixels in ANY environment, checked against an independent in-test
-parser), then PIL for every other format when importable, then a
-deterministic fake grayscale (sha256-seeded) — so the media queries
-produce identical results in both environments on the synthetic
-(non-decodable) corpus AND on PGM/BMP payloads, and installing PIL can
-never break them.  Video frame EXTRACTION is real for uncompressed
-24-bit AVI payloads (_parse_avi_frames, the same dependency-free tier);
-compressed codecs need ffmpeg and fall back to the deterministic fake
-gray of (payload, frame_idx) — every frame goes through the real DCT
-kernel either way.
+and baseline JPEG (real pixels in ANY environment, checked against an
+independent in-test parser/encoder), then PIL for every other format
+when importable, then a deterministic fake grayscale (sha256-seeded) —
+so the media queries produce identical results in both environments on
+the synthetic (non-decodable) corpus AND on PGM/BMP/JPEG payloads, and
+installing PIL can never break them.  Video frame EXTRACTION is real
+for uncompressed 24-bit AVI payloads AND for MJPEG-in-AVI (each frame a
+baseline JPEG, decoded by the same dependency-free tier — the one
+compressed codec a pure parser can do); other codecs need ffmpeg and
+fall back to the deterministic fake gray of (payload, frame_idx) —
+every frame goes through the real DCT kernel either way.
 """
 
 from __future__ import annotations
@@ -243,6 +244,254 @@ def _decode_bmp24(b: bytes) -> np.ndarray:
     return _dib24_to_gray(b, w, h, offset)
 
 
+# --------------------------------------------------------------------------
+# baseline JPEG (the MJPEG tier): pure-python Huffman + numpy IDCT
+# --------------------------------------------------------------------------
+
+# JPEG zigzag scan order: zigzag index -> raster index of the 8x8 block
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_DCT8 = _dct_basis(8)
+
+# 'MJPG' as the little-endian uint32 a BITMAPINFOHEADER stores
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (stuffing
+    already removed).  Running past the end raises — a truncated stream
+    must fall to the fake tier, never emit half a frame."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read1(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg entropy stream truncated")
+        v = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read1()
+        return v
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | bits.read1()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # ITU T.81 F.2.2.1: the s-bit value is negative when its MSB is 0
+    return v - (1 << s) + 1 if s > 0 and v < (1 << (s - 1)) else v
+
+
+def _decode_baseline_jpeg(b: bytes) -> "np.ndarray | None":
+    """Baseline sequential JPEG (SOF0, 8-bit, Huffman) -> the LUMA plane
+    as float64 gray — the real tier for MJPEG video frames and .jpg
+    payloads, dependency-free like the PGM/BMP/AVI/WAV parsers.  Gray is
+    the decoded Y channel directly (JPEG luma IS the ITU-R 601 luma the
+    other tiers compute from RGB); chroma blocks are Huffman-decoded to
+    keep bitstream sync but never dequantized or IDCT'd.  Restart
+    markers and 16-bit quant tables are handled; anything non-baseline
+    (progressive SOF2, arithmetic coding, 12-bit precision) returns
+    None so the payload falls honestly to the next tier.  All math is
+    float64 numpy (orthonormal _dct_basis IDCT, round-half-up) — one
+    deterministic answer on every host, no libjpeg variability."""
+    import struct
+
+    try:
+        if b[:2] != b"\xff\xd8":
+            return None
+        qt: "dict[int, np.ndarray]" = {}
+        huff: "dict[tuple[int, int], dict]" = {}
+        frame = None
+        ri = 0
+        pos = 2
+        scan = None
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError("marker expected")
+            marker = b[pos + 1]
+            pos += 2
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI before any scan
+                break
+            (seglen,) = struct.unpack_from(">H", b, pos)
+            seg = b[pos + 2:pos + seglen]
+            pos += seglen
+            if marker == 0xDB:  # DQT: one or more tables, zigzag order
+                sp = 0
+                while sp < len(seg):
+                    pq, tq = seg[sp] >> 4, seg[sp] & 15
+                    sp += 1
+                    if pq == 0:
+                        qt[tq] = np.frombuffer(
+                            seg[sp:sp + 64], np.uint8
+                        ).astype(np.float64)
+                        sp += 64
+                    else:
+                        qt[tq] = np.frombuffer(
+                            seg[sp:sp + 128], ">u2"
+                        ).astype(np.float64)
+                        sp += 128
+                    if qt[tq].size != 64:
+                        raise ValueError("short quant table")
+            elif marker == 0xC4:  # DHT: (class, id) -> (len, code) -> sym
+                sp = 0
+                while sp + 17 <= len(seg):
+                    tc, th = seg[sp] >> 4, seg[sp] & 15
+                    counts = seg[sp + 1:sp + 17]
+                    sp += 17
+                    table: dict = {}
+                    code = 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = seg[sp]
+                            sp += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker == 0xC0:  # SOF0 — the one frame type we decode
+                if seg[0] != 8:
+                    raise ValueError("non-8-bit precision")
+                h, w = struct.unpack_from(">HH", seg, 1)
+                nc = seg[5]
+                comps = []
+                for i in range(nc):
+                    cid = seg[6 + 3 * i]
+                    sf = seg[7 + 3 * i]
+                    comps.append((cid, sf >> 4, sf & 15, seg[8 + 3 * i]))
+                if not (0 < h <= 8192 and 0 < w <= 8192 and comps):
+                    raise ValueError("sof dims out of range")
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("non-baseline jpeg")
+            elif marker == 0xDD:
+                (ri,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                scan = [
+                    (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+                    for i in range(ns)
+                ]
+                break
+            # APPn / COM / others: skipped
+        if frame is None or scan is None:
+            raise ValueError("missing SOF0/SOS")
+        h, w, comps = frame
+        by_id = {c[0]: c for c in comps}
+
+        # entropy-coded segments: destuff FF00, split on RSTn, stop at
+        # the next true marker (EOI)
+        segments: "list[bytes]" = []
+        cur = bytearray()
+        while pos < len(b):
+            byte = b[pos]
+            if byte != 0xFF:
+                cur.append(byte)
+                pos += 1
+                continue
+            nxt = b[pos + 1] if pos + 1 < len(b) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                pos += 2
+            else:
+                break
+        segments.append(bytes(cur))
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        luma_cid = comps[0][0]
+        _, y_hs, y_vs, y_qid = by_id[luma_cid]
+        if y_qid not in qt:
+            raise ValueError("luma quant table missing")
+        yq = qt[y_qid]
+        yplane = np.zeros((mcus_y * y_vs * 8, mcus_x * y_hs * 8))
+
+        seg_i = 0
+        bits = _JpegBits(segments[0])
+        dc_pred = {cid: 0 for cid, _, _, _ in comps}
+        for m in range(mcus_x * mcus_y):
+            if ri and m > 0 and m % ri == 0:
+                seg_i += 1  # restart: next ECS, predictors reset
+                if seg_i >= len(segments):
+                    raise ValueError("missing restart segment")
+                bits = _JpegBits(segments[seg_i])
+                dc_pred = {cid: 0 for cid, _, _, _ in comps}
+            my, mx = divmod(m, mcus_x)
+            for cs, td, ta in scan:
+                cid, hs, vs, _qid = by_id[cs]
+                dct = huff.get((0, td))
+                act = huff.get((1, ta))
+                if dct is None or act is None:
+                    raise ValueError("huffman table missing")
+                for yb in range(vs):
+                    for xb in range(hs):
+                        coef = np.zeros(64)
+                        s = _jpeg_huff_decode(bits, dct)
+                        dc_pred[cid] += _jpeg_extend(bits.receive(s), s)
+                        coef[0] = dc_pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(bits, act)
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index out of range")
+                            coef[k] = _jpeg_extend(bits.receive(sz), sz)
+                            k += 1
+                        if cid != luma_cid:
+                            continue  # chroma: bitstream sync only
+                        blk = np.zeros(64)
+                        blk[_JPEG_ZIGZAG] = coef * yq
+                        px = _DCT8.T @ blk.reshape(8, 8) @ _DCT8 + 128.0
+                        r0 = (my * y_vs + yb) * 8
+                        c0 = (mx * y_hs + xb) * 8
+                        yplane[r0:r0 + 8, c0:c0 + 8] = px
+        # luma plane crop to the component's true resolution
+        yh = -(-h * y_vs // vmax)
+        yw = -(-w * y_hs // hmax)
+        out = np.clip(np.floor(yplane[:yh, :yw] + 0.5), 0.0, 255.0)
+        return out
+    except Exception:
+        return None
+
+
 def _parse_avi_frames(payload: bytes) -> "tuple[list[np.ndarray], float | None] | None":
     """Uncompressed 24-bit BI_RGB AVI: walk the RIFF tree, take dims from
     the 'strf' BITMAPINFOHEADER, fps from the video 'strh'
@@ -278,9 +527,13 @@ def _parse_avi_frames(payload: bytes) -> "tuple[list[np.ndarray], float | None] 
                     _, bw, bh = struct.unpack_from("<Iii", payload, body)
                     planes, bpp = struct.unpack_from("<HH", payload, body + 12)
                     comp = struct.unpack_from("<I", payload, body + 16)[0]
-                    if planes != 1 or bpp != 24 or comp != 0:
+                    # BI_RGB 24-bit DIB frames, or MJPG (each frame a
+                    # baseline JPEG — the r5 compressed-codec tier)
+                    if planes != 1 or not (
+                        (comp == 0 and bpp == 24) or comp == _MJPG_FOURCC
+                    ):
                         raise ValueError("unsupported avi codec")
-                    dims.append((bw, bh))
+                    dims.append((bw, bh, comp))
                 elif (cid == b"strh" and sz >= 28
                       and payload[body:body + 4] == b"vids" and not strh_fps):
                     scale, rate = struct.unpack_from("<II", payload, body + 20)
@@ -297,8 +550,18 @@ def _parse_avi_frames(payload: bytes) -> "tuple[list[np.ndarray], float | None] 
         walk(12, len(payload))
         if not dims or not frames_raw:
             return None
-        w, h_signed = dims[0]
-        grays = [_dib24_to_gray(raw, w, h_signed) for raw in frames_raw]
+        w, h_signed, comp = dims[0]
+        if comp == _MJPG_FOURCC:
+            grays = []
+            for raw in frames_raw:
+                g = _decode_baseline_jpeg(raw)
+                if g is None:
+                    # one undecodable frame poisons the container — fall
+                    # honestly to the fake tier, never emit half a video
+                    raise ValueError("mjpg frame not baseline jpeg")
+                grays.append(g)
+        else:
+            grays = [_dib24_to_gray(raw, w, h_signed) for raw in frames_raw]
         # stream header fps wins over the main-header fallback
         fps = strh_fps[0] if strh_fps else (avih_fps[0] if avih_fps else None)
         return grays, fps
@@ -320,6 +583,10 @@ def _decode_builtin(payload: bytes) -> "np.ndarray | None":
             return _decode_pgm(payload)
         if payload[:2] == b"BM":
             return _decode_bmp24(payload)
+        if payload[:2] == b"\xff\xd8":
+            # baseline JPEG (r5): real luma decode; non-baseline JPEGs
+            # return None here and fall to PIL / fake like any payload
+            return _decode_baseline_jpeg(payload)
     except Exception:
         return None
     return None

@@ -1,0 +1,414 @@
+"""Baseline-JPEG decode tier (the r5 MJPEG upgrade): an INDEPENDENT
+in-test encoder (explicit cosine FDCT, canonical Huffman construction,
+its own bit/stuffing writer) produces baseline JPEGs whose exact decoded
+pixels are known, and the engine's _decode_baseline_jpeg must reproduce
+them bit-for-bit — same philosophy as the in-test PGM/BMP/AVI parsers in
+test_media_phash.py.  Covers grayscale and 4:2:0 color, non-aligned
+dims, restart markers, byte stuffing, rejection of non-baseline
+payloads, and MJPEG-in-AVI end-to-end through sample_frames."""
+
+import struct
+
+import numpy as np
+import pytest
+
+import intertext_spark.operators.multimodal as mm
+
+
+# ---------------------------------------------------------------------------
+# independent encoder (test-local)
+# ---------------------------------------------------------------------------
+
+def _idct_ref(coef8x8):
+    """Textbook JPEG IDCT, explicit double loop — written independently
+    of the engine's matrix form."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+                    cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+                    s += (cu * cv * coef8x8[u, v]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            out[x, y] = s / 4.0
+    return out
+
+
+def _fdct_ref(block8x8):
+    out = np.zeros((8, 8))
+    g = block8x8 - 128.0
+    for u in range(8):
+        for v in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            cv = (1 / np.sqrt(2)) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (g[x, y]
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            out[u, v] = s * cu * cv / 4.0
+    return out
+
+
+_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _BitW:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for i in reversed(range(nbits)):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+
+
+def _mag(v):
+    s = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _blocks_of(plane, n_by, n_bx):
+    """Pad a plane (edge-replicate) to n_by x n_bx blocks and return the
+    quantized-coefficient blocks (q=1) plus the per-block int coefs."""
+    ph, pw = n_by * 8, n_bx * 8
+    p = np.zeros((ph, pw))
+    h, w = plane.shape
+    p[:h, :w] = plane
+    if w < pw:
+        p[:h, w:] = plane[:, -1:]
+    if h < ph:
+        p[h:, :] = p[h - 1:h, :]
+    out = []
+    for by in range(n_by):
+        row = []
+        for bx in range(n_bx):
+            c = _fdct_ref(p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8])
+            row.append(np.floor(c + 0.5).astype(np.int64))  # quantize q=1
+        out.append(row)
+    return out
+
+
+def _encode_jpeg(y, cb=None, cr=None, hv=(2, 2), dri=0):
+    """Baseline JPEG encoder (test-local): quant table all-ones, one
+    shared DC and one shared AC Huffman table (canonical, fixed-length
+    codes), optional 4:2:0-style subsampled chroma, optional restart
+    interval.  Returns (payload, expected_luma) where expected_luma is
+    the exact pixel array the decoder must produce (independent IDCT of
+    the integer coefficients, +128, round-half-up, clip)."""
+    h, w = y.shape
+    comps = [(1, hv[0], hv[1], y)]
+    if cb is not None:
+        comps += [(2, 1, 1, cb), (3, 1, 1, cr)]
+    else:
+        comps = [(1, 1, 1, y)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    blocks = {
+        cid: _blocks_of(pl, mcus_y * vs, mcus_x * hs)
+        for cid, hs, vs, pl in comps
+    }
+
+    # expected luma: independent IDCT of the luma coefficient blocks
+    cid0, hs0, vs0, _ = comps[0]
+    ph, pw = mcus_y * vs0 * 8, mcus_x * hs0 * 8
+    recon = np.zeros((ph, pw))
+    for by in range(mcus_y * vs0):
+        for bx in range(mcus_x * hs0):
+            recon[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = _idct_ref(
+                blocks[cid0][by][bx].astype(np.float64)
+            )
+    expected = np.clip(np.floor(recon[:h, :w] + 128.0 + 0.5), 0, 255)
+
+    # walk MCUs twice: first to collect used symbols, then to emit
+    def walk(emit_dc, emit_ac):
+        pred = {cid: 0 for cid, _, _, _ in comps}
+        mcu_i = 0
+        for m in range(mcus_x * mcus_y):
+            if dri and m > 0 and m % dri == 0:
+                yield ("rst", mcu_i % 8)
+                mcu_i += 1
+                pred = {cid: 0 for cid, _, _, _ in comps}
+            my, mx = divmod(m, mcus_x)
+            for cid, hs, vs, _pl in comps:
+                for yb in range(vs):
+                    for xb in range(hs):
+                        blk = blocks[cid][my * vs + yb][mx * hs + xb]
+                        zz = blk.ravel()[_ZZ]
+                        diff = int(zz[0]) - pred[cid]
+                        pred[cid] = int(zz[0])
+                        yield from emit_dc(diff)
+                        run = 0
+                        last = max(
+                            (k for k in range(1, 64) if zz[k]), default=0
+                        )
+                        for k in range(1, last + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                yield from emit_ac(0xF0, 0, 0)
+                                run -= 16
+                            s, bits = _mag(int(zz[k]))
+                            yield from emit_ac((run << 4) | s, bits, s)
+                            run = 0
+                        if last < 63:
+                            yield from emit_ac(0x00, 0, 0)
+
+    dc_syms, ac_syms = set(), set()
+
+    def col_dc(diff):
+        s, _ = _mag(diff)
+        dc_syms.add(s)
+        yield None
+
+    def col_ac(sym, _bits, _s):
+        ac_syms.add(sym)
+        yield None
+
+    for _ in walk(col_dc, col_ac):
+        pass
+
+    def canonical(symbols):
+        symbols = sorted(symbols)
+        n = len(symbols)
+        L = 2
+        while (1 << L) <= n:
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = n
+        return (bytes(counts), bytes(symbols),
+                {sym: (L, i) for i, sym in enumerate(symbols)})
+
+    dc_cnt, dc_lst, dc_code = canonical(dc_syms)
+    ac_cnt, ac_lst, ac_code = canonical(ac_syms)
+
+    bw = _BitW()
+    ecs = []  # entropy segments split at restarts
+
+    def emit_dc(diff):
+        s, bits = _mag(diff)
+        ln, code = dc_code[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(bits, s)
+        yield None
+
+    def emit_ac(sym, bits, s):
+        ln, code = ac_code[sym]
+        bw.put(code, ln)
+        if s:
+            bw.put(bits, s)
+        yield None
+
+    rst_marks = []
+    for ev in walk(emit_dc, emit_ac):
+        if isinstance(ev, tuple) and ev[0] == "rst":
+            bw.flush()
+            ecs.append(bytes(bw.out))
+            rst_marks.append(ev[1])
+            bw.out = bytearray()
+    bw.flush()
+    ecs.append(bytes(bw.out))
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for cid, hs, vs, _pl in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + dc_cnt + dc_lst)
+    out += seg(0xC4, bytes([0x10]) + ac_cnt + ac_lst)
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    sos = bytes([len(comps)])
+    for cid, _hs, _vs, _pl in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    for i, e in enumerate(ecs):
+        out += e
+        if i < len(ecs) - 1:
+            out += bytes([0xFF, 0xD0 + rst_marks[i]])
+    out += b"\xff\xd9"
+    return bytes(out), expected
+
+
+def _rng_plane(seed, h, w):
+    return np.random.RandomState(seed).randint(0, 256, (h, w)).astype(
+        np.float64
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoder vs the independent encoder
+# ---------------------------------------------------------------------------
+
+def test_grayscale_jpeg_exact_pixels():
+    y = _rng_plane(7, 16, 24)
+    payload, expected = _encode_jpeg(y)
+    got = mm._decode_baseline_jpeg(payload)
+    assert got is not None and got.shape == (16, 24)
+    assert np.array_equal(got, expected)
+    # the builtin dispatcher routes the FFD8 magic here too
+    assert np.array_equal(mm._decode_builtin(payload), expected)
+
+
+def test_color_420_jpeg_luma_exact_and_chroma_synced():
+    """3-component 4:2:0: the decoder must Huffman-walk the chroma
+    blocks (or the luma of later MCUs desyncs) but emit luma only."""
+    y = _rng_plane(11, 32, 32)
+    cb = _rng_plane(12, 16, 16)
+    cr = _rng_plane(13, 16, 16)
+    payload, expected = _encode_jpeg(y, cb, cr, hv=(2, 2))
+    got = mm._decode_baseline_jpeg(payload)
+    assert got is not None and np.array_equal(got, expected)
+
+
+def test_non_block_aligned_dims_cropped():
+    y = _rng_plane(17, 12, 10)
+    payload, expected = _encode_jpeg(y)
+    got = mm._decode_baseline_jpeg(payload)
+    assert got is not None and got.shape == (12, 10)
+    assert np.array_equal(got, expected)
+
+
+def test_restart_markers_reset_predictors():
+    y = _rng_plane(19, 16, 48)  # 12 MCUs at 4:4:4 -> several restarts
+    payload, expected = _encode_jpeg(y, dri=2)
+    assert any(
+        payload[i] == 0xFF and 0xD0 <= payload[i + 1] <= 0xD7
+        for i in range(len(payload) - 1)
+    ), "fixture must actually contain RSTn markers"
+    got = mm._decode_baseline_jpeg(payload)
+    assert got is not None and np.array_equal(got, expected)
+
+
+def test_byte_stuffing_roundtrip():
+    """A fixture whose entropy stream contains a stuffed 0xFF00 — the
+    destuffing path must be exercised, not just reachable."""
+    for seed in range(60):
+        y = _rng_plane(seed, 16, 16)
+        payload, expected = _encode_jpeg(y)
+        i = payload.index(b"\xff\xda") + 2
+        sos_len = struct.unpack_from(">H", payload, i)[0]
+        body = payload[i + sos_len:-2]
+        if b"\xff\x00" in body:
+            got = mm._decode_baseline_jpeg(payload)
+            assert got is not None and np.array_equal(got, expected)
+            return
+    pytest.fail("no seed produced a stuffed byte")
+
+
+def test_rejects_non_baseline_and_garbage():
+    y = _rng_plane(23, 8, 8)
+    payload, _ = _encode_jpeg(y)
+    # progressive: flip SOF0 -> SOF2
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert mm._decode_baseline_jpeg(prog) is None
+    # truncated entropy stream
+    assert mm._decode_baseline_jpeg(payload[:-12]) is None
+    # not a JPEG at all
+    assert mm._decode_baseline_jpeg(b"\x00\x01\x02") is None
+    assert mm._decode_baseline_jpeg(b"") is None
+
+
+def test_phash_uses_real_jpeg_pixels():
+    y = _rng_plane(29, 32, 32)
+    payload, expected = _encode_jpeg(y)
+    assert mm._phash_of(payload) == mm.phash64_from_gray(expected)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI
+# ---------------------------------------------------------------------------
+
+def _make_avi_mjpg(jpeg_frames, w, h, fps=None):
+    """Independent MJPEG-AVI writer: RIFF/AVI whose strf declares
+    biCompression='MJPG' and whose 00dc chunks are whole JPEGs."""
+    def chunk(cid, body):
+        return (cid + struct.pack("<I", len(body)) + body
+                + (b"\x00" if len(body) & 1 else b""))
+
+    def lst(fourcc, body):
+        return chunk(b"LIST", fourcc + body)
+
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24,
+        int.from_bytes(b"MJPG", "little"), 0, 0, 0, 0, 0,
+    )
+    scale, rate = (1, int(fps)) if fps else (0, 0)
+    strh = (b"vids" + b"MJPG" + b"\x00" * 12
+            + struct.pack("<II", scale, rate) + b"\x00" * 28)
+    avih = b"\x00" * 32 + struct.pack("<ii", w, h) + b"\x00" * 16
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_mjpeg_avi_frames_exact_pixels():
+    frames, expects = [], []
+    for seed in (31, 37, 41):
+        p, e = _encode_jpeg(_rng_plane(seed, 16, 16))
+        frames.append(p)
+        expects.append(e)
+    avi = _make_avi_mjpg(frames, 16, 16, fps=4)
+    parsed = mm._parse_avi_frames(avi)
+    assert parsed is not None
+    grays, fps = parsed
+    assert fps == 4.0 and len(grays) == 3
+    for g, e in zip(grays, expects):
+        assert np.array_equal(g, e)
+
+
+def test_mjpeg_avi_one_bad_frame_falls_to_fake_tier():
+    p, _ = _encode_jpeg(_rng_plane(43, 16, 16))
+    avi = _make_avi_mjpg([p, b"\xff\xd8garbage"], 16, 16, fps=2)
+    assert mm._parse_avi_frames(avi) is None
+
+
+def test_mjpeg_sample_frames_spark_end_to_end(spark):
+    frames, expects = [], []
+    for seed in (47, 53, 59, 61):
+        p, e = _encode_jpeg(_rng_plane(seed, 16, 16))
+        frames.append(p)
+        expects.append(e)
+    avi = _make_avi_mjpg(frames, 16, 16, fps=2)  # 2 fps, 4 frames = 2 s
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi), 2000)],
+        "media_id long, kind string, payload binary, duration_ms long",
+    )
+    out = mm.sample_frames(media, every_ms=500).orderBy("frame_idx").collect()
+    # 2 fps -> a frame every 500 ms maps 1:1 onto the 4 real frames
+    assert [r["frame_idx"] for r in out] == [0, 1, 2, 3]
+    want = [mm.phash64_from_gray(e) for e in expects]
+    assert [r["frame_phash"] for r in out] == want
