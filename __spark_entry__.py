@@ -1614,7 +1614,10 @@ def _classifier_scores_q(spark, sf_dir):
 
 
 def _classifier_twin_sql(n_buckets: int = 256, n_iters: int = 4, lr: str = "0.25",
-                         l2: str = "0.0") -> str:
+                         l2: str = "0.0",
+                         text_sql: str = "text",
+                         y_sql: str = ("case when list_contains(words, 'spark') "
+                                       "then 1 else 0 end")) -> str:
     """DuckDB twin of _classifier_scores_q: RE-TRAINS the logistic model
     by unrolling the full-batch gradient-descent loop as one CTE chain —
     per iteration: margins (intercept + exact-integer sum of 1e-12
@@ -1629,12 +1632,13 @@ def _classifier_twin_sql(n_buckets: int = 256, n_iters: int = 4, lr: str = "0.25
 with
 wrd as (
   select doc_id,
-         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') as words
+         list_filter(regexp_split_to_array({text_sql}, '\\s+'), x -> x != '')
+           as words
   from documents
 ),
 lab as (
   select doc_id, words,
-         case when list_contains(words, 'spark') then 1 else 0 end as y
+         {y_sql} as y
   from wrd where len(words) >= 1
 ),
 streams as (
@@ -1814,6 +1818,94 @@ def _classifier_eval_q(spark, sf_dir):
     from intertext_spark.operators.classifier import binary_eval
 
     return binary_eval(_classifier_scores_q(spark, sf_dir))
+
+
+# Planted-signal tokens for the calibration gate: appended to every
+# odd-doc_id document, so the label (id parity) is separable from text
+# by construction and a correctly-learning trainer MUST reach high AUC.
+_CAL_TOKENS = "qsiga qsigb qsigc qsigd qsige qsigf"
+
+
+def _classifier_calibration_q(spark, sf_dir):
+    """Calibration gate: train the hashed-LR classifier on a corpus with
+    a PLANTED separable signal (six magic tokens appended to odd-doc_id
+    documents; label = id parity) and emit ONE row (auc, learned) where
+    learned = auc >= 0.95.  classifier_scores proves the trainer is
+    bit-exact cross-engine; this row proves it LEARNS — a broken update
+    rule that still matched its own oracle twin would fail the floor.
+    The oracle retrains from scratch in DuckDB on the same planted
+    corpus and recomputes the tie-averaged Mann-Whitney AUC."""
+    from intertext_spark.operators.classifier import (
+        binary_eval,
+        train_quality_classifier,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # NULL-propagating concat (|| twin): NULL-text docs drop in both
+    # engines via the >= 1-word filter
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.concat(F.col("text"), F.lit(" " + _CAL_TOKENS)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+    def hash_fn(c):  # md5 hash bridge
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    scored, _w, _trace = train_quality_classifier(
+        planted,
+        F.col("doc_id") % 2 == 1,
+        n_buckets=4096,
+        n_iters=4,
+        lr=0.25,
+        l2=0.0,
+        hash_fn=hash_fn,
+        quantize_digits=6,
+    )
+    ev = binary_eval(scored)
+    return ev.where(F.col("threshold") == F.lit(-1.0)).select(
+        F.col("precision").alias("auc"),
+        (F.col("precision") >= F.lit(0.95)).alias("learned"),
+    )
+
+
+def _classifier_calibration_twin() -> str:
+    clf = _classifier_twin_sql(
+        n_buckets=4096,
+        n_iters=4,
+        lr="0.25",
+        l2="0.0",
+        text_sql=(
+            "case when doc_id % 2 = 1 "
+            f"then text || ' {_CAL_TOKENS}' else text end"
+        ),
+        y_sql="case when doc_id % 2 = 1 then 1 else 0 end",
+    )
+    return f"""
+with scores as materialized (select * from ({clf}) t),
+ranked as (
+  select label as y, prob as p,
+         rank() over (order by prob) as rmin,
+         rank() over (order by prob)
+           + count(*) over (partition by prob) - 1 as rmax
+  from scores
+),
+aucv as (
+  select sum(case when y = 1 then rmin + rmax else 0 end) as r2pos,
+         sum(y) as p_cnt, sum(1 - y) as n_cnt
+  from ranked
+),
+a as (
+  select case when p_cnt > 0 and n_cnt > 0 then
+           (cast(r2pos as double) / 2.0
+            - cast(p_cnt as double) * cast(p_cnt + 1 as double) / 2.0)
+           / cast(p_cnt * n_cnt as double) end as auc
+  from aucv
+)
+select auc, auc >= 0.95 as learned from a
+"""
 
 
 def _classifier_eval_twin() -> str:
@@ -3316,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["strip_verbatim_spans"] = _strip_verbatim_q
     q["export_recipe"] = _export_recipe_q
     q["classifier_eval"] = _classifier_eval_q
+    q["classifier_calibration"] = _classifier_calibration_q
     q["loop_detect"] = _loop_detect_q
     q["mix_corpora"] = _mix_corpora_q
     q["curate_corpus"] = _curate_corpus_q
@@ -4684,6 +4777,7 @@ group by g.doc_id
     # threshold + pack) re-derived from scratch — see _export_recipe_twin.
     out["export_recipe"] = _export_recipe_twin()
     out["classifier_eval"] = _classifier_eval_twin()
+    out["classifier_calibration"] = _classifier_calibration_twin()
     out["pack_stats"] = f"""
 with packed as ({_PACK_TWIN}),
 per_bin as (

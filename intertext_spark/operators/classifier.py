@@ -124,7 +124,15 @@ def _margin_expr(weights: list[float], feats_col: str = "feats"):
     The guard branch costs nothing on the happy path (codegen only
     evaluates raise_error when taken)."""
     nb = len(weights) - 1
-    wlit = F.array(*[F.lit(float(w)) for w in weights[1:]])
+    # ONE array Literal, not CreateArray(nb literal children): lit() on a
+    # python list expands to array(lit, lit, ...) whose nb children are
+    # re-materialized per evaluation AND whose size kicks the stage out
+    # of whole-stage codegen into interpreted eval (measured: the
+    # n_buckets=4096 margin went from minutes per pass to sub-second).
+    # lit() on a numpy array builds a genuine O(1) Literal node.
+    import numpy as _np
+
+    wlit = F.lit(_np.asarray(weights[1:], dtype=_np.float64))
     terms = F.aggregate(
         F.col(feats_col),
         F.lit(0).cast("long"),

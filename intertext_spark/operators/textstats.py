@@ -28,17 +28,24 @@ def _BIGRAMS(ws):
     """Space-joined word bigrams of a BOUND word-array attribute — the
     single home of the gram-stream bigram rule the cross-engine gates
     depend on being identical everywhere (classifier features, DSIR
-    features).  Guard: Spark's sequence(1, 0) counts DOWN ([1, 0]), so a
-    1-word doc must get an empty list, not two bogus bigrams.  Pass an
-    attribute (post-``select``), not a raw expression: CollapseProject
-    would re-inline the word split per element access (the top_ngrams
-    lesson)."""
+    features).  Guard: a 1-word doc must get an empty list, not bogus
+    bigrams.
+
+    ``ws`` is referenced only a CONSTANT number of times (two shifted
+    slices zipped together), never per-element: the old
+    ``slice(ws, i, 2)`` lambda was O(1) per access only while ws stayed
+    a bound attribute — a filter pushed down through the defining
+    projection (the r5 classifier-scoring finding) inlines the word
+    split into the lambda and re-splits the text PER BIGRAM, O(n^2) per
+    row.  The zip form stays O(n) under any plan rewrite."""
     ws = F.col(ws) if isinstance(ws, str) else ws
+    n1 = F.greatest(F.size(ws) - 1, F.lit(0))
     return F.when(
         F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.array_join(F.slice(ws, i, 2), " "),
+        F.zip_with(
+            F.slice(ws, 1, n1),
+            F.slice(ws, 2, n1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -872,26 +879,53 @@ def _rle_sorted(arr):
     whole-stage codegen — this is how per-row (value -> count) maps are
     built WITHOUT an explode -> groupBy(doc, value) exchange.
 
-    Empty-safe: positions come from an index transform of the array
-    itself (F.sequence(1, 0) would produce a DESCENDING [1, 0] and hit
-    element_at(arr, 0)); an empty input yields an empty encode."""
-    positions = F.transform(arr, lambda x, i: i + 1)
-    starts = F.filter(
-        positions,
-        lambda i: (i == 1) | (F.element_at(arr, i) != F.element_at(arr, i - 1)),
+    ``arr`` is referenced only a CONSTANT number of times, never through
+    a per-element ``element_at(arr, i)`` lambda: when an optimizer rule
+    inlines arr's defining expression into this one (filter pushdown
+    through a projection did exactly that to the classifier's hashed
+    featurization in r5 — the predicate re-derived sort+hash PER
+    ELEMENT, O(n^2) per row in interpreted eval), each reference costs
+    one linear re-evaluation, so the encode stays O(n) under ANY plan
+    rewrite.  Run starts come from zipping the array against its own
+    1-shifted self; run ends from the next start's position.
+
+    Empty-safe: the final when() returns a same-typed empty slice (the
+    inner zip_with would otherwise null-pad against the sentinel
+    [n+1])."""
+    n = F.size(arr)
+    # (value, 1-based position) pairs — the only per-element view of arr
+    pos = F.transform(arr, lambda x, i: F.struct(x.alias("v"),
+                                                 (i + 1).alias("p")))
+    # prev-value array [arr[0], arr[0], arr[1], ..]: position 1 is forced
+    # to be a start by its p == 1 test, so the duplicated head is inert
+    prev = F.concat(
+        F.slice(arr, 1, 1), F.slice(arr, 1, F.greatest(n - 1, F.lit(0)))
     )
-    tail = F.concat(
-        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
-        F.array(F.size(arr) + 1),
-    )
-    nxt = F.when(F.size(starts) > 0, tail).otherwise(starts)
-    return F.zip_with(
-        starts,
-        nxt,
-        lambda s, e: F.struct(
-            F.element_at(arr, s).alias("v"), (e - s).cast("long").alias("cnt")
+    marked = F.zip_with(
+        pos,
+        prev,
+        lambda t, pv: F.struct(
+            t["v"].alias("v"),
+            t["p"].alias("p"),
+            ((t["p"] == 1) | (pv != t["v"])).alias("st"),
         ),
     )
+    starts = F.filter(marked, lambda t: t["st"])
+    ends = F.concat(
+        F.transform(
+            F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+            lambda t: t["p"],
+        ),
+        F.array(n + 1),
+    )
+    out = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s["v"].alias("v"), (e - s["p"]).cast("long").alias("cnt")
+        ),
+    )
+    return F.when(n > 0, out).otherwise(F.slice(out, 1, 0))
 
 
 def top_ngrams(

@@ -1,0 +1,129 @@
+"""Round-5 regressions: the _rle_sorted plan-rewrite-safety rewrite, the
+margin-weight Literal (vs CreateArray), and the classifier calibration
+row (provably-learns gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_rle_sorted_pinned_vectors(spark):
+    from intertext_spark.operators.textstats import _rle_sorted
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 1, 2, 5, 5, 5]),
+            (2, []),
+            (3, [7]),
+            (4, [3, 3, 3]),
+            (5, [1, 2, 3]),
+        ],
+        "id int, a array<int>",
+    )
+    got = {
+        r["id"]: [(s["v"], s["cnt"]) for s in r["r"]]
+        for r in df.select("id", _rle_sorted(F.col("a")).alias("r")).collect()
+    }
+    assert got == {
+        1: [(1, 2), (2, 1), (5, 3)],
+        2: [],
+        3: [(7, 1)],
+        4: [(3, 3)],
+        5: [(1, 1), (2, 1), (3, 1)],
+    }
+
+
+def test_rle_sorted_strings_and_nulls_absent(spark):
+    from intertext_spark.operators.textstats import _rle_sorted
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "b"]), (2, ["z"])], "id int, a array<string>"
+    )
+    got = {
+        r["id"]: [(s["v"], s["cnt"]) for s in r["r"]]
+        for r in df.select("id", _rle_sorted(F.col("a")).alias("r")).collect()
+    }
+    assert got == {1: [("a", 2), ("b", 1)], 2: [("z", 1)]}
+
+
+def test_margin_weights_are_one_literal(spark):
+    """The weight array must plan as ONE Literal node, not
+    CreateArray(n_buckets children): CreateArray re-materializes every
+    child per evaluation AND kicks the stage out of whole-stage codegen
+    — at n_buckets=4096 the interpreted fallback made the margin cost
+    minutes per pass (r5 finding)."""
+    from intertext_spark.operators.classifier import _margin_expr
+
+    w = [0.0] + [float(i) for i in range(4096)]
+    df = spark.createDataFrame(
+        [(1, [(3, 1.0)])],
+        "doc_id int, feats array<struct<bucket:long, x:double>>",
+    )
+    plan = df.select(
+        _margin_expr(w).alias("m")
+    )._jdf.queryExecution().analyzed().toString()
+    assert "array(0.0, 1.0" not in plan  # CreateArray's rendering
+    row = df.select(_margin_expr(w).alias("m")).collect()[0]
+    # margin = intercept 0 + q12(w[3] * 1.0) = 3.0
+    assert row["m"] == 3.0
+
+
+def test_filter_pushdown_through_scoring_not_quadratic(spark):
+    """isnotnull(prob) pushed through lr_score's projection inlines the
+    featurization chain into the predicate; with the old element_at-
+    per-element RLE that was O(n^2) per row (minutes at gate scale).
+    Run exactly that shape on docs long enough to blow up quadratically
+    and assert it completes fast."""
+    import time
+
+    from intertext_spark.operators.classifier import (
+        doc_features,
+        lr_score,
+    )
+
+    text = " ".join(f"w{i % 997}" for i in range(2000))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(64)], "doc_id long, text string"
+    )
+    feats = doc_features(docs, n_buckets=4096)
+    w = [0.01] * 4097
+    scored = lr_score(feats, w)
+    t0 = time.time()
+    n = scored.where(F.col("prob").isNotNull()).count()
+    wall = time.time() - t0
+    assert n == 64
+    # old shape: ~0.4 s/row at 200 grams -> minutes at 2000 grams.
+    # generous bound that still catches any quadratic regression
+    assert wall < 60, f"pushdown scoring took {wall:.1f}s — quadratic again?"
+
+
+def test_classifier_calibration_learns_planted_signal(spark):
+    """The calibration gate's semantics on a local planted corpus: six
+    magic tokens on odd ids, label = parity -> AUC must clear the 0.95
+    floor (VERDICT r4 'Next round' #8)."""
+    from intertext_spark.operators.classifier import (
+        binary_eval,
+        train_quality_classifier,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (i, base + (" qsiga qsigb qsigc qsigd qsige qsigf"
+                        if i % 2 == 1 else ""))
+            for i in range(120)
+        ],
+        "doc_id long, text string",
+    )
+    scored, _w, _ = train_quality_classifier(
+        docs,
+        F.col("doc_id") % 2 == 1,
+        n_buckets=4096,
+        n_iters=4,
+        lr=0.25,
+        quantize_digits=6,
+    )
+    auc_row = (
+        binary_eval(scored).where(F.col("threshold") == -1.0).collect()[0]
+    )
+    assert auc_row["precision"] is not None
+    assert auc_row["precision"] >= 0.95
