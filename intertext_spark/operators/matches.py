@@ -13,12 +13,7 @@ surface before one Arrow-batched pandas UDF runs difflib:
     reference applies it post-score; the predicate set is identical since
     the result is an AND of independent conditions);
   * ratio upper bound — SequenceMatcher.ratio() <= 2*min(|a|,|b|)/(|a|+|b|);
-    pairs whose bound is already below min_sim never reach Python;
-  * quick_ratio upper bound — 2*sum_c min(cnt_a[c], cnt_b[c])/(|a|+|b|)
-    replayed in JVM codegen over 28-slot char histograms precomputed per
-    WINDOW (a-z, space, other — bucket lumping only raises the bound, so
-    it stays a true upper bound of ratio()); the surviving pairs still
-    run the exact in-Python quick_ratio before the O(n^2) alignment.
+    pairs whose bound is already below min_sim never reach Python.
 """
 
 from __future__ import annotations
@@ -48,60 +43,17 @@ def _is_junk(text_col, cfg: PipelineConfig):
     return singles >= F.lit(cfg.window_length * cfg.min_single_char_frac)
 
 
-# The common window alphabet (tokenized lowercase words, space-joined);
-# every other char lumps into one catch-all slot.  Lumping buckets can
-# only RAISE the min-sum intersection (min is superadditive under bucket
-# merge: min(a1+a2, b1+b2) >= min(a1,b1) + min(a2,b2)), so the bound
-# below stays a true upper bound of difflib's exact-per-char
-# quick_ratio, which itself bounds ratio().
-_QR_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
-
-
-def _char_hist(text_col):
-    """28-slot char histogram (a-z, space, other) as int array — pure
-    JVM built-ins (length/translate), computed ONCE per window so the
-    per-pair quick_ratio bound is an O(28) vector op, not a text scan."""
-    counts = [
-        (
-            F.length(text_col) - F.length(F.translate(text_col, c, ""))
-        ).cast("int")
-        for c in _QR_ALPHABET
-    ]
-    known = counts[0]
-    for c in counts[1:]:
-        known = known + c
-    return F.array(*counts, (F.length(text_col) - known).cast("int"))
-
-
-def _quick_ratio_bound(qh_a, qh_b, len_a, len_b):
-    """200 * sum_i min(qh_a[i], qh_b[i]) / (la+lb) >= 100*ratio() —
-    the JVM replay of difflib's quick_ratio upper bound (lumped to the
-    28-slot alphabet, see _QR_ALPHABET).  A flat least/add expression
-    tree (no higher-order functions) so it stays inside whole-stage
-    codegen."""
-    inter = F.least(qh_a[0], qh_b[0])
-    for i in range(1, len(_QR_ALPHABET) + 1):
-        inter = inter + F.least(qh_a[i], qh_b[i])
-    return F.lit(200.0) * inter / (len_a + len_b)
-
-
 def attach_window_texts(candidates: DataFrame, windows: DataFrame) -> DataFrame:
-    """candidates ⋈ windows ×2 -> pair rows with (text_a, text_b) and
-    per-side char histograms (__qh_a/__qh_b) for the JVM quick_ratio
-    prefilter in :func:`score_matches` — computed window-side (once per
-    window) rather than pair-side (once per candidate, ~50x more rows
-    at reference config)."""
+    """candidates ⋈ windows ×2 -> pair rows with (text_a, text_b)."""
     wa = windows.select(
         F.col("file_id").alias("file_id_a"),
         F.col("window_id").alias("window_id_a"),
         F.col("text").alias("text_a"),
-        _char_hist(F.col("text")).alias("__qh_a"),
     )
     wb = windows.select(
         F.col("file_id").alias("file_id_b"),
         F.col("window_id").alias("window_id_b"),
         F.col("text").alias("text_b"),
-        _char_hist(F.col("text")).alias("__qh_b"),
     )
     return candidates.join(wa, ["file_id_a", "window_id_a"]).join(
         wb, ["file_id_b", "window_id_b"]
@@ -112,8 +64,8 @@ def score_matches(pairs_with_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """-> (file_id_a, file_id_b, window_id_a, window_id_b, similarity).
 
     Measured r3, sf0.1 (5.04M candidate pairs, local[32]): the stage is
-    44.2s of which ~34s is difflib ratio() on quick_ratio survivors.  Two
-    replacement attempts were measured and REJECTED:
+    44.2s of which ~34s is difflib ratio() on quick_ratio survivors.
+    THREE replacement attempts were measured and REJECTED:
       * an exact numpy Ratcliff-Obershelp (bit-identical totals over 4k
         adversarial cases, batched DP across pairs, difflib tie-rule
         replicated via descending-i >= updates): only 1.2x — ragged
@@ -121,42 +73,36 @@ def score_matches(pairs_with_text: DataFrame, cfg: PipelineConfig) -> DataFrame:
       * distinct-(text_a, text_b) dedup before the scorer: only 1.1x —
         window texts are near-unique combinations (4.74M distinct of
         5.04M), so there is nothing to dedup (the text_a == text_b JVM
-        fast path already catches the 2.6k identical rows).
+        fast path already catches the 2.6k identical rows);
+      * (r5) a JVM-side quick_ratio upper bound — 28-slot char
+        histograms (a-z/space/other) per WINDOW carried through the
+        joins, pair bound 200*sum(min(h_a,h_b))/(la+lb) as a flat
+        least/add codegen filter.  Semantics-preserving (lumping only
+        raises the bound; n_matches bit-identical at 687,717) but a NET
+        LOSS: the bound cut 0.0% of the 5.04M post-length-filter pairs
+        at sf0.1 — window char-multisets are nearly identical on a
+        text-reuse corpus (shared vocabulary), so the lumped bound
+        never falls below min_sim while its histograms add ~1 GB of
+        join/shuffle weight and 56 leasts per pair.  Same-boot
+        alternating A/B, 3 runs/arm x 2 rounds: with-prefilter
+        59.1-89.7s vs without 45.7-62.8s.  difflib's own quick_ratio
+        (exact per-char multiset, C-speed, post-Arrow) stays as the
+        effective prune — the cheap JVM length bound below already
+        captures everything a coarser bound can.
     The remaining cost is intrinsic alignment work; the structural wins
     (JVM prefilters, quick_ratio prune, matcher reuse, row-balanced
     repartition, identical-text fast path) are all in place below."""
     min_sim = cfg.min_sim
 
-    # Per-side char histograms: attach_window_texts precomputes them
-    # window-side; synthesize pair-side when the caller joined texts
-    # itself (same filter result, just more work per pair).
-    cols = pairs_with_text.columns
-    if "__qh_a" in cols and "__qh_b" in cols:
-        qh_a, qh_b = F.col("__qh_a"), F.col("__qh_b")
-    else:
-        qh_a = _char_hist(F.col("text_a"))
-        qh_b = _char_hist(F.col("text_b"))
-
     pre = pairs_with_text.where(
         ~_is_junk(F.col("text_a"), cfg) & ~_is_junk(F.col("text_b"), cfg)
     ).where(
-        # real_quick_ratio first (two lengths), then the char-multiset
-        # quick_ratio bound (28 leasts) — both are TRUE upper bounds of
-        # 100*ratio(), so pairs they cut would have scored < min_sim in
-        # Python anyway; they just never cross Arrow now.  Guard
-        # la+lb>0 (empty windows cannot occur here anyway).
-        (
-            F.lit(200.0)
-            * F.least(F.length("text_a"), F.length("text_b"))
-            / (F.length("text_a") + F.length("text_b"))
-            >= F.lit(min_sim)
-        )
-        & (
-            _quick_ratio_bound(
-                qh_a, qh_b, F.length("text_a"), F.length("text_b")
-            )
-            >= F.lit(min_sim)
-        )
+        # ratio() <= 2*min(la,lb)/(la+lb); prune pairs that cannot reach
+        # min_sim.  Guard la+lb>0 (empty windows cannot occur here anyway).
+        F.lit(200.0)
+        * F.least(F.length("text_a"), F.length("text_b"))
+        / (F.length("text_a") + F.length("text_b"))
+        >= F.lit(min_sim)
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -14,7 +14,7 @@ N4=$((N * 4))
 
 (cd "$REPO" && python -m zipfile -c "$WORK/intertext_spark.zip" intertext_spark/)
 
-CORPUS="$REPO/BENCH/scaling_corpus.parquet"
+CORPUS="$REPO/BENCH/scaling_corpus_xl.parquet"
 if [ ! -e "$CORPUS" ]; then
   (cd "$REPO" && python - <<'EOF'
 import bench
