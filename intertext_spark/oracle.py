@@ -59,16 +59,23 @@ def hashbands_for_file(windows: list[str], cfg: PipelineConfig) -> set[tuple[int
 
 
 def candidates_from_hashbands(
-    hashbands: list[tuple[int, int, int]], only_id: int | None = None
+    hashbands: list[tuple[int, int, int]], only_id: int | None = None,
+    band_max_files: int | None = None,
 ) -> set[tuple[int, int, int, int]]:
     """Exact band grouping -> cross-file pairs, canonical a<b
-    (intertext.py:427-454 minus the chunking quirks)."""
+    (intertext.py:427-454 minus the chunking quirks).  ``band_max_files``
+    mirrors the engine's non-discriminative-band drop (candidates.py:91,
+    distinct-file count <= cap kept) so capped configs are
+    oracle-checkable too (None = uncapped, the parity default)."""
     groups: dict[int, set[tuple[int, int]]] = defaultdict(set)
     for band, file_id, window_id in hashbands:
         groups[band].add((file_id, window_id))
     out = set()
     for members in groups.values():
-        if len({f for f, _ in members}) < 2:
+        nf = len({f for f, _ in members})
+        if nf < 2:
+            continue
+        if band_max_files is not None and nf > band_max_files:
             continue
         if only_id is not None and not any(f == only_id for f, _ in members):
             continue
@@ -243,7 +250,9 @@ def run_pipeline(words_by_conv: dict[str, list[str]], cfg: PipelineConfig,
         for band, wid in hashbands_for_file(windows, cfg):
             hashbands.append((band, fid, wid))
     only_id = file_of[only_conv] if only_conv is not None else None
-    cands = candidates_from_hashbands(hashbands, only_id)
+    cands = candidates_from_hashbands(
+        hashbands, only_id, band_max_files=cfg.band_max_files
+    )
     matches = validate_candidates(cands, windows_by_file, cfg)
     if banished_convs:
         bad = banished_nodes(

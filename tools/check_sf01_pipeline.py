@@ -1,0 +1,141 @@
+"""sf0.1 pipeline-family value parity at the BENCH config (VERDICT r4
+'Next round' #6, pipeline half).
+
+The uncapped parity config degenerates to near-all-pairs at sf0.1 on the
+31-word-vocabulary synthetic corpus (the single-node oracle would need
+hours), so this check runs the config the sf0.1 bench actually uses —
+``band_max_files=16`` — through BOTH implementations: the Spark engine
+(Pipeline.run over transcripts_from_documents) and the pure single-node
+reference-semantics oracle (intertext_spark/oracle.py, with the engine's
+band-cap rule mirrored in candidates_from_hashbands).  Compares the full
+match SET (file_id_a, file_id_b, window_id_a, window_id_b, floor(sim))
+plus the duplicate-group assignment partition.
+
+    python tools/check_sf01_pipeline.py [sf_dir] [--cache FILE]
+                                        [--oracle-only]
+
+--cache pickles the single-node oracle results (the ~40-min single-core
+phase) so the Spark phase can run later without re-deriving them;
+--oracle-only stops after writing the cache.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from intertext_spark.config import DEFAULT  # noqa: E402
+from intertext_spark.oracle import run_pipeline  # noqa: E402
+
+
+def main():
+    import pickle
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    cache = None
+    if "--cache" in sys.argv:
+        cache = sys.argv[sys.argv.index("--cache") + 1]
+    cfg = DEFAULT.with_(band_max_files=16)
+
+    # --- oracle side (single-node, pure python/numpy) ---
+    o = None
+    if cache and os.path.exists(cache):
+        with open(cache, "rb") as f:
+            o = pickle.load(f)
+        print(f"loaded oracle results from {cache}", flush=True)
+    if o is None:
+        rows = duckdb.sql(
+            f"select doc_id, text from '{sf_dir}/documents.parquet'"
+        ).fetchall()
+        wbc = {str(d).zfill(8): (t or "").split() for d, t in rows}
+        t0 = time.time()
+        full = run_pipeline(wbc, cfg)
+        o = {"matches": full["matches"]}
+        print(f"oracle: {len(o['matches'])} matches, "
+              f"{time.time() - t0:.0f}s", flush=True)
+        if cache:
+            with open(cache, "wb") as f:
+                pickle.dump(o, f)
+    if "--oracle-only" in sys.argv:
+        print("oracle cache written; stopping (--oracle-only)", flush=True)
+        return
+    o_matches = {
+        (fa, fb, wa, wb, math.floor(sim))
+        for fa, fb, wa, wb, sim in o["matches"]
+    }
+
+    # --- engine side ---
+    from intertext_spark.pipeline import Pipeline
+    from intertext_spark.session import get_spark
+    from __spark_entry__ import transcripts_from_documents
+
+    spark = get_spark(app="sf01-pipeline-parity", master="local[16]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    tdf = transcripts_from_documents(spark, sf_dir)
+    t0 = time.time()
+    res = Pipeline(spark, cfg).run(tdf)
+    s_matches = {
+        (r["file_id_a"], r["file_id_b"], r["window_id_a"], r["window_id_b"],
+         math.floor(r["similarity"]))
+        for r in res["matches"].collect()
+    }
+    print(f"engine: {len(s_matches)} matches, "
+          f"{time.time() - t0:.0f}s", flush=True)
+
+    only_o = o_matches - s_matches
+    only_s = s_matches - o_matches
+    ok = not only_o and not only_s
+    print(f"match-set equality: {ok} "
+          f"(oracle-only {len(only_o)}, engine-only {len(only_s)})",
+          flush=True)
+    if not ok:
+        for m in list(only_o)[:5]:
+            print("  oracle-only:", m)
+        for m in list(only_s)[:5]:
+            print("  engine-only:", m)
+
+    # duplicate-group partition at sf0.1: engine DISTRIBUTED CC over the
+    # engine match edges vs the oracle's union-find labels, compared as
+    # canonical member-set partitions
+    from intertext_spark.operators.graph import (
+        connected_components,
+        decode_groups,
+        match_edges,
+    )
+
+    labels = decode_groups(connected_components(match_edges(res["matches"])))
+    s_by_label: dict[int, set] = {}
+    for r in labels.collect():
+        s_by_label.setdefault(r["group_id"], set()).add(
+            (r["file_id"], r["window_id"])
+        )
+    # like-for-like: union-find over the same PRE-GATE match edges the
+    # engine CC consumes (the gated-group semantics are value-checked at
+    # sf0.01 by the pipeline_groups gate row; what sf0.1 adds here is
+    # the distributed CC at 10x scale)
+    from intertext_spark.oracle import duplicate_groups
+
+    o_by_label: dict = {}
+    for node, label in duplicate_groups(o["matches"]).items():
+        o_by_label.setdefault(label, set()).add(node)
+    o_part = {frozenset(v) for v in o_by_label.values()}
+    s_part = {frozenset(v) for v in s_by_label.values()}
+    gok = o_part == s_part
+    print(f"group-partition equality: {gok} "
+          f"(oracle {len(o_part)} groups, engine {len(s_part)})", flush=True)
+    spark.stop()
+    print("SF01 PIPELINE PARITY: " + ("ALL OK" if ok and gok else "FAIL"),
+          flush=True)
+    sys.exit(0 if ok and gok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Round-5 heavy-row parity sweep at sf0.1 (VERDICT r4 'Next round' #6).
+
+Value-parity normally runs at sf0.001/sf0.01; this sweep re-runs the
+heaviest rows once at sf0.1 to catch scale-sensitive divergence
+(quantization, overflow, cap boundaries).  Fixture-backed oracles
+(pipeline family, simhash/suffix/bpe/cdc natives) read
+``fixtures/sf0.1`` — generate it first with
+
+    python tools/make_fixtures.py /root/testdata/sf0.1 --cache /tmp/oracle_sf01.pkl
+
+then run
+
+    python tools/check_sf01_sweep.py [name ...]
+
+which patches the fixture paths in oracle_sql() from sf0.01 to sf0.1
+and delegates to tools/check_sql_parity.py's comparison (same row /
+schema / arrow-family / value checks).
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+HEAVY = [
+    # §2 contract core (fixture-backed oracles)
+    "pipeline_matches",
+    "pipeline_clusters",
+    "pipeline_groups",
+    "pipeline_matches_banished",
+    "pipeline_matches_only",
+    "pipeline_matches_excluded",
+    "pipeline_match_strings",
+    "pipeline_scatter_aggs",
+    "pipeline_windows",
+    "simhash_pairs_native",
+    "suffix_spans",
+    # heaviest SQL-oracle rows from BENCH timings
+    "minhash_dup_pairs_skewed",
+    "srp_dup_pairs",
+    "conv_dedup",
+    "corpus_diff",
+    "dedup_eval",
+    "rouge_pairs",
+    "simhash_dup_pairs",
+    "gopher_repetition",
+    "similar_docs",
+    "classifier_scores",
+    "classifier_calibration",
+    "label_propagation",
+    "bm25_topk",
+    "retrieval_eval",
+    "dedup_against",
+    "pagerank",
+]
+
+
+def main():
+    names = sys.argv[1:] or HEAVY
+    orig = entrymod.oracle_sql
+
+    def patched():
+        return {
+            k: v.replace("fixtures/sf0.01", "fixtures/sf0.1")
+            for k, v in orig().items()
+        }
+
+    entrymod.oracle_sql = patched
+    sys.argv = [sys.argv[0], "/root/testdata/sf0.1", *names]
+    import importlib.util as _ilu
+    import os as _os
+    _spec = _ilu.spec_from_file_location(
+        "check_sql_parity",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "check_sql_parity.py"))
+    check_sql_parity = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(check_sql_parity)
+    check_sql_parity.main()
+
+
+if __name__ == "__main__":
+    main()
