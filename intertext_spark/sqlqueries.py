@@ -376,7 +376,35 @@ where {jac} >= {t}
 
 def q_simhash(d: Dialect) -> str:
     """16-bit SimHash per document: bit b set iff more word hashes have bit
-    b than not (SQL-checkable variant of the engine's 64-bit numpy path)."""
+    b than not (SQL-checkable variant of the engine's 64-bit numpy path).
+
+    Dialect split (r6): the shared form computes ``bit_sum`` per bit b by
+    referencing the hashed-word array once per bit — Spark's
+    CollapseProject inlines the subquery's md5 transform into EVERY one of
+    the 16 references, so each document's words were md5-hashed 16x
+    (measured 9.3-10.1s vs 5.9-6.2s at sf0.1 for simhash_dup_pairs, same
+    boot, alternating A/B).  The Spark branch folds ONCE over the hashed
+    array, accumulating all 16 signed bit counts in a single pass
+    (integer sums — order-insensitive, so the per-bit totals and hence
+    simhash16 are value-identical; verified rows-identical at sf0.1,
+    1,167,098 pairs).  DuckDB keeps the original text verbatim — its CTEs
+    are evaluated per reference too, but the oracle dialect is FROZEN
+    (fingerprinted) and correctness-only."""
+    if d.name == "spark":
+        hash64 = d.hash64("w")
+        return f"""
+select doc_id,
+  aggregate(
+    transform(filter(split(text, '\\\\s+'), w -> w != ''), w -> {hash64} % {MERSENNE31}),
+    cast(array_repeat(0, 16) as array<bigint>),
+    (acc, h) -> zip_with(acc, sequence(0, 15), (a, b) -> a + 2 * (shiftright(h, b) % 2) - 1),
+    acc -> aggregate(
+      zip_with(acc, sequence(0, 15),
+        (c, b) -> case when c > 0 then cast(pow(2, b) as bigint) else 0 end),
+      cast(0 as bigint), (s, v) -> s + v)
+  ) as simhash16
+from documents
+"""
     words = d.splitws("text")
     hs = d.transform(words, f"w -> {d.hash64('w')} % {MERSENNE31}")
     bit_sum = d.fold(
@@ -401,7 +429,56 @@ from (select doc_id, {hs} as hs from documents)
 def q_simhash_dup_pairs(d: Dialect) -> str:
     """SimHash near-dup pairs: block on either 8-bit half (a Hamming-ball
     LSH — any pair within distance 1 shares a half; wider distances are a
-    recall trade documented here), verify Hamming distance <= 3."""
+    recall trade documented here), verify Hamming distance <= 3.
+
+    Dialect split (r6): the shared form collects DOC members per half key
+    and pair-expands |ms|^2 structs in-row — on a low-entropy corpus the
+    16-bit signatures concentrate on few values, so a handful of giant
+    half-key groups each build millions of interpreted structs in ONE
+    task (skew, guide §2.5).  The Spark branch groups docs by simhash
+    VALUE first (<= 2^16 distinct by construction, regardless of corpus
+    size), runs the identical half-key blocking + hamming verify over
+    VALUE pairs (tiny), then cross-joins the member id lists — each
+    qualifying doc pair is emitted exactly once, so the corpus-sized
+    final DISTINCT disappears too.  Pair-set equality verified at sf0.1
+    (1,167,098 rows identical); measured 9.0-9.6s -> 1.4-2.0s same-boot
+    alternating A/B.  DuckDB keeps the original (frozen) text."""
+    if d.name == "spark":
+        return f"""
+with sims as ({q_simhash(d).strip()}),
+vals as (select simhash16, array_sort(collect_list(doc_id)) as ids
+         from sims group by simhash16),
+keyed as (
+  select simhash16, ids,
+         explode(array(concat('h#', cast(shiftright(simhash16, 8) as string)),
+                       concat('l#', cast(simhash16 % 256 as string)))) as k
+  from vals
+),
+grouped as (select k, collect_list(named_struct('s', simhash16, 'ids', ids)) as ms
+            from keyed group by k),
+vp as (
+  select explode(filter(flatten(transform(ms, x -> transform(ms, y ->
+           named_struct('a', x, 'b', y)))),
+         p -> p.a.s < p.b.s and bit_count(p.a.s ^ p.b.s) <= 3)) as p
+  from grouped where size(ms) >= 2
+),
+vpd as (select distinct p.a.s as sa, p.a.ids as ids_a, p.b.s as sb, p.b.ids as ids_b from vp),
+cross_pairs as (
+  select least(a, b) as doc_a, greatest(a, b) as doc_b
+  from vpd
+  lateral view explode(ids_a) ta as a
+  lateral view explode(ids_b) tb as b
+),
+same_pairs as (
+  select p.a as doc_a, p.b as doc_b
+  from (select explode(filter(flatten(transform(ids, x -> transform(ids, y ->
+                 named_struct('a', x, 'b', y)))), p -> p.a < p.b)) as p
+        from vals where size(ids) >= 2)
+)
+select doc_a, doc_b from cross_pairs
+union all
+select doc_a, doc_b from same_pairs
+"""
     ham = d.hamming64("p.a.s", "p.b.s")
     # family-tagged key explode (one signature pass) + grouped in-row pair
     # expansion with the Hamming verify inside the expansion lambda — the

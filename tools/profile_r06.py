@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Round-6 per-query profiler: times selected bench rows in isolation with
+the noop sink (guide §1.4) inside ONE warmed JVM, and dumps
+.explain('formatted') to plans/r06/<name>_<tag>.txt.
+
+Usage:
+  python tools/profile_r06.py [--tag before|after] [--reps 3] [--plans-only] \
+      [--sf DIR] [name ...]
+
+Defaults to the heavy rows.  Never touches bench.py (frozen).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEAVY = [
+    "minhash_dup_pairs_skewed",
+    "dedup_eval",
+    "rouge_pairs",
+    "gopher_repetition",
+    "classifier_scores",
+    "simhash_dup_pairs",  # SQL template row
+    "similar_docs",
+    "corpus_diff",
+    "srp_dup_pairs",
+    "conv_dedup",
+    "curate_transcripts",
+    "dsir_weights",
+    "label_propagation",
+    "retrieval_eval",
+    "pagerank",
+    "bootstrap_means",
+    "bm25_topk",
+    "dedup_against",
+]
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main():
+    args = sys.argv[1:]
+    tag = "before"
+    reps = 3
+    plans_only = False
+    sf_dir = SF_DIR
+    names = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--tag":
+            tag = args[i + 1]; i += 2
+        elif a == "--reps":
+            reps = int(args[i + 1]); i += 2
+        elif a == "--plans-only":
+            plans_only = True; i += 1
+        elif a == "--sf":
+            sf_dir = args[i + 1]; i += 2
+        else:
+            names.append(a); i += 1
+    if not names:
+        names = HEAVY
+
+    os.makedirs("plans/r06", exist_ok=True)
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    from intertext_spark.session import get_spark
+
+    spark = get_spark(
+        app="profile-r06",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(32, 2 * CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+    from intertext_spark.sqlqueries import SPARK, TEMPLATES
+
+    if not plans_only:
+        # same steady-state warmup discipline as bench.py
+        from intertext_spark.config import DEFAULT
+        from intertext_spark.pipeline import Pipeline
+
+        tdf = entrymod.transcripts_from_documents(spark, "/root/testdata/sf0.001")
+        res = Pipeline(spark, DEFAULT.with_(band_max_files=16)).run(tdf)
+        res["matches"].write.format("noop").mode("overwrite").save()
+        for df in res.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+    entrymod._register_views(spark, sf_dir)
+    qs = entrymod.queries()
+
+    def build(name):
+        if name in TEMPLATES:
+            return spark.sql(TEMPLATES[name](SPARK))
+        return qs[name](spark, sf_dir)
+
+    results: dict[str, list[float]] = {}
+    for name in names:
+        df = build(name)
+        with open(f"plans/r06/{name}_{tag}.txt", "w") as f:
+            f.write(plan_of(df))
+        if plans_only:
+            continue
+        ts = []
+        for r in range(reps):
+            spark.sparkContext.setJobDescription(f"{name} rep{r}")
+            # rebuild per rep: some queries persist/checkpoint internally.
+            # t0 BEFORE build — bench.py times build+write, and some rows
+            # (classifier training, kcenter) run eager jobs at build time.
+            t0 = time.time()
+            d = build(name)
+            d.write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+            spark.sparkContext.setJobDescription(None)
+            try:
+                from intertext_spark.operators.ckpt import release_checkpoint
+                release_checkpoint(d)
+            except Exception:
+                pass
+            # drop any internal persists so the next rep re-computes from
+            # parquet (bench.py runs each query exactly once, cold)
+            spark.catalog.clearCache()
+        results[name] = ts
+        print(json.dumps({"query": name, "tag": tag, "secs": ts}), flush=True)
+
+    if not plans_only:
+        print(json.dumps({"tag": tag, "all": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
