@@ -366,6 +366,8 @@ def train_quality_classifier(
     """Convenience recipe: featurize ``docs``, train against the 0/1
     Column ``label_expr``, score every doc.  Returns (scored, weights,
     trace) with scored = (doc_id, label, prob)."""
+    from .ckpt import local_ckpt_tracked
+
     labeled = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias("text"),
@@ -375,22 +377,37 @@ def train_quality_classifier(
         labeled, n_buckets=n_buckets, id_col="doc_id", text_col="text",
         hash_fn=hash_fn, feature=feature,
     ).join(labeled.select("doc_id", "label"), "doc_id")
-    w, trace = lr_train(
-        feats,
-        label_col="label",
-        n_buckets=n_buckets,
-        n_iters=n_iters,
-        lr=lr,
-        l2=l2,
-        quantize_digits=quantize_digits,
-    )
-    # feats already carries the label (built by joining `labeled`), so
-    # score with a passthrough instead of re-attaching it with a second
-    # corpus-sized join
-    scored = lr_score(
-        feats, w, quantize_digits=quantize_digits, keep_cols=("label",)
-    )
-    return scored, w, trace
+    # Featurization (per-gram hashing over the whole corpus) is the
+    # expensive subtree and BOTH training and scoring need it.  lr_train
+    # persists only its own internal selection and unpersists it when
+    # training ends, so the scoring pass used to re-featurize from the
+    # source — one full redundant corpus pass (guide §5: cache exactly
+    # what is reused).  Persist the shared frame across both consumers,
+    # score EAGERLY into a tracked localCheckpoint (model-output-sized:
+    # doc_id/label/prob), then drop the feature cache.  The checkpoint
+    # ids ride on the result as _ckpt_rdd_ids (caller-owned release).
+    feats = feats.persist()
+    try:
+        w, trace = lr_train(
+            feats,
+            label_col="label",
+            n_buckets=n_buckets,
+            n_iters=n_iters,
+            lr=lr,
+            l2=l2,
+            quantize_digits=quantize_digits,
+        )
+        # feats already carries the label (built by joining `labeled`), so
+        # score with a passthrough instead of re-attaching it with a second
+        # corpus-sized join
+        scored = lr_score(
+            feats, w, quantize_digits=quantize_digits, keep_cols=("label",)
+        )
+        out, ids = local_ckpt_tracked(scored)
+    finally:
+        feats.unpersist(blocking=True)
+    out._ckpt_rdd_ids = ids
+    return out, w, trace
 
 
 def binary_eval(

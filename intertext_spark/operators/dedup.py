@@ -2390,10 +2390,21 @@ def similar_docs(
     groupBy.  Self-matches are excluded."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
+    from .ckpt import local_ckpt_tracked
+
     spark = fps.sparkSession
     f = fps.select(
         F.col(id_col).alias("doc_id"), F.col(fp_col).alias("fp")
     ).distinct()
+    # The fp frame is referenced THREE times below (totals, query fps,
+    # corpus semi-join) and fingerprint derivation is typically the
+    # expensive part (e.g. the doc_fingerprints template md5-hashes every
+    # char position) — without a materialization barrier Spark re-derives
+    # it once per reference (measured 3 extra full derivations in the
+    # similar_docs bench plan).  localCheckpoint computes it ONCE;
+    # the ids ride on the result as _ckpt_rdd_ids (caller-owned release,
+    # the srp_dup_pairs convention).
+    f, _ckpt_ids = local_ckpt_tracked(f)
     if isinstance(query_ids, DataFrame):
         qset = query_ids.select(
             F.col(query_ids.columns[0]).alias("doc_id")
@@ -2443,7 +2454,7 @@ def similar_docs(
     w = Window.partitionBy("q").orderBy(
         F.desc("n_shared"), F.desc("containment"), F.asc("doc_id")
     )
-    return (
+    res = (
         out.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(
@@ -2454,3 +2465,5 @@ def similar_docs(
             "rank",
         )
     )
+    res._ckpt_rdd_ids = _ckpt_ids
+    return res
