@@ -448,21 +448,14 @@ def corpus_diff(
     same = (to.isNull() & tn.isNull()) | (to == tn)
 
     def shingles(c):
+        from .operators.windows import word_ngrams
+
         words = F.filter(F.split(F.coalesce(c, F.lit("")), WS), lambda w: w != "")
-        # guard: sequence(1, n) DESCENDS for n < 1 (phantom shingles
-        # from slice(words, 0, k) / negative starts) — short texts get
-        # an explicit empty set
-        return F.when(
-            F.size(words) >= shingle_words,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),
-                    lambda i: F.array_join(
-                        F.slice(words, i.cast("int"), shingle_words), " "
-                    ),
-                )
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+        # constant-reference shingle build (word_ngrams, r6): the former
+        # per-element slice re-tokenized the text once per shingle —
+        # O(L^2) per row with ``words`` inline; short texts yield an
+        # empty array (the old when-guard's otherwise branch)
+        return F.array_distinct(word_ngrams(words, shingle_words))
 
     sa, sb = shingles(to), shingles(tn)
     inter = F.size(F.array_intersect(sa, sb))

@@ -21,19 +21,16 @@ from .windows import WS
 
 
 def _word_ngrams(df: DataFrame, id_col: str, text_col: str, n: int):
+    from .windows import word_ngrams
+
     words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
-    # guard: sequence(1, 0) counts DOWN in Spark — short docs need an
-    # explicit empty-array branch
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (n - 1)),
-            lambda i: F.array_join(F.slice(words, i.cast("int"), n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # constant-reference gram build (windows.word_ngrams, r6): the former
+    # per-element slice re-tokenized the doc once per gram — O(L^2) per
+    # doc with ``words`` inline; short docs yield an empty array (the old
+    # when-guard's otherwise branch)
     return df.select(
         F.col(id_col).alias("doc_id"),
-        grams.alias("grams"),
+        word_ngrams(words, n).alias("grams"),
     )
 
 

@@ -670,25 +670,26 @@ def verify_jaccard(
     strings keep the Jaccard EXACT (no collision caveat for the oracle
     gate).  On a real cluster with slow network shuffle the hashed
     variant may win; re-measure there before switching."""
-    from .windows import WS
+    from .ckpt import local_ckpt_tracked
+    from .windows import WS, word_ngrams
 
     words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),
-            lambda i: F.array_join(
-                F.slice(words, i.cast("int"), shingle_words), " "
-            ),
-        )
-    )
+    # constant-reference gram build (word_ngrams): the former per-element
+    # slice re-tokenized the doc once per shingle — O(L^2) per doc when
+    # ``words`` is an inline expression, which it is here (r6 fix)
+    sh = F.array_distinct(word_ngrams(words, shingle_words))
     sets = df.where(F.size(words) >= shingle_words).select(
         F.col(id_col).cast("long").alias("doc_id"), sh.alias("sh")
     )
+    # the shingle-set frame feeds BOTH join sides — one tracked
+    # localCheckpoint computes it once instead of twice; ids ride on the
+    # result as _ckpt_rdd_ids (caller-owned release)
+    sets, _ckpt_ids = local_ckpt_tracked(sets)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    res = (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -698,6 +699,8 @@ def verify_jaccard(
         )
         .where(F.col("jaccard") >= threshold)
     )
+    res._ckpt_rdd_ids = _ckpt_ids
+    return res
 
 
 def verify_edit(
@@ -840,7 +843,7 @@ def verify_rouge(
     each.  Pairs whose doc is absent from ``df`` (or NULL text) drop —
     no evidence either way (the verify_edit convention); present docs
     shorter than n words score 0.0 via the left-join fill."""
-    from .windows import WS
+    from .windows import WS, word_ngrams
 
     p = pairs.select(
         F.col("doc_a").cast("long").alias("doc_a"),
@@ -862,18 +865,11 @@ def verify_rouge(
         .join(members, "doc_id", "left_semi")
         .select(
             "doc_id",
-            # sequence(1, n<1) descends — guard short docs explicitly
-            F.when(
-                ng >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), ng),
-                    lambda i: F.array_join(
-                        F.slice(words, i.cast("int"), n), " "
-                    ),
-                ),
-            )
-            .otherwise(F.array().cast("array<string>"))
-            .alias("__grams"),
+            # constant-reference gram build (word_ngrams, r6): the former
+            # per-element slice re-tokenized the doc once per gram —
+            # O(L^2) per doc with ``words`` inline; short docs yield an
+            # empty array (the old when-guard's otherwise branch)
+            word_ngrams(words, n).alias("__grams"),
             # totals straight from the word count: the tot branch then
             # never materializes the gram transform (column pruning)
             F.greatest(ng, F.lit(0)).cast("long").alias("n_grams"),
@@ -1592,15 +1588,12 @@ def dedup_against(
     cand = nb.join(rb, "band").select("new_id", "ref_id").distinct()
 
     def _sets(df, ids, out_id):
-        from .windows import WS
+        from .windows import WS, word_ngrams
 
         words = F.filter(F.split(F.col(text_col), WS), lambda w: w != "")
-        sh = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words) - (shingle_words - 1)),
-                lambda i: F.array_join(F.slice(words, i.cast("int"), shingle_words), " "),
-            )
-        )
+        # constant-reference shingle build (word_ngrams, r6 — the
+        # per-element slice form was O(L^2) per doc with inline words)
+        sh = F.array_distinct(word_ngrams(words, shingle_words))
         return (
             df.select(F.col(id_col).cast("long").alias(out_id), F.col(text_col))
             .join(ids, out_id, "left_semi")

@@ -556,12 +556,16 @@ def repetition_stats(
     whole-stage codegen.  The alternative explode -> groupBy(doc, gram) ->
     window costs two wide exchanges on a key set ~n_tokens wide; this
     costs none and is bounded by the doc's own length."""
+    from .windows import word_ngrams
+
     k = gram_words
     words = _WORDS(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - (k - 1)),
-        lambda i: F.array_join(F.slice("ws", i, k), " "),
-    )
+    # constant-reference gram build (word_ngrams, r6): the per-element
+    # slice form was O(1) only while "ws" stayed a bound attribute — a
+    # plan rewrite that inlines it would re-tokenize per gram (the
+    # latent hazard class SCALE.md §21 documents); the zip form is safe
+    # under any rewrite
+    grams = word_ngrams(F.col("ws"), k)
 
     def step(a, g):
         run_n = F.when(g == a["cur"], a["cur_n"] + 1).otherwise(F.lit(1))
@@ -950,12 +954,14 @@ def top_ngrams(
     final top-k is a TakeOrdered (per-partition heaps), never a global
     sort.  At 10^12 turns, key the shuffle by md5(gram) and carry the
     gram as a payload if gram text gets long (>~100 chars)."""
+    from .windows import word_ngrams
+
     kk = gram_words
     words = _WORDS(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("ws") - (kk - 1)),
-        lambda i: F.array_join(F.slice("ws", i, kk), " "),
-    )
+    # constant-reference gram build (word_ngrams, r6): safe under any
+    # plan rewrite — the per-element slice form depended on "ws" staying
+    # a bound attribute (the latent SCALE.md §21 hazard class)
+    grams = word_ngrams(F.col("ws"), kk)
     per_doc = (
         df.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
         .where(F.size("ws") >= kk)

@@ -1,0 +1,123 @@
+"""Round-6 optimization regression tests.
+
+Covers the constant-reference n-gram builder (windows.word_ngrams) that
+replaced the per-element ``slice(words, i, n)`` form at every
+overlapping-gram site: equivalence with the naive form on edge-shaped
+inputs, and a wall-clock guard proving the gram build stays O(n*L) when
+the word array is an INLINE expression (the shape that was live-O(L^2)
+in verify_rouge / verify_jaccard / dedup_against / corpus_diff /
+decontaminate before r6).
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from intertext_spark.operators.windows import WS, word_ngrams
+
+
+def _naive_grams(words_col, n):
+    return F.when(
+        F.size(words_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words_col) - (n - 1)),
+            lambda i: F.array_join(F.slice(words_col, i.cast("int"), n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 5, 13])
+def test_word_ngrams_equals_naive_form(spark, n):
+    texts = [
+        "a b c d e f g",
+        "one",
+        "",
+        "x " * 30,
+        "repeat repeat repeat repeat",
+        "tab\tsep\nand  double  spaces",
+        "exactly the n words here pad pad pad pad pad pad pad pad",
+        "short doc",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    words = F.filter(F.split("text", WS), lambda w: w != "")
+    got = df.select(
+        "doc_id", word_ngrams(words, n).alias("g")
+    ).collect()
+    want = df.select(
+        "doc_id", _naive_grams(words, n).alias("g")
+    ).collect()
+    assert sorted((r["doc_id"], tuple(r["g"])) for r in got) == sorted(
+        (r["doc_id"], tuple(r["g"])) for r in want
+    )
+
+
+def test_word_ngrams_linear_on_inline_expression(spark):
+    """The naive form over an inline filter(split(text)) expression
+    re-tokenizes the doc once per gram — O(L^2) per doc (measured ~0.9ms
+    per 80-word doc at sf0.1, 3.5s corpus-wide; a 4000-word doc takes
+    seconds ALONE).  word_ngrams must stay O(n*L) in exactly that shape."""
+    text = " ".join(f"w{i % 997}" for i in range(4000))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(32)], "doc_id long, text string"
+    )
+    words = F.filter(F.split("text", WS), lambda w: w != "")
+    t0 = time.time()
+    n_grams = (
+        df.select(F.explode(word_ngrams(words, 3)).alias("g")).count()
+    )
+    wall = time.time() - t0
+    assert n_grams == 32 * (4000 - 2)
+    # naive form: ~64M slice+join evals here (minutes interpreted);
+    # generous bound that still catches any quadratic regression
+    assert wall < 30, f"gram build took {wall:.1f}s — per-element again?"
+
+
+def test_verify_rouge_and_jaccard_match_bruteforce(spark):
+    """End-to-end: the r6 gram rewrite inside the verifiers must not
+    change a single score — cross-check against plain python difference
+    on a small planted corpus."""
+    from collections import Counter
+
+    from intertext_spark.operators.dedup import verify_jaccard, verify_rouge
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat today",
+        3: "a completely different sentence here",
+        4: "the cat sat cat sat cat sat",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "doc_a long, doc_b long"
+    )
+
+    def grams(t, n):
+        ws = t.split()
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    rows = verify_rouge(pairs, df, n=2, threshold=0.0).collect()
+    assert len(rows) == 4
+    for r in rows:
+        ca = Counter(grams(texts[r["doc_a"]], 2))
+        cb = Counter(grams(texts[r["doc_b"]], 2))
+        ov = sum(min(ca[g], cb[g]) for g in ca)
+        assert r["overlap"] == ov
+        assert r["n_grams_a"] == sum(ca.values())
+        assert r["n_grams_b"] == sum(cb.values())
+
+    jrows = verify_jaccard(
+        pairs, df, shingle_words=2, threshold=0.0
+    ).collect()
+    for r in jrows:
+        sa = set(grams(texts[r["doc_a"]], 2))
+        sb = set(grams(texts[r["doc_b"]], 2))
+        assert r["jaccard"] == pytest.approx(
+            len(sa & sb) / len(sa | sb), abs=1e-12
+        )
