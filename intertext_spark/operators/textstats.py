@@ -1754,6 +1754,14 @@ def gopher_repetition(
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # null-text guard lives HERE, not as a JVM
+                # where(isNotNull): a filter on the text column makes
+                # Spark evaluate the caller's text expression TWICE
+                # (once in the Filter, again in the Project feeding
+                # Arrow) — measured 7.2s -> 3.5s at sf0.1 where the
+                # bench derives text through an interpreted HOF chain
+                if text is None:
+                    continue
                 r = one_doc(text)
                 if r is None:
                     continue
@@ -1772,7 +1780,7 @@ def gopher_repetition(
             T.StructField("keep", T.BooleanType()),
         ]
     )
-    src = df.where(F.col(text_col).isNotNull()).select(
+    src = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
     return src.mapInPandas(batches, schema)
