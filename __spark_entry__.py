@@ -48,17 +48,26 @@ def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch + turn_idx.  Pure built-ins; byte-stable given the input."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     words = F.filter(F.split("text", r"(?U)[\s\x1c-\x1f]+"), lambda w: w != "")
+    # turn texts slice a BOUND word array ("__ws"), not the inline
+    # filter(split(text)) expression: interpreted HOF eval re-computes a
+    # lambda's referenced expressions per element, so the inline form
+    # re-tokenized the doc once per TURN (r6; the word_ngrams lesson —
+    # here the stride-12 shape keeps the explode-then-slice idiom)
     turns = F.when(
-        F.size(words) > 0,
+        F.size("__ws") > 0,
         F.transform(
-            F.sequence(F.lit(0), ((F.size(words) - 1) / 12).cast("int")),
-            lambda t: F.array_join(F.slice(words, t * 12 + 1, 12), " "),
+            F.sequence(F.lit(0), ((F.size("__ws") - 1) / 12).cast("int")),
+            lambda t: F.array_join(F.slice("__ws", t * 12 + 1, 12), " "),
         ),
     ).otherwise(F.array(F.lit("")))
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
     return (
         docs.select(
             F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("conv_id"),
+            words.alias("__ws"),
+        )
+        .select(
+            "conv_id",
             F.posexplode(turns).alias("turn_idx", "text"),
         )
         .select(

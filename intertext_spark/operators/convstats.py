@@ -395,11 +395,18 @@ def conv_overlap_pairs(
     bounded by the cap), one groupBy(pair) count with map-side combine,
     then two hash joins against the per-conversation set sizes.  No
     cartesian, no Python."""
+    from .ckpt import local_ckpt_tracked
+
     th = (
         tdf.where(F.length(F.coalesce("text", F.lit(""))) > 0)
         .select("conv_id", F.md5("text").alias("h"))
         .distinct()
     )
+    # th feeds BOTH the size aggregate and the bucket groupBy — one
+    # tracked localCheckpoint derives the (possibly expensive) caller
+    # transcript frame + hashes once instead of twice (r6); ids ride on
+    # the result as _ckpt_rdd_ids (caller-owned release)
+    th, _ckpt_ids = local_ckpt_tracked(th)
     sizes = th.groupBy("conv_id").agg(F.count("*").alias("sz"))
     buckets = (
         th.groupBy("h")
@@ -430,7 +437,7 @@ def conv_overlap_pairs(
     keep = F.col("jaccard") >= min_jaccard
     if min_containment is not None:
         keep = keep | (F.col("containment") >= min_containment)
-    return (
+    res = (
         inter.join(sa, "conv_a")
         .join(sb, "conv_b")
         .select(
@@ -447,6 +454,8 @@ def conv_overlap_pairs(
         )
         .where(keep)
     )
+    res._ckpt_rdd_ids = _ckpt_ids
+    return res
 
 
 def conv_dedup(
@@ -513,7 +522,9 @@ def conv_dedup(
             ).alias("kept"),
         )
     )
-    out._ckpt_rdd_ids = getattr(labels, "_ckpt_rdd_ids", set())
+    out._ckpt_rdd_ids = getattr(labels, "_ckpt_rdd_ids", set()) | getattr(
+        pairs, "_ckpt_rdd_ids", set()
+    )
     return out
 
 
