@@ -1115,6 +1115,14 @@ def bm25_topk(
     postings = per_doc.join(
         F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
     )
+    # postings feeds BOTH the df counts and the scoring join — without a
+    # barrier the whole tokenize+sort+RLE corpus pass runs twice (r6).
+    # The frame is pruned to query-relevant terms (bounded), so one
+    # tracked localCheckpoint is cheap; ids ride on the result as
+    # _ckpt_rdd_ids (caller-owned release).
+    from .ckpt import local_ckpt_tracked
+
+    postings, _post_ids = local_ckpt_tracked(postings)
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log(
         F.lit(1.0)
@@ -1141,11 +1149,13 @@ def bm25_topk(
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+    out._ckpt_rdd_ids = _post_ids
+    return out
 
 
 def normalize_text(
@@ -2287,6 +2297,8 @@ def retrieval_eval(
     gains_lit = F.array(*[F.lit(g).cast("long") for g in gains])
     cumg_lit = F.array(*[F.lit(c).cast("long") for c in cumg])
 
+    from .ckpt import local_ckpt_tracked
+
     res = (
         results.select(
             F.col(query_id_col).alias("query_id"),
@@ -2306,6 +2318,21 @@ def retrieval_eval(
         F.col(query_id_col).alias("query_id"),
         F.col(id_col).alias("doc_id"),
     ).distinct()
+    # res and tru are each referenced twice below (count aggregate +
+    # hits join); the caller's ranker pipelines behind them would run
+    # twice.  Both frames are ranked-list-sized (|Q| x k) — one tracked
+    # localCheckpoint each computes the rankers once (r6); ids ride on
+    # the result as _ckpt_rdd_ids (caller-owned release).
+    res, _res_ids = local_ckpt_tracked(res)
+    tru, _tru_ids = local_ckpt_tracked(tru)
+    # the caller's ranker checkpoints (e.g. bm25_topk's postings) are
+    # dead once res/tru are materialized — release them deterministically
+    from .ckpt import release_rdd_ids
+
+    for _up in (results, truth):
+        _up_ids = getattr(_up, "_ckpt_rdd_ids", None)
+        if _up_ids:
+            release_rdd_ids(results.sparkSession, _up_ids)
 
     tcnt = tru.groupBy("query_id").agg(
         F.count("*").cast("long").alias("n_relevant")
@@ -2332,7 +2359,7 @@ def retrieval_eval(
     idcg = F.element_at(
         cumg_lit, F.least(F.col("n_relevant"), F.lit(k)).cast("int")
     )
-    return base.select(
+    out = base.select(
         "query_id",
         "n_relevant",
         "n_retrieved",
@@ -2364,6 +2391,8 @@ def retrieval_eval(
         .otherwise(F.lit(0.0))
         .alias("ndcg_at_k"),
     )
+    out._ckpt_rdd_ids = _res_ids | _tru_ids
+    return out
 
 
 def chunk_documents(
