@@ -162,7 +162,7 @@ def _pipeline_matches_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = _run_pipeline(spark, sf_dir)
     c = build_candidate_stage(res["hashbands"], res["docs"], DEFAULT, _ONLY_FILE)
-    m = score_matches(attach_window_texts(c, res["windows"]), DEFAULT)
+    m = score_matches(attach_window_texts(c, res["windows"], DEFAULT), DEFAULT)
     return m.select(
         "file_id_a", "file_id_b", "window_id_a", "window_id_b",
         F.floor("similarity").cast("long").alias("similarity_int"),

@@ -50,6 +50,17 @@ class PipelineConfig:
     # optional: drop bands seen in more than this many distinct docs as
     # non-discriminative (boilerplate). None = keep everything (parity mode).
     band_max_files: Optional[int] = None
+    # attach_window_texts broadcasts the window-text table into the two
+    # candidate joins when it has at most this many rows (guide §3.1: the
+    # pair table is typically 100x the window table, and the shuffle-join
+    # alternative exchanges every pair row TWICE just to fetch ~100-byte
+    # texts).  Size-estimate-driven autoBroadcast misses this (text
+    # columns blow past the 10 MB estimate threshold), so the decision is
+    # an explicit row-count gate; 0 disables.  At 500k windows the
+    # broadcast is ~60 MB — comfortable for executors with >= 1 GB heap
+    # slack; corpora beyond the cap fall back to the shuffle join
+    # unchanged.
+    attach_broadcast_max_windows: int = 500_000
     shuffle_partitions: int = 32
     # suffix-array long-verbatim pass (north-star extra): union exact
     # >=span-word matches into the candidate set before validation —

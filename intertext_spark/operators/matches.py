@@ -43,8 +43,22 @@ def _is_junk(text_col, cfg: PipelineConfig):
     return singles >= F.lit(cfg.window_length * cfg.min_single_char_frac)
 
 
-def attach_window_texts(candidates: DataFrame, windows: DataFrame) -> DataFrame:
-    """candidates ⋈ windows ×2 -> pair rows with (text_a, text_b)."""
+def attach_window_texts(
+    candidates: DataFrame,
+    windows: DataFrame,
+    cfg: "PipelineConfig | None" = None,
+) -> DataFrame:
+    """candidates ⋈ windows ×2 -> pair rows with (text_a, text_b).
+
+    Join strategy (r6, guide §3.1): the candidate table is typically
+    ~100x the window table (every window pairs with many partners), and
+    the shuffle join exchanged every pair row TWICE to fetch ~100-byte
+    texts.  When the window table is small enough
+    (cfg.attach_broadcast_max_windows, row-count gate — Spark's
+    size-estimate autoBroadcast does not fire on text columns), both
+    sides are broadcast and the pair table never shuffles here at all.
+    Beyond the cap the original shuffle join runs unchanged, so the
+    plan stays scale-safe."""
     wa = windows.select(
         F.col("file_id").alias("file_id_a"),
         F.col("window_id").alias("window_id_a"),
@@ -55,6 +69,17 @@ def attach_window_texts(candidates: DataFrame, windows: DataFrame) -> DataFrame:
         F.col("window_id").alias("window_id_b"),
         F.col("text").alias("text_b"),
     )
+    bmax = getattr(cfg, "attach_broadcast_max_windows", 0) if cfg else 0
+    if bmax:
+        # windows is stage-persisted by the Pipeline, so this count is a
+        # cache scan (or a parquet count in store mode) — not a second
+        # derivation
+        try:
+            n_windows = windows.count()
+        except Exception:
+            n_windows = None
+        if n_windows is not None and n_windows <= bmax:
+            wa, wb = F.broadcast(wa), F.broadcast(wb)
     return candidates.join(wa, ["file_id_a", "window_id_a"]).join(
         wb, ["file_id_b", "window_id_b"]
     )

@@ -232,7 +232,7 @@ class Pipeline:
         )
         matches = self._stage(
             "matches",
-            lambda: score_matches(attach_window_texts(cands, windows), cfg),
+            lambda: score_matches(attach_window_texts(cands, windows, cfg), cfg),
         )
 
         if banished_convs:

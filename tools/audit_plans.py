@@ -1244,8 +1244,12 @@ def main():
         [
             ("query terms / df / stats all broadcast (no sort-merge join)",
              lambda p: "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
-            ("corpus term stream pruned by broadcast semi-join",
-             lambda p: "LeftSemi" in p),
+            # r6: the pruned postings frame is localCheckpointed (it used
+            # to be recomputed for df counts AND scoring), so the broadcast
+            # semi-join prune runs at build time and the final plan reads
+            # the materialized checkpoint instead of showing LeftSemi
+            ("postings read once from the build-time checkpoint",
+             lambda p: "ExistingRDD" in p),
             # bare "Python" would false-positive on applySchemaToPythonRDD
             # (the local createDataFrame query fixture), so match actual
             # Python-execution operators
