@@ -31,6 +31,27 @@ from .. import hashing
 # exact dedup
 # ---------------------------------------------------------------------------
 
+
+def _spread(sel: DataFrame) -> DataFrame:
+    """Row-balance a narrow frame ahead of a CPU-bound per-row kernel
+    (guide §2.6 / the score_matches repartition lesson, r6): a
+    single-file parquet corpus arrives as ONE scan partition, which
+    serializes the Arrow signing kernels (and the interpreted fold
+    paths) on one core of the whole cluster.  Repartition only when the
+    input has fewer partitions than there are slots; round-robin keeps
+    the row SET identical and every kernel below is per-row, so outputs
+    are unchanged.  Measured at sf0.1 (warm workers): doc_minhash_bands
+    1.7-3.1s -> 1.1-1.2s on the skewed corpus."""
+    try:
+        sc = sel.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        if sel.rdd.getNumPartitions() < target:
+            return sel.repartition(2 * target)
+    except Exception:
+        pass
+    return sel
+
+
 def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """-> (doc_id, content_hash, keeper_id, n_copies).  Keeper = min id per
     hash group; a 128-bit md5 keys the group (collision-safe at 10^12 docs),
@@ -431,7 +452,7 @@ def doc_minhash_bands(
                 }
             )
 
-    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    sel = _spread(df.select(F.col(id_col).cast("long").alias(id_col), text_col))
     return (
         sel.mapInPandas(compute, _doc_sig_schema())
         .select("doc_id", F.explode("bands").alias("band"))
@@ -479,7 +500,7 @@ def doc_minhash_sigs(
                 }
             )
 
-    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    sel = _spread(df.select(F.col(id_col).cast("long").alias(id_col), text_col))
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -946,7 +967,7 @@ def doc_simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
             sig = hashing.batch_simhash64(token_lists).astype(np.int64)
             yield pd.DataFrame({"doc_id": pdf[id_col].values, "simhash": sig})
 
-    sel = df.select(F.col(id_col).cast("long").alias(id_col), text_col)
+    sel = _spread(df.select(F.col(id_col).cast("long").alias(id_col), text_col))
     return sel.mapInPandas(compute, _SIMHASH_SCHEMA)
 
 
@@ -2005,8 +2026,11 @@ def random_project(
     a closure/literal broadcast, never a join.
     """
     out_dim, dim = len(matrix), len(matrix[0])
-    base = df.where(
-        F.col(emb_col).isNotNull() & (F.size(emb_col) == dim)
+    # _spread: the interpreted fold (and the Arrow matmul) are CPU-bound
+    # per-row kernels; a single-file parquet corpus otherwise runs them
+    # on one core (r6)
+    base = _spread(
+        df.where(F.col(emb_col).isNotNull() & (F.size(emb_col) == dim))
     )
     if method == "arrow":
         mat_t = np.asarray(matrix, dtype=np.float64).T  # dim x out_dim
