@@ -136,7 +136,14 @@ def dsir_weights(
             )
         )
 
-    raw_g = gram_stream(raw)
+    from .ckpt import local_ckpt_tracked
+
+    # the raw gram stream feeds BOTH the bucket counts and the final
+    # scoring join — one tracked localCheckpoint tokenizes/hashes the
+    # raw corpus once instead of twice (r6).  The stream is 3 longs per
+    # gram (comparable to the scoring shuffle that follows); ids ride on
+    # the result as _ckpt_rdd_ids (caller-owned release).
+    raw_g, _raw_ids = local_ckpt_tracked(gram_stream(raw))
     tgt_g = gram_stream(target)
     # persist the B-row count frames: the totals collect and the ratio
     # join both read them, and without the cache each reader re-explodes
@@ -172,7 +179,7 @@ def dsir_weights(
     tgt_counts.unpersist(blocking=True)
     spark = raw.sparkSession
     ratio = spark.createDataFrame(rows, "bucket long, ratio double")
-    return (
+    out = (
         raw_g.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
@@ -188,6 +195,8 @@ def dsir_weights(
         )
         .select("doc_id", "n_grams", "logw")
     )
+    out._ckpt_rdd_ids = _raw_ids
+    return out
 
 
 def gumbel_topk(

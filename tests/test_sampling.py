@@ -175,14 +175,23 @@ def test_mix_corpora_quotas_and_invariance(spark):
 
 def test_dsir_weights_cache_lifecycle_and_empty(spark):
     """The B-row count caches are released before return (model-sized
-    ratio table collected like IVF centroids); empty corpus -> empty
-    typed frame."""
+    ratio table collected like IVF centroids); the r6 raw-gram-stream
+    checkpoint is CALLER-OWNED (the conv_dedup/srp convention) and
+    releases via release_checkpoint; empty corpus -> empty typed
+    frame."""
+    from intertext_spark.operators.ckpt import release_checkpoint
+
     base = cached_rdd_ids(spark)
     df = spark.createDataFrame([(1, "a b c"), (2, "a c")], "doc_id long, text string")
-    assert sampling.dsir_weights(df, df.where("doc_id = 1"), n_buckets=16).count() == 2
+    out = sampling.dsir_weights(df, df.where("doc_id = 1"), n_buckets=16)
+    assert out.count() == 2
+    assert getattr(out, "_ckpt_rdd_ids", None), "raw gram stream checkpoint ids missing"
+    release_checkpoint(out)
     assert cached_rdd_ids(spark) - base == set()
     empty = spark.createDataFrame([], "doc_id long, text string")
-    assert sampling.dsir_weights(empty, empty, n_buckets=16).count() == 0
+    out2 = sampling.dsir_weights(empty, empty, n_buckets=16)
+    assert out2.count() == 0
+    release_checkpoint(out2)
 
 
 def test_group_split_exact_dup_groups_are_split_atomic(spark):
